@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced to full execution with a count-style action
+(``df.count()`` materializes every operator; nothing is collected to the
+driver beyond the count).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BENCH_QUERIES = [
+    # reference-surface pipelines
+    "pipeline_entity_sync",
+    "pipeline_change_log",
+    "pipeline_association_edges",
+    "pipeline_email_read_log",
+    "pipeline_reverse_etl",
+    "merge_upsert",
+    # analytic core
+    "agg_pricing_summary",
+    "join_agg_revenue_by_nation",
+    "topk_per_group",
+    "dedup_keep_first",
+    # scale-out extensions
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality_score",
+    "ann_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from data_pipeline_bigquery_spark.queries import registry
+    from data_pipeline_bigquery_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    reg = registry()
+
+    # warm the JVM + parquet footers once so timings measure the queries
+    reg["count_rows"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        reg[name].fn(spark, sf_dir).count()
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        total += dt
+        print(f"# {name}: {dt}s", file=sys.stderr)
+
+    sf = None
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        pass
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

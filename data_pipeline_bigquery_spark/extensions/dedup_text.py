@@ -1,0 +1,175 @@
+"""Text deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+No reference analog (the reference dedups only on primary key,
+``/root/reference/pipeline/functions/functions.py:91-106``); these are
+the corpus-level operators a training-data pipeline needs.
+
+Scale notes:
+
+* Exact dedup is a hash-groupBy on ``md5(text)`` — one shuffle keyed by
+  digest, never by the text itself (shuffle payload stays small).
+* MinHash/LSH: shingle → per-doc signature (one groupBy) → band hash →
+  self-join *on the band key only*.  Pair generation is bounded by
+  bucket sizes, not corpus², which is the whole point at 100 TB.
+* All hashing is md5-based (not ``xxhash64``) so results are portable
+  across engines — the DuckDB oracle replays the identical pipeline.
+  MinHash values are min'd as hex *strings*: uniform and
+  order-isomorphic to the underlying 128-bit integer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 16 permutations in 2 bands of 8 rows: P(false candidate) ≈ 2·J^8 — a
+# pair with shingle-Jaccard 0.3 has ~1e-4 collision odds, so candidate
+# volume stays near-linear even on a same-vocab corpus.  8 rows/band
+# still detects true near-dups (J≈0.95 ⇒ ~0.66 per band, ~0.88 overall).
+# Stride stays 1: strided shingling is phase-fragile (an edit that shifts
+# the text by non-multiple-of-stride chars disjoints the shingle sets).
+DEFAULT_NUM_PERM = 16
+DEFAULT_BANDS = 2
+DEFAULT_SHINGLE_K = 12
+DEFAULT_SHINGLE_STRIDE = 1
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups: one row per distinct text digest with the
+    canonical (min) id and the duplicate count."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def char_shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = DEFAULT_SHINGLE_K,
+    stride: int = DEFAULT_SHINGLE_STRIDE,
+) -> DataFrame:
+    """Strided character k-shingles of lowercased text (one row per
+    shingle).  Stride>1 cuts shingle volume k/stride× with little recall
+    loss on near-dup detection."""
+    t = f"lower({text_col})"
+    expr = (
+        f"transform(sequence(1, greatest(length({t}) - {k - 1}, 1), {stride}),"
+        f" i -> substring({t}, i, {k}))"
+    )
+    return df.select(F.col(id_col).alias("doc_id"), F.explode(F.expr(expr)).alias("shingle"))
+
+
+def minhash_signatures(shingles: DataFrame, num_perm: int = DEFAULT_NUM_PERM) -> DataFrame:
+    """Per-doc MinHash signature: ``sig_j = min(md5(j || ':' || shingle))``.
+
+    One hash-aggregate over the shingle stream; the j-th permutation is
+    simulated by salting the digest, the min over hex strings is the
+    signature component.
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"sig_{j}")
+        for j in range(num_perm)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_perm: int = DEFAULT_NUM_PERM, bands: int = DEFAULT_BANDS
+) -> DataFrame:
+    """Band the signature and self-join on the band hash: docs agreeing
+    on ALL rows of any band become candidate pairs (doc_a < doc_b).
+
+    The join is a plain shuffle hash join keyed ``(band_idx, band_hash)``
+    — bucket-local pair explosion only.
+    """
+    rows_per_band = num_perm // bands
+    band_hashes = [
+        F.md5(
+            F.concat_ws(
+                "", *[F.col(f"sig_{j}") for j in range(b * rows_per_band, (b + 1) * rows_per_band)]
+            )
+        )
+        for b in range(bands)
+    ]
+    banded = signatures.select(
+        "doc_id", F.posexplode(F.array(*band_hashes)).alias("band_idx", "band_hash")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash_fingerprint(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """SimHash over whitespace tokens: bit p of the fingerprint is the
+    majority vote of bit p of each token's hash (top bit of the p-th
+    md5 hex digit).  One explode + one hash-aggregate."""
+    tokens = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
+    ).withColumn("h", F.md5(F.col("tok")))
+    sums = tokens.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.expr(f"instr('0123456789abcdef', substring(h, {p + 1}, 1)) - 1") >= 8,
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+            ).alias(f"s_{p}")
+            for p in range(bits)
+        ]
+    )
+    fingerprint = F.concat(
+        *[F.when(F.col(f"s_{p}") >= 0, F.lit("1")).otherwise(F.lit("0")) for p in range(bits)]
+    )
+    return sums.select("doc_id", fingerprint.alias("simhash"))
+
+
+def word_ngrams(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-grams per doc (for Jaccard)."""
+    w = f"split(lower({text_col}), ' ')"
+    parts = ", ".join(f"element_at({w}, i + {d})" for d in range(n))
+    expr = f"transform(sequence(1, greatest(size({w}) - {n - 1}, 1)), i -> concat_ws(' ', {parts}))"
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(F.expr(expr)).alias("gram"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(grams: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Pairwise Jaccard over shared n-grams.
+
+    ``|A∩B|`` via self-join on the gram key (pairs only materialize for
+    docs sharing at least one gram); ``|A∪B| = |A|+|B|-|A∩B|``.
+    Jaccard is an exact int/int division — engine-portable.
+    """
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )

@@ -1,0 +1,71 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed
+metadata, with decode / frame-sample as Arrow-batched ``mapInPandas``.
+
+The container has no image/audio codecs, so the decode step is STUBBED:
+``_decode_frames`` produces deterministic fake "frames" (fixed-size byte
+slices) and is clearly marked.  Everything around it — binary column
+handling, schema, batch iteration, partition parallelism — is the real
+Spark plumbing a production decoder would drop into.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FRAME_SIZE = 4096  # bytes per fake "frame"
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes int, frame_md5 string"
+
+
+def binary_metadata(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """Typed metadata over an opaque binary payload column: byte length,
+    content digest, chunk count for a 64 KiB chunked store."""
+    payload = F.col(payload_col)
+    byte_len = F.length(payload).cast("long")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        byte_len.alias("byte_len"),
+        F.md5(payload).alias("content_md5"),
+        F.ceil(byte_len / F.lit(65536.0)).cast("int").alias("n_chunks"),
+    )
+
+
+def _decode_frames(payload: bytes, n_frames: int) -> list[bytes]:
+    """STUB decoder. A real implementation would call PIL/pyav here:
+
+        raise NotImplementedError("codec not available in this image")
+
+    Instead we return deterministic byte slices so the distributed
+    plumbing (schema, batching, hashing) is testable end-to-end.
+    """
+    if payload is None:
+        return []
+    step = max(len(payload) // max(n_frames, 1), 1)
+    return [payload[i * step : i * step + FRAME_SIZE] for i in range(n_frames) if i * step < len(payload)]
+
+
+def frame_sample(df: DataFrame, id_col: str, payload_col: str, n_frames: int = 4) -> DataFrame:
+    """Sample N "frames" per document via ``mapInPandas`` — Arrow batches
+    in, Arrow batches out, one python worker per partition.  This is the
+    pattern (and the exact signature) a real video frame-sampler uses;
+    only ``_decode_frames`` is fake."""
+    import hashlib
+
+    id_name, payload_name = id_col, payload_col
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_md5": []}
+            for doc_id, payload in zip(pdf[id_name], pdf[payload_name]):
+                for idx, frame in enumerate(_decode_frames(payload, n_frames)):
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(idx)
+                    out["frame_bytes"].append(len(frame))
+                    out["frame_md5"].append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(gen, FRAME_SCHEMA)

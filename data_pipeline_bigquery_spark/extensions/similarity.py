@@ -1,0 +1,168 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Brute-force cosine top-k is the correctness baseline; IVF (inverted
+file, coarse-quantizer cells) is the scale path: at 100 TB you never
+join query × full corpus — you join query × (nprobe cells), and the
+cell assignment is itself a broadcast join against a tiny centroid
+table.
+
+All arithmetic runs in JVM higher-order functions (``zip_with`` +
+``aggregate``) over doubles — no Python UDFs, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product — deterministic summation order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def with_double_embedding(df: DataFrame, col: str = "embedding") -> DataFrame:
+    return df.withColumn(col, F.col(col).cast("array<double>"))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: query set × candidate corpus.
+
+    The query side is broadcast (it's small by construction); the corpus
+    is scanned once, partition-parallel.  Similarities are rounded to 6
+    decimals *before* ranking with an id tie-break, making the top-k
+    selection reproducible across engines and partitionings.
+    """
+    q = with_double_embedding(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = with_double_embedding(candidates, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    pairs = F.broadcast(q).join(c, F.col("query_id") != F.col("neighbor_id"))
+    sim = _dot(F.col("q_vec"), F.col("c_vec")) / (
+        F.sqrt(_dot(F.col("q_vec"), F.col("q_vec")))
+        * F.sqrt(_dot(F.col("c_vec"), F.col("c_vec")))
+    )
+    scored = pairs.select(
+        "query_id", "neighbor_id", F.round(sim, 6).alias("cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (doc_a < doc_b, sim ≥ t).
+
+    With ``bucket_col`` (a cluster/LSH cell id) the self-join keys on the
+    bucket so only intra-bucket pairs materialize — the scalable form.
+    Without it, a full pairwise join (test scale only).
+    """
+    e = with_double_embedding(df, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+        *([F.col(bucket_col).alias("bucket")] if bucket_col else []),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if bucket_col:
+        joined = a.join(b, on=[F.col("a.bucket") == F.col("b.bucket")]).filter(cond)
+    else:
+        joined = a.join(b, cond)
+    sim = _dot(F.col("a.vec"), F.col("b.vec")) / (
+        F.sqrt(_dot(F.col("a.vec"), F.col("a.vec")))
+        * F.sqrt(_dot(F.col("b.vec"), F.col("b.vec")))
+    )
+    return (
+        joined.select(
+            F.col("a.id").alias("vec_a"),
+            F.col("b.id").alias("vec_b"),
+            F.round(sim, 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def label_centroids(df: DataFrame, label_col: str = "label", vec_col: str = "embedding") -> DataFrame:
+    """Per-cell centroids (the IVF "coarse quantizer").  Here cells come
+    from the fixture's ``label`` column; in production they'd come from a
+    k-means pass.  Avg is computed per (cell, dim) then re-assembled —
+    all shuffle-keyed, no driver math."""
+    pos = with_double_embedding(df, vec_col).select(
+        F.col(label_col).alias("cell"), F.posexplode(vec_col).alias("pos", "v")
+    )
+    per_dim = pos.groupBy("cell", "pos").agg(F.avg("v").alias("cv"))
+    return (
+        per_dim.groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pc"))
+        .select("cell", F.expr("transform(pc, x -> x.cv)").alias("centroid"))
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF-style ANN: assign each query to its ``nprobe`` nearest cells
+    (broadcast join vs the tiny centroid table), then run exact cosine
+    only inside those cells.  Corpus side stays hash-partitioned by
+    cell; the candidate set shrinks ~|cells|/nprobe ×."""
+    centroids = label_centroids(corpus, label_col, vec_col)
+    q = with_double_embedding(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    qc = F.broadcast(centroids).crossJoin(q)
+    csim = _dot(F.col("q_vec"), F.col("centroid")) / (
+        F.sqrt(_dot(F.col("q_vec"), F.col("q_vec")))
+        * F.sqrt(_dot(F.col("centroid"), F.col("centroid")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("cell").asc())
+    probe = (
+        qc.select("query_id", "q_vec", "cell", csim.alias("csim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "q_vec", "cell")
+    )
+    c = with_double_embedding(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(label_col).alias("cell"),
+    )
+    cand = probe.join(c, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    sim = _dot(F.col("q_vec"), F.col("c_vec")) / (
+        F.sqrt(_dot(F.col("q_vec"), F.col("q_vec")))
+        * F.sqrt(_dot(F.col("c_vec"), F.col("c_vec")))
+    )
+    scored = cand.select("query_id", "neighbor_id", F.round(sim, 6).alias("cosine_sim"))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )

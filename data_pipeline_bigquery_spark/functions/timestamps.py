@@ -1,0 +1,68 @@
+"""Timestamp normalization expressions.
+
+The reference re-implements the same multi-format parser four times as a
+row-at-a-time python function (``convert_datetime``,
+``/root/reference/pipeline/hubspot_engagement/hubspot_engagement_pipeline.py:16-27``
+and clones) and hand-rolls epoch-millis conversion
+(``pipeline/hubspot_deal_logs/hubspot_deal_log_pipeline.py:90-92``) and a
+hard-coded GMT+7 business-timezone shift
+(``pipeline/hubspot_deal_logs/hubspot_deal_log_pipeline.py:37-41``).
+
+Here each is a single Catalyst expression: vectorized, codegen'd, and
+usable inside pushed-down predicates — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+BUSINESS_TZ = "Asia/Bangkok"  # the reference's hard-coded GMT+7
+
+# Formats tried by the reference's convert_datetime, in order
+# (hubspot_engagement_pipeline.py:16-27): ISO-with-millis, ISO, epoch-ms.
+_ISO_MS = "yyyy-MM-dd'T'HH:mm:ss.SSSX"
+_ISO = "yyyy-MM-dd'T'HH:mm:ssX"
+
+
+def parse_multi_format_ts(col: Column | str) -> Column:
+    """C1 multi_format_timestamp_parse.
+
+    try ISO-with-millis → ISO → epoch-millis integer, first hit wins —
+    the exact fallback ladder of ``convert_datetime``, as one
+    ``coalesce`` over ``try_to_timestamp``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(
+        F.try_to_timestamp(c, F.lit(_ISO_MS)),
+        F.try_to_timestamp(c, F.lit(_ISO)),
+        F.timestamp_millis(c.try_cast("long")),
+    )
+
+
+def epoch_millis_to_ts(col: Column | str) -> Column:
+    """C2: ``pd.to_datetime(ms, unit='ms')`` ≙ ``timestamp_millis``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_millis(c.cast("long"))
+
+
+def to_epoch_millis(col: Column | str) -> Column:
+    """C2 reverse: ``int(dt.timestamp() * 1000)`` ≙ ``unix_millis``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_millis(c)
+
+
+def to_business_tz(col: Column | str, tz: str = BUSINESS_TZ) -> Column:
+    """C3 timezone_shift_gmt7: UTC instant → wall-clock in business TZ.
+
+    The reference adds a literal ``timedelta(hours=7)``; the engine uses a
+    real zone id so DST-less-ness is a property of the zone, not the code.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.from_utc_timestamp(c, tz)
+
+
+def truncate_seconds(col: Column | str) -> Column:
+    """C4: ``x.replace(microsecond=0)`` ≙ ``date_trunc('second', x)``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.date_trunc("second", c)

@@ -1,0 +1,92 @@
+"""Join-based MERGE upsert — the reference's core write (SURVEY §2.2 K2).
+
+Reference semantics (generated SQL at
+``/root/reference/config/bigquery/bigquery.py:245-256``)::
+
+    MERGE `target` T USING `target_temp` S ON T.pk = S.pk
+    WHEN MATCHED AND T.cursor != S.cursor THEN UPDATE SET <all columns>
+    WHEN NOT MATCHED THEN INSERT <all columns>
+
+i.e. source wins only when the row is new or its cursor *differs*;
+re-delivered unchanged rows are no-ops (the reference's late/duplicate
+handling, SURVEY §2.11 ST3).  ``!=`` is deliberately null-hostile SQL —
+a NULL cursor on either side never updates (``bigquery.py:249``); we
+reproduce that default and expose ``null_safe`` to opt into ``IS
+DISTINCT FROM`` semantics.
+
+No Delta/Iceberg in this environment, so the merge is a full-outer
+join with conditional column resolution.  Scale notes:
+
+* The join shuffles both sides hash-partitioned on ``pk`` — the same
+  exchange Delta's MERGE performs under the hood.  AQE handles skewed
+  pks.
+* In a 100 TB lake the target would be partitioned (e.g. by date) and
+  bucketed by pk: semi-join ``source``'s distinct partition values
+  first and rewrite only affected partitions
+  (``spark.sql.sources.partitionOverwriteMode=dynamic``).  See
+  :func:`affected_partitions`.
+* Sources with duplicate pks make MERGE non-deterministic; the
+  reference aborts the load (``bigquery.py:227-229``) — pass
+  ``validate=True`` for the same guard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    pk: str,
+    cursor_col: str,
+    null_safe: bool = False,
+    validate: bool = False,
+) -> DataFrame:
+    """Return the post-MERGE state of ``target``.
+
+    Columns are taken from ``target``'s schema; ``source`` must contain
+    them all (extra source columns are ignored — the reference loads
+    through a temp table with the target schema).
+    """
+    if validate:
+        dup = (
+            source.groupBy(pk).agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") > 1).count()
+        )
+        if dup:
+            raise ValueError(
+                f"source has {dup} duplicate primary key(s) on {pk!r}; "
+                "MERGE would be non-deterministic (reference aborts too: "
+                "config/bigquery/bigquery.py:227-229)"
+            )
+        nulls = source.filter(F.col(pk).isNull()).count()
+        if nulls:
+            raise ValueError(f"source has {nulls} NULL primary key(s) on {pk!r}")
+
+    cols = target.columns
+    t = target.alias("t")
+    s = source.select(*cols).alias("s")
+
+    joined = t.join(s, F.col(f"t.{pk}") == F.col(f"s.{pk}"), "full_outer")
+
+    t_pk, s_pk = F.col(f"t.{pk}"), F.col(f"s.{pk}")
+    if null_safe:
+        cursor_differs = ~F.col(f"t.{cursor_col}").eqNullSafe(F.col(f"s.{cursor_col}"))
+    else:
+        # SQL `!=`: NULL on either side ⇒ not true ⇒ no update.
+        cursor_differs = F.col(f"t.{cursor_col}") != F.col(f"s.{cursor_col}")
+
+    take_source = t_pk.isNull() | (s_pk.isNotNull() & F.coalesce(cursor_differs, F.lit(False)))
+
+    resolved = [
+        F.when(take_source, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c) for c in cols
+    ]
+    return joined.select(*resolved)
+
+
+def affected_partitions(source: DataFrame, partition_col: str) -> DataFrame:
+    """Distinct partition values touched by ``source`` — join this
+    (broadcast) against the target scan so a partitioned lake only
+    rewrites affected partitions instead of the full table."""
+    return source.select(partition_col).distinct()

@@ -1,0 +1,61 @@
+"""Association edge-table plan (SURVEY §3, J3/U3/C5).
+
+Reference: ``hubspot_association_bigquery.py``
+(``/root/reference/pipeline/hubspot_association_bigquery/hubspot_association_bigquery.py:60-89``):
+explode per-object ``to`` adjacency lists into edge rows, mint an md5
+surrogate ``association_id = md5(from + type + to)``, then insert only
+edges that don't already exist — the reference ships the id list to a
+Redash NOT-EXISTS query (``:53-58``); here it is one ``left_anti`` join.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_pipeline_bigquery_spark.functions.keys import md5_surrogate_key
+from data_pipeline_bigquery_spark.operators.joins import anti_join
+from data_pipeline_bigquery_spark.operators.metadata import zip_emitted_info
+
+
+def association_edges_plan(
+    edges: DataFrame,
+    existing: DataFrame | None,
+    from_col: str,
+    to_col: str,
+    edge_type: str,
+    emitted_at: _dt.datetime | str,
+    emitted_id: str,
+    broadcast_existing: bool = False,
+) -> DataFrame:
+    """``edges``: one row per (from, to) pair (pre-exploded adjacency).
+    ``existing``: edge table already in the lake (``association_id``
+    column), or None on first run.
+
+    ``broadcast_existing`` should stay False when the existing edge set
+    is large (it usually is — it's the whole history): the anti-join
+    then runs as a shuffled hash join on ``association_id``, both sides
+    hash-partitioned, which scales linearly.
+    """
+    df = edges.select(
+        F.col(from_col).cast("string").alias("from_id"),
+        F.col(to_col).cast("string").alias("to_id"),
+        F.lit(edge_type).alias("type"),
+    ).distinct()
+    df = df.withColumn(
+        "association_id",
+        md5_surrogate_key(F.col("from_id"), F.col("type"), F.col("to_id"), sep="_"),
+    )
+    if existing is not None:
+        df = anti_join(
+            df,
+            existing.select("association_id"),
+            "association_id",
+            broadcast=broadcast_existing,
+        )
+    df = zip_emitted_info(df, emitted_at, emitted_id)
+    return df.select(
+        "association_id", "from_id", "to_id", "type", "emitted_at", "emitted_id"
+    )

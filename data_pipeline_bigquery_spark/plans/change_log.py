@@ -1,0 +1,71 @@
+"""Change-log plan — the deal-stage history pipeline (SURVEY §3.2).
+
+Reference: ``extract_deal_stage``
+(``/root/reference/pipeline/hubspot_deal_logs/hubspot_deal_log_pipeline.py:44-136``):
+explode property-version arrays, extract nested fields, number versions
+per deal, convert epoch-ms, serialize a ``raw`` audit JSON column,
+project/rename, and filter ``updated_at_date > cursor``.
+
+Spark shape: narrow ops + ONE shuffle (the version window), with the
+audit JSON built by ``to_json(struct(...))`` instead of a per-row
+python dict.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_pipeline_bigquery_spark.operators.nested import json_field, serialize_row_json
+from data_pipeline_bigquery_spark.operators.windows import version_row_number
+
+
+def change_log_plan(
+    events: DataFrame,
+    cursor: _dt.datetime | str | None,
+    emitted_at: _dt.datetime | str,
+    emitted_id: str,
+    object_type: str = "deal",
+    tracked_types: tuple[str, ...] = ("purchase", "signup"),
+) -> DataFrame:
+    """``events`` plays the exploded version stream: each row is one
+    property-version of entity ``user_id`` (≙ dealId), ordered by ``ts``.
+
+    Output matches the reference's ``hubspot_change_log`` shape
+    (``hubspot_deal_log_pipeline.py:192-204``): object_id, raw, field,
+    version, updated_value, updated_at_timestamp (ms),
+    updated_at_date, object_type, emitted_at, emitted_id.
+    """
+    df = events.filter(F.col("event_type").isin(*tracked_types))
+    df = df.select(
+        F.col("user_id").cast("string").alias("object_id"),
+        F.col("event_type").alias("field"),
+        json_field("props", "$.k").alias("updated_value"),
+        F.col("ts"),
+    )
+    # version numbering per entity, ordered by event time (W1)
+    df = version_row_number(
+        df, ["object_id"], ["ts", "updated_value"], out_col="version"
+    )
+    df = df.withColumn("updated_at_timestamp", F.unix_millis("ts")).withColumn(
+        "updated_at_date", F.col("ts")
+    )
+    df = serialize_row_json(
+        df, ["object_id", "field", "updated_value", "version"], out_col="raw"
+    )
+    if cursor is not None:
+        df = df.filter(F.col("updated_at_date") > F.lit(cursor).cast("timestamp"))
+    return df.select(
+        "object_id",
+        "raw",
+        "field",
+        F.col("version").cast("long").alias("version"),
+        "updated_value",
+        "updated_at_timestamp",
+        "updated_at_date",
+        F.lit(object_type).alias("object_type"),
+        F.lit(emitted_at).cast("timestamp").alias("emitted_at"),
+        F.lit(emitted_id).alias("emitted_id"),
+    )

@@ -1,0 +1,559 @@
+"""Core relational + scalar-function queries (SURVEY §2.3-§2.10).
+
+Each entry exercises one bold operator from the survey inventory on the
+driver's fixture tables, with a DuckDB oracle.
+
+Determinism rules used throughout (see SURVEY §7.4):
+
+* double aggregations go through DECIMAL so partial-aggregation order
+  cannot change the result bit pattern across engines;
+* every ``limit`` sits on a total order over a unique key;
+* ``collect_list``-style aggregations are sorted before concatenation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_bigquery_spark.catalog import load
+from data_pipeline_bigquery_spark.functions.cleansing import bool_decode
+from data_pipeline_bigquery_spark.functions.keys import concat_key, md5_surrogate_key
+from data_pipeline_bigquery_spark.functions.timestamps import (
+    epoch_millis_to_ts,
+    parse_multi_format_ts,
+    to_epoch_millis,
+)
+from data_pipeline_bigquery_spark.operators.dedup import dedup_keep_latest, distinct_values
+from data_pipeline_bigquery_spark.operators.joins import anti_join, enrich_left_join, semi_join
+from data_pipeline_bigquery_spark.operators.nested import (
+    explode_array_field,
+    json_field,
+    serialize_row_json,
+)
+from data_pipeline_bigquery_spark.operators.windows import group_concat, version_row_number
+from data_pipeline_bigquery_spark.queries import QuerySpec
+
+
+# --- S4/F1: pushdown scan with cursor predicate ------------------------------
+
+def _pushdown_search_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 pushdown_search_scan + F1 filter_gt_cursor.
+
+    Reference: HubSpot search with ``hs_lastmodifieddate GT cursor``
+    (companies_pipeline.py:58-75).  Catalyst pushes the timestamp
+    predicate into the parquet scan (check: PushedFilters in explain).
+    """
+    orders = load(spark, sf_dir, "orders")
+    return orders.filter(
+        F.col("o_orderdate") > F.lit("1995-06-01").cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+
+
+_PUSHDOWN_SQL = """
+SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+FROM orders WHERE o_orderdate > TIMESTAMP '1995-06-01'
+"""
+
+
+# --- A1: dedup keep latest ---------------------------------------------------
+
+def _dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 dedup_keep_first (determinized latest-wins; functions.py:91-106)."""
+    events = load(spark, sf_dir, "events")
+    return dedup_keep_latest(
+        events, ["user_id", "event_type"], ["ts", "event_id"]
+    ).select("user_id", "event_type", "event_id", "ts", "value")
+
+
+_DEDUP_SQL = """
+SELECT user_id, event_type, event_id, ts, value FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+# --- A2: distinct ------------------------------------------------------------
+
+def _distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return distinct_values(load(spark, sf_dir, "orders"), "o_orderpriority")
+
+
+_DISTINCT_SQL = "SELECT DISTINCT o_orderpriority FROM orders"
+
+
+# --- A3/W2: group concat window ---------------------------------------------
+
+def _group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 group_concat: per-customer priority CSV replicated to rows
+    (groupby().transform(','.join), mautic_hubspot_email_read_activities.py:192)."""
+    orders = load(spark, sf_dir, "orders")
+    return group_concat(
+        orders, ["o_custkey"], "o_orderpriority", out_col="priorities"
+    ).select("o_custkey", "o_orderkey", "priorities")
+
+
+_GROUP_CONCAT_SQL = """
+WITH g AS (
+  SELECT o_custkey,
+         string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities
+  FROM orders GROUP BY o_custkey)
+SELECT o.o_custkey, o.o_orderkey, g.priorities
+FROM orders o JOIN g USING (o_custkey)
+"""
+
+
+# --- A4: count rows (grouped reconciliation counts) --------------------------
+
+def _count_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 count_rows (per-type counts, hubspot_association_bigquery.py:161-172)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+_COUNT_SQL = "SELECT o_orderstatus, count(*) AS n_rows FROM orders GROUP BY o_orderstatus"
+
+
+# --- W1: version row number --------------------------------------------------
+
+def _version_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return version_row_number(
+        events, ["user_id"], ["ts", "event_id"], out_col="version"
+    ).select("event_id", "user_id", "ts", "version")
+
+
+_VERSION_SQL = """
+SELECT event_id, user_id, ts,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version
+FROM events
+"""
+
+
+# --- J1: left equi join ------------------------------------------------------
+
+def _left_equi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 left_equi_join: broadcast the dimension; fact side never shuffles."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    return enrich_left_join(
+        orders, customer.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey"
+    ).select("o_orderkey", "o_custkey", "c_name", "c_mktsegment")
+
+
+_LEFT_JOIN_SQL = """
+SELECT o_orderkey, o_custkey, c_name, c_mktsegment
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# --- F5: semi join -----------------------------------------------------------
+
+def _semi_filter_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load(spark, sf_dir, "lineitem")
+    keys = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 100000)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return semi_join(lineitem, keys, "l_orderkey").select(
+        "l_orderkey", "l_partkey", "l_linenumber"
+    )
+
+
+_SEMI_SQL = """
+SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 100000)
+"""
+
+
+# --- J3: anti join -----------------------------------------------------------
+
+def _anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 anti_join: the Redash NOT-EXISTS round-trip as one left_anti."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    existing = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 100000)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return anti_join(lineitem, existing, "l_orderkey").select(
+        "l_orderkey", "l_partkey", "l_linenumber"
+    )
+
+
+_ANTI_SQL = """
+SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders WHERE o_totalprice > 100000 AND o_orderkey = l_orderkey)
+"""
+
+
+# --- U1/S9: union ------------------------------------------------------------
+
+def _union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/S9 union_scan: active+archived owners ≙ customer ∪ supplier."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("customer").alias("src"),
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.lit("supplier").alias("src"),
+    )
+    return c.unionByName(s)
+
+
+_UNION_SQL = """
+SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS src FROM customer
+UNION ALL
+SELECT s_name, s_acctbal, 'supplier' FROM supplier
+"""
+
+
+# --- N1: explode array -------------------------------------------------------
+
+def _explode_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N1 explode_array with position (pandas df.explode ≙ posexplode_outer)."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    out = explode_array_field(emb, "embedding", out_col="val", with_pos=True)
+    return out.select(
+        "vec_id", F.col("pos").cast("int").alias("pos"), F.col("val").cast("double").alias("val")
+    )
+
+
+_EXPLODE_SQL = """
+SELECT vec_id,
+       CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+       CAST(unnest(embedding) AS DOUBLE) AS val
+FROM embeddings WHERE vec_id < 50
+"""
+
+
+# --- N2: nested/JSON field extract ------------------------------------------
+
+def _nested_field_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2: x.get('value') ≙ get_json_object (deal_log_pipeline.py:57-87)."""
+    events = load(spark, sf_dir, "events")
+    return events.select(
+        "event_id", json_field("props", "$.k").alias("k_value")
+    )
+
+
+_JSON_EXTRACT_SQL = """
+SELECT event_id, json_extract_string(props, '$.k') AS k_value FROM events
+"""
+
+
+# --- N3: row → JSON audit column --------------------------------------------
+
+def _to_json_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3: create_dict + json.dumps ≙ to_json(struct(...))."""
+    events = load(spark, sf_dir, "events")
+    return serialize_row_json(events, ["event_id", "user_id"], out_col="raw").select(
+        "event_id", "raw"
+    )
+
+
+_TO_JSON_SQL = """
+SELECT event_id,
+       to_json(struct_pack(event_id := event_id, user_id := user_id)) AS raw
+FROM events
+"""
+
+
+# --- C5: md5 surrogate key ---------------------------------------------------
+
+def _md5_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_partkey",
+        md5_surrogate_key("l_orderkey", "l_partkey", sep="_").alias("association_id"),
+    )
+
+
+_MD5_SQL = """
+SELECT l_orderkey, l_partkey,
+       md5(concat_ws('_', CAST(l_orderkey AS VARCHAR), CAST(l_partkey AS VARCHAR))) AS association_id
+FROM lineitem
+"""
+
+
+# --- C7: composite string key ------------------------------------------------
+
+def _string_concat_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return events.select(
+        "event_id", concat_key("user_id", "event_id").alias("event_key")
+    )
+
+
+_CONCAT_KEY_SQL = """
+SELECT event_id,
+       concat_ws('_', CAST(user_id AS VARCHAR), CAST(event_id AS VARCHAR)) AS event_key
+FROM events
+"""
+
+
+# --- C8: regex extract -------------------------------------------------------
+
+def _regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 regex_extract (group_id pull, update_note_companies.py:10-16)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.regexp_extract("text", r"(\w+) (merge|join) (\w+)", 3).alias("join_rhs")
+    )
+
+
+_REGEX_SQL = r"""
+SELECT doc_id, coalesce(regexp_extract(text, '(\w+) (merge|join) (\w+)', 3), '') AS join_rhs
+FROM documents
+"""
+
+
+# --- C1: multi-format timestamp parse ---------------------------------------
+
+def _multi_format_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1: the convert_datetime fallback ladder as one coalesce.
+
+    Derives mixed-format strings from events.ts (even ids → ISO string,
+    odd ids → epoch-millis string) then normalizes — the exact shape of
+    the reference's input (ISO from the v3 API, epoch-ms from v1).
+    """
+    events = load(spark, sf_dir, "events")
+    raw = F.when(
+        F.col("event_id") % 2 == 0,
+        F.date_format(F.date_trunc("second", F.col("ts")), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+    ).otherwise(F.unix_millis(F.col("ts")).cast("string"))
+    df = events.select("event_id", raw.alias("raw_ts"))
+    return df.select(
+        "event_id", "raw_ts", parse_multi_format_ts("raw_ts").alias("parsed_ts")
+    )
+
+
+_MULTI_TS_SQL = """
+WITH s AS (
+  SELECT event_id,
+         CASE WHEN event_id % 2 = 0
+              THEN strftime(date_trunc('second', ts), '%Y-%m-%dT%H:%M:%SZ')
+              ELSE CAST(epoch_ms(ts) AS VARCHAR) END AS raw_ts
+  FROM events)
+SELECT event_id, raw_ts,
+       coalesce(try_strptime(raw_ts, '%Y-%m-%dT%H:%M:%S.%gZ'),
+                try_strptime(raw_ts, '%Y-%m-%dT%H:%M:%SZ'),
+                epoch_ms(TRY_CAST(raw_ts AS BIGINT))) AS parsed_ts
+FROM s
+"""
+
+
+# --- C2: epoch millis round trip --------------------------------------------
+
+def _epoch_millis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        to_epoch_millis("ts").alias("ts_ms"),
+        epoch_millis_to_ts(to_epoch_millis("ts")).alias("ts_roundtrip"),
+    )
+
+
+_EPOCH_MS_SQL = """
+SELECT event_id, epoch_ms(ts) AS ts_ms, epoch_ms(epoch_ms(ts)) AS ts_roundtrip FROM events
+"""
+
+
+# --- C11/C12: casts + bool decode -------------------------------------------
+
+def _cast_bool_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11 cast_ops + C12 bool_decode ("0"/"1" strings → BOOL,
+    email_read_log.py:32-35)."""
+    li = load(spark, sf_dir, "lineitem")
+    flag = F.when(F.col("l_returnflag") == "R", F.lit("1")).otherwise(F.lit("0"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        bool_decode(flag).alias("is_returned"),
+        F.floor("l_quantity").cast("long").alias("qty_int"),
+        F.col("l_quantity").cast("string").alias("qty_str"),
+    )
+
+
+_CAST_SQL = """
+SELECT l_orderkey, l_linenumber,
+       (CASE WHEN l_returnflag = 'R' THEN '1' ELSE '0' END) = '1' AS is_returned,
+       CAST(floor(l_quantity) AS BIGINT) AS qty_int,
+       CAST(l_quantity AS VARCHAR) AS qty_str
+FROM lineitem
+"""
+
+
+# --- F4: negation filter -----------------------------------------------------
+
+def _filter_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 filter_negation: ~is_logged (mautic...py:186)."""
+    events = load(spark, sf_dir, "events")
+    logged = F.col("event_type").isin("click", "view")
+    return events.withColumn("is_logged", logged).filter(~F.col("is_logged")).select(
+        "event_id", "event_type", "is_logged"
+    )
+
+
+_NEGATION_SQL = """
+SELECT event_id, event_type, event_type IN ('click','view') AS is_logged
+FROM events WHERE NOT (event_type IN ('click','view'))
+"""
+
+
+# --- O1/O4: multi-key sort + limit ------------------------------------------
+
+def _sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 multi_key_sort + O4 limit_head — fuses to TakeOrderedAndProject
+    (no global sort materialized)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(F.col("l_orderkey").asc(), F.col("l_linenumber").asc())
+        .limit(100)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+_SORT_LIMIT_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+ORDER BY l_orderkey, l_linenumber LIMIT 100
+"""
+
+
+# --- headline aggregation (bench): TPC-H Q1-style pricing summary -----------
+
+def _pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference has no multi-agg (pandas does it in memory); this is
+    the canonical Spark hash-aggregate with partial/final split.  Doubles
+    are summed as DECIMAL so the result is bit-stable regardless of
+    partial-aggregation order (then cast back for the API).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- headline join-agg (bench): revenue by nation (TPC-H Q5-style) ----------
+
+def _revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join star query: dims broadcast, fact shuffles once for the
+    final aggregation.  Demonstrates the join-ordering/broadcast shape
+    the engine relies on at 100 TB.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+_REVENUE_SQL = """
+SELECT r_name, n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# --- top-k per group (window pattern from the guide) -------------------------
+
+def _topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by totalprice — the generalized form of
+    the reference's per-entity latest-N lookups."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+_TOPK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rank AS INT) AS rank FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders) WHERE rank <= 3
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "pushdown_search_scan": QuerySpec(_pushdown_search_scan, _PUSHDOWN_SQL),
+    "dedup_keep_first": QuerySpec(_dedup_keep_latest, _DEDUP_SQL),
+    "distinct_values": QuerySpec(_distinct_values, _DISTINCT_SQL),
+    "group_concat": QuerySpec(_group_concat, _GROUP_CONCAT_SQL),
+    "count_rows": QuerySpec(_count_rows, _COUNT_SQL),
+    "version_row_number": QuerySpec(_version_row_number, _VERSION_SQL),
+    "left_equi_join": QuerySpec(_left_equi_join, _LEFT_JOIN_SQL),
+    "semi_filter_isin": QuerySpec(_semi_filter_isin, _SEMI_SQL),
+    "anti_join": QuerySpec(_anti_join, _ANTI_SQL),
+    "union_all": QuerySpec(_union_all, _UNION_SQL),
+    "explode_array": QuerySpec(_explode_array, _EXPLODE_SQL),
+    "nested_field_extract": QuerySpec(_nested_field_extract, _JSON_EXTRACT_SQL),
+    "to_json_serialize": QuerySpec(_to_json_serialize, _TO_JSON_SQL),
+    "md5_surrogate_key": QuerySpec(_md5_surrogate_key, _MD5_SQL),
+    "string_concat_key": QuerySpec(_string_concat_key, _CONCAT_KEY_SQL),
+    "regex_extract": QuerySpec(_regex_extract, _REGEX_SQL),
+    "multi_format_timestamp_parse": QuerySpec(_multi_format_ts, _MULTI_TS_SQL),
+    "epoch_millis_to_timestamp": QuerySpec(_epoch_millis, _EPOCH_MS_SQL),
+    "cast_ops_bool_decode": QuerySpec(_cast_bool_decode, _CAST_SQL),
+    "filter_negation": QuerySpec(_filter_negation, _NEGATION_SQL),
+    "multi_key_sort_limit": QuerySpec(_sort_limit, _SORT_LIMIT_SQL),
+    "agg_pricing_summary": QuerySpec(_pricing_summary, _PRICING_SQL),
+    "join_agg_revenue_by_nation": QuerySpec(_revenue_by_nation, _REVENUE_SQL),
+    "topk_per_group": QuerySpec(_topk_per_group, _TOPK_SQL),
+}

@@ -1,0 +1,358 @@
+"""Extension queries on the ``documents`` / ``embeddings`` fixtures.
+
+Near-dup queries plant synthetic duplicates (each doc unioned with a
+``doc_id + 1_000_000`` copy whose first 4 chars are dropped) so the
+detectors have real positives to find at every scale factor — the
+fixture corpus itself has no duplicate texts.  The oracle replays the
+identical derivation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_bigquery_spark.catalog import load
+from data_pipeline_bigquery_spark.extensions.dedup_text import (
+    char_shingles,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_fingerprint,
+    word_ngrams,
+)
+from data_pipeline_bigquery_spark.extensions.multimodal import binary_metadata, frame_sample
+from data_pipeline_bigquery_spark.extensions.similarity import (
+    cosine_neardup_pairs,
+    cosine_topk,
+    ivf_topk,
+)
+from data_pipeline_bigquery_spark.extensions.text_analysis import (
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from data_pipeline_bigquery_spark.queries import QuerySpec
+
+
+def _augmented_docs(spark: SparkSession, sf_dir: str, max_doc: int | None = None) -> DataFrame:
+    """documents ∪ planted near-dups (first 4 chars dropped, id+1M)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", F.lower("text").alias("t"))
+    if max_doc is not None:
+        docs = docs.filter(F.col("doc_id") < max_doc)
+    copies = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), F.expr("substring(t, 5)").alias("t")
+    )
+    return docs.unionByName(copies)
+
+
+_AUG_SQL = """
+base AS (SELECT doc_id, lower(text) AS t FROM documents{filt}),
+aug AS (SELECT doc_id, t FROM base
+        UNION ALL
+        SELECT doc_id + 1000000, substr(t, 5) FROM base)
+"""
+
+
+def _aug_cte(max_doc: int | None = None) -> str:
+    filt = f" WHERE doc_id < {max_doc}" if max_doc is not None else ""
+    return _AUG_SQL.format(filt=filt)
+
+
+# --- exact dedup -------------------------------------------------------------
+
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-digest groupBy; the aug corpus contains
+    each base text once plus a (different) mutated copy, so groups with
+    n_copies>1 are true byte-identical dups (none in the base corpus)."""
+    docs = load(spark, sf_dir, "documents")
+    both = docs.select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    return exact_dedup(both, "doc_id", "text")
+
+
+_DEDUP_EXACT_SQL = """
+WITH unioned AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0)
+SELECT md5(text) AS content_md5, min(doc_id) AS canonical_id, count(*) AS n_copies
+FROM unioned GROUP BY md5(text)
+"""
+
+
+# --- minhash LSH -------------------------------------------------------------
+
+def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = _augmented_docs(spark, sf_dir)
+    shingles = char_shingles(aug, "doc_id", "t")
+    sigs = minhash_signatures(shingles)
+    return lsh_candidate_pairs(sigs)
+
+
+def _minhash_sql() -> str:
+    """Oracle generated from the SAME tuning constants as the Spark path."""
+    from data_pipeline_bigquery_spark.extensions.dedup_text import (
+        DEFAULT_BANDS as NB,
+        DEFAULT_NUM_PERM as NP,
+        DEFAULT_SHINGLE_K as K,
+        DEFAULT_SHINGLE_STRIDE as STRIDE,
+    )
+
+    rows = NP // NB
+    sigs = ",\n               ".join(
+        f"min(md5(concat('{j}:', shingle))) AS s{j}" for j in range(NP)
+    )
+    bands = ", ".join(
+        "md5(concat(" + ", ".join(f"s{j}" for j in range(b * rows, (b + 1) * rows)) + f")) AS b{b}"
+        for b in range(NB)
+    )
+    lng = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, b{b} AS band_hash FROM bands" for b in range(NB)
+    )
+    return (
+        "WITH "
+        + _aug_cte()
+        + f""",
+sh AS (SELECT doc_id, substr(t, CAST(i AS INT), {K}) AS shingle
+       FROM aug, UNNEST(range(1, greatest(length(t) - {K - 1}, 1) + 1, {STRIDE})) AS u(i)),
+sig AS (SELECT doc_id,
+               {sigs}
+        FROM sh GROUP BY doc_id),
+bands AS (SELECT doc_id, {bands} FROM sig),
+lng AS ({lng})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM lng a JOIN lng b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
+    )
+
+
+# --- simhash -----------------------------------------------------------------
+
+def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return simhash_fingerprint(docs, "doc_id", "text")
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    sums = ",\n".join(
+        f"sum(CASE WHEN strpos('0123456789abcdef', substr(h, {p + 1}, 1)) - 1 >= 8"
+        f" THEN 1 ELSE -1 END) AS s_{p}"
+        for p in range(bits)
+    )
+    fp = ", ".join(f"CASE WHEN s_{p} >= 0 THEN '1' ELSE '0' END" for p in range(bits))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, md5(unnest(string_split(lower(text), ' '))) AS h FROM documents),
+sums AS (SELECT doc_id, {sums} FROM toks GROUP BY doc_id)
+SELECT doc_id, concat({fp}) AS simhash FROM sums
+"""
+
+
+# --- n-gram jaccard ----------------------------------------------------------
+
+def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = _augmented_docs(spark, sf_dir, max_doc=150)
+    grams = word_ngrams(aug, "doc_id", "t")
+    return ngram_jaccard_pairs(grams, threshold=0.5)
+
+
+_JACCARD_SQL = (
+    "WITH "
+    + _aug_cte(max_doc=150)
+    + """,
+w AS (SELECT doc_id, string_split(t, ' ') AS words FROM aug),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(words[CAST(i AS INT):CAST(i AS INT) + 2], ' ') AS gram
+  FROM w, UNNEST(range(1, greatest(len(words) - 2, 1) + 1)) AS u(i)),
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+j AS (
+  SELECT doc_a, doc_b,
+         CAST(n_inter AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - n_inter AS DOUBLE) AS jac
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b)
+SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.5
+"""
+)
+
+
+# --- embedding cosine near-dup ----------------------------------------------
+
+def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    return cosine_neardup_pairs(emb, threshold=0.9)
+
+
+_NEARDUP_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id < 300)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+             6) AS cosine_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+            6) >= 0.9
+"""
+
+
+# --- ANN: brute-force top-k --------------------------------------------------
+
+def _ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return cosine_topk(queries, emb, k=5)
+
+
+_ANN_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 8),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))),
+               6) AS cosine_sim
+  FROM q JOIN e c ON c.vec_id != q.vec_id)
+SELECT query_id, neighbor_id, cosine_sim FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rn
+  FROM scored) WHERE rn <= 5
+"""
+
+
+# --- ANN: IVF scale path (non-SQL-expressible avg-centroid float path:
+#     rows-only driver check) --------------------------------------------------
+
+def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ivf_topk(queries, emb, k=5, nprobe=2)
+
+
+# --- text analysis -----------------------------------------------------------
+
+def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_LANG_SQL = """
+WITH w AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS words FROM documents),
+s AS (SELECT doc_id, lang,
+             CAST(len(list_filter(words, x -> list_contains(['the','a'], x))) AS INT) AS score_en,
+             CAST(len(list_filter(words, x -> list_contains(['der','und'], x))) AS INT) AS score_de,
+             CAST(len(list_filter(words, x -> list_contains(['le','et'], x))) AS INT) AS score_fr
+      FROM w)
+SELECT doc_id, lang, score_en, score_de, score_fr,
+       CASE WHEN score_en >= score_de AND score_en >= score_fr THEN 'en'
+            WHEN score_de >= score_fr THEN 'de'
+            ELSE 'fr' END AS predicted_lang
+FROM s
+"""
+
+
+def _quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_QUALITY_SQL = """
+WITH w AS (SELECT doc_id, lower(text) AS t, string_split(lower(text), ' ') AS words
+           FROM documents),
+s AS (SELECT doc_id,
+             CAST(length(t) AS BIGINT) AS text_len,
+             CAST(len(words) AS BIGINT) AS word_count,
+             CAST(len(list_filter(words, x -> list_contains(['the','a','and','of'], x))) AS DOUBLE)
+               / CAST(len(words) AS DOUBLE) AS stop_ratio,
+             CAST(length(regexp_replace(t, '[^a-z]', '', 'g')) AS DOUBLE)
+               / CAST(length(t) AS DOUBLE) AS alpha_ratio
+      FROM w)
+SELECT doc_id, text_len, word_count,
+       round(stop_ratio, 6) AS stopword_ratio,
+       round(alpha_ratio, 6) AS alpha_ratio,
+       round(stop_ratio * 0.5 + alpha_ratio * 0.5, 6) AS quality
+FROM s
+"""
+
+
+def _token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_count(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_TOKEN_SQL = """
+SELECT doc_id,
+       CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+
+def _fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_fingerprint(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_FINGERPRINT_SQL = """
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents)
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(words)), ' ')) AS fingerprint,
+       CAST(len(list_distinct(words)) AS BIGINT) AS vocab_size
+FROM w
+"""
+
+
+# --- multimodal --------------------------------------------------------------
+
+def _multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary metadata: the text column stands in for an
+    image/audio payload (encode → binary)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return binary_metadata(docs, "doc_id", "payload")
+
+
+_MULTIMODAL_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       md5(text) AS content_md5,
+       CAST(ceil(octet_length(encode(text)) / 65536.0) AS INT) AS n_chunks
+FROM documents
+"""
+
+
+def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas frame-sampling stub — Arrow-batched python path;
+    decode is a deterministic fake (no codecs in the container), so the
+    driver runs the weaker rows-only check."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return frame_sample(docs, "doc_id", "payload", n_frames=4)
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "dedup_exact": QuerySpec(_dedup_exact, _DEDUP_EXACT_SQL),
+    "dedup_minhash_lsh": QuerySpec(_dedup_minhash, _minhash_sql()),
+    "dedup_simhash": QuerySpec(_dedup_simhash, _simhash_sql()),
+    "dedup_ngram_jaccard": QuerySpec(_ngram_jaccard, _JACCARD_SQL),
+    "dedup_embedding_cosine": QuerySpec(_embedding_neardup, _NEARDUP_SQL),
+    "ann_cosine_topk": QuerySpec(_ann_topk, _ANN_SQL),
+    "ann_ivf_topk": QuerySpec(_ann_ivf, None),
+    "text_lang_id": QuerySpec(_lang_id, _LANG_SQL),
+    "text_quality_score": QuerySpec(_quality, _QUALITY_SQL),
+    "text_token_count": QuerySpec(_token_count, _TOKEN_SQL),
+    "text_fingerprint": QuerySpec(_fingerprint, _FINGERPRINT_SQL),
+    "multimodal_metadata": QuerySpec(_multimodal_metadata, _MULTIMODAL_SQL),
+    "multimodal_frame_sample": QuerySpec(_multimodal_frames, None),
+}

@@ -1,0 +1,66 @@
+"""SparkSession factory with scale-aware defaults.
+
+The reference runs single-threaded pandas (SURVEY §4.2); here every knob
+is set for distributed execution:
+
+* AQE on — runtime coalescing, skew-join splitting, dynamic join strategy
+  switches survive a 1000-executor deployment unchanged.
+* ``spark.sql.shuffle.partitions`` defaults to ~2-3× local cores; on a real
+  cluster AQE coalesces or the deployer overrides via ``SPARK_CONF``-style
+  env.  Nothing in the engine assumes a partition count.
+* session timezone pinned UTC — the reference mixes UTC / GMT+7 / naive
+  timestamps (SURVEY §7.4); the engine standardizes on UTC internally and
+  exposes explicit conversion ops in :mod:`.functions.timestamps`.
+* Arrow enabled for every pandas interchange (pandas UDFs, createDataFrame).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_APP_NAME = "data_pipeline_bigquery_spark"
+
+
+def get_spark(
+    app_name: str = DEFAULT_APP_NAME,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``master`` defaults to ``local[N]`` with N from ``SPARK_GRAFT_CPUS``
+    (falling back to all cores); on a cluster, pass the real master URL or
+    rely on spark-submit's configuration (builder settings never override
+    an existing session).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        n = int(cpus) if cpus else (os.cpu_count() or 8)
+        shuffle_partitions = max(n, 8)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # fixture events.parquet uses TIMESTAMP(NANOS); read as long and
+        # convert in catalog.load (Spark has no nanosecond timestamp type)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

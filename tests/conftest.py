@@ -1,0 +1,15 @@
+from __future__ import annotations
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+SF_DIR_MID = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from data_pipeline_bigquery_spark.session import get_spark
+
+    s = get_spark(app_name="tests", master="local[8]", shuffle_partitions=8)
+    yield s
+    s.stop()
