@@ -24,9 +24,9 @@ class QuerySpec:
 
 
 def registry() -> dict[str, QuerySpec]:
-    from data_pipeline_bigquery_spark.queries import core, extensions, pipelines
+    from data_pipeline_bigquery_spark.queries import core, coverage, extensions, pipelines
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (core, pipelines, extensions):
+    for mod in (core, pipelines, coverage, extensions):
         merged.update(mod.QUERIES)
     return merged
