@@ -65,18 +65,35 @@ def char_shingles(
     return df.select(F.col(id_col).alias("doc_id"), F.explode(F.expr(expr)).alias("shingle"))
 
 
-def minhash_signatures(shingles: DataFrame, num_perm: int = DEFAULT_NUM_PERM) -> DataFrame:
-    """Per-doc MinHash signature: ``sig_j = min(md5(j || ':' || shingle))``.
+# Affine-permutation minhash over a 28-bit md5-derived base hash:
+#   base   = int(md5(shingle)[:7], 16)            (< 2^28)
+#   perm_j = (A_j * base + j) mod (2^31 - 1)      (A_j < 2^31 ⇒ product < 2^59,
+#                                                  no int64 overflow in any engine)
+# One md5 per shingle instead of num_perm — the hash work drops num_perm×,
+# and the min-aggregate runs over longs, not 32-char strings.
+MINHASH_MOD = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
 
-    One hash-aggregate over the shingle stream; the j-th permutation is
-    simulated by salting the digest, the min over hex strings is the
-    signature component.
+
+def minhash_perm_multiplier(j: int) -> int:
+    """Fixed odd multipliers, engine-portable plain arithmetic."""
+    return 1_103_515_245 + 24_691 * j * 2
+
+
+def minhash_signatures(shingles: DataFrame, num_perm: int = DEFAULT_NUM_PERM) -> DataFrame:
+    """Per-doc MinHash signature: ``sig_j = min(perm_j(base(shingle)))``.
+
+    One hash-aggregate over the shingle stream; duplicates shingles need
+    no pre-distinct (min is idempotent over a multiset).
     """
+    base = F.conv(F.substring(F.md5(F.col("shingle")), 1, 7), 16, 10).cast("long")
+    with_base = shingles.withColumn("__h", base)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"sig_{j}")
+        F.min((F.lit(minhash_perm_multiplier(j)) * F.col("__h") + F.lit(j)) % MINHASH_MOD).alias(
+            f"sig_{j}"
+        )
         for j in range(num_perm)
     ]
-    return shingles.groupBy("doc_id").agg(*aggs)
+    return with_base.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -92,7 +109,11 @@ def lsh_candidate_pairs(
     band_hashes = [
         F.md5(
             F.concat_ws(
-                "", *[F.col(f"sig_{j}") for j in range(b * rows_per_band, (b + 1) * rows_per_band)]
+                "_",
+                *[
+                    F.col(f"sig_{j}").cast("string")
+                    for j in range(b * rows_per_band, (b + 1) * rows_per_band)
+                ],
             )
         )
         for b in range(bands)

@@ -41,17 +41,19 @@ def cosine_topk(
     decimals *before* ranking with an id tie-break, making the top-k
     selection reproducible across engines and partitionings.
     """
+    # norms computed once per row, not once per pair (k·|corpus| saved folds)
     q = with_double_embedding(queries, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("q_norm"),
     )
     c = with_double_embedding(candidates, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("c_norm"),
     )
     pairs = F.broadcast(q).join(c, F.col("query_id") != F.col("neighbor_id"))
-    sim = _dot(F.col("q_vec"), F.col("c_vec")) / (
-        F.sqrt(_dot(F.col("q_vec"), F.col("q_vec")))
-        * F.sqrt(_dot(F.col("c_vec"), F.col("c_vec")))
-    )
+    sim = _dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))
     scored = pairs.select(
         "query_id", "neighbor_id", F.round(sim, 6).alias("cosine_sim")
     )
@@ -79,7 +81,9 @@ def cosine_neardup_pairs(
     Without it, a full pairwise join (test scale only).
     """
     e = with_double_embedding(df, vec_col).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("norm"),
         *([F.col(bucket_col).alias("bucket")] if bucket_col else []),
     )
     a, b = e.alias("a"), e.alias("b")
@@ -88,10 +92,7 @@ def cosine_neardup_pairs(
         joined = a.join(b, on=[F.col("a.bucket") == F.col("b.bucket")]).filter(cond)
     else:
         joined = a.join(b, cond)
-    sim = _dot(F.col("a.vec"), F.col("b.vec")) / (
-        F.sqrt(_dot(F.col("a.vec"), F.col("a.vec")))
-        * F.sqrt(_dot(F.col("b.vec"), F.col("b.vec")))
-    )
+    sim = _dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.norm") * F.col("b.norm"))
     return (
         joined.select(
             F.col("a.id").alias("vec_a"),
@@ -150,12 +151,12 @@ def ivf_topk(
     c = with_double_embedding(corpus, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("c_norm"),
         F.col(label_col).alias("cell"),
     )
     cand = probe.join(c, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
     sim = _dot(F.col("q_vec"), F.col("c_vec")) / (
-        F.sqrt(_dot(F.col("q_vec"), F.col("q_vec")))
-        * F.sqrt(_dot(F.col("c_vec"), F.col("c_vec")))
+        F.sqrt(_dot(F.col("q_vec"), F.col("q_vec"))) * F.col("c_norm")
     )
     scored = cand.select("query_id", "neighbor_id", F.round(sim, 6).alias("cosine_sim"))
     w2 = Window.partitionBy("query_id").orderBy(

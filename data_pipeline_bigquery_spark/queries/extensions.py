@@ -102,14 +102,18 @@ def _minhash_sql() -> str:
         DEFAULT_NUM_PERM as NP,
         DEFAULT_SHINGLE_K as K,
         DEFAULT_SHINGLE_STRIDE as STRIDE,
+        MINHASH_MOD as MOD,
+        minhash_perm_multiplier,
     )
 
     rows = NP // NB
     sigs = ",\n               ".join(
-        f"min(md5(concat('{j}:', shingle))) AS s{j}" for j in range(NP)
+        f"min(({minhash_perm_multiplier(j)} * h + {j}) % {MOD}) AS s{j}" for j in range(NP)
     )
     bands = ", ".join(
-        "md5(concat(" + ", ".join(f"s{j}" for j in range(b * rows, (b + 1) * rows)) + f")) AS b{b}"
+        "md5(concat_ws('_', "
+        + ", ".join(f"s{j}" for j in range(b * rows, (b + 1) * rows))
+        + f")) AS b{b}"
         for b in range(NB)
     )
     lng = "\n        UNION ALL ".join(
@@ -119,7 +123,8 @@ def _minhash_sql() -> str:
         "WITH "
         + _aug_cte()
         + f""",
-sh AS (SELECT doc_id, substr(t, CAST(i AS INT), {K}) AS shingle
+sh AS (SELECT doc_id,
+              CAST(('0x' || substr(md5(substr(t, CAST(i AS INT), {K})), 1, 7)) AS BIGINT) AS h
        FROM aug, UNNEST(range(1, greatest(length(t) - {K - 1}, 1) + 1, {STRIDE})) AS u(i)),
 sig AS (SELECT doc_id,
                {sigs}
@@ -191,13 +196,26 @@ SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.5
 # --- embedding cosine near-dup ----------------------------------------------
 
 def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
-    return cosine_neardup_pairs(emb, threshold=0.9)
+    """Fixture vectors are mutually dissimilar (max pairwise cosine
+    ≈0.46 even within a label), so near-dups are planted: each vector
+    unioned with a +0.01-per-dim shifted copy (cosine ≈0.999).
+    Threshold 0.99 then separates planted from organic pairs."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    shifted = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.expr("transform(embedding, x -> x + 0.01d)").alias("embedding"),
+    )
+    return cosine_neardup_pairs(emb.unionByName(shifted), threshold=0.99)
 
 
 _NEARDUP_SQL = """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-           FROM embeddings WHERE vec_id < 300)
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id < 300),
+e AS (SELECT vec_id, v FROM base
+      UNION ALL
+      SELECT vec_id + 1000000, list_transform(v, x -> x + 0.01) FROM base)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_dot_product(a.v, b.v)
              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
@@ -205,7 +223,7 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v)
             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
-            6) >= 0.9
+            6) >= 0.99
 """
 
 
