@@ -24,9 +24,15 @@ class QuerySpec:
 
 
 def registry() -> dict[str, QuerySpec]:
-    from data_pipeline_bigquery_spark.queries import core, coverage, extensions, pipelines
+    from data_pipeline_bigquery_spark.queries import (
+        core,
+        coverage,
+        coverage2,
+        extensions,
+        pipelines,
+    )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (core, pipelines, coverage, extensions):
+    for mod in (core, pipelines, coverage, coverage2, extensions):
         merged.update(mod.QUERIES)
     return merged

@@ -51,6 +51,26 @@ class FakeTransport:
         return out
 
 
+class OffsetFakeTransport:
+    """Deterministic endpoint for the legacy offset/hasMore shape
+    (HubSpot v1, hubspotoop.py:350-366)."""
+
+    def __init__(self, records: Sequence[dict]):
+        self.records = list(records)
+        self.calls = 0
+
+    def __call__(self, url: str, payload: dict) -> dict:
+        self.calls += 1
+        offset = int(payload.get("offset", 0))
+        limit = int(payload.get("limit", 100))
+        page = self.records[offset : offset + limit]
+        return {
+            "results": page,
+            "hasMore": offset + limit < len(self.records),
+            "offset": offset + len(page),
+        }
+
+
 class RestSource:
     """Paginated scan → DataFrame (S1/S2/S4).
 
@@ -82,6 +102,27 @@ class RestSource:
             if nxt is None:
                 return results
             after = nxt
+            if self.rate_limit_s:
+                time.sleep(self.rate_limit_s)
+
+    def fetch_all_offset(self, payload: dict | None = None, page_size: int = 100) -> list[dict]:
+        """S7 offset_paginated_scan (legacy v1 ``offset``/``hasMore``
+        pagination, hubspotoop.py:350-366).  Offset-addressable pages
+        are the fan-out-able kind: at scale, page ranges go to
+        executors via ``spark.range(n_pages)`` instead of this serial
+        driver loop."""
+        results: list[dict] = []
+        offset = 0
+        while True:
+            body = dict(payload or {})
+            body["offset"] = offset
+            body["limit"] = page_size
+            resp = self.transport(self.url, body)
+            page = resp.get("results", [])
+            results.extend(page)
+            if not resp.get("hasMore", False):
+                return results
+            offset = resp.get("offset", offset + len(page))
             if self.rate_limit_s:
                 time.sleep(self.rate_limit_s)
 
