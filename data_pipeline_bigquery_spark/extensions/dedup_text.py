@@ -22,6 +22,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+
+def spread_small_input(df: DataFrame) -> DataFrame:
+    """Row-amplifying ops (shingle explode: ~300× per doc) inherit the
+    *input's* split count — a source compacted into one file runs the
+    whole downstream on one task.  Repartition up to cluster parallelism
+    before amplifying; keyed aggregations downstream are partitioning-
+    insensitive, so results are unchanged.  (On a 100 TB lake inputs
+    already carry many splits and this is a no-op.)"""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
 # 16 permutations in 2 bands of 8 rows: P(false candidate) ≈ 2·J^8 — a
 # pair with shingle-Jaccard 0.3 has ~1e-4 collision odds, so candidate
 # volume stays near-linear even on a same-vocab corpus.  8 rows/band
@@ -62,7 +75,9 @@ def char_shingles(
         f"transform(sequence(1, greatest(length({t}) - {k - 1}, 1), {stride}),"
         f" i -> substring({t}, i, {k}))"
     )
-    return df.select(F.col(id_col).alias("doc_id"), F.explode(F.expr(expr)).alias("shingle"))
+    return spread_small_input(df).select(
+        F.col(id_col).alias("doc_id"), F.explode(F.expr(expr)).alias("shingle")
+    )
 
 
 # Affine-permutation minhash over a 28-bit md5-derived base hash:
@@ -134,7 +149,7 @@ def simhash_fingerprint(df: DataFrame, id_col: str, text_col: str, bits: int = 1
     """SimHash over whitespace tokens: bit p of the fingerprint is the
     majority vote of bit p of each token's hash (top bit of the p-th
     md5 hex digit).  One explode + one hash-aggregate."""
-    tokens = df.select(
+    tokens = spread_small_input(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
     ).withColumn("h", F.md5(F.col("tok")))
@@ -161,7 +176,8 @@ def word_ngrams(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFr
     parts = ", ".join(f"element_at({w}, i + {d})" for d in range(n))
     expr = f"transform(sequence(1, greatest(size({w}) - {n - 1}, 1)), i -> concat_ws(' ', {parts}))"
     return (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(F.expr(expr)).alias("gram"))
+        spread_small_input(df)
+        .select(F.col(id_col).alias("doc_id"), F.explode(F.expr(expr)).alias("gram"))
         .distinct()
     )
 

@@ -68,4 +68,9 @@ def frame_sample(df: DataFrame, id_col: str, payload_col: str, n_frames: int = 4
                     out["frame_md5"].append(hashlib.md5(frame).hexdigest())
             yield pd.DataFrame(out)
 
-    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(gen, FRAME_SCHEMA)
+    from data_pipeline_bigquery_spark.extensions.dedup_text import spread_small_input
+
+    # python decode is the bottleneck: one input file must not mean one worker
+    return spread_small_input(df.select(F.col(id_col), F.col(payload_col))).mapInPandas(
+        gen, FRAME_SCHEMA
+    )

@@ -24,7 +24,11 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def with_double_embedding(df: DataFrame, col: str = "embedding") -> DataFrame:
-    return df.withColumn(col, F.col(col).cast("array<double>"))
+    from data_pipeline_bigquery_spark.extensions.dedup_text import spread_small_input
+
+    # the 64-dim fold per pair is compute-heavy: make sure a compacted
+    # single-file corpus doesn't serialize it onto one task
+    return spread_small_input(df).withColumn(col, F.col(col).cast("array<double>"))
 
 
 def cosine_topk(
