@@ -112,13 +112,25 @@ def minhash_signatures(shingles: DataFrame, num_perm: int = DEFAULT_NUM_PERM) ->
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, num_perm: int = DEFAULT_NUM_PERM, bands: int = DEFAULT_BANDS
+    signatures: DataFrame,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
-    """Band the signature and self-join on the band hash: docs agreeing
-    on ALL rows of any band become candidate pairs (doc_a < doc_b).
+    """Band the signature and bucket docs by band hash: docs agreeing on
+    ALL rows of any band become candidate pairs (doc_a < doc_b).
 
-    The join is a plain shuffle hash join keyed ``(band_idx, band_hash)``
-    — bucket-local pair explosion only.
+    Implemented as ONE aggregation — group by ``(band_idx, band_hash)``,
+    collect the (sorted) doc ids, emit in-bucket pairs with an array
+    ``transform`` — instead of a band-keyed self-join.  A self-join
+    evaluates the whole shingle→minhash subtree twice (the broadcast
+    side can't reuse the shuffle exchange); the groupBy form computes it
+    once and shuffles only ``signatures`` rows (#docs × #bands).
+
+    ``max_bucket`` guards the quadratic blowup of a degenerate bucket
+    (e.g. near-empty docs sharing one signature) at lake scale: buckets
+    above the cap are dropped — a bucket that hot is boilerplate, not a
+    near-dup cluster, and would contribute O(n²) junk pairs.
     """
     rows_per_band = num_perm // bands
     band_hashes = [
@@ -136,11 +148,19 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         "doc_id", F.posexplode(F.array(*band_hashes)).alias("band_idx", "band_hash")
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    pairs = F.expr(
+        "flatten(transform(ids, (x, i) ->"
+        " transform(slice(ids, i + 2, size(ids) - i - 1),"
+        " y -> struct(x AS doc_a, y AS doc_b))))"
+    )
     return (
-        a.join(b, ["band_idx", "band_hash"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 

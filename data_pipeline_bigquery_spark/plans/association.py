@@ -39,11 +39,19 @@ def association_edges_plan(
     then runs as a shuffled hash join on ``association_id``, both sides
     hash-partitioned, which scales linearly.
     """
-    df = edges.select(
-        F.col(from_col).cast("string").alias("from_id"),
-        F.col(to_col).cast("string").alias("to_id"),
-        F.lit(edge_type).alias("type"),
-    ).distinct()
+    # distinct on the raw (usually numeric) key pair BEFORE casting:
+    # the shuffle then moves 2 longs instead of 2 strings per row, and
+    # the constant `type` column stays out of the grouping key.  The
+    # cast is injective, so the distinct set is identical.
+    df = (
+        edges.select(F.col(from_col).alias("from_id"), F.col(to_col).alias("to_id"))
+        .distinct()
+        .select(
+            F.col("from_id").cast("string").alias("from_id"),
+            F.col("to_id").cast("string").alias("to_id"),
+            F.lit(edge_type).alias("type"),
+        )
+    )
     df = df.withColumn(
         "association_id",
         md5_surrogate_key(F.col("from_id"), F.col("type"), F.col("to_id"), sep="_"),
