@@ -48,6 +48,81 @@ def _decode_frames(payload: bytes, n_frames: int) -> list[bytes]:
     return [payload[i * step : i * step + FRAME_SIZE] for i in range(n_frames) if i * step < len(payload)]
 
 
+RESIZED_SCHEMA = "doc_id long, width int, height int, resized_bytes int, resized_md5 string"
+
+FEATURE_DIM = 16
+FEATURE_SCHEMA = f"doc_id long, feature array<float>"
+
+
+def _decode_image(payload: bytes) -> bytes:
+    """STUB image decoder — a real one calls ``PIL.Image.open`` here
+    (``raise NotImplementedError("PIL not available in this image")``).
+    Returns the payload as the fake "pixel buffer"."""
+    return payload or b""
+
+
+def resize_images(
+    df: DataFrame, id_col: str, payload_col: str, width: int = 224, height: int = 224
+) -> DataFrame:
+    """Decode → resize → re-encode, Arrow batch at a time.  The resize
+    itself is stubbed (deterministic truncate/pad of the fake pixel
+    buffer to width*height bytes); the ``mapInPandas`` shape — binary in,
+    binary-derived columns out, no driver involvement — is exactly the
+    production pattern."""
+    import hashlib
+
+    id_name, payload_name = id_col, payload_col
+    target = width * height
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in ("doc_id", "width", "height", "resized_bytes", "resized_md5")}
+            for doc_id, payload in zip(pdf[id_name], pdf[payload_name]):
+                buf = _decode_image(payload)
+                resized = buf[:target].ljust(target, b"\0")
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(width)
+                out["height"].append(height)
+                out["resized_bytes"].append(len(resized))
+                out["resized_md5"].append(hashlib.md5(resized).hexdigest())
+            yield pd.DataFrame(out)
+
+    from data_pipeline_bigquery_spark.extensions.dedup_text import spread_small_input
+
+    return spread_small_input(df.select(F.col(id_col), F.col(payload_col))).mapInPandas(
+        gen, RESIZED_SCHEMA
+    )
+
+
+def extract_features(df: DataFrame, id_col: str, payload_col: str, dim: int = FEATURE_DIM) -> DataFrame:
+    """Feature-extract: binary payload → fixed-dim float vector, the
+    embedding-model inference shape.  STUB model: per-chunk mean byte
+    value, L2-normalized — deterministic, so tests can assert values.
+    A real model swaps the numpy block for an ONNX/torch forward pass
+    per Arrow batch (vectorized, GPU-friendly batch boundary)."""
+    import numpy as np
+
+    id_name, payload_name = id_col, payload_col
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, feats = [], []
+            for doc_id, payload in zip(pdf[id_name], pdf[payload_name]):
+                buf = np.frombuffer(_decode_image(payload), dtype=np.uint8)
+                chunks = np.array_split(buf, dim) if buf.size else [np.array([])] * dim
+                v = np.array([c.mean() if c.size else 0.0 for c in chunks], dtype=np.float32)
+                norm = float(np.linalg.norm(v))
+                ids.append(int(doc_id))
+                feats.append((v / norm if norm else v).tolist())
+            yield pd.DataFrame({"doc_id": ids, "feature": feats})
+
+    from data_pipeline_bigquery_spark.extensions.dedup_text import spread_small_input
+
+    return spread_small_input(df.select(F.col(id_col), F.col(payload_col))).mapInPandas(
+        gen, FEATURE_SCHEMA
+    )
+
+
 def frame_sample(df: DataFrame, id_col: str, payload_col: str, n_frames: int = 4) -> DataFrame:
     """Sample N "frames" per document via ``mapInPandas`` — Arrow batches
     in, Arrow batches out, one python worker per partition.  This is the

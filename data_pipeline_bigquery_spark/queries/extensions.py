@@ -22,7 +22,13 @@ from data_pipeline_bigquery_spark.extensions.dedup_text import (
     simhash_fingerprint,
     word_ngrams,
 )
-from data_pipeline_bigquery_spark.extensions.multimodal import binary_metadata, frame_sample
+from data_pipeline_bigquery_spark.extensions.multimodal import (
+    binary_metadata,
+    extract_features,
+    frame_sample,
+    resize_images,
+)
+from data_pipeline_bigquery_spark.streaming.sessions import session_aggregate
 from data_pipeline_bigquery_spark.extensions.similarity import (
     cosine_neardup_pairs,
     cosine_topk,
@@ -359,6 +365,55 @@ def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(docs, "doc_id", "payload", n_frames=4)
 
 
+def _multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode→resize→re-encode stub over mapInPandas (rows-only check:
+    the resize math lives in the python stub)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return resize_images(docs, "doc_id", "payload", width=16, height=16)
+
+
+def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary → normalized float vector (model-inference shape), then a
+    JVM-side rollup so the bench exercises both the python batch path
+    and the downstream array math."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    feats = extract_features(docs, "doc_id", "payload")
+    return feats.select(
+        "doc_id",
+        F.expr("round(aggregate(feature, 0.0D, (a, x) -> a + x * x), 3)").alias("sq_norm"),
+    )
+
+
+# --- sessionization (events) -------------------------------------------------
+
+def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions over the events table (30-min gap), rolled up
+    one row per session.  Streaming twin: sessionize_stateful
+    (applyInPandasWithState), tested in tests/test_sessions.py."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    return session_aggregate(ev, gap_minutes=30)
+
+
+_SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+sess AS (
+  SELECT user_id, ts,
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM flagged)
+SELECT user_id, session_idx, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, session_idx
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(_dedup_exact, _DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": QuerySpec(_dedup_minhash, _minhash_sql()),
@@ -373,4 +428,7 @@ QUERIES: dict[str, QuerySpec] = {
     "text_fingerprint": QuerySpec(_fingerprint, _FINGERPRINT_SQL),
     "multimodal_metadata": QuerySpec(_multimodal_metadata, _MULTIMODAL_SQL),
     "multimodal_frame_sample": QuerySpec(_multimodal_frames, None),
+    "multimodal_resize": QuerySpec(_multimodal_resize, None),
+    "multimodal_features": QuerySpec(_multimodal_features, None),
+    "sessionize_events": QuerySpec(_sessionize, _SESSIONIZE_SQL),
 }
