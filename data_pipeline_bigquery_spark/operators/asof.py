@@ -1,0 +1,75 @@
+"""As-of (backward) join — align each left row with the most recent
+right row at or before its timestamp, per key.
+
+The reference has no as-of join (SURVEY §2.4: every reference join is a
+small equi-join), but event/feature alignment is core to a training-data
+pipeline, and Spark has no built-in ASOF JOIN.  A pandas
+``merge_asof``-per-group would serialize every row through Python; the
+scalable Spark-native form is the *union trick*:
+
+    union(left tagged 1, right tagged 0)
+    → window per key ordered by (ts, tag)
+    → last(right value, ignorenulls) over rows unbounded-preceding
+    → keep tag 1
+
+One shuffle (the window), no Python, no row explosion — right rows at
+ts == left ts sort first, so semantics are ``left.ts >= right.ts``
+(DuckDB/pandas ``direction='backward'``, inclusive).
+
+Determinism: if the right side can hold several rows per (key, ts),
+pre-aggregate it — ``last`` between equal sort keys is tie-ambiguous.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_TAG = "__asof_tag"
+_RTS = "__asof_rts"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str,
+    value_cols: list[str],
+    tolerance_s: int | None = None,
+) -> DataFrame:
+    """Append ``asof_<value_col>`` columns (and ``asof_ts``) to ``left``:
+    values from the latest ``right`` row with ``right.ts <= left.ts``
+    for the same ``on`` key, or NULL if none (left-join semantics).
+
+    ``tolerance_s``: max allowed staleness in seconds — older matches
+    are nulled out (pandas ``merge_asof(tolerance=...)``).
+    """
+    lhs = left.withColumn(_TAG, F.lit(1))
+    rhs = (
+        right.select(on, ts_col, *value_cols)
+        .withColumn(_TAG, F.lit(0))
+        .withColumn(_RTS, F.col(ts_col))
+    )
+    # rename right value cols so they never collide with left's schema
+    for c in value_cols:
+        rhs = rhs.withColumnRenamed(c, f"__asof_{c}")
+    both = lhs.unionByName(rhs, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(on)
+        .orderBy(ts_col, _TAG)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched_ts = F.last(_RTS, ignorenulls=True).over(w)
+    fresh = (
+        F.lit(True)
+        if tolerance_s is None
+        else (F.col(ts_col).cast("long") - matched_ts.cast("long") <= tolerance_s)
+    )
+    out = both.withColumn("asof_ts", F.when(fresh, matched_ts))
+    for c in value_cols:
+        out = out.withColumn(
+            f"asof_{c}",
+            F.when(fresh, F.last(f"__asof_{c}", ignorenulls=True).over(w)),
+        )
+    return out.filter(F.col(_TAG) == 1).drop(_TAG, _RTS, *[f"__asof_{c}" for c in value_cols])

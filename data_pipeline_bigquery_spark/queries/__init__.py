@@ -28,11 +28,12 @@ def registry() -> dict[str, QuerySpec]:
         core,
         coverage,
         coverage2,
+        coverage3,
         extensions,
         pipelines,
     )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (core, pipelines, coverage, coverage2, extensions):
+    for mod in (core, pipelines, coverage, coverage2, coverage3, extensions):
         merged.update(mod.QUERIES)
     return merged

@@ -1,0 +1,271 @@
+"""Coverage batch 3 — analytic operators BEYOND the reference surface.
+
+SURVEY §2 records what the reference lacks: no grouping sets/rollup/cube
+(§2.5), no lead/lag or frame specs (§2.6), no intersect (§2.8), no
+theta/range/as-of joins (§2.4), no percentiles (§2.10).  A drop-in
+replacement engine should still have them — they are table stakes for
+the analytics the reference delegates to BigQuery/Redash SQL — so each
+is implemented Spark-first here with a DuckDB oracle.
+
+Float outputs route through DECIMAL (or explicit rounding) so the
+order-insensitive hash compare is engine-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_bigquery_spark.catalog import load
+from data_pipeline_bigquery_spark.operators.asof import asof_join
+from data_pipeline_bigquery_spark.queries import QuerySpec
+
+_DEC = "decimal(18,2)"
+
+
+# --- rollup / cube -----------------------------------------------------------
+
+def _rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): subtotals + grand total in
+    one pass — Spark expands grouping sets inside a single hash
+    aggregate (partial agg still applies), no self-union needed."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
+            F.grouping_id().alias("g"),
+        )
+    )
+
+
+_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS g
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def _cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), F.grouping_id().alias("g")
+    )
+
+
+_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS g
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# --- percentiles -------------------------------------------------------------
+
+def _percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete (nearest-rank, index = floor((n-1)·p)) percentiles per
+    group — the selection formula is written out identically on both
+    engines because *continuous* interpolation (Spark ``percentile`` vs
+    DuckDB ``quantile_cont``) differs in the last float ulp and flips
+    cent-rounding at half-cent boundaries.  At lake scale swap in
+    ``percentile_approx`` (t-digest: one pass, mergeable partials)."""
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        (F.row_number().over(w) - 1).alias("rn"),
+        (F.count(F.lit(1)).over(Window.partitionBy("l_returnflag")) - 1).alias("n1"),
+    )
+    pick = lambda p: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.floor(F.col("n1") * p), F.col("l_extendedprice"))
+    )
+    return ranked.groupBy("l_returnflag").agg(
+        pick(0.5).alias("p50"), pick(0.9).alias("p90")
+    )
+
+
+_PERCENTILE_SQL = """
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) - 1 AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) - 1 AS n1
+  FROM lineitem)
+SELECT l_returnflag,
+       max(CASE WHEN rn = floor(n1 * 0.5) THEN l_extendedprice END) AS p50,
+       max(CASE WHEN rn = floor(n1 * 0.9) THEN l_extendedprice END) AS p90
+FROM ranked GROUP BY l_returnflag
+"""
+
+
+# --- pivot -------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day × event_type matrix via pivot.  Pivot values are declared
+    explicitly — at scale an unpinned pivot triggers a distinct scan of
+    the pivot column before planning."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.sum(F.col("value").cast(_DEC)).cast("double"))
+    )
+
+
+_PIVOT_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       {cols}
+FROM events GROUP BY date_trunc('day', ts)
+""".format(
+    cols=",\n       ".join(
+        f"CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = '{t}') AS DOUBLE) AS {t}"
+        for t in _EVENT_TYPES
+    )
+)
+
+
+# --- intersect ---------------------------------------------------------------
+
+def _intersect_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (absent from the reference, §2.8): customers ordering
+    in both 1995 and 1996.  Catalyst plans it as a left-semi aggregate
+    join — no full materialization of either side."""
+    o = load(spark, sf_dir, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.intersect(y96)
+
+
+_INTERSECT_SQL = """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+"""
+
+
+# --- as-of join --------------------------------------------------------------
+
+def _asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every click, the user's most recent purchase at or before the
+    click (union-trick as-of join: one window shuffle, no Python).
+    Right side pre-aggregated per (user, ts) so ties are deterministic."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.col("value").cast(_DEC)).cast("double").alias("purchase_value"))
+    )
+    out = asof_join(clicks, purchases, on="user_id", ts_col="ts", value_cols=["purchase_value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_ts").alias("purchase_ts"),
+        F.col("asof_purchase_value").alias("purchase_value"),
+    )
+
+
+_ASOF_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+purchases AS (
+  SELECT user_id, ts,
+         CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+SELECT c.event_id, c.user_id, c.ts, p.ts AS purchase_ts, p.purchase_value
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+# --- range (interval) join ---------------------------------------------------
+
+def _range_join_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders bucketed by a generated month-dimension via an interval
+    predicate join.  The dim side is tiny and explicitly broadcast, so
+    the theta join is a broadcast nested loop over ~80 rows — the
+    pattern for calendar/SLA-window joins at lake scale."""
+    months = spark.range(1).select(
+        F.explode(
+            F.expr(
+                "sequence(timestamp'1995-01-01', timestamp'2001-08-01', interval 1 month)"
+            )
+        ).alias("month_start")
+    ).withColumn("month_end", F.expr("month_start + interval 1 month"))
+    o = load(spark, sf_dir, "orders")
+    joined = o.join(
+        F.broadcast(months),
+        (F.col("o_orderdate") >= F.col("month_start"))
+        & (F.col("o_orderdate") < F.col("month_end")),
+    )
+    return joined.groupBy("month_start").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("revenue"),
+    )
+
+
+_RANGE_JOIN_SQL = """
+WITH months AS (
+  SELECT unnest(range(TIMESTAMP '1995-01-01', TIMESTAMP '2001-09-01',
+                      INTERVAL 1 MONTH)) AS month_start)
+SELECT month_start, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders o JOIN months m
+  ON o.o_orderdate >= m.month_start
+ AND o.o_orderdate < m.month_start + INTERVAL 1 MONTH
+GROUP BY month_start
+"""
+
+
+# --- window frame specs (lead/lag + range frame) -----------------------------
+
+def _window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag and a RANGE frame (rolling 1-hour per-user sum) — frame
+    specs the reference never uses (§2.6: 'frame is always the whole
+    partition').  Rolling sum keys the range frame on epoch seconds;
+    lead/lag order by (ts, event_id) so ties are deterministic."""
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rng = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lag(F.col("value").cast(_DEC)).over(seq).cast("double").alias("prev_value"),
+        F.lead(F.col("value").cast(_DEC)).over(seq).cast("double").alias("next_value"),
+        F.sum(F.col("value").cast(_DEC)).over(rng).cast("double").alias("rolling_1h"),
+    )
+
+
+_WINDOW_FRAMES_SQL = """
+SELECT event_id, user_id, ts,
+       CAST(lag(CAST(value AS DECIMAL(18,2))) OVER seq AS DOUBLE) AS prev_value,
+       CAST(lead(CAST(value AS DECIMAL(18,2))) OVER seq AS DOUBLE) AS next_value,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER
+            (PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_1h
+FROM events
+WINDOW seq AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "rollup_pricing": QuerySpec(_rollup_pricing, _ROLLUP_SQL),
+    "cube_orders": QuerySpec(_cube_orders, _CUBE_SQL),
+    "percentiles_by_group": QuerySpec(_percentiles, _PERCENTILE_SQL),
+    "pivot_event_values": QuerySpec(_pivot_events, _PIVOT_SQL),
+    "intersect_repeat_customers": QuerySpec(_intersect_repeat_customers, _INTERSECT_SQL),
+    "asof_join_click_purchase": QuerySpec(_asof_click_purchase, _ASOF_SQL),
+    "range_join_months": QuerySpec(_range_join_months, _RANGE_JOIN_SQL),
+    "window_frame_specs": QuerySpec(_window_frames, _WINDOW_FRAMES_SQL),
+}
