@@ -86,24 +86,54 @@ class RestSource:
         self.url = url
         self.rate_limit_s = rate_limit_s
 
-    def fetch_all(self, payload: dict | None = None, spill_every: int | None = None) -> list[dict]:
-        """S1 rest_paginated_scan / S2 spill variant.  The reference
-        spills to local JSON every 100 pages (hubspotoop.py:84-123);
-        here accumulation is bounded by yielding batches instead."""
-        results: list[dict] = []
+    def fetch_all(self, payload: dict | None = None) -> list[dict]:
+        """S1 rest_paginated_scan: accumulate cursor-paginated pages."""
+        return list(self._pages(payload))
+
+    def _pages(self, payload: dict | None = None):
         after: str | None = None
         while True:
             body = dict(payload or {})
             if after is not None:
                 body["after"] = after
             resp = self.transport(self.url, body)
-            results.extend(resp.get("results", []))
-            nxt = resp.get("paging", {}).get("next", {}).get("after")
-            if nxt is None:
-                return results
-            after = nxt
+            yield from resp.get("results", [])
+            after = resp.get("paging", {}).get("next", {}).get("after")
+            if after is None:
+                return
             if self.rate_limit_s:
                 time.sleep(self.rate_limit_s)
+
+    def fetch_to_staging(
+        self, staging_dir: str, payload: dict | None = None, spill_every: int = 10_000
+    ) -> int:
+        """S2 rest_batched_scan_with_spill: driver memory stays bounded —
+        every ``spill_every`` records are flushed to a numbered JSON-lines
+        file in ``staging_dir`` (the reference spills every 100 pages,
+        hubspotoop.py:84-123), and ``spark.read.json(staging_dir)`` turns
+        the staged files into a partitioned scan.  Returns record count."""
+        import json as _json
+        import os
+
+        os.makedirs(staging_dir, exist_ok=True)
+        buf: list[dict] = []
+        n = file_idx = 0
+
+        def flush() -> None:
+            nonlocal buf, file_idx
+            if buf:
+                with open(os.path.join(staging_dir, f"batch_{file_idx:05d}.json"), "w") as f:
+                    f.write("\n".join(_json.dumps(r) for r in buf))
+                file_idx += 1
+                buf = []
+
+        for rec in self._pages(payload):
+            buf.append(rec)
+            n += 1
+            if len(buf) >= spill_every:
+                flush()
+        flush()
+        return n
 
     def fetch_all_offset(self, payload: dict | None = None, page_size: int = 100) -> list[dict]:
         """S7 offset_paginated_scan (legacy v1 ``offset``/``hasMore``
