@@ -1,0 +1,132 @@
+"""Property-based checks (hypothesis): the two operators with the
+subtlest semantics are verified against independent models —
+
+* ``merge_upsert`` vs a row-at-a-time Python replay of the reference's
+  MERGE statement (``/root/reference/config/bigquery/bigquery.py:245-256``),
+  including the null-hostile ``!=`` cursor guard.
+* ``asof_join`` vs ``pandas.merge_asof`` (direction='backward', the
+  reference model implementation).
+
+Spark round-trips are slow, so examples are kept small and deadlines
+disabled; the value is in the adversarial shapes hypothesis finds
+(null cursors, colliding timestamps, empty sides), not volume.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from data_pipeline_bigquery_spark.operators.asof import asof_join
+from data_pipeline_bigquery_spark.operators.merge import merge_upsert
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+_cursor = st.one_of(st.none(), st.integers(min_value=0, max_value=3))
+
+_rows = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=5), _cursor, st.text("ab", max_size=2)),
+    max_size=8,
+)
+
+
+def _dedup_pk(rows):
+    seen, out = set(), []
+    for pk, cur, val in rows:
+        if pk not in seen:
+            seen.add(pk)
+            out.append((pk, cur, val))
+    return out
+
+
+def _model_merge(target, source):
+    """The MERGE statement replayed row-at-a-time: source wins when the
+    pk is new, or when BOTH cursors are non-null and differ (SQL `!=`
+    is never true against NULL)."""
+    state = {pk: (cur, val) for pk, cur, val in target}
+    for pk, s_cur, s_val in source:
+        if pk not in state:
+            state[pk] = (s_cur, s_val)
+        else:
+            t_cur = state[pk][0]
+            if t_cur is not None and s_cur is not None and t_cur != s_cur:
+                state[pk] = (s_cur, s_val)
+    return {(pk, cur, val) for pk, (cur, val) in state.items()}
+
+
+@given(target=_rows, source=_rows)
+@settings(**_SETTINGS)
+def test_merge_upsert_matches_model(spark, target, source):
+    target, source = _dedup_pk(target), _dedup_pk(source)
+    schema = "pk long, cursor long, val string"
+    t_df = spark.createDataFrame(target, schema)
+    s_df = spark.createDataFrame(source, schema)
+    got = {
+        (r["pk"], r["cursor"], r["val"])
+        for r in merge_upsert(t_df, s_df, "pk", "cursor").collect()
+    }
+    assert got == _model_merge(target, source)
+
+
+_ts = st.integers(min_value=0, max_value=50).map(
+    lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+)
+_left_rows = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=2), _ts), min_size=1, max_size=8
+)
+_right_rows = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=2), _ts), max_size=8
+)
+
+
+@given(left=_left_rows, right=_right_rows)
+@settings(**_SETTINGS)
+def test_asof_join_matches_pandas(spark, left, right):
+    # unique (key, ts) on the right → deterministic (operator contract);
+    # value derived from (k, ts) so equality checks the chosen row.
+    right = list({(k, ts) for k, ts in right})
+    l_df = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(left)], "id long, k long, ts timestamp"
+    )
+    r_df = spark.createDataFrame(
+        [(k, ts, float(k * 1000 + ts.minute)) for k, ts in right],
+        "k long, ts timestamp, v double",
+    )
+    got = {
+        r["id"]: (r["asof_ts"], r["asof_v"])
+        for r in asof_join(l_df, r_df, "k", "ts", ["v"]).collect()
+    }
+
+    lp = pd.DataFrame(
+        {
+            "id": pd.array(range(len(left)), dtype="int64"),
+            "k": pd.array([k for k, _ in left], dtype="int64"),
+            "ts": pd.to_datetime([t for _, t in left]),
+        }
+    ).sort_values("ts", kind="stable")
+    rp = pd.DataFrame(
+        {
+            "k": pd.array([k for k, _ in right], dtype="int64"),
+            "ts": pd.to_datetime([t for _, t in right]),
+            "v": pd.array(
+                [float(k * 1000 + t.minute) for k, t in right], dtype="float64"
+            ),
+        }
+    ).sort_values("ts", kind="stable")
+    merged = pd.merge_asof(
+        lp, rp, on="ts", by="k", direction="backward", suffixes=("", "_r")
+    )
+    rts_by_kv = {(k, float(k * 1000 + t.minute)): t for k, t in right}
+    for _, row in merged.iterrows():
+        want_v = None if pd.isna(row["v"]) else row["v"]
+        got_ts, got_v = got[row["id"]]
+        assert got_v == want_v, (left, right)
+        want_ts = None if want_v is None else rts_by_kv[(row["k"], want_v)]
+        assert got_ts == want_ts, (left, right)
+    assert len(got) == len(left)
