@@ -35,6 +35,10 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "text_quality_score",
     "ann_cosine_topk",
+    # analytic + training-pipeline ops beyond the reference surface
+    "rollup_pricing",
+    "asof_join_click_purchase",
+    "sessionize_events",
 ]
 
 

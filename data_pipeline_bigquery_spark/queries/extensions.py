@@ -263,7 +263,7 @@ SELECT query_id, neighbor_id, cosine_sim FROM (
 def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    return ivf_topk(queries, emb, k=5, nprobe=2)
+    return ivf_topk(queries, emb, k=5, nprobe=2, auto_cells=10)
 
 
 # --- text analysis -----------------------------------------------------------

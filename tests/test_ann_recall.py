@@ -1,0 +1,35 @@
+"""ANN quality gate: IVF (cell-probed) top-k must recall most of the
+exact brute-force top-k — the property that matters at lake scale,
+where brute force is the oracle you can no longer afford to run."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipeline_bigquery_spark.catalog import load
+from data_pipeline_bigquery_spark.extensions.similarity import cosine_topk, ivf_topk
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _topk_sets(df):
+    rows = df.collect()
+    out: dict[int, set[int]] = {}
+    for r in rows:
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    emb = load(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = _topk_sets(cosine_topk(queries, emb, k=5))
+    ivf = _topk_sets(ivf_topk(queries, emb, k=5, nprobe=2, auto_cells=10))
+    assert set(ivf) == set(exact)  # every query answered
+    hits = sum(len(ivf[q] & exact[q]) for q in exact)
+    total = sum(len(exact[q]) for q in exact)
+    recall = hits / total
+    # geometry-derived cells (ivf_assign_cells) at nprobe=2/nlist=10:
+    # measured 0.975 here, 0.925 at sf0.01 — metadata-label cells
+    # scored 0.275, which is why auto_cells exists
+    assert recall >= 0.8, f"IVF recall@5 collapsed: {recall:.2f}"
