@@ -259,8 +259,51 @@ WINDOW seq AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+# --- except all --------------------------------------------------------------
+
+def _except_all_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset difference, preserves multiplicity — the
+    reference only has anti-join-style EXCEPT DISTINCT via J3): return
+    flags of low-quantity lines beyond their high-quantity usage."""
+    li = load(spark, sf_dir, "lineitem")
+    lo = li.filter(F.col("l_quantity") <= 10).select("l_returnflag")
+    hi = li.filter(F.col("l_quantity") >= 40).select("l_returnflag")
+    return lo.exceptAll(hi).groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+
+
+_EXCEPT_ALL_SQL = """
+WITH d AS (
+  SELECT l_returnflag FROM lineitem WHERE l_quantity <= 10
+  EXCEPT ALL
+  SELECT l_returnflag FROM lineitem WHERE l_quantity >= 40)
+SELECT l_returnflag, count(*) AS n FROM d GROUP BY l_returnflag
+"""
+
+
+# --- histogram ---------------------------------------------------------------
+
+def _price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via identical floor arithmetic on both
+    engines (DuckDB has no width_bucket; floor(x/step) in double is
+    bit-identical).  One partial-aggregated shuffle of O(buckets)."""
+    li = load(spark, sf_dir, "lineitem")
+    bucket = F.floor(F.col("l_extendedprice") / 10000).cast("long")
+    return (
+        li.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_HISTOGRAM_SQL = """
+SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bucket, count(*) AS n
+FROM lineitem GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "rollup_pricing": QuerySpec(_rollup_pricing, _ROLLUP_SQL),
+    "except_all_returnflags": QuerySpec(_except_all_lineitems, _EXCEPT_ALL_SQL),
+    "price_histogram": QuerySpec(_price_histogram, _HISTOGRAM_SQL),
     "cube_orders": QuerySpec(_cube_orders, _CUBE_SQL),
     "percentiles_by_group": QuerySpec(_percentiles, _PERCENTILE_SQL),
     "pivot_event_values": QuerySpec(_pivot_events, _PIVOT_SQL),

@@ -1,0 +1,66 @@
+"""Stream-stream join: clicks joined to purchases within a bounded
+event-time interval, both sides watermarked — the streaming shape of
+the as-of/enrichment joins, with state bounded by the watermark."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+TS = dt.datetime
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    clicks_dir, buys_dir = tmp_path / "clicks", tmp_path / "buys"
+    schema = "user_id long, ts timestamp, val double"
+    spark.createDataFrame(
+        [
+            Row(user_id=1, ts=TS(2024, 1, 1, 10, 0), val=1.0),
+            Row(user_id=1, ts=TS(2024, 1, 1, 12, 0), val=2.0),
+            Row(user_id=2, ts=TS(2024, 1, 1, 10, 0), val=3.0),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(str(clicks_dir))
+    spark.createDataFrame(
+        [
+            Row(user_id=1, ts=TS(2024, 1, 1, 10, 30), val=100.0),  # 30min after click1
+            Row(user_id=2, ts=TS(2024, 1, 1, 13, 0), val=200.0),   # 3h after click — outside window
+        ],
+        schema,
+    ).coalesce(1).write.parquet(str(buys_dir))
+
+    clicks = (
+        spark.readStream.schema(schema).parquet(str(clicks_dir))
+        .withWatermark("ts", "1 hour")
+        .select(F.col("user_id"), F.col("ts").alias("click_ts"))
+    )
+    buys = (
+        spark.readStream.schema(schema).parquet(str(buys_dir))
+        .withWatermark("ts", "1 hour")
+        .select(F.col("user_id").alias("b_user"), F.col("ts").alias("buy_ts"), "val")
+    )
+    # purchase within 1 hour AFTER the click: the interval condition is
+    # what lets Spark expire join state as the watermark advances
+    joined = clicks.join(
+        buys,
+        (F.col("user_id") == F.col("b_user"))
+        & (F.col("buy_ts") >= F.col("click_ts"))
+        & (F.col("buy_ts") <= F.col("click_ts") + F.expr("interval 1 hour")),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = [
+            (r["user_id"], r["click_ts"], r["val"])
+            for r in spark.sql("SELECT * FROM ssj_out").collect()
+        ]
+    finally:
+        q.stop()
+    assert rows == [(1, TS(2024, 1, 1, 10, 0), 100.0)]
