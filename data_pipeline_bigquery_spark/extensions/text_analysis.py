@@ -77,6 +77,26 @@ def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def rolling_hash_fingerprint(
+    df: DataFrame, id_col: str, text_col: str, mod: int = 2_147_483_647
+) -> DataFrame:
+    """Polynomial rolling hash (Rabin-Karp, base 31) over the raw
+    character stream — the order-SENSITIVE fingerprint (complementing
+    :func:`doc_fingerprint`'s order-insensitive one).  The fold runs as
+    a JVM higher-order ``aggregate``; the modulus keeps every
+    intermediate in BIGINT range on any engine."""
+    t = f"lower({text_col})"
+    h = F.expr(
+        f"aggregate(transform(sequence(1, length({t})), i -> ascii(substring({t}, i, 1))),"
+        f" 0L, (acc, c) -> (acc * 31 + c) % {mod})"
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        h.cast("long").alias("rolling_hash"),
+        F.length(F.expr(t)).cast("long").alias("n_chars"),
+    )
+
+
 def doc_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Order-insensitive content fingerprint: md5 over the sorted
     distinct word set (robust to shuffling/duplication of words)."""

@@ -38,6 +38,7 @@ from data_pipeline_bigquery_spark.extensions.text_analysis import (
     doc_fingerprint,
     lang_id,
     quality_score,
+    rolling_hash_fingerprint,
     token_count,
 )
 from data_pipeline_bigquery_spark.queries import QuerySpec
@@ -335,6 +336,21 @@ FROM w
 """
 
 
+def _rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rolling_hash_fingerprint(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_ROLLING_HASH_SQL = """
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(1, length(lower(text)) + 1),
+                                  i -> CAST(ord(substr(lower(text), i, 1)) AS BIGINT))),
+                   (acc, c) -> (acc * 31 + c) % 2147483647) AS rolling_hash,
+       CAST(length(lower(text)) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
 # --- multimodal --------------------------------------------------------------
 
 def _multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -426,6 +442,7 @@ QUERIES: dict[str, QuerySpec] = {
     "text_quality_score": QuerySpec(_quality, _QUALITY_SQL),
     "text_token_count": QuerySpec(_token_count, _TOKEN_SQL),
     "text_fingerprint": QuerySpec(_fingerprint, _FINGERPRINT_SQL),
+    "text_rolling_hash": QuerySpec(_rolling_hash, _ROLLING_HASH_SQL),
     "multimodal_metadata": QuerySpec(_multimodal_metadata, _MULTIMODAL_SQL),
     "multimodal_frame_sample": QuerySpec(_multimodal_frames, None),
     "multimodal_resize": QuerySpec(_multimodal_resize, None),
