@@ -48,3 +48,23 @@ def write_lake(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 256,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed catalog table: both sides of a recurring fact-to-fact
+    join written with the same ``(bucket_col, n_buckets)`` join WITHOUT
+    any exchange (plan-asserted in tests/test_bucketing.py) — the 100 TB
+    strategy where neither side broadcasts and re-shuffling 100 TB per
+    join is the bottleneck.  Buckets also pre-sort, so the sort-merge
+    join's sort is free."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col).sortBy(bucket_col)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
