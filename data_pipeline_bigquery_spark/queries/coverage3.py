@@ -300,7 +300,78 @@ FROM lineitem GROUP BY 1
 """
 
 
+# --- classic analytic shapes (TPC-H Q3 / Q18 analogues) ----------------------
+
+def _shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape: selective dim filter → two joins → grouped revenue →
+    top-10.  customer side broadcasts (post-filter it's tiny); lineitem
+    never shuffles until the final O(groups) aggregation; orderBy+limit
+    plans as TakeOrderedAndProject (no global sort)."""
+    cutoff = "1996-01-01"
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast(_DEC) * (F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+_SHIPPING_PRIORITY_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1996-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def _large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: HAVING over a grouped fact, then a semi-join back —
+    the aggregation runs FIRST (O(orders) output), and only qualifying
+    keys rejoin order metadata.  No row-level fact×fact join."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+_LARGE_ORDERS_SQL = """
+WITH big AS (
+  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+SELECT o_orderkey, o_custkey, o_orderdate, CAST(total_qty AS DOUBLE) AS total_qty
+FROM orders JOIN big ON o_orderkey = l_orderkey
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "shipping_priority_topk": QuerySpec(_shipping_priority, _SHIPPING_PRIORITY_SQL),
+    "large_orders_having": QuerySpec(_large_orders, _LARGE_ORDERS_SQL),
     "rollup_pricing": QuerySpec(_rollup_pricing, _ROLLUP_SQL),
     "except_all_returnflags": QuerySpec(_except_all_lineitems, _EXCEPT_ALL_SQL),
     "price_histogram": QuerySpec(_price_histogram, _HISTOGRAM_SQL),
