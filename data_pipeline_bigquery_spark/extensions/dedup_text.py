@@ -29,9 +29,19 @@ def spread_small_input(df: DataFrame) -> DataFrame:
     whole downstream on one task.  Repartition up to cluster parallelism
     before amplifying; keyed aggregations downstream are partitioning-
     insensitive, so results are unchanged.  (On a 100 TB lake inputs
-    already carry many splits and this is a no-op.)"""
+    already carry many splits and this is a no-op.)
+
+    The split-count probe uses ``inputFiles()`` (a file listing, ~ms),
+    NOT ``df.rdd.getNumPartitions()`` — the RDD conversion compiles the
+    whole plan and costs ~1 s per query build.  Non-file sources (local
+    relations in tests) return no files and are left untouched — they
+    already parallelize to ``defaultParallelism``."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
 
