@@ -31,9 +31,10 @@ def registry() -> dict[str, QuerySpec]:
         coverage3,
         extensions,
         pipelines,
+        training,
     )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (core, pipelines, coverage, coverage2, coverage3, extensions):
+    for mod in (core, pipelines, coverage, coverage2, coverage3, extensions, training):
         merged.update(mod.QUERIES)
     return merged

@@ -1,0 +1,89 @@
+"""Deterministic-sampling semantics: hash splits must be stable under
+repartitioning and re-runs (the leakage-prevention property), rates
+must land near their targets, contamination must find planted leaks."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from data_pipeline_bigquery_spark.extensions.dedup_text import word_ngrams
+from data_pipeline_bigquery_spark.extensions.sampling import (
+    assign_split,
+    contamination_report,
+    deterministic_shuffle,
+    hash_bucket,
+    stratified_sample,
+)
+
+
+def _py_bucket(key: int, n: int = 100) -> int:
+    return int(hashlib.md5(str(key).encode()).hexdigest()[:7], 16) % n
+
+
+def test_hash_bucket_matches_python_md5(spark):
+    df = spark.range(0, 500).select(F.col("id"), hash_bucket("id").alias("b"))
+    for r in df.collect():
+        assert r.b == _py_bucket(r.id), r
+
+
+def test_split_stable_under_repartition(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    a = {r.k: r.split for r in assign_split(df, "k").collect()}
+    b = {r.k: r.split for r in assign_split(df.repartition(17, "k"), "k").collect()}
+    assert a == b
+    # fractions land near 80/10/10 (md5 is uniform; 2000 keys)
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert abs(c["train"] / 2000 - 0.8) < 0.05
+    assert abs(c["valid"] / 2000 - 0.1) < 0.03
+    assert abs(c["test"] / 2000 - 0.1) < 0.03
+
+
+def test_split_percents_must_sum_to_100(spark):
+    import pytest
+
+    df = spark.range(5)
+    with pytest.raises(ValueError):
+        assign_split(df, "id", {"train": 50, "test": 40})
+
+
+def test_stratified_sample_is_subset_with_target_rates(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "sw") for i in range(4000)], "k long, lang string"
+    )
+    kept = stratified_sample(df, "k", "lang", {"en": 25})
+    rows = kept.collect()
+    assert all(_py_bucket(r.k) < (25 if r.lang == "en" else 100) for r in rows)
+    n_en = sum(1 for r in rows if r.lang == "en")
+    assert abs(n_en / 2000 - 0.25) < 0.05
+    assert sum(1 for r in rows if r.lang == "sw") == 2000  # default: keep all
+
+
+def test_deterministic_shuffle_fixed_order(spark):
+    df = spark.range(0, 300).withColumnRenamed("id", "k")
+    o1 = [r.k for r in deterministic_shuffle(df, "k").collect()]
+    o2 = [r.k for r in deterministic_shuffle(df.repartition(7), "k").collect()]
+    assert o1 == o2
+    assert o1 != sorted(o1)  # actually shuffled
+    assert sorted(o1) == list(range(300))  # a permutation, nothing lost
+
+
+def test_contamination_finds_planted_leak(spark):
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight")], "doc_id long, t string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "quick brown fox jumps over the lazy dog tonight"),  # near-copy
+            (11, "completely unrelated words about spark shuffles and parquet"),
+        ],
+        "doc_id long, t string",
+    )
+    out = contamination_report(
+        word_ngrams(corpus, "doc_id", "t"), word_ngrams(bench, "doc_id", "t"), min_rate=0.3
+    ).collect()
+    assert [r.doc_id for r in out] == [10]
+    assert out[0].contamination_rate == 1.0  # every 3-gram of the near-copy is in bench
