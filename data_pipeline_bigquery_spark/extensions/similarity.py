@@ -158,6 +158,110 @@ def ivf_assign_cells(
     )
 
 
+def assign_cells(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach a ``cell`` column: each vector's max-cosine centroid.
+
+    corpus × broadcast(centroids) — the corpus never shuffles; the
+    argmax is a per-row window over ``nlist`` candidate rows."""
+    e = with_double_embedding(corpus, vec_col)
+    cn = F.broadcast(
+        centroids.select(
+            "cell",
+            F.col("centroid").alias("cn_vec"),
+            F.sqrt(_dot(F.col("centroid"), F.col("centroid"))).alias("cn_norm"),
+        )
+    )
+    sim = _dot(F.col(vec_col), F.col("cn_vec")) / (
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))) * F.col("cn_norm")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("s_sim").desc(), F.col("cell").asc())
+    return (
+        e.crossJoin(cn)
+        .withColumn("s_sim", F.round(sim, 6))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("cn_vec", "cn_norm", "s_sim", "rn")
+    )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    nlist: int = 16,
+    iters: int = 3,
+    sample_pct: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sampled spherical k-means — the production coarse quantizer.
+
+    Exactly how IVF quantizers are trained at scale (FAISS-style): fit
+    on a hash-stable sample, not the full corpus.  Each Lloyd step is
+    two distributed jobs — assignment (sample × broadcast(nlist), no
+    shuffle of the sample) and centroid recompute (keyed agg on cell) —
+    while the centroid table itself (nlist × dim doubles, a few MB even
+    at nlist=65536) round-trips through the driver per iteration, which
+    also truncates the lineage so plans don't grow with ``iters``.
+
+    Deterministic: the sample is md5-bucketed, the seeds are the
+    ``nlist`` lowest-id sample vectors, ties break on cell id.  Empty
+    cells keep their previous centroid.  Returns ``(cell, centroid)``
+    with unit-norm centroids (spherical k-means: cosine assignment ≡
+    dot product).
+    """
+    spark = corpus.sparkSession
+    e = with_double_embedding(corpus, vec_col)
+    if sample_pct is not None:
+        from data_pipeline_bigquery_spark.extensions.sampling import hash_bucket
+
+        e = e.filter(hash_bucket(F.col(id_col)) < sample_pct)
+    norm = F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
+    train = e.select(
+        F.col(id_col).alias("tid"),
+        F.transform(F.col(vec_col), lambda x: x / norm).alias("v"),
+    )
+
+    def _unit(vec: list[float]) -> list[float]:
+        n = sum(x * x for x in vec) ** 0.5
+        return [x / n for x in vec] if n else vec
+
+    cents = {
+        i: r.v
+        for i, r in enumerate(train.orderBy("tid").limit(nlist).select("v").collect())
+    }
+    for _ in range(max(iters, 0)):
+        cdf = F.broadcast(
+            spark.createDataFrame(
+                [(c, v) for c, v in sorted(cents.items())],
+                "cell int, centroid array<double>",
+            )
+        )
+        w = Window.partitionBy("tid").orderBy(F.col("s").desc(), F.col("cell").asc())
+        assigned = (
+            train.crossJoin(cdf)
+            .select("tid", "v", "cell", F.round(_dot(F.col("v"), F.col("centroid")), 6).alias("s"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+        per_dim = assigned.select("cell", F.posexplode("v").alias("pos", "x")).groupBy(
+            "cell", "pos"
+        ).agg(F.avg("x").alias("cv"))
+        new = (
+            per_dim.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pc"))
+            .select("cell", F.expr("transform(pc, p -> p.cv)").alias("centroid"))
+            .collect()
+        )
+        cents = {**cents, **{r.cell: _unit(r.centroid) for r in new}}
+    return spark.createDataFrame(
+        [(c, v) for c, v in sorted(cents.items())], "cell int, centroid array<double>"
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -167,6 +271,8 @@ def ivf_topk(
     vec_col: str = "embedding",
     label_col: str = "label",
     auto_cells: int | None = None,
+    train_iters: int = 0,
+    sample_pct: int | None = None,
 ) -> DataFrame:
     """IVF-style ANN: assign each query to its ``nprobe`` nearest cells
     (broadcast join vs the tiny centroid table), then run exact cosine
@@ -176,11 +282,25 @@ def ivf_topk(
     ``auto_cells=n``: derive cells from the embedding geometry itself
     via :func:`ivf_assign_cells` (recall@5 ≈ 3× better than metadata
     cells on the fixture corpus — see tests/test_ann_recall.py) instead
-    of trusting ``label_col``."""
-    if auto_cells is not None:
+    of trusting ``label_col``.
+
+    ``train_iters>0`` (with ``auto_cells``): learn the quantizer with
+    :func:`train_ivf_centroids` (sampled spherical k-means over
+    ``sample_pct`` of the corpus) — the scale path, where cells track
+    the data distribution instead of the seed draw."""
+    if auto_cells is not None and train_iters > 0:
+        centroids = train_ivf_centroids(
+            corpus, nlist=auto_cells, iters=train_iters,
+            sample_pct=sample_pct, id_col=id_col, vec_col=vec_col,
+        )
+        corpus = assign_cells(corpus, centroids, id_col=id_col, vec_col=vec_col)
+        label_col = "cell"
+    elif auto_cells is not None:
         corpus = ivf_assign_cells(corpus, nlist=auto_cells, id_col=id_col, vec_col=vec_col)
         label_col = "cell"
-    centroids = label_centroids(corpus, label_col, vec_col)
+        centroids = label_centroids(corpus, label_col, vec_col)
+    else:
+        centroids = label_centroids(corpus, label_col, vec_col)
     q = with_double_embedding(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )

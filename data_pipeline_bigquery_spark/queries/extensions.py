@@ -267,6 +267,15 @@ def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(queries, emb, k=5, nprobe=2, auto_cells=10)
 
 
+def _ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a LEARNED quantizer (sampled spherical k-means) instead
+    of seed cells — the 100 TB path, where cells must track the data
+    distribution.  Recall gated in tests/test_ann_recall.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ivf_topk(queries, emb, k=5, nprobe=2, auto_cells=10, train_iters=2)
+
+
 # --- text analysis -----------------------------------------------------------
 
 def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -438,6 +447,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_embedding_cosine": QuerySpec(_embedding_neardup, _NEARDUP_SQL),
     "ann_cosine_topk": QuerySpec(_ann_topk, _ANN_SQL),
     "ann_ivf_topk": QuerySpec(_ann_ivf, None),
+    "ann_ivf_trained_topk": QuerySpec(_ann_ivf_trained, None),
     "text_lang_id": QuerySpec(_lang_id, _LANG_SQL),
     "text_quality_score": QuerySpec(_quality, _QUALITY_SQL),
     "text_token_count": QuerySpec(_token_count, _TOKEN_SQL),
