@@ -1,0 +1,119 @@
+"""Corpus-curation operators: PII redaction, repetition filtering,
+per-source caps, sequence packing.
+
+The quality-filter half of a pretraining pipeline (the dedup half lives
+in ``dedup_text.py``).  Every operator is a narrow map or a keyed
+window/agg — nothing global, nothing driver-side — so each scales as a
+scan plus at most one shuffle on a high-cardinality key:
+
+- :func:`redact_pii` — per-row regex work, JVM-side (``regexp_replace``
+  / ``regexp_count``), zero shuffles.
+- :func:`repetition_stats` — Gopher/C4-style duplicate-n-gram fraction;
+  one explode + one agg keyed on doc_id.
+- :func:`cap_per_group` — keep at most N rows per group (domain/source
+  caps against boilerplate farms); rank window keyed on the group.
+- :func:`pack_sequences` — greedy context-window packing; cumulative
+  window keyed on the shard column, because at 100 TB you pack within
+  a shard (each packer instance owns a shard), never via a global
+  cumulative sum.
+
+Reference parity: none of these exist in llgx10/data_pipeline_bigquery
+(its transforms are row-level casts/renames, SURVEY §2.10); they are
+part of the scale-out training-data extension set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Deliberately RE2-safe, lowercase-input patterns — identical semantics
+# in Spark (Java regex) and DuckDB (RE2): no backrefs, no lookaround.
+EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+PHONE_RE = "\\+[0-9][0-9()\\- ]{7,}[0-9]"
+
+
+def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Count and strip emails/phone numbers from ``text_col``.
+
+    Returns ``(doc_id, n_emails, n_phones, redacted_md5)`` — the digest
+    of the redacted text proves byte-identical replacement without
+    hauling full texts around.
+    """
+    t = F.lower(F.col(text_col))
+    redacted = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<email>"), PHONE_RE, "<phone>"
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_count(t, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """Duplicate word-n-gram fraction per doc (1 - distinct/total).
+
+    The Gopher-style repetition signal: templated/boilerplate pages
+    repeat themselves; prose doesn't.  Total and distinct gram counts
+    come from one explode + one agg keyed on doc_id.
+    """
+    w = f"split(lower({text_col}), ' ')"
+    parts = ", ".join(f"element_at({w}, i + {d})" for d in range(n))
+    expr = (
+        f"transform(sequence(1, greatest(size({w}) - {n - 1}, 1)),"
+        f" i -> concat_ws(' ', {parts}))"
+    )
+    grams = df.select(F.col(id_col).alias("doc_id"), F.explode(F.expr(expr)).alias("gram"))
+    return grams.groupBy("doc_id").agg(
+        F.count("*").alias("total_grams"),
+        F.countDistinct("gram").alias("distinct_grams"),
+        F.round(1 - F.countDistinct("gram") / F.count("*"), 6).alias("dup_fraction"),
+    )
+
+
+def cap_per_group(
+    df: DataFrame, group_col: str, order_exprs: list, n: int
+) -> DataFrame:
+    """Keep at most ``n`` rows per group, by an explicit deterministic
+    order (pass a tie-breaking key last).  The anti-boilerplate cap:
+    no single domain/source may dominate the corpus."""
+    w = Window.partitionBy(group_col).orderBy(*order_exprs)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    shard_col: str,
+    id_col: str,
+    tokens_col,
+    ctx: int = 512,
+) -> DataFrame:
+    """Assign docs to context-window bins: within each shard, docs in
+    ``id_col`` order fill bin ``floor(cum_tokens_before / ctx)``.
+
+    Greedy first-fit packing as a pure window expression — the exact
+    assignment every run, on any cluster.  Keyed on the shard column:
+    the cumulative sum never crosses shard boundaries, so there is no
+    global sequential dependency (the classic packing-parallelization
+    trick).  Returns one row per doc with its bin.
+    """
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    return df.select(
+        F.col(shard_col).alias("shard"),
+        F.col(id_col).alias("doc_id"),
+        tokens_col.cast("long").alias("n_tokens"),
+        F.floor(cum_before / ctx).cast("long").alias("bin_id"),
+    )

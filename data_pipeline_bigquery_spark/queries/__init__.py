@@ -29,12 +29,13 @@ def registry() -> dict[str, QuerySpec]:
         coverage,
         coverage2,
         coverage3,
+        curation,
         extensions,
         pipelines,
         training,
     )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (core, pipelines, coverage, coverage2, coverage3, extensions, training):
+    for mod in (core, pipelines, coverage, coverage2, coverage3, extensions, training, curation):
         merged.update(mod.QUERIES)
     return merged
