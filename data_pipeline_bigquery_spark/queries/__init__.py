@@ -32,10 +32,14 @@ def registry() -> dict[str, QuerySpec]:
         curation,
         extensions,
         pipelines,
+        sketches,
         training,
     )
 
     merged: dict[str, QuerySpec] = {}
-    for mod in (core, pipelines, coverage, coverage2, coverage3, extensions, training, curation):
+    for mod in (
+        core, pipelines, coverage, coverage2, coverage3,
+        extensions, training, curation, sketches,
+    ):
         merged.update(mod.QUERIES)
     return merged
