@@ -3,7 +3,7 @@ DuckDB oracles — see ``extensions/curation.py`` for the operators."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_bigquery_spark.catalog import load
@@ -144,7 +144,75 @@ FROM p GROUP BY shard, bin_id
 """
 
 
+# --- end-to-end corpus curation ----------------------------------------------
+
+def _corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE declarative plan — quality
+    filter → exact dedup → benchmark decontamination → train-split →
+    sequence packing — so Catalyst sees every stage at once: the token
+    filter pushes into the scan, dedup and decontamination share the
+    md5(text) expression, and nothing materializes between stages.
+    """
+    from data_pipeline_bigquery_spark.extensions.sampling import assign_split
+
+    docs = load(spark, sf_dir, "documents")
+    tokens = F.size(F.split(F.lower(F.col("text")), " "))
+    quality = docs.withColumn("n_tokens", tokens).filter(F.col("n_tokens") >= 5)
+    # exact dedup: canonical row = min doc_id per content digest
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = quality.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    ).drop("__rn")
+    # decontamination: drop rows whose content matches a benchmark doc
+    bench_digests = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.md5("text").alias("bench_md5")
+    )
+    clean = deduped.join(
+        F.broadcast(bench_digests),
+        F.md5(F.col("text")) == F.col("bench_md5"),
+        "left_anti",
+    )
+    train = assign_split(clean, "doc_id").filter(F.col("split") == "train")
+    packed = pack_sequences(train, "lang", "doc_id", F.col("n_tokens"), ctx=512)
+    return packed.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        (F.max("bin_id") + 1).alias("n_bins"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+_CURATION_SQL = """
+WITH t AS (
+  SELECT doc_id, lang, text,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+quality AS (SELECT * FROM t WHERE n_tokens >= 5),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM quality) WHERE rn = 1),
+bench AS (SELECT md5(text) AS bench_md5 FROM documents WHERE doc_id % 97 = 0),
+clean AS (
+  SELECT d.* FROM deduped d
+  WHERE NOT EXISTS (SELECT 1 FROM bench b WHERE md5(d.text) = b.bench_md5)),
+train AS (
+  SELECT * FROM clean
+  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 100 < 80),
+packed AS (
+  SELECT lang AS shard, n_tokens,
+         CAST(floor(COALESCE(sum(n_tokens) OVER (
+             PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0)
+           AS BIGINT) AS bin_id
+  FROM train)
+SELECT shard, count(*) AS n_docs, max(bin_id) + 1 AS n_bins,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM packed GROUP BY shard
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "pipeline_corpus_curation": QuerySpec(_corpus_curation, _CURATION_SQL),
     "pii_redaction": QuerySpec(_pii, _PII_SQL),
     "repetition_filter": QuerySpec(_repetition, _REPETITION_SQL),
     "source_cap": QuerySpec(_source_cap, _SOURCE_CAP_SQL),
