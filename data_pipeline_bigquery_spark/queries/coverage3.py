@@ -369,7 +369,70 @@ FROM orders JOIN big ON o_orderkey = l_orderkey
 """
 
 
+def _q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: correlated aggregate decorrelated into a keyed
+    pre-aggregation + rejoin — the classic Catalyst rewrite, written
+    explicitly.  The threshold compare (qty < 0.2·avg) is restated as
+    exact integer-free arithmetic ``qty·5·cnt < sum_qty`` over DECIMAL,
+    so no engine's floating avg can flip a boundary row."""
+    li = load(spark, sf_dir, "lineitem")
+    part_stats = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast(_DEC)).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    small = li.join(part_stats, "l_partkey").filter(
+        F.col("l_quantity").cast(_DEC) * 5 * F.col("cnt") < F.col("sum_qty")
+    )
+    return small.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double") / 7, 2
+        ).alias("avg_yearly")
+    )
+
+
+_Q17_SQL = """
+WITH ps AS (
+  SELECT l_partkey,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+         count(*) AS cnt
+  FROM lineitem GROUP BY l_partkey)
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7, 2)
+         AS avg_yearly
+FROM lineitem JOIN ps USING (l_partkey)
+WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt < sum_qty
+"""
+
+
+def _above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery filter (price > global avg): the 1-row aggregate
+    broadcasts under every fact row; the avg compare is restated as
+    ``price·cnt > sum`` over DECIMAL for engine-exact boundaries."""
+    li = load(spark, sf_dir, "lineitem")
+    g = li.agg(
+        F.sum(F.col("l_extendedprice").cast(_DEC)).alias("s"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    return (
+        li.crossJoin(F.broadcast(g))
+        .filter(F.col("l_extendedprice").cast(_DEC) * F.col("c") > F.col("s"))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_above_avg"))
+    )
+
+
+_ABOVE_AVG_SQL = """
+SELECT l_returnflag, count(*) AS n_above_avg
+FROM lineitem
+CROSS JOIN (SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS s, count(*) AS c
+            FROM lineitem) g
+WHERE CAST(l_extendedprice AS DECIMAL(18,2)) * c > s
+GROUP BY l_returnflag
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "q17_small_quantity_revenue": QuerySpec(_q17_small_quantity, _Q17_SQL),
+    "scalar_subquery_above_avg": QuerySpec(_above_avg_price, _ABOVE_AVG_SQL),
     "shipping_priority_topk": QuerySpec(_shipping_priority, _SHIPPING_PRIORITY_SQL),
     "large_orders_having": QuerySpec(_large_orders, _LARGE_ORDERS_SQL),
     "rollup_pricing": QuerySpec(_rollup_pricing, _ROLLUP_SQL),
