@@ -110,11 +110,14 @@ def minhash_signatures(shingles: DataFrame, num_perm: int = DEFAULT_NUM_PERM) ->
     One hash-aggregate over the shingle stream; duplicates shingles need
     no pre-distinct (min is idempotent over a multiset).
     """
-    base = F.conv(F.substring(F.md5(F.col("shingle")), 1, 7), 16, 10).cast("long")
-    with_base = shingles.withColumn("__h", base)
+    # each aggregate is ONE parsed SQL string: a Column built from
+    # lit/col/op primitives costs ~6 py4j round-trips, and 16 signatures
+    # × 2 call sites added ~1 s of pure driver time to every plan build
+    base = F.expr("cast(conv(substring(md5(shingle), 1, 7), 16, 10) as long) AS __h")
+    with_base = shingles.select("doc_id", base)
     aggs = [
-        F.min((F.lit(minhash_perm_multiplier(j)) * F.col("__h") + F.lit(j)) % MINHASH_MOD).alias(
-            f"sig_{j}"
+        F.expr(
+            f"min(({minhash_perm_multiplier(j)} * __h + {j}) % {MINHASH_MOD}) AS sig_{j}"
         )
         for j in range(num_perm)
     ]
@@ -144,14 +147,13 @@ def lsh_candidate_pairs(
     """
     rows_per_band = num_perm // bands
     band_hashes = [
-        F.md5(
-            F.concat_ws(
-                "_",
-                *[
-                    F.col(f"sig_{j}").cast("string")
-                    for j in range(b * rows_per_band, (b + 1) * rows_per_band)
-                ],
+        F.expr(
+            "md5(concat_ws('_', "
+            + ", ".join(
+                f"cast(sig_{j} as string)"
+                for j in range(b * rows_per_band, (b + 1) * rows_per_band)
             )
+            + "))"
         )
         for b in range(bands)
     ]

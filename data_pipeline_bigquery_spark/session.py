@@ -55,6 +55,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # per-Column-call Python stack capture (error context) costs ~5 ms
+        # per DataFrame API call; off in production, plan-build time drops
+        # measurably on expression-heavy queries (minhash: ~0.6 s)
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # fixture events.parquet uses TIMESTAMP(NANOS); read as long and
         # convert in catalog.load (Spark has no nanosecond timestamp type)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
