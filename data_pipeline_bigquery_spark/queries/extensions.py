@@ -22,6 +22,7 @@ from data_pipeline_bigquery_spark.extensions.dedup_text import (
     simhash_fingerprint,
     word_ngrams,
 )
+from data_pipeline_bigquery_spark.extensions.clusters import connected_components
 from data_pipeline_bigquery_spark.extensions.multimodal import (
     binary_metadata,
     extract_features,
@@ -102,8 +103,10 @@ def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sigs)
 
 
-def _minhash_sql() -> str:
-    """Oracle generated from the SAME tuning constants as the Spark path."""
+def _minhash_ctes() -> str:
+    """CTE chain ending in ``pairs`` — generated from the SAME tuning
+    constants as the Spark path; shared by the pair query and the
+    cluster query's oracle."""
     from data_pipeline_bigquery_spark.extensions.dedup_text import (
         DEFAULT_BANDS as NB,
         DEFAULT_NUM_PERM as NP,
@@ -127,8 +130,7 @@ def _minhash_sql() -> str:
         f"SELECT doc_id, {b} AS band_idx, b{b} AS band_hash FROM bands" for b in range(NB)
     )
     return (
-        "WITH "
-        + _aug_cte()
+        _aug_cte()
         + f""",
 sh AS (SELECT doc_id,
               CAST(('0x' || substr(md5(substr(t, CAST(i AS INT), {K})), 1, 7)) AS BIGINT) AS h
@@ -137,10 +139,44 @@ sig AS (SELECT doc_id,
                {sigs}
         FROM sh GROUP BY doc_id),
 bands AS (SELECT doc_id, {bands} FROM sig),
-lng AS ({lng})
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM lng a JOIN lng b
-  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+lng AS ({lng}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM lng a JOIN lng b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
+"""
+    )
+
+
+def _minhash_sql() -> str:
+    return "WITH " + _minhash_ctes() + "\nSELECT doc_a, doc_b FROM pairs"
+
+
+# --- dedup clusters (connected components over LSH pairs) --------------------
+
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair list → dedup groups: connected components by iterative
+    min-label propagation with pointer jumping (extensions/clusters.py).
+    The oracle computes the same component-min labels via transitive
+    closure (recursive CTE) — exact match proves the iteration converged
+    to the true components, not an approximation of them."""
+    pairs = _dedup_minhash(spark, sf_dir)
+    return connected_components(pairs)
+
+
+def _clusters_sql() -> str:
+    return (
+        "WITH RECURSIVE "
+        + _minhash_ctes()
+        + """,
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach AS (
+  SELECT src AS node, dst AS peer FROM edges
+  UNION
+  SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.peer)
+SELECT node AS doc_id, least(node, min(peer)) AS component
+FROM reach GROUP BY node
 """
     )
 
@@ -442,6 +478,7 @@ FROM sess GROUP BY user_id, session_idx
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(_dedup_exact, _DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": QuerySpec(_dedup_minhash, _minhash_sql()),
+    "dedup_clusters": QuerySpec(_dedup_clusters, _clusters_sql()),
     "dedup_simhash": QuerySpec(_dedup_simhash, _simhash_sql()),
     "dedup_ngram_jaccard": QuerySpec(_ngram_jaccard, _JACCARD_SQL),
     "dedup_embedding_cosine": QuerySpec(_embedding_neardup, _NEARDUP_SQL),
