@@ -107,3 +107,64 @@ def doc_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.md5(canon).alias("fingerprint"),
         F.size(F.array_distinct(words)).cast("long").alias("vocab_size"),
     )
+
+
+def distinctive_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    max_df_frac: float = 0.5,
+) -> DataFrame:
+    """Per-doc top-k distinctive terms — tf-idf-style corpus-weighted
+    ranking, but ordered lexicographically by (tf DESC, df ASC, term
+    ASC) instead of by the float product ``tf·ln(N/df)``: the integer
+    ordering is engine-portable bit-for-bit, and for fixed tf it ranks
+    exactly as idf would (idf is monotone-decreasing in df).
+
+    Terms appearing in more than ``max_df_frac`` of docs are dropped
+    before the join — the classic stopword cut, which here also removes
+    precisely the join keys that would skew the token-keyed shuffle
+    (corpus-scale stopwords are the hot keys).
+    """
+    tokens = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(
+            F.col("df").cast("double") <= F.col("n_docs").cast("double") * F.lit(max_df_frac)
+        )
+        .select("term", "df")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfreq, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "rank")
+    )
+
+
+def corpus_ngram_stats(grams: DataFrame, top: int = 50) -> DataFrame:
+    """Corpus-wide boilerplate detector: the ``top`` word n-grams by
+    document frequency (input: distinct per-doc grams from
+    :func:`~data_pipeline_bigquery_spark.extensions.dedup_text.word_ngrams`).
+    One hash aggregate keyed by gram (map-side partials) then a global
+    top-k (TakeOrderedAndProject — no full sort).  Ties at the cut are
+    broken by gram text, so the emitted SET is deterministic."""
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("gram").asc())
+        .limit(top)
+    )

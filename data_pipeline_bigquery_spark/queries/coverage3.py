@@ -430,7 +430,43 @@ GROUP BY l_returnflag
 """
 
 
+def _scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 per-customer order-status history (operators/scd2.py):
+    collapse consecutive same-status orders, close intervals with lead.
+    Tiebreak on o_orderkey makes the per-key order total — same-date
+    orders would otherwise collapse nondeterministically."""
+    from data_pipeline_bigquery_spark.operators.scd2 import scd2_collapse
+
+    return scd2_collapse(
+        load(spark, sf_dir, "orders").filter(F.col("o_custkey") % 10 == 0),
+        "o_custkey",
+        "o_orderdate",
+        ["o_orderstatus"],
+        tiebreak_col="o_orderkey",
+    )
+
+
+_SCD2_SQL = """
+WITH w AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+         lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS prev,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders WHERE o_custkey % 10 = 0),
+kept AS (
+  SELECT * FROM w WHERE rn = 1 OR prev IS DISTINCT FROM o_orderstatus)
+SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from,
+       lead(o_orderdate) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS valid_to,
+       lead(o_orderdate) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
+FROM kept
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "scd2_order_status_history": QuerySpec(_scd2_history, _SCD2_SQL),
     "q17_small_quantity_revenue": QuerySpec(_q17_small_quantity, _Q17_SQL),
     "scalar_subquery_above_avg": QuerySpec(_above_avg_price, _ABOVE_AVG_SQL),
     "shipping_priority_topk": QuerySpec(_shipping_priority, _SHIPPING_PRIORITY_SQL),

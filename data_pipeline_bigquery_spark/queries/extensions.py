@@ -36,6 +36,8 @@ from data_pipeline_bigquery_spark.extensions.similarity import (
     ivf_topk,
 )
 from data_pipeline_bigquery_spark.extensions.text_analysis import (
+    corpus_ngram_stats,
+    distinctive_terms,
     doc_fingerprint,
     lang_id,
     quality_score,
@@ -396,6 +398,47 @@ FROM documents
 """
 
 
+def _distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf-style per-doc top terms; integer-lexicographic ranking
+    (tf desc, df asc, term asc) so the oracle matches bit-for-bit."""
+    return distinctive_terms(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_DISTINCTIVE_TERMS_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term != '' GROUP BY doc_id, term),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+  HAVING CAST(count(*) AS DOUBLE) <= (SELECT CAST(n_docs AS DOUBLE) * 0.5 FROM n)),
+ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC) AS rank
+  FROM tf JOIN dfreq USING (term))
+SELECT doc_id, term, tf, df, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 3
+"""
+
+
+def _corpus_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate n-gram detector over the whole corpus."""
+    grams = word_ngrams(load(spark, sf_dir, "documents"), "doc_id", "text")
+    return corpus_ngram_stats(grams)
+
+
+_CORPUS_NGRAMS_SQL = """
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(words[CAST(i AS INT):CAST(i AS INT) + 2], ' ') AS gram
+  FROM w, UNNEST(range(1, greatest(len(words) - 2, 1) + 1)) AS u(i))
+SELECT gram, count(*) AS df FROM grams GROUP BY gram
+ORDER BY df DESC, gram ASC LIMIT 50
+"""
+
+
 # --- multimodal --------------------------------------------------------------
 
 def _multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -490,6 +533,8 @@ QUERIES: dict[str, QuerySpec] = {
     "text_token_count": QuerySpec(_token_count, _TOKEN_SQL),
     "text_fingerprint": QuerySpec(_fingerprint, _FINGERPRINT_SQL),
     "text_rolling_hash": QuerySpec(_rolling_hash, _ROLLING_HASH_SQL),
+    "text_distinctive_terms": QuerySpec(_distinctive_terms, _DISTINCTIVE_TERMS_SQL),
+    "corpus_ngram_stats": QuerySpec(_corpus_ngrams, _CORPUS_NGRAMS_SQL),
     "multimodal_metadata": QuerySpec(_multimodal_metadata, _MULTIMODAL_SQL),
     "multimodal_frame_sample": QuerySpec(_multimodal_frames, None),
     "multimodal_resize": QuerySpec(_multimodal_resize, None),
