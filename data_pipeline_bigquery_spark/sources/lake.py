@@ -68,3 +68,63 @@ def write_bucketed(
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
+
+
+def compact_lake(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: float = 512,
+    sort_col: str | None = None,
+    partition_by: tuple[str, ...] = (),
+) -> int:
+    """Small-file compaction — the lake-maintenance pass every
+    incremental pipeline needs: each micro-batch append (K1/K2 cadence)
+    leaves files far below parquet's efficient range, and at 100 TB the
+    resulting listing + open overhead dominates scan time long before
+    bytes do.
+
+    Sizes the output from the ACTUAL on-disk byte count (not row count):
+    ``n_files = ceil(bytes / target_file_mb)``.  With ``sort_col`` the
+    rewrite uses ``repartitionByRange`` + in-partition sort, so every
+    output file covers a tight min/max range on that key and row-group
+    stats prune like an index; without it a plain ``repartition``
+    balances bytes.  Writes to a sibling ``_compact`` dir then swaps, so
+    a failed rewrite never corrupts the live path.  All file ops go
+    through the Hadoop FileSystem API, so the same code runs on local
+    disk, HDFS, or object stores.  Returns the number of files written.
+    """
+    import math
+
+    df = spark.read.parquet(path)
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+
+    def _fs_and_path(p: str):
+        jpath = jvm.org.apache.hadoop.fs.Path(p)
+        return jpath.getFileSystem(hconf), jpath
+
+    def _parquet_files(p: str):
+        fs, jpath = _fs_and_path(p)
+        it = fs.listFiles(jpath, True)
+        out = []
+        while it.hasNext():
+            st = it.next()
+            if st.getPath().getName().endswith(".parquet"):
+                out.append(st)
+        return fs, jpath, out
+
+    _, _, files = _parquet_files(path)
+    total_bytes = sum(st.getLen() for st in files)
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    shaped = (
+        df.repartitionByRange(n_files, F.col(sort_col)).sortWithinPartitions(sort_col)
+        if sort_col
+        else df.repartition(n_files)
+    )
+    tmp = path.rstrip("/") + "_compact"
+    write_lake(shaped, tmp, mode="overwrite", partition_by=partition_by)
+    fs, live = _fs_and_path(path)
+    fs.delete(live, True)
+    tmp_fs, tmp_path = _fs_and_path(tmp)
+    tmp_fs.rename(tmp_path, live)
+    return len(_parquet_files(path)[2])
