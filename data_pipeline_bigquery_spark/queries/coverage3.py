@@ -465,8 +465,60 @@ FROM kept
 """
 
 
+def _q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape (suppliers who alone held up multi-supplier orders):
+    the correlated EXISTS + NOT-EXISTS pair decorrelates into ONE
+    per-order aggregate (distinct suppliers, distinct LATE suppliers)
+    joined back — two shuffles total instead of two correlated scans.
+    The oracle deliberately keeps the textbook EXISTS/NOT-EXISTS form:
+    same answer from different formulations on different engines.
+    Lateness = shipped >90 days after order date (fixture has no
+    commit/receipt dates); integer counts make the compare exact."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    flagged = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 90 DAYS")).alias("is_late"),
+    )
+    ord_stats = flagged.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    return (
+        flagged.filter(F.col("is_late"))
+        .join(ord_stats, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("l_suppkey").asc())
+        .limit(20)
+    )
+
+
+_Q21_SQL = """
+WITH l AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 90 DAY AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F')
+SELECT l1.l_suppkey, count(*) AS numwait
+FROM l l1
+WHERE l1.is_late
+  AND EXISTS (SELECT 1 FROM l l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM l l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.is_late)
+GROUP BY l1.l_suppkey
+ORDER BY numwait DESC, l1.l_suppkey LIMIT 20
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "scd2_order_status_history": QuerySpec(_scd2_history, _SCD2_SQL),
+    "q21_waiting_supplier": QuerySpec(_q21_waiting_supplier, _Q21_SQL),
     "q17_small_quantity_revenue": QuerySpec(_q17_small_quantity, _Q17_SQL),
     "scalar_subquery_above_avg": QuerySpec(_above_avg_price, _ABOVE_AVG_SQL),
     "shipping_priority_topk": QuerySpec(_shipping_priority, _SHIPPING_PRIORITY_SQL),
