@@ -516,9 +516,61 @@ ORDER BY numwait DESC, l1.l_suppkey LIMIT 20
 """
 
 
+def _q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: rich-but-DORMANT customers per (name-derived) country
+    code — scalar-avg filter (restated as ``bal·cnt > sum`` over DECIMAL
+    for an engine-exact boundary), anti-join against recent orders (NOT
+    EXISTS; every fixture customer has SOME order, so dormancy = none
+    since 2000-01-01), substring grouping.  The 1-row aggregate
+    broadcasts; the date filter is pushed into the anti-join's build
+    side scan, shrinking it before the shuffle."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr("right(c_name, 2)").alias("cntrycode"),
+        "c_acctbal",
+    )
+    g = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast(_DEC)).alias("s"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(g))
+        .filter(F.col("c_acctbal").cast(_DEC) * F.col("c") > F.col("s"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast(_DEC)).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+_Q22_SQL = """
+WITH g AS (
+  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s, count(*) AS c
+  FROM customer WHERE c_acctbal > 0)
+SELECT right(c_name, 2) AS cntrycode, count(*) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer CROSS JOIN g
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) * c > s
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY right(c_name, 2)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "scd2_order_status_history": QuerySpec(_scd2_history, _SCD2_SQL),
     "q21_waiting_supplier": QuerySpec(_q21_waiting_supplier, _Q21_SQL),
+    "q22_global_sales_opportunity": QuerySpec(
+        _q22_global_sales_opportunity, _Q22_SQL
+    ),
     "q17_small_quantity_revenue": QuerySpec(_q17_small_quantity, _Q17_SQL),
     "scalar_subquery_above_avg": QuerySpec(_above_avg_price, _ABOVE_AVG_SQL),
     "shipping_priority_topk": QuerySpec(_shipping_priority, _SHIPPING_PRIORITY_SQL),
