@@ -166,19 +166,54 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
-def _clusters_sql() -> str:
-    return (
-        "WITH RECURSIVE "
-        + _minhash_ctes()
-        + """,
+_CLUSTER_CTES = """,
 edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
           UNION SELECT doc_b, doc_a FROM pairs),
 reach AS (
   SELECT src AS node, dst AS peer FROM edges
   UNION
-  SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.peer)
-SELECT node AS doc_id, least(node, min(peer)) AS component
-FROM reach GROUP BY node
+  SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.peer),
+comp AS (
+  SELECT node AS doc_id, least(node, min(peer)) AS component
+  FROM reach GROUP BY node)
+"""
+
+
+def _clusters_sql() -> str:
+    return (
+        "WITH RECURSIVE "
+        + _minhash_ctes()
+        + _CLUSTER_CTES
+        + "SELECT doc_id, component FROM comp"
+    )
+
+
+def _dedup_near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup removal pass: pairs → components → drop every
+    cluster member except the canonical (min id).  The kill-list is
+    O(cluster members) rows — tiny next to the corpus — so the final
+    subtraction is a broadcast-able anti-join; the corpus itself is
+    scanned once and never shuffled."""
+    aug = _augmented_docs(spark, sf_dir)
+    comp = connected_components(_dedup_minhash(spark, sf_dir))
+    kill = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    return (
+        aug.join(F.broadcast(kill), "doc_id", "left_anti")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum(F.length("t")).alias("chars_kept"),
+        )
+    )
+
+
+def _dedup_near_corpus_sql() -> str:
+    return (
+        "WITH RECURSIVE "
+        + _minhash_ctes()
+        + _CLUSTER_CTES
+        + """
+SELECT count(*) AS n_docs_kept, sum(length(t)) AS chars_kept
+FROM aug WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id != component)
 """
     )
 
@@ -522,6 +557,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(_dedup_exact, _DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": QuerySpec(_dedup_minhash, _minhash_sql()),
     "dedup_clusters": QuerySpec(_dedup_clusters, _clusters_sql()),
+    "dedup_near_corpus": QuerySpec(_dedup_near_corpus, _dedup_near_corpus_sql()),
     "dedup_simhash": QuerySpec(_dedup_simhash, _simhash_sql()),
     "dedup_ngram_jaccard": QuerySpec(_ngram_jaccard, _JACCARD_SQL),
     "dedup_embedding_cosine": QuerySpec(_embedding_neardup, _NEARDUP_SQL),

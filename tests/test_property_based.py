@@ -130,3 +130,44 @@ def test_asof_join_matches_pandas(spark, left, right):
         want_ts = None if want_v is None else rts_by_kv[(row["k"], want_v)]
         assert got_ts == want_ts, (left, right)
     assert len(got) == len(left)
+
+
+# --- connected components vs union-find model --------------------------------
+
+_edges = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=12), st.integers(min_value=0, max_value=12)),
+    min_size=1,
+    max_size=14,
+)
+
+
+def _model_components(pairs):
+    """Textbook union-find: component = min node id reachable."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pairs:
+        union(a, b)
+    return {n: find(n) for n in parent}
+
+
+@given(pairs=_edges)
+@settings(**_SETTINGS)
+def test_connected_components_matches_union_find(spark, pairs):
+    from data_pipeline_bigquery_spark.extensions.clusters import connected_components
+
+    # self-loops are legal input (a doc paired with itself by a detector)
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r.doc_id: r.component for r in connected_components(df).collect()}
+    assert got == _model_components(pairs)
