@@ -430,6 +430,31 @@ GROUP BY l_returnflag
 """
 
 
+def _grouping_sets_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (Spark 4 ``DataFrame.groupingSets``):
+    two independent one-column summaries in a single hash aggregate —
+    the general form rollup/cube specialize.  Partial aggregation still
+    applies: the expand operator emits one row per set per input row
+    map-side, then combines before the single exchange."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
+        F.grouping_id().alias("g"),
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       grouping(l_returnflag, l_linestatus) AS g
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+"""
+
+
 def _scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 per-customer order-status history (operators/scd2.py):
     collapse consecutive same-status orders, close intervals with lead.
@@ -567,6 +592,7 @@ GROUP BY right(c_name, 2)
 
 QUERIES: dict[str, QuerySpec] = {
     "scd2_order_status_history": QuerySpec(_scd2_history, _SCD2_SQL),
+    "grouping_sets_pricing": QuerySpec(_grouping_sets_pricing, _GROUPING_SETS_SQL),
     "q21_waiting_supplier": QuerySpec(_q21_waiting_supplier, _Q21_SQL),
     "q22_global_sales_opportunity": QuerySpec(
         _q22_global_sales_opportunity, _Q22_SQL
