@@ -455,6 +455,66 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
 """
 
 
+def _events_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped OLS trend (events/day slope per event type) from
+    integer-exact sufficient statistics: Σx, Σy, Σxy, Σx² are LONG sums
+    (aggregation-order-proof, engine-exact), and only the final
+    ``(nΣxy − ΣxΣy)/(nΣx² − (Σx)²)`` touches doubles — single IEEE
+    ops, bit-portable.  Two hash aggregates, no window, no UDF: the
+    sufficient-statistics trick is how grouped model fitting stays
+    JVM-side at 100 TB (the naive form is a per-group collect)."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias("x"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (
+        (F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    return s.select(
+        "event_type",
+        "n_days",
+        slope.alias("slope"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n_days").cast("double")
+        ).alias("intercept"),
+    )
+
+
+_EVENTS_TREND_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+         count(*) AS y
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT event_type, count(*) AS n_days, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM daily GROUP BY event_type)
+SELECT event_type, n_days,
+       CAST(n_days * sxy - sx * sy AS DOUBLE)
+         / CAST(n_days * sxx - sx * sx AS DOUBLE) AS slope,
+       (CAST(sy AS DOUBLE)
+        - (CAST(n_days * sxy - sx * sy AS DOUBLE)
+           / CAST(n_days * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+         / CAST(n_days AS DOUBLE) AS intercept
+FROM s
+"""
+
+
 def _scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 per-customer order-status history (operators/scd2.py):
     collapse consecutive same-status orders, close intervals with lead.
@@ -593,6 +653,7 @@ GROUP BY right(c_name, 2)
 QUERIES: dict[str, QuerySpec] = {
     "scd2_order_status_history": QuerySpec(_scd2_history, _SCD2_SQL),
     "grouping_sets_pricing": QuerySpec(_grouping_sets_pricing, _GROUPING_SETS_SQL),
+    "events_trend_by_type": QuerySpec(_events_trend, _EVENTS_TREND_SQL),
     "q21_waiting_supplier": QuerySpec(_q21_waiting_supplier, _Q21_SQL),
     "q22_global_sales_opportunity": QuerySpec(
         _q22_global_sales_opportunity, _Q22_SQL
