@@ -60,6 +60,7 @@ def connected_components(
         .localCheckpoint()
     )
 
+    converged = False
     prev_sum = None
     for _ in range(max_iter):
         # min label over incoming neighbors (least() skips the null from
@@ -81,8 +82,16 @@ def connected_components(
         )
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+
+    if not converged:
+        # labels would be an over-segmentation, not merely imprecise
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "pointer-jumping needs O(log diameter) rounds — raise max_iter"
+        )
 
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
 

@@ -21,9 +21,13 @@ def _marker_count(words: Column, markers: tuple[str, ...]) -> Column:
     return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
 
 
-def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def lang_id(
+    df: DataFrame, id_col: str, text_col: str, truth_col: str | None = "lang"
+) -> DataFrame:
     """Marker-word language scorer.  Deterministic argmax with fixed
-    precedence (en > de > fr) on ties."""
+    precedence (en > de > fr) on ties.  ``truth_col`` (the ground-truth
+    label, for accuracy eval) is echoed through only when present in the
+    input — generic inputs without it still work."""
     words = F.split(F.lower(F.col(text_col)), " ")
     scores = {lang: _marker_count(words, m) for lang, m in LANG_MARKERS.items()}
     predicted = (
@@ -31,14 +35,16 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .when(scores["de"] >= scores["fr"], "de")
         .otherwise("fr")
     )
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.col("lang").alias("lang"),
+    cols = [F.col(id_col).alias("doc_id")]
+    if truth_col is not None and truth_col in df.columns:
+        cols.append(F.col(truth_col).alias("lang"))
+    cols += [
         scores["en"].cast("int").alias("score_en"),
         scores["de"].cast("int").alias("score_de"),
         scores["fr"].cast("int").alias("score_fr"),
         predicted.alias("predicted_lang"),
-    )
+    ]
+    return df.select(*cols)
 
 
 def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -479,6 +479,10 @@ def _events_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
+    # n_days > 1 guarantees x-variance > 0, so the slope denominator
+    # n*sxx - sx*sx is never 0 (Spark non-ANSI /0 -> NULL, DuckDB -> NaN:
+    # a single-active-day type would silently hash-mismatch the oracle).
+    s = s.filter(F.col("n_days") > 1)
     slope = (
         (F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
         / (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
@@ -503,7 +507,8 @@ WITH daily AS (
 s AS (
   SELECT event_type, count(*) AS n_days, sum(x) AS sx, sum(y) AS sy,
          sum(x * y) AS sxy, sum(x * x) AS sxx
-  FROM daily GROUP BY event_type)
+  FROM daily GROUP BY event_type
+  HAVING count(*) > 1)
 SELECT event_type, n_days,
        CAST(n_days * sxy - sx * sy AS DOUBLE)
          / CAST(n_days * sxx - sx * sx AS DOUBLE) AS slope,
