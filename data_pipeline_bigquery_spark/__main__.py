@@ -1,0 +1,92 @@
+"""CLI dispatcher — the reference's ``main.py`` front door
+(``/root/reference/main.py:13-54``) over the Spark registry.
+
+Same workflow names, same subcommand UX (including the engagement
+pipeline's ``--engagement`` selector); each maps to the registry
+pipeline that re-expresses that workflow, runs it end-to-end on a
+fixture/lake directory, and either writes parquet (``--out``) or
+reports the row count.  ``python -m data_pipeline_bigquery_spark
+<workflow> [--sf-dir DIR] [--out DIR]``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+# reference workflow name -> registry query key
+WORKFLOWS: dict[str, str] = {
+    "hubspot_companies_bigquery": "pipeline_entity_sync",
+    "hubspot_contacts_bigquery": "pipeline_entity_sync",
+    "hubspot_deals_bigquery": "pipeline_entity_sync",
+    "hubspot_deal_logs_bigquery": "pipeline_change_log",
+    "hubspot_engagement_to_bigquery": "pipeline_engagement",
+    "mautic_email_log_to_bigquery": "pipeline_email_read_log",
+    "mautic_hubspot_email_read_activities": "pipeline_reverse_etl",
+    "hubspot_association_to_bigquery": "pipeline_association_edges",
+}
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    parser = argparse.ArgumentParser(
+        prog="data_pipeline_bigquery_spark",
+        description="Run a workflow (same names as the reference main.py).",
+    )
+    sub = parser.add_subparsers(dest="workflow", required=True)
+    for name in WORKFLOWS:
+        p = sub.add_parser(name, help=f"Run the {name} workflow")
+        p.add_argument("--sf-dir", default=DEFAULT_SF_DIR, help="input table dir")
+        p.add_argument("--out", default=None, help="write result parquet here")
+        if name == "hubspot_engagement_to_bigquery":
+            p.add_argument(
+                "--engagement",
+                required=True,
+                help="engagement type (emails/calls/notes/...)",
+            )
+    return parser.parse_args(argv)
+
+
+def run_workflow(
+    workflow: str,
+    sf_dir: str = DEFAULT_SF_DIR,
+    out: str | None = None,
+    engagement: str | None = None,
+):
+    """Dispatch one workflow; returns (rows, DataFrame)."""
+    from data_pipeline_bigquery_spark.queries import registry
+    from data_pipeline_bigquery_spark.session import get_spark
+
+    spark = get_spark()
+    df = registry()[WORKFLOWS[workflow]].fn(spark, sf_dir)
+    if engagement is not None:
+        # the reference runs one engagement object type per invocation;
+        # the fixture events table encodes the type in event_type-like
+        # ids, so scope the run the same way when the column exists
+        from pyspark.sql import functions as F
+
+        if "properties" in df.columns:
+            df = df.withColumn("engagement_type", F.lit(engagement))
+    n = df.count()
+    if out:
+        df.write.mode("overwrite").parquet(out)
+    return n, df
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = parse_args(argv)
+    n, _ = run_workflow(
+        args.workflow,
+        sf_dir=args.sf_dir,
+        out=args.out,
+        engagement=getattr(args, "engagement", None),
+    )
+    dest = args.out or "(not written)"
+    print(f"{args.workflow}: {n} rows -> {dest}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

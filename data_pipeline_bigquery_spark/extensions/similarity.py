@@ -107,6 +107,89 @@ def cosine_neardup_pairs(
     )
 
 
+def cell_bucketed_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    nlist: int = 16,
+    nprobe: int = 2,
+    max_bucket: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalable embedding near-dup: IVF-cell bucketing + in-bucket pairs.
+
+    Each vector is assigned to its ``nprobe`` max-cosine cells (same
+    deterministic seed quantizer as :func:`ivf_assign_cells`), then
+    pairs are generated ONLY inside a cell — never the O(n²) corpus
+    self-join.  Like :func:`dedup_text.lsh_candidate_pairs`, the pair
+    step is a groupBy + in-bucket array ``transform``, not a cell-keyed
+    self-join: a self-join would evaluate the whole assignment subtree
+    twice (no exchange reuse across Window lineages), the groupBy form
+    computes it once and shuffles each vector ``nprobe`` times keyed on
+    cell.  Multi-probe is the straddle guard: a pair at sim ≥ t is
+    missed only if the two vectors' top-``nprobe`` cell sets are
+    disjoint — for near-identical directions that needs a centroid tie
+    deeper than ``nprobe``, the same trade FAISS IVF makes.  Pairs found
+    in more than one shared cell collapse via ``distinct()`` (the
+    rounded sim is identical, so the tuple is).
+
+    ``max_bucket`` caps a degenerate cell's quadratic blowup, as in the
+    MinHash LSH path.  At 100 TB: corpus × broadcast(seeds) assignment
+    (no corpus shuffle), then one shuffle whose partitions are
+    cell-sized, not corpus-sized.
+    """
+    e = with_double_embedding(df, vec_col)
+    seeds = F.broadcast(
+        e.orderBy(id_col)
+        .limit(nlist)
+        .select(
+            F.col(id_col).alias("cell"),
+            F.col(vec_col).alias("s_vec"),
+            F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("s_norm"),
+        )
+    )
+    sim = _dot(F.col(vec_col), F.col("s_vec")) / (
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))) * F.col("s_norm")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("s_sim").desc(), F.col("cell").asc())
+    probed = (
+        e.crossJoin(seeds)
+        .withColumn("s_sim", F.round(sim, 6))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select(
+            F.col("cell"),
+            F.struct(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).alias("vec"),
+                F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("norm"),
+            ).alias("item"),
+        )
+    )
+    buckets = (
+        probed.groupBy("cell")
+        .agg(F.sort_array(F.collect_list("item")).alias("items"))
+        .filter((F.size("items") > 1) & (F.size("items") <= max_bucket))
+    )
+    # sort_array orders by the leading struct field (id), so slice-based
+    # pairing yields id_a < id_b without a filter; the fold matches
+    # _dot's sequential left-to-right summation exactly.
+    pairs = F.expr(
+        "flatten(transform(items, (x, i) ->"
+        " transform(slice(items, i + 2, size(items) - i - 1),"
+        " y -> struct(x.id AS vec_a, y.id AS vec_b,"
+        " round(aggregate(zip_with(x.vec, y.vec, (p, q) -> p * q),"
+        "       cast(0 as double), (acc, v) -> acc + v)"
+        "       / (x.norm * y.norm), 6) AS cosine_sim))))"
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.vec_a", "p.vec_b", "p.cosine_sim")
+        .filter(F.col("cosine_sim") >= threshold)
+        .distinct()
+    )
+
+
 def label_centroids(df: DataFrame, label_col: str = "label", vec_col: str = "embedding") -> DataFrame:
     """Per-cell centroids (the IVF "coarse quantizer").  Here cells come
     from the fixture's ``label`` column; in production they'd come from a

@@ -29,6 +29,7 @@ def association_edges_plan(
     emitted_at: _dt.datetime | str,
     emitted_id: str,
     broadcast_existing: bool = False,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """``edges``: one row per (from, to) pair (pre-exploded adjacency).
     ``existing``: edge table already in the lake (``association_id``
@@ -38,19 +39,23 @@ def association_edges_plan(
     is large (it usually is — it's the whole history): the anti-join
     then runs as a shuffled hash join on ``association_id``, both sides
     hash-partitioned, which scales linearly.
+
+    ``assume_distinct=True`` skips the pair dedup when the caller's
+    ``edges`` are already unique (e.g. they come out of a groupBy on the
+    same keys) — Catalyst can't prove the string cast injective, so the
+    redundant distinct would cost a full extra exchange.
     """
     # distinct on the raw (usually numeric) key pair BEFORE casting:
     # the shuffle then moves 2 longs instead of 2 strings per row, and
     # the constant `type` column stays out of the grouping key.  The
     # cast is injective, so the distinct set is identical.
-    df = (
-        edges.select(F.col(from_col).alias("from_id"), F.col(to_col).alias("to_id"))
-        .distinct()
-        .select(
-            F.col("from_id").cast("string").alias("from_id"),
-            F.col("to_id").cast("string").alias("to_id"),
-            F.lit(edge_type).alias("type"),
-        )
+    df = edges.select(F.col(from_col).alias("from_id"), F.col(to_col).alias("to_id"))
+    if not assume_distinct:
+        df = df.distinct()
+    df = df.select(
+        F.col("from_id").cast("string").alias("from_id"),
+        F.col("to_id").cast("string").alias("to_id"),
+        F.lit(edge_type).alias("type"),
     )
     df = df.withColumn(
         "association_id",

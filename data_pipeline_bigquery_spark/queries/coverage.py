@@ -31,7 +31,9 @@ def _rest_paginated_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     REST pages → Arrow → DataFrame.  The FakeTransport serves the
     ``nation`` table in pages of 7 with a ``paging.next.after`` cursor;
     the adapter walks the chain exactly like the reference's loop
-    (minus the sleep)."""
+    (minus the sleep).  The seeding collect is bounded by construction:
+    ``nation`` is a fixed 25-row dimension at every SF (bulk pulls go
+    through S2 ``fetch_to_staging`` instead)."""
     nation = load(spark, sf_dir, "nation")
     records = [r.asDict() for r in nation.orderBy("n_nationkey").collect()]
     source = RestSource(FakeTransport(records, page_size=7), "https://fake/api/nation")

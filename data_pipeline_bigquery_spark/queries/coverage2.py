@@ -12,7 +12,11 @@ from pyspark.sql import types as T
 from data_pipeline_bigquery_spark.catalog import load
 from data_pipeline_bigquery_spark.operators.skew import salted_aggregate
 from data_pipeline_bigquery_spark.queries import QuerySpec
-from data_pipeline_bigquery_spark.sources.rest import OffsetFakeTransport, RestSource
+from data_pipeline_bigquery_spark.sources.rest import (
+    FakeTransport,
+    OffsetFakeTransport,
+    RestSource,
+)
 
 
 # --- S3: point lookup --------------------------------------------------------
@@ -63,15 +67,18 @@ SELECT o_orderkey, o_orderdate, TRUE AS archived FROM orders WHERE o_orderstatus
 
 def _offset_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7 offset_paginated_scan (legacy v1 offset/hasMore,
-    hubspotoop.py:350-366) through the offset transport."""
-    part = load(spark, sf_dir, "part")
+    hubspotoop.py:350-366) through the offset transport.  The transport
+    seed is a FIXED key slice, not the whole table — the simulation's
+    driver-side collect stays bounded at any SF (the scale path for
+    real bulk pulls is S2 ``fetch_to_staging``)."""
+    part = load(spark, sf_dir, "part").filter(F.col("p_partkey") <= 2000)
     records = [r.asDict() for r in part.orderBy("p_partkey").collect()]
     src = RestSource(OffsetFakeTransport(records), "https://fake/api/v1/part")
     rows = src.fetch_all_offset(page_size=64)
     return spark.createDataFrame(rows, part.schema)
 
 
-_OFFSET_SQL = "SELECT * FROM part"
+_OFFSET_SQL = "SELECT * FROM part WHERE p_partkey <= 2000"
 
 
 # --- S10: date-range report scan --------------------------------------------
@@ -262,6 +269,39 @@ FROM events GROUP BY event_type
 """
 
 
+# --- S16: runtime schema discovery → allow-list projection -------------------
+
+def _schema_discovery_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §1.3 mechanism 3 (hubspotoop.py:265-271,
+    properties.py:16-20): the SOURCE declares its property list at scan
+    time; the projection allow-list is that discovery result, not a
+    hard-coded schema.  Here the source has drifted both ways — the
+    records still carry ``c_nationkey``/``c_mktsegment`` (no longer
+    declared → dropped) and declare ``loyalty_tier`` (not yet in the
+    records → typed null).  The seeding collect is a fixed 500-key
+    slice, bounded at any SF."""
+    from data_pipeline_bigquery_spark.sources.rest import project_discovered
+
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
+    records = [r.asDict() for r in cust.orderBy("c_custkey").collect()]
+    src = RestSource(
+        FakeTransport(
+            records,
+            page_size=97,
+            properties=["c_custkey", "c_name", "c_acctbal", "loyalty_tier"],
+        ),
+        "https://fake/api/customer",
+    )
+    discovered = src.discover_properties()
+    return project_discovered(src.to_dataframe(spark, cust.schema), discovered)
+
+
+_DISCOVERY_SQL = """
+SELECT c_custkey, c_name, c_acctbal, CAST(NULL AS VARCHAR) AS loyalty_tier
+FROM customer WHERE c_custkey <= 500
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "point_lookup": QuerySpec(_point_lookup, _POINT_SQL),
     "batch_read_by_keys": QuerySpec(_batch_read_by_keys, _BATCH_KEYS_SQL),
@@ -275,4 +315,5 @@ QUERIES: dict[str, QuerySpec] = {
     "exists_count": QuerySpec(_exists_count, _EXISTS_SQL),
     "windowed_event_counts": QuerySpec(_windowed_event_counts, _WINDOWED_SQL),
     "skew_salted_agg": QuerySpec(_skew_salted_agg, _SALTED_SQL),
+    "schema_discovery_projection": QuerySpec(_schema_discovery_projection, _DISCOVERY_SQL),
 }

@@ -31,6 +31,7 @@ from data_pipeline_bigquery_spark.extensions.multimodal import (
 )
 from data_pipeline_bigquery_spark.streaming.sessions import session_aggregate
 from data_pipeline_bigquery_spark.extensions.similarity import (
+    cell_bucketed_neardup_pairs,
     cosine_neardup_pairs,
     cosine_topk,
     ivf_topk,
@@ -279,7 +280,11 @@ def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixture vectors are mutually dissimilar (max pairwise cosine
     ≈0.46 even within a label), so near-dups are planted: each vector
     unioned with a +0.01-per-dim shifted copy (cosine ≈0.999).
-    Threshold 0.99 then separates planted from organic pairs."""
+    Threshold 0.99 then separates planted from organic pairs.
+
+    Runs the SCALABLE bucketed path (IVF-cell multi-probe bucketing, no
+    O(n²) self-join); the oracle is the exact all-pairs SQL on the same
+    capped slice, so the driver check proves bucketing loses no pair."""
     emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
@@ -287,7 +292,9 @@ def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
         F.expr("transform(embedding, x -> x + 0.01d)").alias("embedding"),
     )
-    return cosine_neardup_pairs(emb.unionByName(shifted), threshold=0.99)
+    return cell_bucketed_neardup_pairs(
+        emb.unionByName(shifted), threshold=0.99, nlist=16, nprobe=2
+    )
 
 
 _NEARDUP_SQL = """

@@ -146,27 +146,33 @@ FROM v WHERE ts > TIMESTAMP '2024-01-05'
 
 def _association(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hubspot_association_bigquery.py:60-89: distinct edges, md5
-    surrogate id, anti-join vs already-loaded edges (here: edges seen on
-    linenumber-1 rows)."""
+    surrogate id, minus already-loaded edges (here: edges seen on
+    linenumber-1 rows).
+
+    Both edge set and already-loaded set derive from the SAME table, so
+    the anti-join collapses into one aggregation: group by the raw key
+    pair, flag pairs that have a linenumber-1 row, keep the unflagged
+    ones.  One scan + one exchange instead of two scans + a distinct on
+    each side + an anti-join exchange (the prior shape; lineitem is the
+    biggest fixture table and was scanned twice).  Against a real lake,
+    where ``existing`` is a different table, ``association_edges_plan``
+    still takes it and anti-joins on ``association_id``."""
     li = load(spark, sf_dir, "lineitem")
-    edges = li.select("l_orderkey", "l_partkey")
-    existing = association_edges_plan(
-        li.filter(F.col("l_linenumber") == 1).select("l_orderkey", "l_partkey"),
+    new_pairs = (
+        li.groupBy("l_orderkey", "l_partkey")
+        .agg(F.max(F.col("l_linenumber") == 1).alias("is_existing"))
+        .filter(~F.col("is_existing"))
+        .select("l_orderkey", "l_partkey")
+    )
+    return association_edges_plan(
+        new_pairs,
         existing=None,
         from_col="l_orderkey",
         to_col="l_partkey",
         edge_type="contains",
         emitted_at=EMITTED_AT,
         emitted_id=EMITTED_ID,
-    ).select("association_id")
-    return association_edges_plan(
-        edges,
-        existing=existing,
-        from_col="l_orderkey",
-        to_col="l_partkey",
-        edge_type="contains",
-        emitted_at=EMITTED_AT,
-        emitted_id=EMITTED_ID,
+        assume_distinct=True,
     )
 
 

@@ -34,15 +34,25 @@ Transport = Callable[[str, dict], dict]
 class FakeTransport:
     """Deterministic in-memory REST endpoint: serves ``records`` in
     pages with a ``paging.next.after`` cursor, mimicking the HubSpot v3
-    shape the reference paginates (hubspotoop.py:66-77)."""
+    shape the reference paginates (hubspotoop.py:66-77).  A URL ending
+    in ``/properties`` serves the property-metadata list instead
+    (``properties/v2/{object}/properties``, hubspotoop.py:265-271)."""
 
-    def __init__(self, records: Sequence[dict], page_size: int = 100):
+    def __init__(
+        self,
+        records: Sequence[dict],
+        page_size: int = 100,
+        properties: Sequence[str] | None = None,
+    ):
         self.records = list(records)
         self.page_size = page_size
+        self.properties = list(properties) if properties is not None else None
         self.calls = 0
 
     def __call__(self, url: str, payload: dict) -> dict:
         self.calls += 1
+        if url.rstrip("/").endswith("/properties"):
+            return {"results": [{"name": p} for p in self.properties or []]}
         after = int(payload.get("after", 0))
         page = self.records[after : after + self.page_size]
         out: dict[str, Any] = {"results": page}
@@ -159,6 +169,34 @@ class RestSource:
     def to_dataframe(self, spark: SparkSession, schema, payload: dict | None = None) -> DataFrame:
         rows = self.fetch_all(payload)
         return spark.createDataFrame(rows, schema)
+
+    def discover_properties(self) -> list[str]:
+        """Runtime schema discovery (SURVEY §1.3 mechanism 3): ask the
+        source which properties exist — the reference's
+        ``object_properties_v2`` name-array
+        (hubspotoop.py:265-271, properties.py:16-20).  The result is the
+        projection allow-list for subsequent scans, so the pipeline
+        tracks source-side schema drift without redeploys."""
+        resp = self.transport(self.url.rstrip("/") + "/properties", {})
+        return [item["name"] for item in resp.get("results", [])]
+
+
+def project_discovered(df: DataFrame, properties: Sequence[str]) -> DataFrame:
+    """Allow-list projection from discovered properties: keep the
+    discovered columns in discovery order, DROP columns the source no
+    longer declares, and materialize declared-but-absent properties as
+    typed nulls (string — the reference lands new HubSpot properties as
+    strings until the warehouse schema catches up).  Column pruning
+    pushes the dropped columns out of the scan entirely."""
+    from pyspark.sql import functions as F
+
+    present = set(df.columns)
+    return df.select(
+        *[
+            F.col(p) if p in present else F.lit(None).cast("string").alias(p)
+            for p in properties
+        ]
+    )
 
 
 def foreach_partition_writeback(

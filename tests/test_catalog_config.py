@@ -1,0 +1,109 @@
+"""Config-file catalog (SURVEY §1.3 mechanism 2) and runtime schema
+discovery (mechanism 3): schema + table-config resolution from the
+shipped config file, the saveAsTable DDL round-trip, and the
+discovered-property allow-list projection."""
+
+from __future__ import annotations
+
+import pyspark.sql.types as T
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_bigquery_spark.catalog_config import (
+    ensure_table,
+    get_table_config,
+    get_table_schema,
+    load_catalog_file,
+    write_table,
+)
+from data_pipeline_bigquery_spark.sources.rest import (
+    FakeTransport,
+    RestSource,
+    project_discovered,
+)
+
+CONFIG = "config/catalog.yaml"
+
+
+@pytest.fixture(scope="module")
+def specs():
+    return load_catalog_file(CONFIG)
+
+
+def test_schema_resolution(specs):
+    schema = get_table_schema(specs, "crm", "cursor")
+    assert schema == T.StructType(
+        [
+            T.StructField("emitted_id", T.StringType()),
+            T.StructField("emitted_at", T.TimestampType()),
+            T.StructField("cursor_date", T.TimestampType()),
+            T.StructField("object", T.StringType()),
+        ]
+    )
+    entity = get_table_schema(specs, "crm", "entity")
+    assert [f.name for f in entity.fields][:4] == [
+        "emitted_id",
+        "emitted_at",
+        "createdAt",
+        "id",
+    ]
+    assert dict(zip([f.name for f in entity.fields], [f.dataType for f in entity.fields]))[
+        "archived"
+    ] == T.BooleanType()
+
+
+def test_config_resolution_dash_to_underscore(specs):
+    cfg = get_table_config(specs, "crm", "entity")
+    assert cfg["partition_field"] == "emitted_at"
+    assert cfg["write_disposition"] == "merge"
+    assert cfg["cluster_fields"] == ["id"]
+    with pytest.raises(KeyError):
+        get_table_config(specs, "crm", "nope")
+
+
+def test_ddl_round_trip(spark, specs):
+    spec = specs["crm.cursor"]
+    spark.sql("DROP TABLE IF EXISTS crm.cursor")
+    ensure_table(spark, spec)
+    # table is addressable by SQL and carries the config schema
+    assert spark.catalog.tableExists("crm.cursor")
+    assert spark.table("crm.cursor").schema == spec.schema
+    write_table(
+        spark,
+        spec,
+        spark.createDataFrame(
+            [("r1", None, None, "companies")], spec.schema
+        ),
+    )
+    got = spark.sql("SELECT emitted_id, object FROM crm.cursor").collect()
+    assert [(r.emitted_id, r.object) for r in got] == [("r1", "companies")]
+    spark.sql("DROP TABLE crm.cursor")
+
+
+def test_partitioned_ddl(spark, specs):
+    spec = specs["crm.email_read_log"]
+    spark.sql("DROP TABLE IF EXISTS crm.email_read_log")
+    ensure_table(spark, spec)
+    ddl = spark.sql("DESCRIBE TABLE crm.email_read_log").collect()
+    lines = [r.col_name for r in ddl]
+    assert "# Partition Information" in lines  # date_read partitioning applied
+    spark.sql("DROP TABLE crm.email_read_log")
+
+
+def test_discovered_projection_drops_and_nulls(spark):
+    records = [
+        {"id": "1", "keep": "a", "stale": "x"},
+        {"id": "2", "keep": "b", "stale": "y"},
+    ]
+    src = RestSource(
+        FakeTransport(records, properties=["id", "keep", "brand_new"]),
+        "https://fake/api/things",
+    )
+    props = src.discover_properties()
+    assert props == ["id", "keep", "brand_new"]  # from the source, not code
+    df = spark.createDataFrame(records)
+    out = project_discovered(df, props)
+    assert out.columns == ["id", "keep", "brand_new"]  # 'stale' dropped
+    rows = {r.id: r for r in out.collect()}
+    assert rows["1"].brand_new is None
+    assert rows["2"].keep == "b"

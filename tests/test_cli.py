@@ -1,0 +1,43 @@
+"""CLI dispatcher: every reference workflow name runs end-to-end."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_pipeline_bigquery_spark.__main__ import WORKFLOWS, parse_args, run_workflow
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_all_workflow_names_present():
+    # the reference main.py declares exactly these eight
+    assert set(WORKFLOWS) == {
+        "hubspot_companies_bigquery",
+        "hubspot_contacts_bigquery",
+        "hubspot_deals_bigquery",
+        "hubspot_deal_logs_bigquery",
+        "hubspot_engagement_to_bigquery",
+        "mautic_email_log_to_bigquery",
+        "mautic_hubspot_email_read_activities",
+        "hubspot_association_to_bigquery",
+    }
+
+
+@pytest.mark.parametrize("name", sorted(WORKFLOWS))
+def test_workflow_runs(name, spark, tmp_path):
+    out = str(tmp_path / "out")
+    n, df = run_workflow(
+        name,
+        sf_dir=SF,
+        out=out,
+        engagement="emails" if name == "hubspot_engagement_to_bigquery" else None,
+    )
+    assert n > 0
+    assert spark.read.parquet(out).count() == n
+
+
+def test_engagement_requires_type():
+    with pytest.raises(SystemExit):
+        parse_args(["hubspot_engagement_to_bigquery"])
+    args = parse_args(["hubspot_engagement_to_bigquery", "--engagement", "calls"])
+    assert args.engagement == "calls"

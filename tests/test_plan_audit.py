@@ -1,0 +1,106 @@
+"""Plan-shape contracts for the most expensive queries, via
+``plans/audit.py``: a refactor that introduces a cartesian product, an
+extra shuffle, or a duplicate scan of the fact table fails here instead
+of on the cluster.  Budgets are pinned to the current (audited) plans."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_bigquery_spark.plans.audit import (
+    assert_max_exchanges,
+    assert_no_cartesian,
+    assert_partition_pruned,
+    assert_pushed_filter,
+    assert_single_scan,
+    assert_wholestage_codegen,
+    count_nodes,
+)
+from data_pipeline_bigquery_spark.queries import registry
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def reg():
+    return registry()
+
+
+def _q(reg, spark, name):
+    return reg[name].fn(spark, SF)
+
+
+def test_association_single_scan_single_exchange(spark, reg):
+    df = _q(reg, spark, "pipeline_association_edges")
+    assert_single_scan(df, "lineitem")
+    assert_no_cartesian(df)
+    assert_max_exchanges(df, 1)
+
+
+def test_star_join_all_broadcast(spark, reg):
+    df = _q(reg, spark, "join_agg_revenue_by_nation")
+    assert_no_cartesian(df)
+    # every dim side broadcast: the fact table never shuffles pre-agg
+    assert count_nodes(df, "SortMergeJoin") == 0
+    assert count_nodes(df, "BroadcastHashJoin") >= 3
+    assert_max_exchanges(df, 1)
+    assert_wholestage_codegen(df)
+
+
+def test_entity_sync_single_exchange(spark, reg):
+    df = _q(reg, spark, "pipeline_entity_sync")
+    assert_no_cartesian(df)
+    assert_max_exchanges(df, 1)
+
+
+def test_minhash_no_join_bounded_shuffles(spark, reg):
+    df = _q(reg, spark, "dedup_minhash_lsh")
+    # bucketed pair generation: no self-join of the signature subtree
+    assert_no_cartesian(df)
+    assert count_nodes(df, "SortMergeJoin") == 0
+    assert_max_exchanges(df, 4)
+
+
+def test_embedding_neardup_bucketed(spark, reg):
+    df = _q(reg, spark, "dedup_embedding_cosine")
+    # the only nested-loop join is corpus x broadcast(16 seeds); pair
+    # generation itself is groupBy(cell) + in-bucket transform
+    assert_no_cartesian(df, allow_broadcast_nl=1)
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert_max_exchanges(df, 5)
+
+
+def test_ann_topk_broadcast_query_side(spark, reg):
+    df = _q(reg, spark, "ann_cosine_topk")
+    # brute-force baseline: the tiny query side is broadcast; the corpus
+    # is scanned once, never shuffled pre-ranking
+    assert_no_cartesian(df, allow_broadcast_nl=1)
+    assert_max_exchanges(df, 3)
+
+
+def test_merge_upsert_one_join_exchange_pair(spark, reg):
+    df = _q(reg, spark, "merge_upsert")
+    assert_no_cartesian(df)
+    assert count_nodes(df, "SortMergeJoin") <= 1
+    assert_max_exchanges(df, 2)
+
+
+def test_pushdown_reaches_scan(spark, reg):
+    df = _q(reg, spark, "pushdown_search_scan")
+    assert_pushed_filter(df, "IsNotNull")
+    assert_wholestage_codegen(df)
+
+
+def test_partition_pruning(spark, tmp_path):
+    from data_pipeline_bigquery_spark.sources.lake import (
+        read_year_partitions,
+        write_lake,
+    )
+    from data_pipeline_bigquery_spark.catalog import load
+
+    orders = load(spark, SF, "orders").withColumn("year", F.year("o_orderdate"))
+    path = str(tmp_path / "lake")
+    write_lake(orders, path, partition_by=("year",))
+    pruned = read_year_partitions(spark, path, 1995, 1996)
+    assert_partition_pruned(pruned, "year")
