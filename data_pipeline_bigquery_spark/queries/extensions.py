@@ -356,6 +356,22 @@ def _ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(queries, emb, k=5, nprobe=2, auto_cells=10, train_iters=2)
 
 
+def _ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with exact re-ranking (extensions/pq.py): trained coarse
+    quantizer → per-subspace residual codebooks → corpus encoded to 8
+    small ints (64× compression) by a literal-codebook codegen
+    projection → ADC candidate scoring on codes alone → exact cosine on
+    the shortlist.  Recall gated vs brute force in
+    tests/test_ann_recall.py."""
+    from data_pipeline_bigquery_spark.extensions.pq import ivf_pq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ivf_pq_topk(
+        queries, emb, k=5, nlist=10, nprobe=3, rerank=6, train_iters=1, pq_iters=1
+    )
+
+
 # --- text analysis -----------------------------------------------------------
 
 def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -571,6 +587,7 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_cosine_topk": QuerySpec(_ann_topk, _ANN_SQL),
     "ann_ivf_topk": QuerySpec(_ann_ivf, None),
     "ann_ivf_trained_topk": QuerySpec(_ann_ivf_trained, None),
+    "ann_ivf_pq_topk": QuerySpec(_ann_ivf_pq, None),
     "text_lang_id": QuerySpec(_lang_id, _LANG_SQL),
     "text_quality_score": QuerySpec(_quality, _QUALITY_SQL),
     "text_token_count": QuerySpec(_token_count, _TOKEN_SQL),

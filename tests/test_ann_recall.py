@@ -12,6 +12,11 @@ from data_pipeline_bigquery_spark.extensions.similarity import cosine_topk, ivf_
 SF_DIR = "/root/testdata/sf0.001"
 
 
+def _fixture(spark):
+    emb = load(spark, SF_DIR, "embeddings")
+    return emb, emb.filter(F.col("vec_id") < 8)
+
+
 def _topk_sets(df):
     rows = df.collect()
     out: dict[int, set[int]] = {}
@@ -33,6 +38,27 @@ def test_ivf_recall_vs_bruteforce(spark):
     # measured 0.975 here, 0.925 at sf0.01 — metadata-label cells
     # scored 0.275, which is why auto_cells exists
     assert recall >= 0.8, f"IVF recall@5 collapsed: {recall:.2f}"
+
+
+def test_ivf_pq_recall(spark):
+    """IVF-PQ + exact rerank: codes are 8 ints per 64-dim vector (64×
+    compression), yet the rerank shortlist must keep recall in the same
+    band as the uncompressed trained-IVF path (deterministic: seeds,
+    sampling, and argmin ties are all pinned; 0.775 at sf0.01)."""
+    from data_pipeline_bigquery_spark.extensions.pq import ivf_pq_topk
+
+    emb, queries = _fixture(spark)
+    exact = _topk_sets(cosine_topk(queries, emb, k=5))
+    pq = _topk_sets(
+        ivf_pq_topk(
+            queries, emb, k=5, nlist=10, nprobe=3, rerank=6,
+            train_iters=1, pq_iters=1,
+        )
+    )
+    assert set(pq) == set(exact)
+    hits = sum(len(exact[q] & pq[q]) for q in exact)
+    recall = hits / sum(len(exact[q]) for q in exact)
+    assert recall >= 0.7, f"IVF-PQ recall@5 collapsed: {recall:.2f}"
 
 
 def test_ivf_trained_quantizer_recall(spark):
