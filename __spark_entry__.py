@@ -48,11 +48,26 @@ def _driver_green_counts() -> dict[str, int]:
     return counts
 
 
+# expensive rows-only queries (ANN training loops, multimodal batch
+# plumbing): their driver check is the weaker rows-only kind anyway, so
+# within the same green-count tier they yield the sweep budget to
+# oracled queries and rotate in on later rounds
+_HEAVY_ROWS_ONLY = {
+    "ann_ivf_pq_topk",
+    "ann_ivf_trained_topk",
+    "ann_ivf_topk",
+    "multimodal_frame_sample",
+}
+
+
 def _ordered_registry():
     reg = registry()
     counts = _driver_green_counts()
     names = list(reg)
-    ranked = sorted(range(len(names)), key=lambda i: (counts.get(names[i], 0), i))
+    ranked = sorted(
+        range(len(names)),
+        key=lambda i: (counts.get(names[i], 0), names[i] in _HEAVY_ROWS_ONLY, i),
+    )
     return {names[i]: reg[names[i]] for i in ranked}
 
 
