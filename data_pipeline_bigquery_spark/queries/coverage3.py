@@ -655,7 +655,225 @@ GROUP BY right(c_name, 2)
 """
 
 
+# --- incremental rollup maintenance (continuous-aggregate IVM) ---------------
+
+def _incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized per-(event_type, day) rollup kept current by partial
+    MERGE, not recompute (operators/rollup_maintenance.py): history
+    aggregates once, the post-cursor batch aggregates to O(touched
+    groups) partials, and the merge shuffles O(groups) rows.  The
+    oracle recomputes from scratch over the full table — hash equality
+    IS the incremental-view-maintenance correctness proof.  Sums carry
+    DECIMAL partials so merge order can't drift the doubles."""
+    from data_pipeline_bigquery_spark.operators.rollup_maintenance import (
+        merge_rollups,
+        partial_rollup,
+    )
+
+    cutoff = F.lit("2024-01-05").cast("timestamp")
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.col("value").cast(_DEC).alias("value_dec"),
+        "ts",
+    )
+    keys = ["event_type", "day"]
+    sums = {"total_value": F.col("value_dec")}
+    hist = partial_rollup(ev.filter(F.col("ts") <= cutoff), keys, sums)
+    batch = partial_rollup(ev.filter(F.col("ts") > cutoff), keys, sums)
+    maintained = merge_rollups(hist, batch, keys, ["n_rows", "total_value"])
+    return maintained.select(
+        "event_type",
+        "day",
+        F.col("n_rows").alias("n_events"),
+        F.col("total_value").cast("double").alias("total_value"),
+    )
+
+
+_INCR_ROLLUP_SQL = """
+SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# --- Q4-shape: EXISTS decorrelated to a semi-join ----------------------------
+
+def _q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: priority counts over orders having at least one line
+    shipped after the order date.  The correlated EXISTS decorrelates
+    to a left-semi join on the order key — the semi side deduplicates
+    during the join, so no distinct pass over lineitem."""
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    shipped_late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return (
+        shipped_late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1994-01-01'
+  AND o_orderdate < TIMESTAMP '1995-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+# --- Q11-shape: HAVING vs a global scalar ------------------------------------
+
+def _q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: parts whose revenue exceeds a fraction of TOTAL
+    revenue.  The scalar total comes from a broadcast single-row cross
+    join over the same aggregated subtree — Catalyst evaluates the agg
+    once per side but each is one exchange of O(groups) rows; no
+    per-group re-scan like the correlated form implies."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast(_DEC)).alias("value_dec")
+    )
+    total = rev.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        rev.crossJoin(F.broadcast(total))
+        .filter(F.col("value_dec") > F.col("total_dec") * 0.001)
+        .select("l_partkey", F.col("value_dec").cast("double").alias("part_value"))
+    )
+
+
+_Q11_SQL = """
+WITH rev AS (
+  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS value_dec
+  FROM lineitem GROUP BY l_partkey)
+SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
+FROM rev
+WHERE value_dec > (SELECT sum(value_dec) FROM rev) * 0.001
+"""
+
+
+# --- Q2-shape: correlated min decorrelated to min + join-back ----------------
+
+def _q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: for each part, the supplier(s) charging the minimum
+    price.  The correlated ``price = (SELECT min ...)`` subquery
+    decorrelates to one grouped min + an equi join back on
+    (part, price) — both sides partition on l_partkey, so AQE plans a
+    single co-partitioned join; ties (several suppliers at the min)
+    are kept, matching the SQL semantics."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    mins = li.groupBy("l_partkey").agg(
+        F.min("l_extendedprice").alias("min_price")
+    ).withColumnRenamed("l_partkey", "mp_partkey")
+    return (
+        li.join(
+            mins,
+            (F.col("l_partkey") == F.col("mp_partkey"))
+            & (F.col("l_extendedprice") == F.col("min_price")),
+        )
+        .select("l_partkey", "l_suppkey", "min_price")
+        .distinct()
+    )
+
+
+_Q2_SQL = """
+SELECT DISTINCT l.l_partkey, l.l_suppkey, l.l_extendedprice AS min_price
+FROM lineitem l
+WHERE l.l_extendedprice = (SELECT min(l2.l_extendedprice) FROM lineitem l2
+                           WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+# --- Q15-shape: view + max scalar --------------------------------------------
+
+def _q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: the top-revenue supplier(s) of a quarter — an
+    aggregated revenue view filtered against its own max.  Same
+    broadcast-scalar decorrelation as Q11; DECIMAL revenue makes the
+    max comparison exact across engines."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-04-01").cast("timestamp"))
+    )
+    # sum the exact decimal PRODUCT (scale 4) — re-rounding each term to
+    # scale 2 would make the total depend on the engine's rounding mode
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast(_DEC)
+            * (F.lit(1.0).cast(_DEC) - F.col("l_discount").cast(_DEC))
+        ).alias("rev_dec")
+    )
+    mx = rev.agg(F.max("rev_dec").alias("max_dec"))
+    sup = load(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev_dec") == F.col("max_dec"))
+        .join(sup, rev.l_suppkey == sup.s_suppkey)
+        .select("s_suppkey", "s_name", F.col("rev_dec").cast("double").alias("total_revenue"))
+    )
+
+
+_Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_dec = (SELECT max(rev_dec) FROM rev)
+"""
+
+
+# --- Q16-shape: NOT IN + count distinct --------------------------------------
+
+def _q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: distinct supplier counts per part attribute, with a
+    NOT-IN exclusion list (here: suppliers in deficit).  NOT IN
+    decorrelates to a left-anti join — the exclusion side is tiny and
+    broadcasts; count(DISTINCT) expands to the standard two-phase
+    grouped distinct."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load(spark, sf_dir, "part")
+    bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    kept = li.join(F.broadcast(bad), "l_suppkey", "left_anti")
+    return (
+        kept.join(part, kept.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "incremental_rollup_maintenance": QuerySpec(_incremental_rollup, _INCR_ROLLUP_SQL),
+    "q4_order_priority_exists": QuerySpec(_q4_order_priority, _Q4_SQL),
+    "q11_important_part_value": QuerySpec(_q11_important_parts, _Q11_SQL),
+    "q2_min_price_supplier": QuerySpec(_q2_min_price_supplier, _Q2_SQL),
+    "q15_top_supplier": QuerySpec(_q15_top_supplier, _Q15_SQL),
+    "q16_supplier_cnt_excluding": QuerySpec(_q16_supplier_counts, _Q16_SQL),
     "scd2_order_status_history": QuerySpec(_scd2_history, _SCD2_SQL),
     "grouping_sets_pricing": QuerySpec(_grouping_sets_pricing, _GROUPING_SETS_SQL),
     "events_trend_by_type": QuerySpec(_events_trend, _EVENTS_TREND_SQL),
