@@ -50,6 +50,55 @@ def write_lake(
     writer.parquet(path)
 
 
+def merge_partitioned(
+    spark,
+    source: DataFrame,
+    target_path: str,
+    pk: str,
+    partition_col: str,
+    order_col: str,
+) -> None:
+    """Partition-pruned MERGE into a hive-partitioned lake table: the
+    other half of :func:`operators.merge.affected_partitions`.
+
+    1. the (broadcast) distinct partition list from the batch prunes
+       the target scan (``PartitionFilters``: untouched partitions are
+       never read);
+    2. the merge (latest-wins on ``order_col``) runs over that pruned
+       slice only;
+    3. ``partitionOverwriteMode=dynamic`` rewrites ONLY the partitions
+       present in the merge output — untouched partition directories
+       keep their files byte-identical.
+
+    At 100 TB this bounds a MERGE's IO to O(touched partitions), not
+    O(table) — the same contract Delta/Iceberg MERGE gives, expressed
+    with the plain parquet committer.  Assumes ``partition_col`` is
+    stable per ``pk`` (true for date-partitioned facts); a pk that
+    changes partition needs a delete in the old partition, which is a
+    two-partition rewrite — include both in ``source`` to get it.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    parts = [r[0] for r in source.select(partition_col).distinct().collect()]
+    target = spark.read.parquet(target_path).filter(
+        F.col(partition_col).isin(parts)
+    )
+    merged = target.unionByName(source)
+    w = Window.partitionBy(pk).orderBy(F.col(order_col).desc())
+    latest = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        latest.write.mode("overwrite").partitionBy(partition_col).parquet(target_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
