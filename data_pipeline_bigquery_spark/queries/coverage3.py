@@ -867,8 +867,77 @@ GROUP BY p_brand, p_type, p_size
 """
 
 
+# --- unpivot (melt) — the inverse of pivot_event_values ----------------------
+
+def _unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot via ``DataFrame.unpivot`` (SQL ``UNPIVOT`` /
+    pandas melt): order money columns become (measure, amount) rows.
+    Narrow transform — one projection with an expand, no shuffle."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 37 == 0)
+    wide = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("total_price"),
+        (F.col("o_totalprice") * 0.1).cast("double").alias("tax_estimate"),
+    )
+    return wide.unpivot(
+        ids=["o_orderkey"],
+        values=["total_price", "tax_estimate"],
+        variableColumnName="measure",
+        valueColumnName="amount",
+    )
+
+
+_UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total_price,
+         CAST(o_totalprice * 0.1 AS DOUBLE) AS tax_estimate
+  FROM orders WHERE o_orderkey % 37 = 0)
+SELECT o_orderkey, 'total_price' AS measure, total_price AS amount FROM wide
+UNION ALL
+SELECT o_orderkey, 'tax_estimate' AS measure, tax_estimate AS amount FROM wide
+"""
+
+
+# --- blocked fuzzy match (record linkage) ------------------------------------
+
+def _fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: near-identical customer names linked by edit
+    distance WITHIN a blocking key (nation) — the blocking join keys on
+    n_nationkey, so candidate pairs are per-block, never the O(n²)
+    corpus square; levenshtein runs codegen-side on the block pairs.
+    The fixture's 'Customer#000000123'-style names make distance ≤ 1
+    mean single-digit variants — deterministic and oracle-exact."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 2000).select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    a, b = c.alias("a"), c.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    )
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return pairs.select(
+        F.col("a.c_custkey").alias("cust_a"),
+        F.col("b.c_custkey").alias("cust_b"),
+        dist.alias("name_dist"),
+    ).filter(F.col("name_dist") <= 1)
+
+
+_FUZZY_SQL = """
+SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+       levenshtein(a.c_name, b.c_name) AS name_dist
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE a.c_custkey <= 2000 AND b.c_custkey <= 2000
+  AND levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "incremental_rollup_maintenance": QuerySpec(_incremental_rollup, _INCR_ROLLUP_SQL),
+    "unpivot_order_measures": QuerySpec(_unpivot_order_measures, _UNPIVOT_SQL),
+    "fuzzy_name_match": QuerySpec(_fuzzy_name_match, _FUZZY_SQL),
     "q4_order_priority_exists": QuerySpec(_q4_order_priority, _Q4_SQL),
     "q11_important_part_value": QuerySpec(_q11_important_parts, _Q11_SQL),
     "q2_min_price_supplier": QuerySpec(_q2_min_price_supplier, _Q2_SQL),
