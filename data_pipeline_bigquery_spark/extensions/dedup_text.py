@@ -214,19 +214,47 @@ def word_ngrams(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFr
     )
 
 
-def ngram_jaccard_pairs(grams: DataFrame, threshold: float = 0.5) -> DataFrame:
+def ngram_jaccard_pairs(
+    grams: DataFrame, threshold: float = 0.5, max_bucket: int | None = None
+) -> DataFrame:
     """Pairwise Jaccard over shared n-grams.
 
-    ``|A∩B|`` via self-join on the gram key (pairs only materialize for
-    docs sharing at least one gram); ``|A∪B| = |A|+|B|-|A∩B|``.
-    Jaccard is an exact int/int division — engine-portable.
+    Both ``|A∩B|`` and the per-doc set sizes derive from ONE
+    ``groupBy(gram)`` bucket aggregation — the gram stream (a ~n×
+    explode of the corpus) is derived once and both readers sit above
+    the same exchange, instead of the older shape that re-derived it
+    three times (sizes + both sides of a gram-keyed self-join).
+    Intersections come from in-bucket pair generation (docs sharing a
+    gram), sizes from exploding the buckets back per doc; ``|A∪B| =
+    |A|+|B|-|A∩B|``.  Jaccard is an exact int/int division —
+    engine-portable.  The static plan still prints one bucket subtree
+    per reader, but AQE's runtime stage reuse collapses them onto one
+    executed exchange (ReusedExchange ×4 in the final adaptive plan) —
+    the gram explode runs once.
+
+    ``max_bucket`` (optional, for lake scale) drops pathologically hot
+    grams from PAIR generation only — a gram shared by 10⁶ docs is
+    boilerplate contributing O(n²) junk pairs; sizes still count it.
     """
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    a, b = grams.alias("a"), grams.alias("b")
+    buckets = grams.groupBy("gram").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
+    sizes = (
+        buckets.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"))
+    )
+    pair_buckets = buckets.filter(F.size("ids") > 1)
+    if max_bucket is not None:
+        pair_buckets = pair_buckets.filter(F.size("ids") <= max_bucket)
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) ->"
+        " transform(slice(ids, i + 2, size(ids) - i - 1),"
+        " y -> struct(x AS doc_a, y AS doc_b))))"
+    )
     inter = (
-        a.join(b, "gram")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        pair_buckets.select(F.explode(pair_expr).alias("p"))
+        .groupBy("p.doc_a", "p.doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("n_a"))

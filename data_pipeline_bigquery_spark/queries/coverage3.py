@@ -900,37 +900,62 @@ SELECT o_orderkey, 'tax_estimate' AS measure, tax_estimate AS amount FROM wide
 
 # --- blocked fuzzy match (record linkage) ------------------------------------
 
+_FUZZY_WINDOW = 3  # sorted-neighborhood width
+
+
 def _fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity resolution: near-identical customer names linked by edit
-    distance WITHIN a blocking key (nation) — the blocking join keys on
-    n_nationkey, so candidate pairs are per-block, never the O(n²)
-    corpus square; levenshtein runs codegen-side on the block pairs.
-    The fixture's 'Customer#000000123'-style names make distance ≤ 1
-    mean single-digit variants — deterministic and oracle-exact."""
-    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 2000).select(
-        "c_custkey", "c_name", "c_nationkey"
+    """Entity resolution by SORTED NEIGHBORHOOD: within each nation
+    block, names sort once and each row compares against only its next
+    ``w`` neighbors (lead window) — one sort shuffle, O(n·w) candidate
+    pairs, never the O(block²) self-join square.  Edit-distance-1
+    variants of the fixture's 'Customer#000000123' names sort adjacent,
+    which is exactly the property sorted-neighborhood exploits; the
+    oracle mirrors the same window semantics, so the driver hash checks
+    the scalable form, not a quadratic one."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    w = Window.partitionBy("c_nationkey").orderBy("c_name", "c_custkey")
+    # window exprs evaluate in their own projection; the explode runs on
+    # the materialized lead columns (generators can't host window calls)
+    led = c.select(
+        "c_custkey",
+        "c_name",
+        *[F.lead("c_name", i).over(w).alias(f"n{i}") for i in range(1, _FUZZY_WINDOW + 1)],
+        *[F.lead("c_custkey", i).over(w).alias(f"k{i}") for i in range(1, _FUZZY_WINDOW + 1)],
     )
-    a, b = c.alias("a"), c.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    nbrs = F.array(
+        *[
+            F.struct(F.col(f"n{i}").alias("nbr_name"), F.col(f"k{i}").alias("nbr_key"))
+            for i in range(1, _FUZZY_WINDOW + 1)
+        ]
     )
-    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
-    return pairs.select(
-        F.col("a.c_custkey").alias("cust_a"),
-        F.col("b.c_custkey").alias("cust_b"),
-        dist.alias("name_dist"),
-    ).filter(F.col("name_dist") <= 1)
+    exploded = (
+        led.select("c_custkey", "c_name", F.explode(nbrs).alias("nbr"))
+        .filter(F.col("nbr.nbr_key").isNotNull())
+        .select(
+            F.col("c_custkey").alias("cust_a"),
+            F.col("nbr.nbr_key").alias("cust_b"),
+            F.levenshtein("c_name", F.col("nbr.nbr_name")).alias("name_dist"),
+        )
+    )
+    return exploded.filter(F.col("name_dist") <= 1)
 
 
-_FUZZY_SQL = """
-SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
-       levenshtein(a.c_name, b.c_name) AS name_dist
-FROM customer a JOIN customer b
-  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
-WHERE a.c_custkey <= 2000 AND b.c_custkey <= 2000
-  AND levenshtein(a.c_name, b.c_name) <= 1
+_FUZZY_SQL = f"""
+WITH nbr AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         {', '.join(
+             f"lead(c_name, {i}) OVER (PARTITION BY c_nationkey ORDER BY c_name, c_custkey) AS n{i}, "
+             f"lead(c_custkey, {i}) OVER (PARTITION BY c_nationkey ORDER BY c_name, c_custkey) AS k{i}"
+             for i in range(1, _FUZZY_WINDOW + 1)
+         )}
+  FROM customer),
+pairs AS (
+  {' UNION ALL '.join(
+      f"SELECT c_custkey AS cust_a, k{i} AS cust_b, levenshtein(c_name, n{i}) AS name_dist "
+      f"FROM nbr WHERE k{i} IS NOT NULL"
+      for i in range(1, _FUZZY_WINDOW + 1)
+  )})
+SELECT cust_a, cust_b, name_dist FROM pairs WHERE name_dist <= 1
 """
 
 

@@ -49,7 +49,13 @@ from data_pipeline_bigquery_spark.queries import QuerySpec
 
 
 def _augmented_docs(spark: SparkSession, sf_dir: str, max_doc: int | None = None) -> DataFrame:
-    """documents ∪ planted near-dups (first 4 chars dropped, id+1M)."""
+    """documents ∪ planted near-dups (first 4 chars dropped, id+1M).
+
+    Fixture scaffolding, not a production operator: real corpora aren't
+    self-augmented, so the union's second scan exists only in the
+    oracle fixture.  A single-scan explode variant was measured SLOWER
+    cold (nested generator pipelines compile into bigger whole-stage
+    methods: +2s janino on the minhash path), so the union stays."""
     docs = load(spark, sf_dir, "documents").select("doc_id", F.lower("text").alias("t"))
     if max_doc is not None:
         docs = docs.filter(F.col("doc_id") < max_doc)

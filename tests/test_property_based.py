@@ -171,3 +171,60 @@ def test_connected_components_matches_union_find(spark, pairs):
     df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
     got = {r.doc_id: r.component for r in connected_components(df).collect()}
     assert got == _model_components(pairs)
+
+
+# --- incremental rollup maintenance vs full recompute ------------------------
+
+_facts = st.lists(
+    st.tuples(
+        st.sampled_from(["click", "view", "buy"]),
+        st.integers(min_value=0, max_value=3),   # day bucket
+        st.integers(min_value=-100, max_value=100),  # cents (exact ints)
+    ),
+    max_size=16,
+)
+_splits = st.lists(st.integers(min_value=0, max_value=16), max_size=3)
+
+
+@given(facts=_facts, splits=_splits)
+@settings(**_SETTINGS)
+def test_rollup_maintenance_any_batching_equals_recompute(spark, facts, splits):
+    """IVM algebra: slicing the fact stream into ANY sequence of batches
+    and folding merge_rollups over the partial aggregates must equal the
+    one-shot groupBy over all facts.  Sums use exact ints so equality is
+    bit-strict."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_bigquery_spark.operators.rollup_maintenance import (
+        merge_rollups,
+        partial_rollup,
+    )
+
+    cuts = sorted({min(s, len(facts)) for s in splits} | {0, len(facts)})
+    batches = [facts[a:b] for a, b in zip(cuts, cuts[1:])]
+    schema = "event_type string, day int, cents long"
+    keys = ["event_type", "day"]
+    sums = {"total_cents": F.col("cents")}
+
+    rollup = None
+    for batch in batches:
+        if not batch:
+            continue
+        bdf = spark.createDataFrame(batch, schema)
+        rollup = merge_rollups(
+            rollup, partial_rollup(bdf, keys, sums), keys, ["n_rows", "total_cents"]
+        )
+
+    got = (
+        {}
+        if rollup is None
+        else {
+            (r.event_type, r.day): (r.n_rows, r.total_cents)
+            for r in rollup.collect()
+        }
+    )
+    expect = {}
+    for et, day, cents in facts:
+        n, tot = expect.get((et, day), (0, 0))
+        expect[(et, day)] = (n + 1, tot + cents)
+    assert got == expect
