@@ -959,8 +959,112 @@ SELECT cust_a, cust_b, name_dist FROM pairs WHERE name_dist <= 1
 """
 
 
+# --- time-series gap fill + LOCF ---------------------------------------------
+
+def _gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style ``time_bucket_gapfill``: a sparse per-type daily
+    series densified against a per-type generated calendar (sequence +
+    explode — no calendar table needed), counts zero-filled and the
+    value column carried forward (LOCF) by an ignore-nulls last()
+    window.  The calendar explode is O(days·types) — trivial next to
+    the fact scan; the LOCF window partitions by type, one shuffle."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") % 97 == 0)
+    daily = (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.col("value").cast(_DEC).alias("v"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("day_value"))
+    )
+    bounds = daily.groupBy("event_type").agg(
+        F.min("day").alias("mn"), F.max("day").alias("mx")
+    )
+    cal = bounds.select(
+        "event_type", F.explode(F.expr("sequence(mn, mx, interval 1 day)")).alias("day")
+    )
+    joined = cal.join(daily, ["event_type", "day"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "day",
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.last("day_value", ignorenulls=True).over(w).cast("double").alias("locf_value"),
+    )
+
+
+_GAPFILL_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
+         sum(CAST(value AS DECIMAL(18,2))) AS day_value
+  FROM events WHERE event_id % 97 = 0 GROUP BY 1, 2),
+bounds AS (SELECT event_type, min(day) AS mn, max(day) AS mx FROM daily GROUP BY 1),
+cal AS (
+  SELECT event_type,
+         CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds)
+SELECT c.event_type, c.day, coalesce(d.n, 0) AS n_events,
+       CAST(last_value(d.day_value IGNORE NULLS) OVER (
+            PARTITION BY c.event_type ORDER BY c.day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS locf_value
+FROM cal c LEFT JOIN daily d ON c.event_type = d.event_type AND c.day = d.day
+"""
+
+
+# --- cohort retention matrix -------------------------------------------------
+
+def _cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort × week-offset retention counts.  Cohort and offset use
+    integer day arithmetic (days-since-epoch div 7), NOT calendar week
+    truncation — ISO-week edge rules differ between engines, integer
+    division doesn't.  Two aggregations + one co-keyed join; distinct
+    (user, week) pairs keep the count a user-level retention, not an
+    event count."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias("d"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    acts = (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            (F.col("first_d") - (F.col("first_d") % 7)).alias("cohort_start"),
+            # integer div, not double-div + cast: double->int CAST truncates
+            # in Spark but rounds half-even in DuckDB
+            F.expr("(d - first_d) div 7").cast("int").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return acts.groupBy("cohort_start", "week_offset").agg(
+        F.count_distinct("user_id").alias("n_users")
+    )
+
+
+_COHORT_SQL = """
+WITH ev AS (
+  SELECT user_id, datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d
+  FROM events),
+first AS (SELECT user_id, min(d) AS first_d FROM ev GROUP BY user_id),
+acts AS (
+  SELECT DISTINCT ev.user_id,
+         first_d - (first_d % 7) AS cohort_start,
+         CAST((d - first_d) // 7 AS INT) AS week_offset
+  FROM ev JOIN first ON ev.user_id = first.user_id)
+SELECT cohort_start, week_offset, count(DISTINCT user_id) AS n_users
+FROM acts GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "incremental_rollup_maintenance": QuerySpec(_incremental_rollup, _INCR_ROLLUP_SQL),
+    "gapfill_daily_events": QuerySpec(_gapfill_daily, _GAPFILL_SQL),
+    "cohort_retention": QuerySpec(_cohort_retention, _COHORT_SQL),
     "unpivot_order_measures": QuerySpec(_unpivot_order_measures, _UNPIVOT_SQL),
     "fuzzy_name_match": QuerySpec(_fuzzy_name_match, _FUZZY_SQL),
     "q4_order_priority_exists": QuerySpec(_q4_order_priority, _Q4_SQL),
