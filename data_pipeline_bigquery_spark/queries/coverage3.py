@@ -1016,6 +1016,57 @@ FROM cal c LEFT JOIN daily d ON c.event_type = d.event_type AND c.day = d.day
 """
 
 
+# --- funnel analysis ---------------------------------------------------------
+
+def _funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: signup → first click AFTER signup → first
+    purchase AFTER that click, per user; one row of stage counts.  Each
+    stage is a type-pruned scan (predicate pushes to parquet) joined on
+    user against the previous stage's min timestamp — the ordering
+    constraint ('after') lives in the join predicate, so no per-user
+    event sorting or collect is ever needed."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(F.broadcast(c.agg(F.count(F.lit(1)).alias("n_click_after"))))
+        .crossJoin(F.broadcast(p.agg(F.count(F.lit(1)).alias("n_purchase_after"))))
+    )
+
+
+_FUNNEL_SQL = """
+WITH s AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      JOIN s ON e.user_id = s.user_id AND e.ts > s.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT (SELECT count(*) FROM s) AS n_signup,
+       (SELECT count(*) FROM c) AS n_click_after,
+       (SELECT count(*) FROM p) AS n_purchase_after
+"""
+
+
 # --- cohort retention matrix -------------------------------------------------
 
 def _cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1065,6 +1116,7 @@ QUERIES: dict[str, QuerySpec] = {
     "incremental_rollup_maintenance": QuerySpec(_incremental_rollup, _INCR_ROLLUP_SQL),
     "gapfill_daily_events": QuerySpec(_gapfill_daily, _GAPFILL_SQL),
     "cohort_retention": QuerySpec(_cohort_retention, _COHORT_SQL),
+    "funnel_signup_purchase": QuerySpec(_funnel_signup_purchase, _FUNNEL_SQL),
     "unpivot_order_measures": QuerySpec(_unpivot_order_measures, _UNPIVOT_SQL),
     "fuzzy_name_match": QuerySpec(_fuzzy_name_match, _FUZZY_SQL),
     "q4_order_priority_exists": QuerySpec(_q4_order_priority, _Q4_SQL),

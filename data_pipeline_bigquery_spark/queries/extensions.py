@@ -523,6 +523,39 @@ FROM documents
 """
 
 
+def _multimodal_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup: identical binary payloads collapse on the
+    content digest — the digest-keyed groupBy shuffles 32-byte hashes,
+    never the payloads (the shape that matters when a 'row' is a 4 MB
+    image).  Planted duplicates: every 5th doc's payload re-appears
+    under a shifted id."""
+    docs = load(spark, sf_dir, "documents")
+    both = docs.select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    payloads = both.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return (
+        payloads.select("doc_id", F.md5("payload").alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+_MM_DEDUP_SQL = """
+WITH unioned AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0)
+SELECT md5(text) AS content_md5, min(doc_id) AS canonical_id, count(*) AS n_copies
+FROM unioned GROUP BY md5(text)
+"""
+
+
 def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas frame-sampling stub — Arrow-batched python path;
     decode is a deterministic fake (no codecs in the container), so the
@@ -602,6 +635,7 @@ QUERIES: dict[str, QuerySpec] = {
     "text_distinctive_terms": QuerySpec(_distinctive_terms, _DISTINCTIVE_TERMS_SQL),
     "corpus_ngram_stats": QuerySpec(_corpus_ngrams, _CORPUS_NGRAMS_SQL),
     "multimodal_metadata": QuerySpec(_multimodal_metadata, _MULTIMODAL_SQL),
+    "multimodal_binary_dedup": QuerySpec(_multimodal_binary_dedup, _MM_DEDUP_SQL),
     "multimodal_frame_sample": QuerySpec(_multimodal_frames, None),
     "multimodal_resize": QuerySpec(_multimodal_resize, None),
     "multimodal_features": QuerySpec(_multimodal_features, None),
