@@ -1016,6 +1016,86 @@ FROM cal c LEFT JOIN daily d ON c.event_type = d.event_type AND c.day = d.day
 """
 
 
+# --- relational division -----------------------------------------------------
+
+def _division_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division ('customers with orders in EVERY priority
+    class'): the FORALL quantifier becomes count-distinct-equals-total —
+    one grouped distinct count per customer checked against the
+    broadcast global distinct count.  No double-negated NOT EXISTS
+    pair, no self-join."""
+    orders = load(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count_distinct("o_orderpriority").alias("n_prio")
+    )
+    total = orders.agg(F.count_distinct("o_orderpriority").alias("total_prio"))
+    return (
+        per_cust.crossJoin(F.broadcast(total))
+        .filter(F.col("n_prio") == F.col("total_prio"))
+        .select("o_custkey", "n_prio")
+    )
+
+
+_DIVISION_SQL = """
+SELECT o_custkey, count(DISTINCT o_orderpriority) AS n_prio
+FROM orders GROUP BY o_custkey
+HAVING count(DISTINCT o_orderpriority)
+       = (SELECT count(DISTINCT o_orderpriority) FROM orders)
+"""
+
+
+# --- robust-statistics anomaly flagging (median / MAD) -----------------------
+
+def _anomaly_days_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier days per event type by median absolute deviation — the
+    robust quality gate (mean/stddev break under the very outliers you
+    hunt).  Two grouped aggregations + broadcast joins; exact
+    interpolating percentile on integer counts is engine-portable
+    (the (a+b)/2 midpoint of ints is exact in doubles)."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.to_date("ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    med = daily.groupBy("event_type").agg(
+        F.expr("percentile(n, 0.5)").alias("med_n")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "abs_dev", F.abs(F.col("n") - F.col("med_n"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(abs_dev, 0.5)").alias("mad_n")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "n",
+            F.round("med_n", 6).alias("med_n"),
+            F.round("mad_n", 6).alias("mad_n"),
+            (F.col("abs_dev") > F.lit(2.0) * F.col("mad_n")).alias("is_anomaly"),
+        )
+    )
+
+
+_MAD_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+  FROM events GROUP BY 1, 2),
+med AS (SELECT event_type, median(n) AS med_n FROM daily GROUP BY 1),
+dev AS (
+  SELECT d.event_type, d.day, d.n, m.med_n, abs(d.n - m.med_n) AS abs_dev
+  FROM daily d JOIN med m ON d.event_type = m.event_type),
+mad AS (SELECT event_type, median(abs_dev) AS mad_n FROM dev GROUP BY 1)
+SELECT dev.event_type, dev.day, dev.n,
+       round(dev.med_n, 6) AS med_n, round(mad.mad_n, 6) AS mad_n,
+       dev.abs_dev > 2.0 * mad.mad_n AS is_anomaly
+FROM dev JOIN mad ON dev.event_type = mad.event_type
+"""
+
+
 # --- funnel analysis ---------------------------------------------------------
 
 def _funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1117,6 +1197,8 @@ QUERIES: dict[str, QuerySpec] = {
     "gapfill_daily_events": QuerySpec(_gapfill_daily, _GAPFILL_SQL),
     "cohort_retention": QuerySpec(_cohort_retention, _COHORT_SQL),
     "funnel_signup_purchase": QuerySpec(_funnel_signup_purchase, _FUNNEL_SQL),
+    "division_all_priorities": QuerySpec(_division_all_priorities, _DIVISION_SQL),
+    "anomaly_days_mad": QuerySpec(_anomaly_days_mad, _MAD_SQL),
     "unpivot_order_measures": QuerySpec(_unpivot_order_measures, _UNPIVOT_SQL),
     "fuzzy_name_match": QuerySpec(_fuzzy_name_match, _FUZZY_SQL),
     "q4_order_priority_exists": QuerySpec(_q4_order_priority, _Q4_SQL),
