@@ -59,6 +59,35 @@ _HEAVY_ROWS_ONLY = {
     "multimodal_frame_sample",
 }
 
+# queries added in round 2: longest-waiting evidence goes first, so
+# these sort behind the round-1-era queries that are still unchecked
+_ADDED_ROUND_2 = {
+    "schema_discovery_projection",
+    "ann_ivf_pq_topk",
+    "incremental_rollup_maintenance",
+    "q4_order_priority_exists",
+    "q11_important_part_value",
+    "q2_min_price_supplier",
+    "q15_top_supplier",
+    "q16_supplier_cnt_excluding",
+    "unpivot_order_measures",
+    "fuzzy_name_match",
+    "gapfill_daily_events",
+    "cohort_retention",
+    "funnel_signup_purchase",
+    "multimodal_binary_dedup",
+    "division_all_priorities",
+    "anomaly_days_mad",
+}
+
+
+def _tier(name: str) -> int:
+    if name in _HEAVY_ROWS_ONLY:
+        return 2
+    if name in _ADDED_ROUND_2:
+        return 1
+    return 0
+
 
 def _ordered_registry():
     reg = registry()
@@ -66,7 +95,7 @@ def _ordered_registry():
     names = list(reg)
     ranked = sorted(
         range(len(names)),
-        key=lambda i: (counts.get(names[i], 0), names[i] in _HEAVY_ROWS_ONLY, i),
+        key=lambda i: (counts.get(names[i], 0), _tier(names[i]), i),
     )
     return {names[i]: reg[names[i]] for i in ranked}
 
