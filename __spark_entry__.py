@@ -78,6 +78,17 @@ _ADDED_ROUND_2 = {
     "multimodal_binary_dedup",
     "division_all_priorities",
     "anomaly_days_mad",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q19_disjunctive_predicates",
+    "q20_part_promotion",
+    "argmax_priciest_line",
+    "corr_qty_price_by_flag",
+    "decile_customer_value",
+    "mom_revenue_change",
 }
 
 

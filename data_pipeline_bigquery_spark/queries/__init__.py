@@ -29,6 +29,7 @@ def registry() -> dict[str, QuerySpec]:
         coverage,
         coverage2,
         coverage3,
+        coverage4,
         curation,
         extensions,
         pipelines,
@@ -38,7 +39,7 @@ def registry() -> dict[str, QuerySpec]:
 
     merged: dict[str, QuerySpec] = {}
     for mod in (
-        core, pipelines, coverage, coverage2, coverage3,
+        core, pipelines, coverage, coverage2, coverage3, coverage4,
         extensions, training, curation, sketches,
     ):
         merged.update(mod.QUERIES)
