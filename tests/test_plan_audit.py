@@ -104,3 +104,40 @@ def test_partition_pruning(spark, tmp_path):
     write_lake(orders, path, partition_by=("year",))
     pruned = read_year_partitions(spark, path, 1995, 1996)
     assert_partition_pruned(pruned, "year")
+
+
+def test_q7_single_shuffle_all_dims_broadcast(spark, reg):
+    # supplier/customer/nation broadcast; the one Exchange is the final
+    # aggregate (at fixture scale AQE broadcasts orders too — at 100 TB
+    # that join degrades gracefully to a co-partitioned SMJ, which the
+    # cartesian/exchange budgets still admit)
+    df = _q(reg, spark, "q7_volume_shipping")
+    assert_no_cartesian(df)
+    assert count_nodes(df, "BroadcastHashJoin") >= 4
+    assert_max_exchanges(df, 3)
+
+
+def test_q10_limit_is_take_ordered(spark, reg):
+    # ranked LIMIT compiles to TakeOrderedAndProject (per-partition
+    # top-k + driver merge), never a global sort of the aggregate
+    df = _q(reg, spark, "q10_returned_items")
+    assert_no_cartesian(df)
+    assert count_nodes(df, "TakeOrderedAndProject") == 1
+    assert count_nodes(df, "Sort") == 0
+    assert_max_exchanges(df, 2)
+
+
+def test_q19_disjunction_stays_post_join(spark, reg):
+    # one broadcast join + one scalar agg: the OR-of-bundles predicate
+    # must not multiply the plan into a union of three scans
+    df = _q(reg, spark, "q19_disjunctive_predicates")
+    assert_no_cartesian(df)
+    assert_single_scan(df, "lineitem")
+    assert_max_exchanges(df, 1)
+
+
+def test_q20_nested_semijoin_single_fact_scan(spark, reg):
+    df = _q(reg, spark, "q20_part_promotion")
+    assert_no_cartesian(df)
+    assert_single_scan(df, "lineitem")
+    assert_max_exchanges(df, 2)
