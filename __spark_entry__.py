@@ -89,6 +89,8 @@ _ADDED_ROUND_2 = {
     "corr_qty_price_by_flag",
     "decile_customer_value",
     "mom_revenue_change",
+    "chunk_dedup_ratio",
+    "vocab_oov_rate",
 }
 
 

@@ -30,6 +30,7 @@ def registry() -> dict[str, QuerySpec]:
         coverage2,
         coverage3,
         coverage4,
+        corpus_ops,
         curation,
         extensions,
         pipelines,
@@ -40,7 +41,7 @@ def registry() -> dict[str, QuerySpec]:
     merged: dict[str, QuerySpec] = {}
     for mod in (
         core, pipelines, coverage, coverage2, coverage3, coverage4,
-        extensions, training, curation, sketches,
+        corpus_ops, extensions, training, curation, sketches,
     ):
         merged.update(mod.QUERIES)
     return merged

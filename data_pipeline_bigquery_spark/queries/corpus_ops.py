@@ -1,0 +1,158 @@
+"""Corpus-level training-data ops: chunk-grain dedup and vocabulary
+coverage.
+
+Doc-grain exact/near dedup lives in `extensions/dedup_text.py`; the two
+ops here work at finer grain, the way production corpus pipelines do
+(C4 deduplicates three-sentence spans, MassiveText fixed-size chunks):
+
+- `chunk_dedup_ratio`: split every document into fixed 20-word chunks,
+  count how many of each document's chunks also appear elsewhere in the
+  corpus.  The duplicate test joins on md5(chunk) so the shuffle moves
+  16-byte digests, not chunk text — same scale posture as
+  `dedup_exact`.
+- `vocab_oov_rate`: corpus top-K vocabulary (total order: count desc,
+  word asc) broadcast back over the exploded corpus for a per-document
+  out-of-vocabulary rate — the cheap proxy for "will my tokenizer
+  fragment this document".
+
+Both produce integer counts plus one int/int double division (IEEE
+division is correctly rounded → engine-portable)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_bigquery_spark.catalog import load
+from data_pipeline_bigquery_spark.queries import QuerySpec
+
+_CHUNK = 20
+_VOCAB_K = 10
+
+
+def _chunk_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicate-chunk statistics at 20-word grain.
+
+    The chunk list is built with pure array functions (sequence →
+    slice → array_join) — one generator explode per document, no UDF.
+    Global occurrence counts group on the md5 digest; the join back to
+    per-document rows is digest-keyed, so both shuffles carry fixed
+    16-byte keys regardless of chunk length."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("words")
+    )
+    n_chunks = F.ceil(F.size("words") / F.lit(float(_CHUNK))).cast("int")
+    chunks = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - F.lit(1)),
+                lambda i: F.array_join(
+                    F.slice("words", i * _CHUNK + 1, _CHUNK), " "
+                ),
+            )
+        ).alias("chunk"),
+    ).select("doc_id", F.md5("chunk").alias("h"))
+    occ = chunks.groupBy("h").agg(F.count(F.lit(1)).alias("occ"))
+    per_doc = (
+        chunks.join(occ, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("occ") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_chunks"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_chunks",
+        "n_dup_chunks",
+        (
+            F.col("n_dup_chunks").cast("double")
+            / F.col("n_chunks").cast("double")
+        ).alias("dup_ratio"),
+    )
+
+
+_CHUNK_DEDUP_SQL = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+chunks AS (
+  SELECT doc_id,
+         md5(unnest([array_to_string(words[i*{_CHUNK}+1 : i*{_CHUNK}+{_CHUNK}], ' ')
+                     for i in generate_series(0, CAST(ceil(len(words)/{_CHUNK}.0) AS BIGINT)-1)])) AS h
+  FROM w),
+occ AS (SELECT h, count(*) AS occ FROM chunks GROUP BY h),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_chunks,
+         sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS n_dup_chunks
+  FROM chunks JOIN occ USING (h) GROUP BY doc_id)
+SELECT doc_id, n_chunks, CAST(n_dup_chunks AS BIGINT) AS n_dup_chunks,
+       CAST(n_dup_chunks AS DOUBLE) / CAST(n_chunks AS DOUBLE) AS dup_ratio
+FROM per_doc
+"""
+
+
+def _vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document OOV rate against the corpus top-{K} vocabulary.
+
+    The vocabulary is a post-aggregation artifact (≤ distinct-word
+    count rows), so the global row_number window and the broadcast are
+    both trivially small; the corpus itself is touched twice but only
+    as exploded (doc_id, word) pairs — at 100 TB the second pass would
+    reuse the first's shuffle output via an explicit checkpoint of the
+    exploded view, which the fixture scale doesn't warrant."""
+    words = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+    )
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    rank_w = Window.orderBy(F.col("cnt").desc(), F.col("w"))
+    vocab = (
+        wc.withColumn("r", F.row_number().over(rank_w))
+        .filter(F.col("r") <= _VOCAB_K)
+        .select("w", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        words.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_oov",
+            (
+                F.col("n_oov").cast("double") / F.col("n_words").cast("double")
+            ).alias("oov_rate"),
+        )
+    )
+
+
+_VOCAB_OOV_SQL = f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+vocab AS (
+  SELECT w FROM (
+    SELECT w, row_number() OVER (ORDER BY count(*) DESC, w) AS r
+    FROM words GROUP BY w)
+  WHERE r <= {_VOCAB_K}),
+per_doc AS (
+  SELECT d.doc_id, count(*) AS n_words,
+         sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM words d LEFT JOIN vocab v ON d.w = v.w
+  GROUP BY d.doc_id)
+SELECT doc_id, n_words, CAST(n_oov AS BIGINT) AS n_oov,
+       CAST(n_oov AS DOUBLE) / CAST(n_words AS DOUBLE) AS oov_rate
+FROM per_doc
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "chunk_dedup_ratio": QuerySpec(_chunk_dedup_ratio, _CHUNK_DEDUP_SQL),
+    "vocab_oov_rate": QuerySpec(_vocab_oov_rate, _VOCAB_OOV_SQL),
+}
