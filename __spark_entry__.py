@@ -91,6 +91,8 @@ _ADDED_ROUND_2 = {
     "mom_revenue_change",
     "chunk_dedup_ratio",
     "vocab_oov_rate",
+    "csv_typed_scan",
+    "orc_roundtrip_scan",
 }
 
 

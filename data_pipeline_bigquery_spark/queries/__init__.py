@@ -32,6 +32,7 @@ def registry() -> dict[str, QuerySpec]:
         coverage4,
         corpus_ops,
         curation,
+        formats,
         extensions,
         pipelines,
         sketches,
@@ -41,7 +42,7 @@ def registry() -> dict[str, QuerySpec]:
     merged: dict[str, QuerySpec] = {}
     for mod in (
         core, pipelines, coverage, coverage2, coverage3, coverage4,
-        corpus_ops, extensions, training, curation, sketches,
+        corpus_ops, formats, extensions, training, curation, sketches,
     ):
         merged.update(mod.QUERIES)
     return merged

@@ -26,3 +26,35 @@ def read_staged_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def write_staged_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV export sink (header on; the reference's CSV handling is
+    string-level — C9/C10 in `functions/keys.py` — this is the file-
+    format counterpart for interchange with non-parquet consumers)."""
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
+def read_staged_csv(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Typed CSV scan.  The schema is REQUIRED: header-based inference
+    reads the data twice and guesses types per-file — at lake scale
+    that is both a double scan and a schema-drift hazard.  FAILFAST
+    surfaces malformed rows instead of silently nulling them."""
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "FAILFAST")
+        .csv(path)
+    )
+
+
+def write_staged_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — the other columnar interchange format Spark carries a
+    native vectorized reader/writer for (zlib by default; predicate
+    pushdown and column pruning work exactly as with parquet)."""
+    df.write.mode(mode).orc(path)
+
+
+def read_staged_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan; self-describing like parquet, so no schema argument."""
+    return spark.read.orc(path)
