@@ -43,7 +43,15 @@ def _driver_green_counts() -> dict[str, int]:
         except (OSError, ValueError):
             continue
         for key, row in data.items():
-            if isinstance(row, dict) and not row.get("err") and row.get("rows_match"):
+            if not isinstance(row, dict) or row.get("err"):
+                continue
+            # hash_match is the hard signal when the driver computed it;
+            # rows_match alone only counts for rows-only (no-oracle) rows,
+            # so hash-failed queries re-enter the sweep window immediately
+            green = row.get("hash_match")
+            if green is None:
+                green = row.get("rows_match")
+            if green:
                 counts[key] = counts.get(key, 0) + 1
     return counts
 

@@ -108,6 +108,9 @@ def write_table(spark: SparkSession, spec: TableSpec, df: DataFrame) -> None:
     ``write_disposition`` (append semantics; merge callers should use
     ``operators.merge.merge_upsert`` with the key config)."""
     ensure_table(spark, spec)
-    df.select(*[f.name for f in spec.schema.fields]).write.insertInto(
-        spec.qualified_name
-    )
+    # insertInto is positional, and saveAsTable(partitionBy=...) moves the
+    # partition column to the END of the live table's layout — so select in
+    # the live table's column order, not the YAML spec order, or a
+    # partitioned table gets values written into the wrong columns.
+    live_order = spark.table(spec.qualified_name).columns
+    df.select(*live_order).write.insertInto(spec.qualified_name)

@@ -51,7 +51,10 @@ def _decode_frames(payload: bytes, n_frames: int) -> list[bytes]:
 RESIZED_SCHEMA = "doc_id long, width int, height int, resized_bytes int, resized_md5 string"
 
 FEATURE_DIM = 16
-FEATURE_SCHEMA = f"doc_id long, feature array<float>"
+# chunk_sums are the exact integer sufficient statistics the float means
+# derive from: they make the python batch path hash-checkable by an
+# engine that can't reproduce float32 model math
+FEATURE_SCHEMA = "doc_id long, chunk_sums array<long>, feature array<float>"
 
 
 def _decode_image(payload: bytes) -> bytes:
@@ -106,15 +109,16 @@ def extract_features(df: DataFrame, id_col: str, payload_col: str, dim: int = FE
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, feats = [], []
+            ids, sums, feats = [], [], []
             for doc_id, payload in zip(pdf[id_name], pdf[payload_name]):
                 buf = np.frombuffer(_decode_image(payload), dtype=np.uint8)
                 chunks = np.array_split(buf, dim) if buf.size else [np.array([])] * dim
                 v = np.array([c.mean() if c.size else 0.0 for c in chunks], dtype=np.float32)
                 norm = float(np.linalg.norm(v))
                 ids.append(int(doc_id))
+                sums.append([int(c.sum()) for c in chunks])
                 feats.append((v / norm if norm else v).tolist())
-            yield pd.DataFrame({"doc_id": ids, "feature": feats})
+            yield pd.DataFrame({"doc_id": ids, "chunk_sums": sums, "feature": feats})
 
     from data_pipeline_bigquery_spark.extensions.dedup_text import spread_small_input
 

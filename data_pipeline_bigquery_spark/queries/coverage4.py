@@ -398,9 +398,12 @@ def _argmax_priciest_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     query documents.  One hash-agg, no window, no shuffle beyond the
     groupBy."""
     li = load(spark, sf_dir, "lineitem")
-    # linenumber < 10 in TPC-H (max 7), so price*10 + linenumber is a
-    # collision-free total order per orderkey
-    key = F.col("l_extendedprice").cast(_DEC) * F.lit(10).cast(_DEC) + F.col(
+    # prices have cent granularity and linenumber <= 7, so scaling by
+    # 1000 (>= 601 needed: dPrice*scale == dLinenumber requires
+    # dPrice >= 0.01 → scale*0.01 > 7) makes price*1000 + linenumber a
+    # collision-free total order per orderkey; *10 would collide when
+    # two lines differ by exactly 0.10-0.60
+    key = F.col("l_extendedprice").cast(_DEC) * F.lit(1000).cast(_DEC) + F.col(
         "l_linenumber"
     ).cast(_DEC)
     return li.groupBy("l_orderkey").agg(
@@ -412,7 +415,7 @@ def _argmax_priciest_line(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ARGMAX_SQL = """
 SELECT l_orderkey,
        arg_max(l_linenumber,
-               CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(10 AS DECIMAL(18,2))
+               CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1000 AS DECIMAL(18,2))
                  + CAST(l_linenumber AS DECIMAL(18,2))) AS priciest_line,
        CAST(CAST(max(l_extendedprice) AS DECIMAL(18,2)) AS DOUBLE) AS max_price
 FROM lineitem GROUP BY l_orderkey

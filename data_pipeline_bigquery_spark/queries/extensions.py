@@ -219,7 +219,8 @@ def _dedup_near_corpus_sql() -> str:
         + _minhash_ctes()
         + _CLUSTER_CTES
         + """
-SELECT count(*) AS n_docs_kept, sum(length(t)) AS chars_kept
+SELECT CAST(count(*) AS BIGINT) AS n_docs_kept,
+       CAST(sum(length(t)) AS BIGINT) AS chars_kept
 FROM aug WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id != component)
 """
     )
@@ -351,6 +352,18 @@ def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     return ivf_topk(queries, emb, k=5, nprobe=2, auto_cells=10)
+
+
+def _ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF machinery driven to exactness: ``nprobe == nlist`` probes
+    every cell, so the candidate set is the full corpus and the exact
+    rerank returns precisely the brute-force top-k — which makes the
+    brute-force SQL (`_ANN_SQL`) a hash-level oracle for the whole IVF
+    path (cell assignment, probe ranking, rerank).  The production
+    configuration only lowers ``nprobe``; nothing else changes."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ivf_topk(queries, emb, k=5, nprobe=10, auto_cells=10)
 
 
 def _ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -625,6 +638,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_embedding_cosine": QuerySpec(_embedding_neardup, _NEARDUP_SQL),
     "ann_cosine_topk": QuerySpec(_ann_topk, _ANN_SQL),
     "ann_ivf_topk": QuerySpec(_ann_ivf, None),
+    "ann_ivf_exact_topk": QuerySpec(_ann_ivf_exact, _ANN_SQL),
     "ann_ivf_trained_topk": QuerySpec(_ann_ivf_trained, None),
     "ann_ivf_pq_topk": QuerySpec(_ann_ivf_pq, None),
     "text_lang_id": QuerySpec(_lang_id, _LANG_SQL),

@@ -66,9 +66,13 @@ def merge_partitioned(
        never read);
     2. the merge (latest-wins on ``order_col``) runs over that pruned
        slice only;
-    3. ``partitionOverwriteMode=dynamic`` rewrites ONLY the partitions
-       present in the merge output — untouched partition directories
-       keep their files byte-identical.
+    3. the merge output is materialized to a sibling staging dir FIRST,
+       then each touched ``col=value`` directory is swapped into the
+       target — untouched partition directories keep their files
+       byte-identical, a mid-write failure leaves the live path intact
+       (the merged content is not reconstructible from the batch alone,
+       so overwriting the path being read would be unrecoverable), and
+       no session-global conf is mutated under concurrent writers.
 
     At 100 TB this bounds a MERGE's IO to O(touched partitions), not
     O(table) — the same contract Delta/Iceberg MERGE gives, expressed
@@ -91,12 +95,32 @@ def merge_partitioned(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        latest.write.mode("overwrite").partitionBy(partition_col).parquet(target_path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # stage the merge result fully before touching the target: the target
+    # is an input of `latest`, so an in-place overwrite would destroy the
+    # rows it is still reading
+    staging = target_path.rstrip("/") + "_merge_staging"
+    latest.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+
+    def _jpath(p: str):
+        jp = jvm.org.apache.hadoop.fs.Path(p)
+        return jp.getFileSystem(hconf), jp
+
+    fs, staging_root = _jpath(staging)
+    _, target_root = _jpath(target_path)
+    # swap each staged `col=value` dir into the target; staging dir names
+    # are Spark's own partition encoding, so no value-escaping here
+    for st in fs.listStatus(staging_root):
+        name = st.getPath().getName()
+        if not st.isDirectory() or "=" not in name:
+            continue
+        dest = jvm.org.apache.hadoop.fs.Path(target_root, name)
+        if fs.exists(dest):
+            fs.delete(dest, True)
+        fs.rename(st.getPath(), dest)
+    fs.delete(staging_root, True)
 
 
 def write_bucketed(

@@ -90,6 +90,44 @@ def test_partitioned_ddl(spark, specs):
     spark.sql("DROP TABLE crm.email_read_log")
 
 
+def test_write_table_partitioned_spec(spark, specs):
+    """saveAsTable(partitionBy) moves the partition column to the END of
+    the live layout; write_table must insert by the live order, not the
+    YAML spec order, or values land in the wrong columns (or fail the
+    positional cast outright — CANNOT_SAFELY_CAST on this spec)."""
+    import datetime as dt
+
+    spec = specs["crm.email_read_log"]
+    spark.sql("DROP TABLE IF EXISTS crm.email_read_log")
+    ensure_table(spark, spec)
+    row = (
+        "c1",
+        "e1",
+        3,
+        True,
+        dt.datetime(2024, 5, 1, 12),
+        "c1-e1",
+        dt.datetime(2024, 5, 2, 8),
+        "run-1",
+    )
+    write_table(spark, spec, spark.createDataFrame([row], spec.schema))
+    got = spark.sql(
+        "SELECT contact_id, hits, is_read, date_read, emitted_at, emitted_id"
+        " FROM crm.email_read_log"
+    ).collect()
+    assert [tuple(r) for r in got] == [
+        (
+            "c1",
+            3,
+            True,
+            dt.datetime(2024, 5, 1, 12),
+            dt.datetime(2024, 5, 2, 8),
+            "run-1",
+        )
+    ]
+    spark.sql("DROP TABLE crm.email_read_log")
+
+
 def test_discovered_projection_drops_and_nulls(spark):
     records = [
         {"id": "1", "keep": "a", "stale": "x"},

@@ -9,7 +9,10 @@ import datetime as dt
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
-from data_pipeline_bigquery_spark.streaming.rollup_stream import start_rollup_stream
+from data_pipeline_bigquery_spark.streaming.rollup_stream import (
+    make_merge_batch,
+    start_rollup_stream,
+)
 
 TS = dt.datetime
 SCHEMA = "id long, ts timestamp, event_type string, value double"
@@ -80,3 +83,40 @@ def test_streaming_rollup_matches_batch_recompute(spark, tmp_path):
     assert got == expect
     assert got[("click", "2024-01-01")] == (3, 4.0)
     assert got[("view", "2024-01-03")] == (1, 10.0)
+
+
+def _rollup_state(spark, rollup):
+    return sorted(
+        (r.event_type, str(r.day), r.n_rows, float(r.total_value))
+        for r in spark.read.parquet(str(rollup)).collect()
+    )
+
+
+def test_epoch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a replayed epoch (failure after the
+    rollup swap, before the checkpoint commit) must NOT merge its batch a
+    second time — the last-applied epoch marker makes it a no-op."""
+    rollup = tmp_path / "rollup"
+    merge = make_merge_batch(
+        str(rollup),
+        keys=["event_type", "day"],
+        sums={"total_value": F.col("value_dec")},
+    )
+
+    def _batch(*triples):
+        return spark.createDataFrame(_rows(*triples), SCHEMA).select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.col("value").cast("decimal(18,2)").alias("value_dec"),
+        )
+
+    b0 = _batch((TS(2024, 1, 1, 10), "click", 1.5), (TS(2024, 1, 1, 11), "click", 2.5))
+    merge(b0, 0)
+    after_first = _rollup_state(spark, rollup)
+    assert after_first == [("click", "2024-01-01", 2, 4.0)]
+
+    merge(b0, 0)  # replayed epoch: same batch, same epoch_id
+    assert _rollup_state(spark, rollup) == after_first  # no double count
+
+    merge(_batch((TS(2024, 1, 1, 12), "click", 1.0)), 1)  # later epoch applies
+    assert _rollup_state(spark, rollup) == [("click", "2024-01-01", 3, 5.0)]
