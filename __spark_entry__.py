@@ -104,6 +104,22 @@ _ADDED_ROUND_2 = {
 }
 
 
+# red in the round-3 TIMESTAMP_NTZ fixture regression (VERDICT r03),
+# fixed in round 4 (catalog.load normalization + NTZ-tolerant epoch
+# helpers).  Their only driver-green rows predate the fix, so they jump
+# the rotation for fresh driver evidence; drop from this set once a
+# green CORRECTNESS row postdating the fix exists.
+_NEEDS_REEVIDENCE = {
+    "pipeline_change_log",
+    "multi_format_timestamp_parse",
+    "epoch_millis_to_timestamp",
+    "pipeline_engagement",
+    "window_frame_specs",
+    "sessionize_events",
+}
+_REEVIDENCE_AFTER_ROUND = 3  # green rows in CORRECTNESS_r>NN clear the flag
+
+
 def _tier(name: str) -> int:
     if name in _HEAVY_ROWS_ONLY:
         return 2
@@ -112,14 +128,40 @@ def _tier(name: str) -> int:
     return 0
 
 
+def _post_fix_greens() -> dict[str, int]:
+    """Green-count restricted to rounds after the NTZ fix landed."""
+    counts: dict[str, int] = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        tag = os.path.basename(path)[len("CORRECTNESS_r") : -len(".json")]
+        try:
+            if int(tag) <= _REEVIDENCE_AFTER_ROUND:
+                continue
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for key, row in data.items():
+            if isinstance(row, dict) and not row.get("err") and row.get("hash_match"):
+                counts[key] = counts.get(key, 0) + 1
+    return counts
+
+
 def _ordered_registry():
     reg = registry()
     counts = _driver_green_counts()
+    post_fix = _post_fix_greens()
     names = list(reg)
-    ranked = sorted(
-        range(len(names)),
-        key=lambda i: (counts.get(names[i], 0), _tier(names[i]), i),
-    )
+
+    def rank(i: int):
+        name = names[i]
+        # re-broken-then-fixed queries outrank everything until a
+        # post-fix driver round records a fresh hash-green row
+        if name in _NEEDS_REEVIDENCE and not post_fix.get(name):
+            return (-1, 0, i)
+        return (counts.get(name, 0), _tier(name), i)
+
+    ranked = sorted(range(len(names)), key=rank)
     return {names[i]: reg[names[i]] for i in ranked}
 
 

@@ -86,27 +86,42 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-# tables whose parquet files carry TIMESTAMP(NANOS) — Spark has no nanos
-# type, so they are read as long (legacy conf) and converted losslessly
-# (fixture data is µs-aligned; TESTDATA.md).
+# tables whose parquet files have historically carried TIMESTAMP(NANOS) —
+# Spark has no nanos type, so when the session-level legacy conf
+# (session.get_spark) makes them arrive as bigint they are converted
+# losslessly (fixture data is µs-aligned; TESTDATA.md).
 _NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Plain ``spark.read.parquet`` so pushdown,
-    pruning, and partition discovery all apply."""
-    nanos_cols = _NANOS_TS_COLUMNS.get(name, ())
-    if nanos_cols:
-        # settable at runtime; also pre-set in session.get_spark
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    pruning, and partition discovery all apply.
+
+    Timestamp columns are normalized to ``TIMESTAMP`` instants at this
+    boundary, whatever the file encoding — nanos-as-bigint (driver rounds
+    1-2), or ``timestamp[us]`` with no zone ⇒ ``TIMESTAMP_NTZ`` (round 3+;
+    the NTZ→TIMESTAMP cast is value-preserving under the UTC session TZ).
+    Downstream operators therefore always see one timestamp type; epoch
+    math (``unix_millis`` etc.) is additionally routed through
+    :func:`..functions.timestamps.as_instant` as belt-and-suspenders.
+    No session conf is mutated here (conf-at-read is global; the legacy
+    nanos switch lives in ``session.get_spark`` only).
+    """
     df = spark.read.parquet(table_path(sf_dir, name))
     from pyspark.sql import functions as F
 
-    dtypes = dict(df.dtypes)
-    for c in nanos_cols:
-        if dtypes.get(c) == "bigint":
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
-    return df
+    nanos_cols = _NANOS_TS_COLUMNS.get(name, ())
+    projected, changed = [], False
+    for c, dt in df.dtypes:
+        if c in nanos_cols and dt == "bigint":
+            projected.append(F.timestamp_micros(F.expr(f"`{c}` div 1000")).alias(c))
+            changed = True
+        elif dt == "timestamp_ntz":
+            projected.append(F.col(c).cast("timestamp").alias(c))
+            changed = True
+        else:
+            projected.append(F.col(c))
+    return df.select(*projected) if changed else df
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=FIXTURE_TABLES) -> None:

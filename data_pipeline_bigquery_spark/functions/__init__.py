@@ -16,10 +16,12 @@ from data_pipeline_bigquery_spark.functions.keys import (
     md5_surrogate_key,
 )
 from data_pipeline_bigquery_spark.functions.timestamps import (
+    as_instant,
     epoch_millis_to_ts,
     parse_multi_format_ts,
     to_business_tz,
     to_epoch_millis,
+    to_epoch_seconds,
     truncate_seconds,
 )
 
@@ -31,7 +33,9 @@ __all__ = [
     "csv_append_dedup",
     "csv_contains",
     "md5_surrogate_key",
+    "as_instant",
     "epoch_millis_to_ts",
+    "to_epoch_seconds",
     "parse_multi_format_ts",
     "to_business_tz",
     "to_epoch_millis",

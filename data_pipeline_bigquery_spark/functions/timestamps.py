@@ -40,6 +40,21 @@ def parse_multi_format_ts(col: Column | str) -> Column:
     )
 
 
+def as_instant(col: Column | str) -> Column:
+    """Normalize any timestamp flavor to ``TIMESTAMP`` (an instant).
+
+    Parquet fixtures have carried ``ts`` three ways across driver rounds:
+    nanos-as-bigint, ``TIMESTAMP``, and (today) ``TIMESTAMP_NTZ``
+    (``timestamp[us]`` with no zone).  Epoch math (``unix_millis``,
+    ``unix_seconds``) and BIGINT casts are TIMESTAMP-only, so every such
+    site routes through here.  The session TZ is pinned UTC
+    (:mod:`..session`), making the NTZ→TIMESTAMP cast value-preserving;
+    on an already-TIMESTAMP column the cast is a no-op Catalyst removes.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp")
+
+
 def epoch_millis_to_ts(col: Column | str) -> Column:
     """C2: ``pd.to_datetime(ms, unit='ms')`` ≙ ``timestamp_millis``."""
     c = F.col(col) if isinstance(col, str) else col
@@ -48,8 +63,13 @@ def epoch_millis_to_ts(col: Column | str) -> Column:
 
 def to_epoch_millis(col: Column | str) -> Column:
     """C2 reverse: ``int(dt.timestamp() * 1000)`` ≙ ``unix_millis``."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.unix_millis(c)
+    return F.unix_millis(as_instant(col))
+
+
+def to_epoch_seconds(col: Column | str) -> Column:
+    """Epoch seconds for RANGE window frames and gap arithmetic —
+    NTZ-tolerant replacement for the illegal ``ts.cast("long")``."""
+    return F.unix_seconds(as_instant(col))
 
 
 def to_business_tz(col: Column | str, tz: str = BUSINESS_TZ) -> Column:

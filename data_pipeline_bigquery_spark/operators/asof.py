@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from data_pipeline_bigquery_spark.functions.timestamps import to_epoch_seconds
+
 _TAG = "__asof_tag"
 _RTS = "__asof_rts"
 
@@ -64,7 +66,7 @@ def asof_join(
     fresh = (
         F.lit(True)
         if tolerance_s is None
-        else (F.col(ts_col).cast("long") - matched_ts.cast("long") <= tolerance_s)
+        else (to_epoch_seconds(ts_col) - to_epoch_seconds(matched_ts) <= tolerance_s)
     )
     out = both.withColumn("asof_ts", F.when(fresh, matched_ts))
     for c in value_cols:

@@ -18,6 +18,7 @@ import datetime as _dt
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from data_pipeline_bigquery_spark.functions.timestamps import to_epoch_millis
 from data_pipeline_bigquery_spark.operators.nested import json_field, serialize_row_json
 from data_pipeline_bigquery_spark.operators.windows import version_row_number
 
@@ -49,7 +50,7 @@ def change_log_plan(
     df = version_row_number(
         df, ["object_id"], ["ts", "updated_value"], out_col="version"
     )
-    df = df.withColumn("updated_at_timestamp", F.unix_millis("ts")).withColumn(
+    df = df.withColumn("updated_at_timestamp", to_epoch_millis("ts")).withColumn(
         "updated_at_date", F.col("ts")
     )
     df = serialize_row_json(

@@ -331,7 +331,7 @@ def _multi_format_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = F.when(
         F.col("event_id") % 2 == 0,
         F.date_format(F.date_trunc("second", F.col("ts")), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
-    ).otherwise(F.unix_millis(F.col("ts")).cast("string"))
+    ).otherwise(to_epoch_millis("ts").cast("string"))
     df = events.select("event_id", raw.alias("raw_ts"))
     return df.select(
         "event_id", "raw_ts", parse_multi_format_ts("raw_ts").alias("parsed_ts")

@@ -14,6 +14,7 @@ from data_pipeline_bigquery_spark.functions.keys import csv_append_dedup, csv_co
 from data_pipeline_bigquery_spark.functions.timestamps import (
     parse_multi_format_ts,
     to_business_tz,
+    to_epoch_millis,
     truncate_seconds,
 )
 from data_pipeline_bigquery_spark.operators.nested import json_field
@@ -261,7 +262,7 @@ def _pipeline_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw_ts = F.when(
         F.col("event_id") % 3 == 0,
         F.date_format(F.date_trunc("second", F.col("ts")), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
-    ).otherwise(F.unix_millis(F.col("ts")).cast("string"))
+    ).otherwise(to_epoch_millis("ts").cast("string"))
     df = events.select(
         F.col("event_id").cast("string").alias("id"),
         F.col("props").alias("properties"),

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_bigquery_spark.catalog import load
+from data_pipeline_bigquery_spark.functions.timestamps import to_epoch_seconds
 from data_pipeline_bigquery_spark.operators.asof import asof_join
 from data_pipeline_bigquery_spark.queries import QuerySpec
 
@@ -234,7 +235,7 @@ def _window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
     rng = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
+        .orderBy(to_epoch_seconds("ts"))
         .rangeBetween(-3600, 0)
     )
     return ev.select(

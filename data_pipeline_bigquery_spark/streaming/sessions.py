@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from data_pipeline_bigquery_spark.functions.timestamps import to_epoch_seconds
+
 DEFAULT_GAP_MIN = 30
 
 
@@ -41,7 +43,7 @@ def sessionize(
     w = Window.partitionBy(user_col).orderBy(ts_col)
     gap_s = gap_minutes * 60
     is_break = (
-        F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w) > gap_s
+        to_epoch_seconds(ts_col) - F.lag(to_epoch_seconds(ts_col)).over(w) > gap_s
     ).cast("int")
     return events.withColumn(
         "session_idx",
