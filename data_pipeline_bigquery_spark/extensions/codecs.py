@@ -1,0 +1,150 @@
+"""Pure-python image codecs for the multimodal kernels.
+
+The reference stores media as opaque lake objects and never decodes them
+(``/root/reference/config/gcs/gcs.py:204-229`` moves bytes only); a
+training-data pipeline must actually decode.  The container has no
+PIL/pyav, so the engine implements the two classic *uncompressed*
+formats in pure python + numpy — a real decode path with real pixel
+math — and dispatches on magic bytes.  Compressed codecs (JPEG/PNG/
+H.264) raise ``NotImplementedError`` at the dispatch point, which is the
+exact seam where a production image would swap in PIL/pyav.
+
+Everything here runs inside Arrow-batched ``mapInPandas`` workers
+(:mod:`.multimodal`); nothing touches the driver.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+PPM_MAGIC = b"P6"
+BMP_MAGIC = b"BM"
+# compressed formats we recognize but cannot decode in this container
+_JPEG_MAGIC = b"\xff\xd8\xff"
+_PNG_MAGIC = b"\x89PNG"
+
+
+# --- PPM (P6, binary, maxval 255) -------------------------------------------
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """h×w×3 uint8 array → binary P6 PPM."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError(f"expected h*w*3 pixel array, got {pixels.shape}")
+    h, w, _ = pixels.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
+
+
+def decode_ppm(buf: bytes, offset: int = 0) -> tuple[np.ndarray, int]:
+    """Decode one P6 image starting at ``offset``.
+
+    Returns ``(pixels h×w×3 uint8, offset_past_image)`` — the second
+    element makes concatenated-frame streams (our "video" container)
+    walkable frame by frame.
+    """
+    if buf[offset : offset + 2] != PPM_MAGIC:
+        raise ValueError("not a P6 PPM at offset %d" % offset)
+    pos = offset + 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        # skip whitespace and comment lines between header tokens
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if buf[pos : pos + 1] == b"#":
+            while pos < len(buf) and buf[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(buf[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 supported, got {maxval}")
+    n = w * h * 3
+    raster = buf[pos : pos + n]
+    if len(raster) < n:
+        raise ValueError("truncated PPM raster")
+    pixels = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+    return pixels, pos + n
+
+
+# --- BMP (uncompressed 24-bit, bottom-up) ------------------------------------
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """h×w×3 uint8 RGB array → uncompressed 24-bit BMP (BI_RGB)."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError(f"expected h*w*3 pixel array, got {pixels.shape}")
+    h, w, _ = pixels.shape
+    row_size = (w * 3 + 3) & ~3  # rows padded to 4-byte multiples
+    image_size = row_size * h
+    header = struct.pack("<2sIHHI", BMP_MAGIC, 54 + image_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, image_size, 2835, 2835, 0, 0)
+    rows = []
+    pad = b"\x00" * (row_size - w * 3)
+    for y in range(h - 1, -1, -1):  # bottom-up
+        rows.append(pixels[y, :, ::-1].astype(np.uint8).tobytes() + pad)  # RGB→BGR
+    return header + info + b"".join(rows)
+
+
+def decode_bmp(buf: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP → h×w×3 uint8 RGB array."""
+    if buf[:2] != BMP_MAGIC:
+        raise ValueError("not a BMP")
+    data_offset = struct.unpack_from("<I", buf, 10)[0]
+    header_size, w, h = struct.unpack_from("<Iii", buf, 14)
+    bpp = struct.unpack_from("<H", buf, 28)[0]
+    compression = struct.unpack_from("<I", buf, 30)[0]
+    if header_size < 40 or bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP supported (bpp={bpp}, compression={compression})"
+        )
+    bottom_up = h > 0
+    h = abs(h)
+    row_size = (w * 3 + 3) & ~3
+    pixels = np.empty((h, w, 3), dtype=np.uint8)
+    for i in range(h):
+        y = h - 1 - i if bottom_up else i
+        row = np.frombuffer(buf, dtype=np.uint8, count=w * 3, offset=data_offset + i * row_size)
+        pixels[y] = row.reshape(w, 3)[:, ::-1]  # BGR→RGB
+    return pixels
+
+
+# --- dispatch ----------------------------------------------------------------
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Magic-byte dispatch → h×w×3 uint8 RGB.  This is the seam where a
+    production deployment plugs PIL: the two uncompressed formats decode
+    for real here; compressed ones name the missing codec."""
+    if payload is None or len(payload) < 2:
+        raise ValueError("empty payload")
+    if payload[:2] == PPM_MAGIC:
+        return decode_ppm(payload)[0]
+    if payload[:2] == BMP_MAGIC:
+        return decode_bmp(payload)
+    if payload[: len(_JPEG_MAGIC)] == _JPEG_MAGIC:
+        raise NotImplementedError("JPEG codec not available in this container (needs PIL)")
+    if payload[: len(_PNG_MAGIC)] == _PNG_MAGIC:
+        raise NotImplementedError("PNG codec not available in this container (needs PIL)")
+    raise ValueError(f"unrecognized image magic {payload[:4]!r}")
+
+
+def decode_frames(payload: bytes) -> list[np.ndarray]:
+    """Walk a concatenated-P6 stream (the engine's "video" container —
+    every frame a full P6 image, back to back) and return all frames."""
+    frames: list[np.ndarray] = []
+    pos = 0
+    while pos < len(payload):
+        pixels, pos = decode_ppm(payload, pos)
+        frames.append(pixels)
+    return frames
+
+
+def resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize — index arithmetic only, fully vectorized."""
+    h, w, _ = pixels.shape
+    ys = (np.arange(height) * h) // height
+    xs = (np.arange(width) * w) // width
+    return pixels[ys][:, xs]

@@ -1,24 +1,35 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` + typed
-metadata, with decode / frame-sample as Arrow-batched ``mapInPandas``.
+metadata, with decode / resize / feature-extract / frame-sample as
+Arrow-batched ``mapInPandas`` kernels.
 
-The container has no image/audio codecs, so the decode step is STUBBED:
-``_decode_frames`` produces deterministic fake "frames" (fixed-size byte
-slices) and is clearly marked.  Everything around it — binary column
-handling, schema, batch iteration, partition parallelism — is the real
-Spark plumbing a production decoder would drop into.
+The decode path is REAL: :mod:`.codecs` implements uncompressed P6 PPM
+and 24-bit BMP in pure python + numpy, dispatched on magic bytes, so
+resize/features/frame-sample do actual pixel math.  Compressed codecs
+(JPEG/PNG/H.264) raise ``NotImplementedError`` at the same dispatch
+seam — that is where a production image swaps in PIL/pyav.
+
+Payload synthesis (:func:`ppm_payload` / :func:`video_payload`) is a
+Catalyst binary expression — header literal + byte-sliced text — so at
+100 TB the payload column is built scan-side in the JVM and only the
+``mapInPandas`` decode crosses into python, one Arrow batch at a time.
 """
 
 from __future__ import annotations
 
+import hashlib
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-FRAME_SIZE = 4096  # bytes per fake "frame"
-
-FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes int, frame_md5 string"
+from data_pipeline_bigquery_spark.extensions.codecs import (
+    decode_frames,
+    decode_image,
+    encode_ppm,
+    resize_nearest,
+)
 
 
 def binary_metadata(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
@@ -34,55 +45,49 @@ def binary_metadata(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
     )
 
 
-def _decode_frames(payload: bytes, n_frames: int) -> list[bytes]:
-    """STUB decoder. A real implementation would call PIL/pyav here:
+def ppm_payload(text_col: str, width: int, height: int) -> Column:
+    """A valid P6 PPM whose raster is the UTF-8 bytes of ``text_col``
+    (truncated / zero-padded to ``width*height*3``) — built entirely
+    JVM-side with binary concat/substr/rpad, no python."""
+    n = width * height * 3
+    header = F.lit(f"P6\n{width} {height}\n255\n".encode())
+    body = F.expr(f"rpad(substr(encode(`{text_col}`, 'UTF-8'), 1, {n}), {n}, X'00')")
+    return F.concat(header, body)
 
-        raise NotImplementedError("codec not available in this image")
 
-    Instead we return deterministic byte slices so the distributed
-    plumbing (schema, batching, hashing) is testable end-to-end.
-    """
-    if payload is None:
-        return []
-    step = max(len(payload) // max(n_frames, 1), 1)
-    return [payload[i * step : i * step + FRAME_SIZE] for i in range(n_frames) if i * step < len(payload)]
+def video_payload(text_col: str, width: int, height: int, n_frames: int) -> Column:
+    """The engine's "video" container: ``n_frames`` full P6 images back
+    to back, frame *i* rastered from a byte-shifted view of the text so
+    frames differ deterministically."""
+    n = width * height * 3
+    header = F.lit(f"P6\n{width} {height}\n255\n".encode())
+    parts: list[Column] = []
+    for i in range(n_frames):
+        start = 1 + i * 37  # byte stride between frames
+        parts.append(header)
+        parts.append(
+            F.expr(f"rpad(substr(encode(`{text_col}`, 'UTF-8'), {start}, {n}), {n}, X'00')")
+        )
+    return F.concat(*parts)
 
 
 RESIZED_SCHEMA = "doc_id long, width int, height int, resized_bytes int, resized_md5 string"
-
-FEATURE_DIM = 16
-# chunk_sums are the exact integer sufficient statistics the float means
-# derive from: they make the python batch path hash-checkable by an
-# engine that can't reproduce float32 model math
-FEATURE_SCHEMA = "doc_id long, chunk_sums array<long>, feature array<float>"
-
-
-def _decode_image(payload: bytes) -> bytes:
-    """STUB image decoder — a real one calls ``PIL.Image.open`` here
-    (``raise NotImplementedError("PIL not available in this image")``).
-    Returns the payload as the fake "pixel buffer"."""
-    return payload or b""
 
 
 def resize_images(
     df: DataFrame, id_col: str, payload_col: str, width: int = 224, height: int = 224
 ) -> DataFrame:
-    """Decode → resize → re-encode, Arrow batch at a time.  The resize
-    itself is stubbed (deterministic truncate/pad of the fake pixel
-    buffer to width*height bytes); the ``mapInPandas`` shape — binary in,
-    binary-derived columns out, no driver involvement — is exactly the
-    production pattern."""
-    import hashlib
-
+    """Decode → nearest-neighbor resize → re-encode, Arrow batch at a
+    time.  Real pixel math over the pure-python codecs; binary in,
+    binary-derived columns out, no driver involvement."""
     id_name, payload_name = id_col, payload_col
-    target = width * height
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: dict[str, list] = {k: [] for k in ("doc_id", "width", "height", "resized_bytes", "resized_md5")}
             for doc_id, payload in zip(pdf[id_name], pdf[payload_name]):
-                buf = _decode_image(payload)
-                resized = buf[:target].ljust(target, b"\0")
+                pixels = decode_image(bytes(payload))
+                resized = encode_ppm(resize_nearest(pixels, width, height))
                 out["doc_id"].append(int(doc_id))
                 out["width"].append(width)
                 out["height"].append(height)
@@ -92,27 +97,33 @@ def resize_images(
 
     from data_pipeline_bigquery_spark.extensions.dedup_text import spread_small_input
 
+    # python decode is the bottleneck: one input file must not mean one worker
     return spread_small_input(df.select(F.col(id_col), F.col(payload_col))).mapInPandas(
         gen, RESIZED_SCHEMA
     )
 
 
-def extract_features(df: DataFrame, id_col: str, payload_col: str, dim: int = FEATURE_DIM) -> DataFrame:
-    """Feature-extract: binary payload → fixed-dim float vector, the
-    embedding-model inference shape.  STUB model: per-chunk mean byte
-    value, L2-normalized — deterministic, so tests can assert values.
-    A real model swaps the numpy block for an ONNX/torch forward pass
-    per Arrow batch (vectorized, GPU-friendly batch boundary)."""
-    import numpy as np
+FEATURE_DIM = 16
+# chunk_sums are the exact integer sufficient statistics the float means
+# derive from: they make the python batch path hash-checkable by an
+# engine that can't reproduce float32 model math
+FEATURE_SCHEMA = "doc_id long, chunk_sums array<long>, feature array<float>"
 
+
+def extract_features(df: DataFrame, id_col: str, payload_col: str, dim: int = FEATURE_DIM) -> DataFrame:
+    """Feature-extract: decoded pixel buffer → fixed-dim float vector,
+    the embedding-model inference shape.  Deterministic "model": per-chunk
+    mean intensity over the real decoded raster, L2-normalized.  A real
+    model swaps the numpy block for an ONNX/torch forward pass per Arrow
+    batch (vectorized, GPU-friendly batch boundary)."""
     id_name, payload_name = id_col, payload_col
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, sums, feats = [], [], []
             for doc_id, payload in zip(pdf[id_name], pdf[payload_name]):
-                buf = np.frombuffer(_decode_image(payload), dtype=np.uint8)
-                chunks = np.array_split(buf, dim) if buf.size else [np.array([])] * dim
+                buf = decode_image(bytes(payload)).reshape(-1)
+                chunks = np.array_split(buf, dim)
                 v = np.array([c.mean() if c.size else 0.0 for c in chunks], dtype=np.float32)
                 norm = float(np.linalg.norm(v))
                 ids.append(int(doc_id))
@@ -127,29 +138,32 @@ def extract_features(df: DataFrame, id_col: str, payload_col: str, dim: int = FE
     )
 
 
-def frame_sample(df: DataFrame, id_col: str, payload_col: str, n_frames: int = 4) -> DataFrame:
-    """Sample N "frames" per document via ``mapInPandas`` — Arrow batches
-    in, Arrow batches out, one python worker per partition.  This is the
-    pattern (and the exact signature) a real video frame-sampler uses;
-    only ``_decode_frames`` is fake."""
-    import hashlib
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes int, frame_md5 string"
 
+
+def frame_sample(df: DataFrame, id_col: str, payload_col: str, n_frames: int = 4) -> DataFrame:
+    """Sample up to N frames per video via ``mapInPandas``: the payload
+    is a concatenated-P6 stream; every stored frame is decoded for real
+    and an evenly-strided subset re-encoded + digested.  Arrow batches
+    in, Arrow batches out, one python worker per partition."""
     id_name, payload_name = id_col, payload_col
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_md5": []}
             for doc_id, payload in zip(pdf[id_name], pdf[payload_name]):
-                for idx, frame in enumerate(_decode_frames(payload, n_frames)):
+                frames = decode_frames(bytes(payload))
+                stride = max(len(frames) // n_frames, 1)
+                for idx, frame in enumerate(frames[::stride][:n_frames]):
+                    enc = encode_ppm(frame)
                     out["doc_id"].append(int(doc_id))
                     out["frame_idx"].append(idx)
-                    out["frame_bytes"].append(len(frame))
-                    out["frame_md5"].append(hashlib.md5(frame).hexdigest())
+                    out["frame_bytes"].append(len(enc))
+                    out["frame_md5"].append(hashlib.md5(enc).hexdigest())
             yield pd.DataFrame(out)
 
     from data_pipeline_bigquery_spark.extensions.dedup_text import spread_small_input
 
-    # python decode is the bottleneck: one input file must not mean one worker
     return spread_small_input(df.select(F.col(id_col), F.col(payload_col))).mapInPandas(
         gen, FRAME_SCHEMA
     )

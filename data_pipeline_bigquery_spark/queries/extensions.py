@@ -27,7 +27,9 @@ from data_pipeline_bigquery_spark.extensions.multimodal import (
     binary_metadata,
     extract_features,
     frame_sample,
+    ppm_payload,
     resize_images,
+    video_payload,
 )
 from data_pipeline_bigquery_spark.streaming.sessions import session_aggregate
 from data_pipeline_bigquery_spark.extensions.similarity import (
@@ -570,30 +572,33 @@ FROM unioned GROUP BY md5(text)
 
 
 def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas frame-sampling stub — Arrow-batched python path;
-    decode is a deterministic fake (no codecs in the container), so the
-    driver runs the weaker rows-only check."""
+    """Frame-sampling over a real concatenated-P6 "video" per document
+    (6 stored frames, rastered from byte-shifted views of the text,
+    synthesized JVM-side).  Every sampled frame is decoded with the
+    pure-python PPM codec and re-digested — rows-only driver check, with
+    digest-asserted unit tests (tests/test_multimodal_codecs.py)."""
     docs = load(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "UTF-8").alias("payload")
+        "doc_id", video_payload("text", 16, 12, n_frames=6).alias("payload")
     )
     return frame_sample(docs, "doc_id", "payload", n_frames=4)
 
 
 def _multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode→resize→re-encode stub over mapInPandas (rows-only check:
-    the resize math lives in the python stub)."""
+    """Decode→nearest-neighbor-resize→re-encode over mapInPandas; the
+    input is a valid 32×24 P6 image per document (JVM-synthesized), the
+    pixel math is real (extensions/codecs.py)."""
     docs = load(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "UTF-8").alias("payload")
+        "doc_id", ppm_payload("text", 32, 24).alias("payload")
     )
     return resize_images(docs, "doc_id", "payload", width=16, height=16)
 
 
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary → normalized float vector (model-inference shape), then a
-    JVM-side rollup so the bench exercises both the python batch path
-    and the downstream array math."""
+    """Decoded raster → normalized float vector (model-inference shape),
+    then a JVM-side rollup so the bench exercises both the python batch
+    path and the downstream array math."""
     docs = load(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "UTF-8").alias("payload")
+        "doc_id", ppm_payload("text", 32, 24).alias("payload")
     )
     feats = extract_features(docs, "doc_id", "payload")
     return feats.select(

