@@ -104,11 +104,13 @@ _ADDED_ROUND_2 = {
 }
 
 
-# red in the round-3 TIMESTAMP_NTZ fixture regression (VERDICT r03),
-# fixed in round 4 (catalog.load normalization + NTZ-tolerant epoch
-# helpers).  Their only driver-green rows predate the fix, so they jump
-# the rotation for fresh driver evidence; drop from this set once a
-# green CORRECTNESS row postdating the fix exists.
+# Queries whose behavior changed in round 4, so their pre-round-4 driver
+# rows are stale evidence: the six TIMESTAMP_NTZ-regression fixes
+# (VERDICT r03; catalog.load normalization + NTZ-tolerant epoch helpers),
+# the two sketch queries (now oracle-checked accuracy contracts instead
+# of rows-only), and the multimodal trio (real PPM/BMP decode instead of
+# synthetic-byte stubs).  They jump the rotation until a green
+# CORRECTNESS row postdating the change exists.
 _NEEDS_REEVIDENCE = {
     "pipeline_change_log",
     "multi_format_timestamp_parse",
@@ -116,6 +118,11 @@ _NEEDS_REEVIDENCE = {
     "pipeline_engagement",
     "window_frame_specs",
     "sessionize_events",
+    "approx_distinct_daily",
+    "approx_price_percentiles",
+    "multimodal_resize",
+    "multimodal_features",
+    "multimodal_frame_sample",
 }
 _REEVIDENCE_AFTER_ROUND = 3  # green rows in CORRECTNESS_r>NN clear the flag
 
@@ -129,7 +136,11 @@ def _tier(name: str) -> int:
 
 
 def _post_fix_greens() -> dict[str, int]:
-    """Green-count restricted to rounds after the NTZ fix landed."""
+    """Green-count restricted to rounds after the round-4 changes landed.
+
+    Same green rule as :func:`_driver_green_counts` (hash when computed,
+    rows-only otherwise) so rows-only keys can clear the re-evidence flag
+    too."""
     counts: dict[str, int] = {}
     here = os.path.dirname(os.path.abspath(__file__))
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
@@ -142,7 +153,12 @@ def _post_fix_greens() -> dict[str, int]:
         except (OSError, ValueError):
             continue
         for key, row in data.items():
-            if isinstance(row, dict) and not row.get("err") and row.get("hash_match"):
+            if not isinstance(row, dict) or row.get("err"):
+                continue
+            green = row.get("hash_match")
+            if green is None:
+                green = row.get("rows_match")
+            if green:
                 counts[key] = counts.get(key, 0) + 1
     return counts
 
