@@ -141,3 +141,20 @@ def test_q20_nested_semijoin_single_fact_scan(spark, reg):
     assert_no_cartesian(df)
     assert_single_scan(df, "lineitem")
     assert_max_exchanges(df, 2)
+
+
+def test_sketch_percentile_audit_broadcasts_sketch(spark, reg):
+    # the rank audit joins the 3-row sketch result back onto the fact as
+    # a broadcast — the fact must never shuffle for the join itself
+    df = _q(reg, spark, "approx_price_percentiles")
+    assert_no_cartesian(df)
+    assert count_nodes(df, "SortMergeJoin") == 0
+    assert count_nodes(df, "BroadcastHashJoin") == 1
+
+
+def test_sketch_distinct_single_exchange(spark, reg):
+    # HLL++ sketch and exact count(distinct) share one grouping: the
+    # distinct expand adds its exchange, but nothing data-sized beyond
+    df = _q(reg, spark, "approx_distinct_daily")
+    assert_no_cartesian(df)
+    assert_max_exchanges(df, 3)
