@@ -56,14 +56,13 @@ def _driver_green_counts() -> dict[str, int]:
     return counts
 
 
-# expensive rows-only queries (ANN training loops, multimodal batch
-# plumbing): their driver check is the weaker rows-only kind anyway, so
+# expensive queries (ANN training loops, multimodal batch plumbing):
 # within the same green-count tier they yield the sweep budget to
-# oracled queries and rotate in on later rounds
+# cheaper queries and rotate in on later rounds
 _HEAVY_ROWS_ONLY = {
-    "ann_ivf_pq_topk",
-    "ann_ivf_trained_topk",
-    "ann_ivf_topk",
+    "ann_ivf_pq_recall_contract",
+    "ann_ivf_trained_recall_contract",
+    "ann_ivf_recall_contract",
     "multimodal_frame_sample",
 }
 
@@ -71,7 +70,6 @@ _HEAVY_ROWS_ONLY = {
 # these sort behind the round-1-era queries that are still unchecked
 _ADDED_ROUND_2 = {
     "schema_discovery_projection",
-    "ann_ivf_pq_topk",
     "incremental_rollup_maintenance",
     "q4_order_priority_exists",
     "q11_important_part_value",

@@ -153,7 +153,7 @@ def ivf_pq_topk(
     """IVF-PQ ANN with exact re-ranking.
 
     1. coarse quantizer: sampled spherical k-means (shared with
-       ``ann_ivf_trained_topk``); corpus → cells via broadcast argmax.
+       ``ann_ivf_trained_recall_contract``); corpus → cells via broadcast argmax.
     2. PQ codebooks on cell residuals; corpus encoded to ``m`` codes by
        a literal-codebook codegen projection.
     3. each query probes its ``nprobe`` best cells, scores in-cell

@@ -393,6 +393,50 @@ def _ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _recall_contract(spark, sf_dir: str, approx: DataFrame, bound: float) -> DataFrame:
+    """Corpus-level recall@k of ``approx`` vs the exact brute-force
+    top-k, as an oracle-hash-checkable contract (the sketch-query
+    pattern): one output row ``(n_queries, recall_ok)`` where the oracle
+    asserts ``recall_ok`` TRUE.  All ANN paths here are deterministic
+    (pinned seeds/sampling/tie-breaks), so a locally-green bound is
+    driver-green."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = cosine_topk(queries, emb, k=5).select("query_id", "neighbor_id")
+    hits = exact.join(
+        approx.select("query_id", "neighbor_id").withColumn("hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return hits.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        (
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))) >= F.count(F.lit(1)) * F.lit(bound)
+        ).alias("recall_ok"),
+    )
+
+
+def _ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-quantizer IVF recall contract (measured 0.975 at sf0.001,
+    0.925 at sf0.01; gate 0.8 — same as tests/test_ann_recall.py)."""
+    return _recall_contract(spark, sf_dir, _ann_ivf(spark, sf_dir), 0.8)
+
+
+def _ann_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-quantizer IVF recall contract (gate 0.7)."""
+    return _recall_contract(spark, sf_dir, _ann_ivf_trained(spark, sf_dir), 0.7)
+
+
+def _ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ + rerank recall contract (0.775 at sf0.01; gate 0.7)."""
+    return _recall_contract(spark, sf_dir, _ann_ivf_pq(spark, sf_dir), 0.7)
+
+
+_ANN_RECALL_SQL = """
+SELECT count(*) AS n_queries, TRUE AS recall_ok FROM embeddings WHERE vec_id < 8
+"""
+
+
 # --- text analysis -----------------------------------------------------------
 
 def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -642,10 +686,15 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_ngram_jaccard": QuerySpec(_ngram_jaccard, _JACCARD_SQL),
     "dedup_embedding_cosine": QuerySpec(_embedding_neardup, _NEARDUP_SQL),
     "ann_cosine_topk": QuerySpec(_ann_topk, _ANN_SQL),
-    "ann_ivf_topk": QuerySpec(_ann_ivf, None),
+    # the IVF family registers as oracle-hash-checked contracts: the
+    # exact-configured path hash-matches brute force outright, and each
+    # approximate configuration runs inside a recall contract (the
+    # sketch-query pattern) — raw top-k output stays available via
+    # extensions.similarity.ivf_topk / extensions.pq.ivf_pq_topk
     "ann_ivf_exact_topk": QuerySpec(_ann_ivf_exact, _ANN_SQL),
-    "ann_ivf_trained_topk": QuerySpec(_ann_ivf_trained, None),
-    "ann_ivf_pq_topk": QuerySpec(_ann_ivf_pq, None),
+    "ann_ivf_recall_contract": QuerySpec(_ann_ivf_recall, _ANN_RECALL_SQL),
+    "ann_ivf_trained_recall_contract": QuerySpec(_ann_ivf_trained_recall, _ANN_RECALL_SQL),
+    "ann_ivf_pq_recall_contract": QuerySpec(_ann_ivf_pq_recall, _ANN_RECALL_SQL),
     "text_lang_id": QuerySpec(_lang_id, _LANG_SQL),
     "text_quality_score": QuerySpec(_quality, _QUALITY_SQL),
     "text_token_count": QuerySpec(_token_count, _TOKEN_SQL),
