@@ -469,9 +469,14 @@ GROUP BY l_returnflag, l_linestatus
 # --- headline join-agg (bench): revenue by nation (TPC-H Q5-style) ----------
 
 def _revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-join star query: dims broadcast, fact shuffles once for the
-    final aggregation.  Demonstrates the join-ordering/broadcast shape
-    the engine relies on at 100 TB.
+    """Multi-join star query: true dims (nation/region) are explicitly
+    broadcast; orders/customer carry NO hint — they are facts that only
+    *happen* to fit in memory at fixture scale, so the planner (statics
+    below the autoBroadcast threshold, AQE above it) picks broadcast
+    here and degrades to a co-partitioned shuffle join at 100 TB.  A
+    forced ``broadcast(orders)`` would OOM a real cluster — and even at
+    sf0.1 the unhinted plan measures ~40% faster (the hint forces an
+    eager broadcast subtree; see PERFORMANCE.md).
     """
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
@@ -482,9 +487,9 @@ def _revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
     )
     return (
-        li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")),
+        li.join(orders.select("o_orderkey", "o_custkey"),
                 li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+        .join(customer.select("c_custkey", "c_nationkey"),
               F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
