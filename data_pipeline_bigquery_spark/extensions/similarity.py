@@ -71,6 +71,50 @@ def cosine_topk(
     )
 
 
+# Above this corpus size the brute-force query×corpus nested loop stops
+# being the right default and the IVF path wins; below it, cell
+# assignment overhead dominates and exact brute force is both faster
+# and oracle-exact.  ~100k 64-dim vectors ≈ the point where the NLJ's
+# O(N·Q) work exceeds IVF's assignment + in-cell scan at nprobe=2.
+AUTO_TOPK_BRUTE_MAX = 100_000
+
+
+def similarity_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_rows: int | None = None,
+    nprobe: int = 2,
+    auto_cells: int = 64,
+    train_iters: int = 1,
+) -> DataFrame:
+    """The user-facing top-k default: auto-routes between exact brute
+    force (small corpus — exact AND faster) and trained-quantizer IVF
+    (large corpus — the 100 TB path, recall-gated).
+
+    ``corpus_rows`` skips the count when the caller already knows the
+    cardinality (e.g. from table stats); pass it on a lake table so the
+    router never triggers a count job.  The routing threshold is
+    ``AUTO_TOPK_BRUTE_MAX``; both branches share ids/column contracts,
+    so callers see one schema either way.
+    """
+    n = corpus_rows if corpus_rows is not None else corpus.count()
+    if n <= AUTO_TOPK_BRUTE_MAX:
+        return cosine_topk(queries, corpus, k=k, id_col=id_col, vec_col=vec_col)
+    return ivf_topk(
+        queries,
+        corpus,
+        k=k,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+        auto_cells=auto_cells,
+        train_iters=train_iters,
+    )
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.9,

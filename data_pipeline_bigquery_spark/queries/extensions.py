@@ -331,6 +331,19 @@ def _ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(queries, emb, k=5)
 
 
+def _ann_auto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The user-facing default (`similarity_topk`): auto-routes exact
+    brute force below AUTO_TOPK_BRUTE_MAX corpus rows, trained IVF
+    above.  At fixture scale it takes the exact branch, so the
+    brute-force SQL stays a hash-level oracle; the large branch is the
+    recall-contract-checked IVF path."""
+    from data_pipeline_bigquery_spark.extensions.similarity import similarity_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity_topk(queries, emb, k=5)
+
+
 _ANN_SQL = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 q AS (SELECT * FROM e WHERE vec_id < 8),
@@ -686,6 +699,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_ngram_jaccard": QuerySpec(_ngram_jaccard, _JACCARD_SQL),
     "dedup_embedding_cosine": QuerySpec(_embedding_neardup, _NEARDUP_SQL),
     "ann_cosine_topk": QuerySpec(_ann_topk, _ANN_SQL),
+    "ann_auto_topk": QuerySpec(_ann_auto_topk, _ANN_SQL),
     # the IVF family registers as oracle-hash-checked contracts: the
     # exact-configured path hash-matches brute force outright, and each
     # approximate configuration runs inside a recall contract (the

@@ -91,3 +91,28 @@ def test_trained_centroids_unit_norm_and_deterministic(spark):
         assert abs(sum(x * x for x in v) - 1.0) < 1e-9  # spherical: unit norm
         # partition-layout independent up to fp summation noise in avg()
         assert max(abs(a - b) for a, b in zip(v, c2[cell])) < 1e-9
+
+
+def test_similarity_topk_auto_routing(spark):
+    """The user-facing default routes by corpus size: small -> exactly
+    the brute-force result; large (forced via corpus_rows) -> the IVF
+    path, which must keep recall in the gated band."""
+    from data_pipeline_bigquery_spark.extensions.similarity import (
+        AUTO_TOPK_BRUTE_MAX,
+        similarity_topk,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+
+    exact = _topk_sets(cosine_topk(queries, emb, k=5))
+    small = _topk_sets(similarity_topk(queries, emb, k=5))
+    assert small == exact  # small corpus: identical to brute force
+
+    big = _topk_sets(
+        similarity_topk(queries, emb, k=5, corpus_rows=AUTO_TOPK_BRUTE_MAX + 1)
+    )
+    assert set(big) == set(exact)
+    hits = sum(len(big[q] & exact[q]) for q in exact)
+    recall = hits / sum(len(exact[q]) for q in exact)
+    assert recall >= 0.7, f"auto-routed IVF recall collapsed: {recall:.2f}"
