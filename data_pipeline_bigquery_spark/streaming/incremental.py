@@ -84,6 +84,7 @@ def streaming_upsert(
     watermark: str = "10 minutes",
     checkpoint: str | None = None,
     transform=None,
+    partition_col: str | None = None,
 ):
     """Structured Streaming version of the email-read-log path
     (SURVEY §3.3): files land in ``stream_path``, late/duplicate events
@@ -94,6 +95,18 @@ def streaming_upsert(
     as batch; the watermark bounds dedup state so it doesn't grow
     unboundedly (the reference's equivalent guard is the MERGE no-op on
     unchanged cursor rows, bigquery.py:249-251).
+
+    ``partition_col`` selects the sink strategy:
+
+    * ``None`` — unpartitioned target, full staged rewrite per batch.
+      O(target) per micro-batch: fine for dimension-sized targets, NOT
+      for a lake-scale fact.
+    * a hive partition column (e.g. an event date) — each batch routes
+      through :func:`..sources.lake.merge_partitioned`: the batch's
+      distinct partition values prune the target scan, the merge runs
+      over the touched slice only, and only touched ``col=value``
+      directories are swapped.  IO per micro-batch is O(touched
+      partitions) — the configuration a 100 TB streaming sink needs.
     """
     stream = spark.readStream.schema(schema).parquet(stream_path)
     if transform is not None:
@@ -108,8 +121,21 @@ def streaming_upsert(
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
         # a batch may still carry several versions of one pk → keep latest
         batch_df = dedup_keep_latest(batch_df, [pk], [event_time_col])
+        sess = batch_df.sparkSession
+        if partition_col is not None:
+            from data_pipeline_bigquery_spark.sources.lake import merge_partitioned
+
+            if os.path.exists(target_path):
+                merge_partitioned(
+                    sess, batch_df, target_path, pk, partition_col, event_time_col
+                )
+            else:
+                batch_df.write.mode("overwrite").partitionBy(partition_col).parquet(
+                    target_path
+                )
+            return
         if os.path.exists(target_path):
-            target = batch_df.sparkSession.read.parquet(target_path)
+            target = sess.read.parquet(target_path)
             merged = merge_upsert(
                 target, batch_df.select(*target.columns), pk, event_time_col
             )
@@ -117,7 +143,7 @@ def streaming_upsert(
             merged = batch_df
         staging = target_path + ".staging"
         merged.write.mode("overwrite").parquet(staging)
-        batch_df.sparkSession.read.parquet(staging).write.mode("overwrite").parquet(target_path)
+        sess.read.parquet(staging).write.mode("overwrite").parquet(target_path)
 
     writer = deduped.writeStream.foreachBatch(merge_batch).outputMode("append")
     if checkpoint:

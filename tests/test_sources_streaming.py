@@ -148,3 +148,64 @@ class TestStreamingUpsert:
         final = {r.id: r.v for r in spark.read.parquet(target).collect()}
         assert final[2] == "b"
         assert final[1] in ("a2",)  # newer cursor wins
+
+    def test_stream_partitioned_sink_touches_only_hot_partitions(self, spark, tmp_path):
+        """partition_col routes batches through merge_partitioned: the
+        second batch touches only day=2024-01-02, so day=2024-01-01's
+        files must stay byte-identical (O(touched partitions) IO)."""
+        import glob
+        import hashlib
+        import os
+
+        stream_dir = tmp_path / "in"
+        stream_dir.mkdir()
+        target = str(tmp_path / "tgt")
+        schema = "id long, ts timestamp, day string, v string"
+
+        batch1 = spark.createDataFrame(
+            [
+                Row(id=1, ts=TS(2024, 1, 1, 10), day="2024-01-01", v="a"),
+                Row(id=2, ts=TS(2024, 1, 2, 9), day="2024-01-02", v="b"),
+            ],
+            schema,
+        )
+        batch1.coalesce(1).write.mode("append").parquet(str(stream_dir))
+
+        q = streaming_upsert(
+            spark,
+            str(stream_dir),
+            schema,
+            target,
+            pk="id",
+            event_time_col="ts",
+            checkpoint=str(tmp_path / "ckpt2"),
+            partition_col="day",
+        )
+        try:
+            q.processAllAvailable()
+
+            def digests(day):
+                return {
+                    os.path.basename(p): hashlib.md5(open(p, "rb").read()).hexdigest()
+                    for p in glob.glob(f"{target}/day={day}/*.parquet")
+                }
+
+            day1_before = digests("2024-01-01")
+            assert day1_before  # partitioned layout written
+
+            batch2 = spark.createDataFrame(
+                [
+                    Row(id=2, ts=TS(2024, 1, 2, 12), day="2024-01-02", v="b2"),
+                    Row(id=3, ts=TS(2024, 1, 2, 13), day="2024-01-02", v="c"),
+                ],
+                schema,
+            )
+            batch2.coalesce(1).write.mode("append").parquet(str(stream_dir))
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        final = {r.id: r.v for r in spark.read.parquet(target).collect()}
+        assert final == {1: "a", 2: "b2", 3: "c"}
+        # untouched partition: same files, same bytes
+        assert digests("2024-01-01") == day1_before
