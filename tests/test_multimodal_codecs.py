@@ -146,3 +146,50 @@ def test_spark_frame_sample_real_frames(spark):
         raw = text.encode()[start : start + n].ljust(n, b"\0")
         expected = encode_ppm(np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3))
         assert r["frame_md5"] == hashlib.md5(expected).hexdigest(), idx
+
+
+# --- property-based round trips ----------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def _images(draw):
+    h = draw(st.integers(min_value=1, max_value=12))
+    w = draw(st.integers(min_value=1, max_value=12))
+    data = draw(st.binary(min_size=h * w * 3, max_size=h * w * 3))
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+
+
+@settings(max_examples=50, deadline=None)
+@given(_images())
+def test_ppm_roundtrip_property(px):
+    out, end = decode_ppm(encode_ppm(px))
+    np.testing.assert_array_equal(out, px)
+    assert end == len(encode_ppm(px))
+
+
+@settings(max_examples=50, deadline=None)
+@given(_images())
+def test_bmp_roundtrip_property(px):
+    np.testing.assert_array_equal(decode_bmp(encode_bmp(px)), px)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_images(), min_size=1, max_size=4))
+def test_frame_stream_roundtrip_property(frames):
+    stream = b"".join(encode_ppm(f) for f in frames)
+    out = decode_frames(stream)
+    assert len(out) == len(frames)
+    for got, want in zip(out, frames):
+        np.testing.assert_array_equal(got, want)
+
+
+@settings(max_examples=25, deadline=None)
+@given(_images(), st.integers(min_value=1, max_value=8), st.integers(min_value=1, max_value=8))
+def test_resize_property(px, w, h):
+    out = resize_nearest(px, w, h)
+    assert out.shape == (h, w, 3)
+    # every output pixel exists somewhere in the input (nearest = a pick)
+    flat_in = {tuple(p) for p in px.reshape(-1, 3)}
+    assert all(tuple(p) in flat_in for p in out.reshape(-1, 3))
