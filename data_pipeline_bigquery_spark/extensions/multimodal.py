@@ -47,18 +47,25 @@ def binary_metadata(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
 
 def ppm_payload(text_col: str, width: int, height: int) -> Column:
     """A valid P6 PPM whose raster is the UTF-8 bytes of ``text_col``
-    (truncated / zero-padded to ``width*height*3``) — built entirely
-    JVM-side with binary concat/substr/rpad, no python."""
+    (truncated / space-padded to ``width*height*3``) — built entirely
+    JVM-side with binary concat/substr/rpad, no python.
+
+    The pad byte is 0x20 (space), not NUL, so the whole payload stays
+    ASCII when the text is ASCII — which lets the DuckDB oracle rebuild
+    the identical byte stream with VARCHAR functions and hash-verify
+    the python decode kernels end to end (see the multimodal oracle SQL
+    in ``queries/extensions.py``)."""
     n = width * height * 3
     header = F.lit(f"P6\n{width} {height}\n255\n".encode())
-    body = F.expr(f"rpad(substr(encode(`{text_col}`, 'UTF-8'), 1, {n}), {n}, X'00')")
+    body = F.expr(f"rpad(substr(encode(`{text_col}`, 'UTF-8'), 1, {n}), {n}, X'20')")
     return F.concat(header, body)
 
 
 def video_payload(text_col: str, width: int, height: int, n_frames: int) -> Column:
     """The engine's "video" container: ``n_frames`` full P6 images back
     to back, frame *i* rastered from a byte-shifted view of the text so
-    frames differ deterministically."""
+    frames differ deterministically.  Space-padded like
+    :func:`ppm_payload` (oracle-replicable bytes)."""
     n = width * height * 3
     header = F.lit(f"P6\n{width} {height}\n255\n".encode())
     parts: list[Column] = []
@@ -66,7 +73,7 @@ def video_payload(text_col: str, width: int, height: int, n_frames: int) -> Colu
         start = 1 + i * 37  # byte stride between frames
         parts.append(header)
         parts.append(
-            F.expr(f"rpad(substr(encode(`{text_col}`, 'UTF-8'), {start}, {n}), {n}, X'00')")
+            F.expr(f"rpad(substr(encode(`{text_col}`, 'UTF-8'), {start}, {n}), {n}, X'20')")
         )
     return F.concat(*parts)
 

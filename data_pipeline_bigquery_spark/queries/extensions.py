@@ -632,8 +632,11 @@ def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling over a real concatenated-P6 "video" per document
     (6 stored frames, rastered from byte-shifted views of the text,
     synthesized JVM-side).  Every sampled frame is decoded with the
-    pure-python PPM codec and re-digested — rows-only driver check, with
-    digest-asserted unit tests (tests/test_multimodal_codecs.py)."""
+    pure-python PPM codec and re-digested; the DuckDB oracle rebuilds
+    each sampled frame's exact bytes with VARCHAR slicing (the fixture
+    text is pure ASCII, so char ops == byte ops) and must reproduce the
+    python kernel's md5 — a hash-level cross-language check of the
+    decode path."""
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", video_payload("text", 16, 12, n_frames=6).alias("payload")
     )
@@ -643,7 +646,9 @@ def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode→nearest-neighbor-resize→re-encode over mapInPandas; the
     input is a valid 32×24 P6 image per document (JVM-synthesized), the
-    pixel math is real (extensions/codecs.py)."""
+    pixel math is real (extensions/codecs.py).  The oracle gathers the
+    same 256 nearest-neighbor pixels by byte position in SQL and
+    md5-verifies the re-encoded image the python kernel emitted."""
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", ppm_payload("text", 32, 24).alias("payload")
     )
@@ -651,17 +656,76 @@ def _multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decoded raster → normalized float vector (model-inference shape),
-    then a JVM-side rollup so the bench exercises both the python batch
-    path and the downstream array math."""
+    """Decoded raster → normalized float vector (model-inference shape).
+    ``chunk_csv`` exposes the integer sufficient statistics (per-chunk
+    byte sums of the decoded raster) the floats derive from — the oracle
+    recomputes them per byte (``ord`` over a generate_series) so the
+    python decode+aggregate path is hash-checked; the normalized
+    vector's squared norm is 1 by construction."""
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", ppm_payload("text", 32, 24).alias("payload")
     )
     feats = extract_features(docs, "doc_id", "payload")
     return feats.select(
         "doc_id",
+        F.concat_ws(",", F.col("chunk_sums").cast("array<string>")).alias("chunk_csv"),
         F.expr("round(aggregate(feature, 0.0D, (a, x) -> a + x * x), 3)").alias("sq_norm"),
     )
+
+
+def _ppm_gather_sql(in_w: int, in_h: int, out_w: int, out_h: int) -> str:
+    """DuckDB expression rebuilding the python kernel's resized P6 bytes
+    from first principles: the same nearest-neighbor index arithmetic as
+    ``codecs.resize_nearest``, as 1-based VARCHAR byte positions over
+    the space-padded raster ``r``."""
+    n = in_w * in_h * 3
+    ys = [(y * in_h) // out_h for y in range(out_h)]
+    xs = [(x * in_w) // out_w for x in range(out_w)]
+    parts = [f"'P6' || chr(10) || '{out_w} {out_h}' || chr(10) || '255' || chr(10)"]
+    for y in ys:
+        for x in xs:
+            parts.append(f"substr(r, {y * in_w * 3 + x * 3 + 1}, 3)")
+    # flat variadic concat — a ||-chain of 257 terms exceeds DuckDB's
+    # binder recursion depth (128)
+    gather = "concat(" + ", ".join(parts) + ")"
+    return (
+        f"WITH base AS (SELECT doc_id, substr(text || repeat(' ', {n}), 1, {n}) AS r"
+        " FROM documents)\n"
+        f"SELECT doc_id, CAST({out_w} AS INT) AS width, CAST({out_h} AS INT) AS height,"
+        f" CAST({13 + out_w * out_h * 3} AS INT) AS resized_bytes,"
+        f" md5({gather}) AS resized_md5 FROM base"
+    )
+
+
+_MM_RESIZE_SQL = _ppm_gather_sql(32, 24, 16, 16)
+
+# per-chunk byte sums of the 32*24*3 raster (16 chunks of 144 bytes),
+# recomputed byte-by-byte: ord() over a generate_series join
+_MM_FEAT_SQL = """
+WITH base AS (
+  SELECT doc_id, substr(text || repeat(' ', 2304), 1, 2304) AS r FROM documents),
+bytes AS (
+  SELECT doc_id, CAST((i - 1) // 144 AS INT) AS chunk, ord(substr(r, CAST(i AS INT), 1)) AS v
+  FROM base, generate_series(1, 2304) AS s(i)),
+chunks AS (
+  SELECT doc_id, chunk, sum(v) AS sm FROM bytes GROUP BY doc_id, chunk)
+SELECT doc_id,
+       string_agg(CAST(sm AS VARCHAR), ',' ORDER BY chunk) AS chunk_csv,
+       CAST(1.0 AS DOUBLE) AS sq_norm
+FROM chunks GROUP BY doc_id
+"""
+
+# 6 stored 16x12 frames at byte stride 37, first 4 sampled (stride 1);
+# each frame is a contiguous slice, so the oracle slice IS the raster
+_MM_FRAMES_SQL = """
+WITH f AS (SELECT unnest([0, 1, 2, 3]) AS frame_idx),
+base AS (SELECT doc_id, text || repeat(' ', 800) AS padded FROM documents)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(589 AS INT) AS frame_bytes,
+       md5('P6' || chr(10) || '16 12' || chr(10) || '255' || chr(10)
+           || substr(padded, 1 + frame_idx * 37, 576)) AS frame_md5
+FROM base CROSS JOIN f
+"""
 
 
 # --- sessionization (events) -------------------------------------------------
@@ -718,8 +782,8 @@ QUERIES: dict[str, QuerySpec] = {
     "corpus_ngram_stats": QuerySpec(_corpus_ngrams, _CORPUS_NGRAMS_SQL),
     "multimodal_metadata": QuerySpec(_multimodal_metadata, _MULTIMODAL_SQL),
     "multimodal_binary_dedup": QuerySpec(_multimodal_binary_dedup, _MM_DEDUP_SQL),
-    "multimodal_frame_sample": QuerySpec(_multimodal_frames, None),
-    "multimodal_resize": QuerySpec(_multimodal_resize, None),
-    "multimodal_features": QuerySpec(_multimodal_features, None),
+    "multimodal_frame_sample": QuerySpec(_multimodal_frames, _MM_FRAMES_SQL),
+    "multimodal_resize": QuerySpec(_multimodal_resize, _MM_RESIZE_SQL),
+    "multimodal_features": QuerySpec(_multimodal_features, _MM_FEAT_SQL),
     "sessionize_events": QuerySpec(_sessionize, _SESSIONIZE_SQL),
 }

@@ -97,7 +97,7 @@ def test_spark_resize_known_digest(spark):
     )
     row = resize_images(docs, "doc_id", "payload", width=8, height=8).collect()[0]
 
-    raw = text.encode()[: 32 * 24 * 3].ljust(32 * 24 * 3, b"\0")
+    raw = text.encode()[: 32 * 24 * 3].ljust(32 * 24 * 3, b" ")
     px = np.frombuffer(raw, dtype=np.uint8).reshape(24, 32, 3)
     expected = encode_ppm(resize_nearest(px, 8, 8))
     assert row["resized_md5"] == hashlib.md5(expected).hexdigest()
@@ -115,7 +115,7 @@ def test_spark_features_chunk_sums_exact(spark):
     )
     row = extract_features(docs, "doc_id", "payload").collect()[0]
 
-    raw = text.encode()[: 32 * 24 * 3].ljust(32 * 24 * 3, b"\0")
+    raw = text.encode()[: 32 * 24 * 3].ljust(32 * 24 * 3, b" ")
     buf = np.frombuffer(raw, dtype=np.uint8)
     expected = [int(c.sum()) for c in np.array_split(buf, 16)]
     assert list(row["chunk_sums"]) == expected
@@ -143,7 +143,7 @@ def test_spark_frame_sample_real_frames(spark):
     n = w * h * 3
     for idx, r in enumerate(rows):
         start = idx * 37  # matches video_payload's stride (substr is 1-based)
-        raw = text.encode()[start : start + n].ljust(n, b"\0")
+        raw = text.encode()[start : start + n].ljust(n, b" ")
         expected = encode_ppm(np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3))
         assert r["frame_md5"] == hashlib.md5(expected).hexdigest(), idx
 
