@@ -56,9 +56,10 @@ def _driver_green_counts() -> dict[str, int]:
     return counts
 
 
-# expensive queries (ANN training loops, multimodal batch plumbing):
+# expensive queries (ANN training loops, multimodal batch decode):
 # within the same green-count tier they yield the sweep budget to
-# cheaper queries and rotate in on later rounds
+# cheaper queries and rotate in on later rounds (all are oracle-checked
+# since r4; the name is historical)
 _HEAVY_ROWS_ONLY = {
     "ann_ivf_pq_recall_contract",
     "ann_ivf_trained_recall_contract",
