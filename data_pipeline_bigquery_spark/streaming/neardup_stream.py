@@ -1,0 +1,129 @@
+"""Streaming near-duplicate detection — incremental MinHash+LSH.
+
+A training-data ingest pipeline must answer "is this incoming document
+a near-duplicate of anything we already hold?" WITHOUT rescanning the
+corpus per batch.  The reference has no analog (its dedup is pk-only,
+``pipeline/functions/functions.py:91-106``); this is the streaming twin
+of :mod:`..extensions.dedup_text`:
+
+* per micro-batch, new documents are shingled and minhashed with the
+  SAME portable signature pipeline as the batch operator (identical
+  band hashes, so batch-built indexes and stream-built indexes are
+  interchangeable);
+* each batch's band hashes are equi-joined against the persisted band
+  index — O(batch × matching buckets), never O(corpus);
+* flagged arrivals are appended to a `neardup_log`, and the batch's own
+  bands are appended to the index so later arrivals dedup against them.
+
+State is two parquet tables (band index, log), both append-only per
+batch — no rewrite of existing files, so index IO per micro-batch is
+O(batch), the property that matters at lake scale.  Exactness: a pair
+is flagged iff the two docs agree on ALL rows of some band — precisely
+the batch operator's candidate-pair semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_bigquery_spark.extensions.dedup_text import (
+    DEFAULT_BANDS,
+    DEFAULT_NUM_PERM,
+    char_shingles,
+    minhash_signatures,
+)
+
+
+def band_hashes(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """(doc_id, band_idx, band_hash) for a document set — the unit the
+    band index stores.  Same md5-portable signature math as the batch
+    LSH, factored so stream and batch produce identical hashes."""
+    sigs = minhash_signatures(char_shingles(docs, id_col, text_col), num_perm)
+    rows_per_band = num_perm // bands
+    exprs = [
+        F.md5(
+            F.concat_ws(
+                "_",
+                *[
+                    F.col(f"sig_{j}").cast("string")
+                    for j in range(b * rows_per_band, (b + 1) * rows_per_band)
+                ],
+            )
+        ).alias(f"__b{b}")
+        for b in range(bands)
+    ]
+    return sigs.select(
+        "doc_id", F.posexplode(F.array(*exprs)).alias("band_idx", "band_hash")
+    )
+
+
+def neardup_stream(
+    spark: SparkSession,
+    stream_path: str,
+    schema,
+    index_path: str,
+    log_path: str,
+    checkpoint: str | None = None,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+):
+    """Start the incremental near-dup detector over a document stream.
+
+    Files of (doc_id, text) land in ``stream_path``; each micro-batch:
+
+    1. computes band hashes for the batch's docs;
+    2. anti-joins nothing — an *inner* join against the stored index
+       yields (new doc, existing doc) candidate pairs, appended to
+       ``log_path`` (columns: doc_id, matched_doc_id, band_idx);
+       in-batch pairs are caught too (batch self-join on band);
+    3. appends the batch's band hashes to ``index_path``.
+
+    Returns the StreamingQuery (caller stops it).
+    """
+    stream = spark.readStream.schema(schema).parquet(stream_path)
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        sess = batch_df.sparkSession
+        batch = band_hashes(batch_df, num_perm=num_perm, bands=bands)
+        # several files per batch may repeat a doc; keep one banding
+        batch = batch.dropDuplicates(["doc_id", "band_idx", "band_hash"])
+
+        existing = None
+        if os.path.exists(index_path):
+            existing = sess.read.parquet(index_path)
+        # in-batch candidates (a<b keeps each pair once)
+        others = batch.select(
+            F.col("doc_id").alias("matched_doc_id"), "band_idx", "band_hash"
+        )
+        pairs = batch.join(others, ["band_idx", "band_hash"]).filter(
+            F.col("matched_doc_id") < F.col("doc_id")
+        )
+        if existing is not None:
+            vs_index = batch.join(
+                existing.select(
+                    F.col("doc_id").alias("matched_doc_id"), "band_idx", "band_hash"
+                ),
+                ["band_idx", "band_hash"],
+            )
+            pairs = pairs.unionByName(vs_index)
+        (
+            pairs.select("doc_id", "matched_doc_id", "band_idx")
+            .distinct()
+            .write.mode("append")
+            .parquet(log_path)
+        )
+        batch.write.mode("append").parquet(index_path)
+
+    writer = stream.writeStream.foreachBatch(process_batch).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
