@@ -408,24 +408,40 @@ def _ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _recall_contract(spark, sf_dir: str, approx: DataFrame, bound: float) -> DataFrame:
     """Corpus-level recall@k of ``approx`` vs the exact brute-force
-    top-k, as an oracle-hash-checkable contract (the sketch-query
-    pattern): one output row ``(n_queries, recall_ok)`` where the oracle
-    asserts ``recall_ok`` TRUE.  All ANN paths here are deterministic
-    (pinned seeds/sampling/tie-breaks), so a locally-green bound is
+    top-k, as a DuckDB-INDEPENDENT contract.
+
+    The contract's output is the exact top-k pair set itself
+    ``(query_id, neighbor_id, cosine_sim)``, gated on recall: if
+    recall@k of ``approx`` against that exact set falls below
+    ``bound``, the gate empties the output and the driver's row-count
+    check goes red.  The DuckDB oracle (``_ANN_RECALL_SQL`` ==
+    ``_ANN_SQL``) recomputes the exact neighbor set entirely on its own
+    (``list_dot_product`` + ``row_number``), so a bug that corrupts the
+    Spark exact arm — even one that corrupts the approximate arm
+    identically — hash-mismatches against DuckDB's independently
+    derived neighbors.  (Previously the oracle merely asserted a
+    ``recall_ok`` boolean computed in the same Spark job; round-4
+    VERDICT item #1.)  All ANN paths here are deterministic (pinned
+    seeds/sampling/tie-breaks), so a locally-green bound is
     driver-green."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    exact = cosine_topk(queries, emb, k=5).select("query_id", "neighbor_id")
-    hits = exact.join(
+    exact = cosine_topk(queries, emb, k=5)
+    hits = exact.select("query_id", "neighbor_id").join(
         approx.select("query_id", "neighbor_id").withColumn("hit", F.lit(1)),
         ["query_id", "neighbor_id"],
         "left",
     )
-    return hits.agg(
-        F.countDistinct("query_id").alias("n_queries"),
+    # 1-row broadcast gate (scalar-subquery pattern, as in coverage3):
+    # present iff corpus recall >= bound, so the crossJoin is identity
+    # on success and empties the contract on failure.
+    gate = hits.agg(
         (
             F.sum(F.coalesce(F.col("hit"), F.lit(0))) >= F.count(F.lit(1)) * F.lit(bound)
         ).alias("recall_ok"),
+    ).filter(F.col("recall_ok"))
+    return exact.crossJoin(F.broadcast(gate)).select(
+        "query_id", "neighbor_id", "cosine_sim"
     )
 
 
@@ -445,9 +461,10 @@ def _ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_contract(spark, sf_dir, _ann_ivf_pq(spark, sf_dir), 0.7)
 
 
-_ANN_RECALL_SQL = """
-SELECT count(*) AS n_queries, TRUE AS recall_ok FROM embeddings WHERE vec_id < 8
-"""
+# The recall contracts share the brute-force oracle: DuckDB recomputes
+# the exact cosine top-k neighbor set itself and the driver hash-compares
+# it against the (recall-gated) Spark exact arm.  See _recall_contract.
+_ANN_RECALL_SQL = _ANN_SQL
 
 
 # --- text analysis -----------------------------------------------------------

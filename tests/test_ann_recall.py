@@ -116,3 +116,24 @@ def test_similarity_topk_auto_routing(spark):
     hits = sum(len(big[q] & exact[q]) for q in exact)
     recall = hits / sum(len(exact[q]) for q in exact)
     assert recall >= 0.7, f"auto-routed IVF recall collapsed: {recall:.2f}"
+
+
+def test_recall_contract_gate_empties_on_bad_approx(spark):
+    """The DuckDB-independent recall contract (round-5 rework): output
+    is the exact top-k pair set gated on recall.  A good approx arm
+    passes the pairs through unchanged; a garbage approx arm (neighbors
+    that exist nowhere in the exact set) must empty the output so the
+    driver's row-count check goes red."""
+    from data_pipeline_bigquery_spark.queries.extensions import _recall_contract
+
+    emb = load(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = cosine_topk(queries, emb, k=5)
+
+    good = _recall_contract(spark, SF_DIR, exact, bound=0.8)
+    assert sorted(map(tuple, good.collect())) == sorted(map(tuple, exact.collect()))
+
+    garbage = exact.select(
+        "query_id", (F.col("neighbor_id") + F.lit(10_000_000)).alias("neighbor_id")
+    )
+    assert _recall_contract(spark, SF_DIR, garbage, bound=0.8).count() == 0
