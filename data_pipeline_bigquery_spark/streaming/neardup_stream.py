@@ -15,11 +15,14 @@ of :mod:`..extensions.dedup_text`:
 * flagged arrivals are appended to a `neardup_log`, and the batch's own
   bands are appended to the index so later arrivals dedup against them.
 
-State is two parquet tables (band index, log), both append-only per
-batch — no rewrite of existing files, so index IO per micro-batch is
-O(batch), the property that matters at lake scale.  Exactness: a pair
-is flagged iff the two docs agree on ALL rows of some band — precisely
-the batch operator's candidate-pair semantics.
+State is two parquet tables (band index, log), both epoch-partitioned:
+each micro-batch touches ONLY its own ``epoch=N`` partition (dynamic
+partition overwrite — idempotent under foreachBatch's at-least-once
+replay), so index IO per micro-batch stays O(batch), the property that
+matters at lake scale.  Exactness: a pair is flagged iff the two docs
+agree on ALL rows of some band — precisely the batch operator's
+candidate-pair semantics; a re-delivered doc_id never pairs with
+itself.
 """
 
 from __future__ import annotations
@@ -82,48 +85,99 @@ def neardup_stream(
 
     1. computes band hashes for the batch's docs;
     2. anti-joins nothing — an *inner* join against the stored index
-       yields (new doc, existing doc) candidate pairs, appended to
+       yields (new doc, existing doc) candidate pairs, written to
        ``log_path`` (columns: doc_id, matched_doc_id, band_idx);
        in-batch pairs are caught too (batch self-join on band);
-    3. appends the batch's band hashes to ``index_path``.
+    3. writes the batch's band hashes to ``index_path``.
+
+    Replay safety (foreachBatch is at-least-once): both tables are
+    partitioned by ``epoch`` and written with DYNAMIC partition
+    overwrite, so a replayed epoch REPLACES its own partition instead
+    of appending a second copy — the standard idempotent-foreachBatch
+    recipe.  The vs-index join additionally excludes the current
+    epoch's partition (a crash between the log and index writes would
+    otherwise make the replay match the batch against its own
+    half-written index rows) and filters ``matched_doc_id != doc_id``
+    so a re-delivered document (same doc_id in a LATER file, which a
+    new epoch legitimately re-bands) is never flagged as a
+    near-duplicate of itself.
 
     Returns the StreamingQuery (caller stops it).
     """
     stream = spark.readStream.schema(schema).parquet(stream_path)
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        sess = batch_df.sparkSession
-        batch = band_hashes(batch_df, num_perm=num_perm, bands=bands)
-        # several files per batch may repeat a doc; keep one banding
-        batch = batch.dropDuplicates(["doc_id", "band_idx", "band_hash"])
-
-        existing = None
-        if os.path.exists(index_path):
-            existing = sess.read.parquet(index_path)
-        # in-batch candidates (a<b keeps each pair once)
-        others = batch.select(
-            F.col("doc_id").alias("matched_doc_id"), "band_idx", "band_hash"
+        process_neardup_batch(
+            batch_df, epoch_id, index_path, log_path, num_perm=num_perm, bands=bands
         )
-        pairs = batch.join(others, ["band_idx", "band_hash"]).filter(
-            F.col("matched_doc_id") < F.col("doc_id")
-        )
-        if existing is not None:
-            vs_index = batch.join(
-                existing.select(
-                    F.col("doc_id").alias("matched_doc_id"), "band_idx", "band_hash"
-                ),
-                ["band_idx", "band_hash"],
-            )
-            pairs = pairs.unionByName(vs_index)
-        (
-            pairs.select("doc_id", "matched_doc_id", "band_idx")
-            .distinct()
-            .write.mode("append")
-            .parquet(log_path)
-        )
-        batch.write.mode("append").parquet(index_path)
 
     writer = stream.writeStream.foreachBatch(process_batch).outputMode("append")
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def process_neardup_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    index_path: str,
+    log_path: str,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+) -> None:
+    """One micro-batch of the incremental near-dup detector — factored
+    out of the foreachBatch closure so replay semantics (same epoch_id
+    twice) are directly unit-testable."""
+    if batch_df.isEmpty():
+        return  # an empty partitioned write would leave an unreadable dir
+    sess = batch_df.sparkSession
+    batch = band_hashes(batch_df, num_perm=num_perm, bands=bands)
+    # several files per batch may repeat a doc; keep one banding
+    batch = batch.dropDuplicates(["doc_id", "band_idx", "band_hash"])
+
+    existing = None
+    if os.path.exists(index_path):
+        existing = sess.read.parquet(index_path).filter(
+            F.col("epoch") != F.lit(epoch_id)
+        )
+    # in-batch candidates (a<b keeps each pair once)
+    others = batch.select(
+        F.col("doc_id").alias("matched_doc_id"), "band_idx", "band_hash"
+    )
+    pairs = batch.join(others, ["band_idx", "band_hash"]).filter(
+        F.col("matched_doc_id") < F.col("doc_id")
+    )
+    if existing is not None:
+        vs_index = batch.join(
+            existing.select(
+                F.col("doc_id").alias("matched_doc_id"), "band_idx", "band_hash"
+            ),
+            ["band_idx", "band_hash"],
+        ).filter(F.col("matched_doc_id") != F.col("doc_id"))
+        pairs = pairs.unionByName(vs_index)
+    out = (
+        pairs.select("doc_id", "matched_doc_id", "band_idx")
+        .distinct()
+        .persist()
+    )
+    try:
+        # skip zero-pair epochs: a partitioned write of an empty frame
+        # leaves a directory with no schema footer (unreadable); replays
+        # are deterministic, so skip-vs-overwrite cannot diverge.
+        if not out.isEmpty():
+            (
+                out.withColumn("epoch", F.lit(epoch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch")
+                .parquet(log_path)
+            )
+    finally:
+        out.unpersist()
+    (
+        batch.withColumn("epoch", F.lit(epoch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch")
+        .parquet(index_path)
+    )

@@ -97,3 +97,75 @@ def test_streaming_neardup_flags_across_and_within_batches(spark, tmp_path):
     # the index accumulated both batches (append-only)
     idx_docs = {r.doc_id for r in spark.read.parquet(index_path).select("doc_id").distinct().collect()}
     assert idx_docs == {1, 2, 3, 4}
+
+
+def test_redelivered_doc_id_never_self_pairs(spark, tmp_path):
+    """A document re-delivered under the SAME doc_id in a later batch
+    (at-least-once file delivery) must not be flagged as a near-dup of
+    itself, and a replayed epoch must not duplicate log/index rows
+    (epoch-partitioned dynamic overwrite)."""
+    stream_dir = tmp_path / "in"
+    stream_dir.mkdir()
+    index_path = str(tmp_path / "band_index")
+    log_path = str(tmp_path / "neardup_log")
+    schema = "doc_id long, text string"
+
+    spark.createDataFrame([Row(doc_id=1, text=BASE)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(stream_dir))
+    q = neardup_stream(
+        spark, str(stream_dir), schema, index_path, log_path,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+        # same doc_id, same text, re-delivered in a later file
+        spark.createDataFrame([Row(doc_id=1, text=BASE)], schema).coalesce(
+            1
+        ).write.mode("append").parquet(str(stream_dir))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    import os as _os
+    if _os.path.exists(log_path):
+        assert not [
+            r for r in spark.read.parquet(log_path).collect()
+            if r.doc_id == r.matched_doc_id
+        ]
+    # the index holds doc 1's bands for both epochs but no self-pair leaked
+    idx = spark.read.parquet(index_path)
+    assert {r.doc_id for r in idx.select("doc_id").distinct().collect()} == {1}
+
+
+def test_replayed_epoch_is_idempotent(spark, tmp_path):
+    """Driving the micro-batch body twice with the SAME epoch_id (the
+    crash-replay case) must leave exactly one copy of that epoch's log
+    and index rows, and the replay must not flag the batch against its
+    own half-written index partition."""
+    from data_pipeline_bigquery_spark.streaming.neardup_stream import (
+        process_neardup_batch,
+    )
+
+    index_path = str(tmp_path / "band_index")
+    log_path = str(tmp_path / "neardup_log")
+    docs = spark.createDataFrame(
+        [Row(doc_id=3, text=NEAR), Row(doc_id=4, text=NEAR)],
+        "doc_id long, text string",
+    )
+    process_neardup_batch(docs, 0, index_path, log_path)
+    first_log = sorted(
+        (r.doc_id, r.matched_doc_id, r.band_idx)
+        for r in spark.read.parquet(log_path).collect()
+    )
+    first_idx = spark.read.parquet(index_path).count()
+    assert (4, 3) in {(a, b) for a, b, _ in first_log}  # in-batch pair caught
+
+    process_neardup_batch(docs, 0, index_path, log_path)  # replay
+    replay_log = sorted(
+        (r.doc_id, r.matched_doc_id, r.band_idx)
+        for r in spark.read.parquet(log_path).collect()
+    )
+    assert replay_log == first_log  # no duplicate pairs, no self pairs
+    assert spark.read.parquet(index_path).count() == first_idx
+    assert not [r for r in replay_log if r[0] == r[1]]
