@@ -92,11 +92,21 @@ def get_table_config(specs: dict[str, TableSpec], dataset: str, table: str) -> d
 def ensure_table(spark: SparkSession, spec: TableSpec) -> None:
     """DDL round-trip: create the database and an empty managed table
     with the config-resolved schema (and partitioning, when the config
-    names a ``partition_field``) if it doesn't exist yet."""
+    names a ``partition_field``) if it doesn't exist yet.
+
+    The table's storage provider comes from the config's
+    ``sink-format`` key (default parquet) through the pluggable sink
+    seam (:mod:`.sources.sink`) — a catalog entry can declare itself
+    ORC (tested) or a connector format without any engine edit."""
+    from data_pipeline_bigquery_spark.sources.sink import spec_from_table_config
+
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {spec.dataset}")
     if spark.catalog.tableExists(spec.qualified_name):
         return
-    writer = spark.createDataFrame([], spec.schema).write
+    sink = spec_from_table_config(spec.config)
+    writer = spark.createDataFrame([], spec.schema).write.format(sink.format)
+    if sink.options:
+        writer = writer.options(**sink.options)
     part = spec.config.get("partition_field")
     if part:
         writer = writer.partitionBy(part)

@@ -81,7 +81,34 @@ def _orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _segment_agg(read_staged_orc(spark, path))
 
 
+def _sink_seam_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The K2 MERGE result routed through the pluggable sink seam in a
+    SECOND format (ORC via ``SinkSpec``), re-read, and returned — the
+    driver hash-compares it against the same DuckDB merge oracle as
+    ``merge_upsert``, proving the format-parameterized write path is
+    semantics-preserving end-to-end (the BigQuery-connector seam,
+    exercised with the local format this sandbox can run)."""
+    from data_pipeline_bigquery_spark.queries.pipelines import _merge_upsert
+    from data_pipeline_bigquery_spark.sources.sink import (
+        SinkSpec,
+        read_source,
+        write_sink,
+    )
+
+    merged = _merge_upsert(spark, sf_dir)
+    path = _stage_dir(sf_dir, "sink_seam_orc")
+    write_sink(merged, SinkSpec(format="orc"), path=path, mode="overwrite")
+    return read_source(spark, SinkSpec(format="orc"), path=path)
+
+
+def _sink_seam_sql() -> str:
+    from data_pipeline_bigquery_spark.queries.pipelines import _MERGE_SQL
+
+    return _MERGE_SQL
+
+
 QUERIES: dict[str, QuerySpec] = {
     "csv_typed_scan": QuerySpec(_csv_typed_scan, _AGG_SQL),
     "orc_roundtrip_scan": QuerySpec(_orc_roundtrip_scan, _AGG_SQL),
+    "sink_seam_merge_roundtrip": QuerySpec(_sink_seam_merge_roundtrip, _sink_seam_sql()),
 }

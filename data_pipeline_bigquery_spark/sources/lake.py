@@ -41,13 +41,24 @@ def write_lake(
     path: str,
     mode: str = "append",
     partition_by: tuple[str, ...] = (),
+    sink: "SinkSpec | None" = None,
 ) -> None:
     """K3 parquet_write.  Retries are Spark task retries; atomicity is
-    the file committer's job — no hand-rolled retry loop."""
-    writer = df.write.mode(mode)
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(path)
+    the file committer's job — no hand-rolled retry loop.
+
+    ``sink`` routes the write through the pluggable format seam
+    (:mod:`.sink`): pass ``SinkSpec(format="orc")`` (tested) or a
+    connector binding like ``bigquery`` — the lake default stays
+    parquet."""
+    from data_pipeline_bigquery_spark.sources.sink import SinkSpec, write_sink
+
+    write_sink(
+        df,
+        sink if sink is not None else SinkSpec(),
+        path=path,
+        mode=mode,
+        partition_by=partition_by,
+    )
 
 
 def merge_partitioned(
