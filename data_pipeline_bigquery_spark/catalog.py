@@ -92,6 +92,21 @@ def table_path(sf_dir: str, name: str) -> str:
 # losslessly (fixture data is µs-aligned; TESTDATA.md).
 _NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
+# The NTZ→TIMESTAMP normalization below is value-preserving ONLY under a
+# UTC session zone; any other zone would silently shift instants.
+_UTC_ZONES = frozenset({"UTC", "Etc/UTC", "GMT", "Etc/GMT", "Z", "+00:00"})
+
+
+def _require_utc_session(spark: SparkSession, table: str, col: str) -> None:
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz not in _UTC_ZONES:
+        raise ValueError(
+            f"refusing to cast TIMESTAMP_NTZ column {table}.{col} under "
+            f"session timezone {tz!r}: the cast is value-preserving only "
+            "under UTC. Use session.get_spark() or set "
+            "spark.sql.session.timeZone=UTC on your session."
+        )
+
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Plain ``spark.read.parquet`` so pushdown,
@@ -117,6 +132,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             projected.append(F.timestamp_micros(F.expr(f"`{c}` div 1000")).alias(c))
             changed = True
         elif dt == "timestamp_ntz":
+            _require_utc_session(spark, name, c)
             projected.append(F.col(c).cast("timestamp").alias(c))
             changed = True
         else:
