@@ -114,10 +114,25 @@ def decode_bmp(buf: bytes) -> np.ndarray:
 
 # --- dispatch ----------------------------------------------------------------
 
+def _pil_decode(payload: bytes) -> np.ndarray:
+    """Compressed-codec path through PIL when the dependency exists —
+    the optional half of the dispatch seam.  Raises ImportError when
+    PIL is absent (caller converts to the honest NotImplementedError)."""
+    import io
+
+    from PIL import Image  # optional dependency; absent in this container
+
+    with Image.open(io.BytesIO(payload)) as im:
+        return np.asarray(im.convert("RGB"), dtype=np.uint8)
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Magic-byte dispatch → h×w×3 uint8 RGB.  This is the seam where a
-    production deployment plugs PIL: the two uncompressed formats decode
-    for real here; compressed ones name the missing codec."""
+    """Magic-byte dispatch → h×w×3 uint8 RGB.  The two uncompressed
+    formats decode for real in pure python; compressed ones route
+    through PIL WHEN INSTALLED (``pytest.importorskip``-gated tests in
+    tests/test_multimodal_codecs.py) and name the missing codec
+    otherwise — same seam, no code edit needed the day the dependency
+    lands."""
     if payload is None or len(payload) < 2:
         raise ValueError("empty payload")
     if payload[:2] == PPM_MAGIC:
@@ -125,9 +140,19 @@ def decode_image(payload: bytes) -> np.ndarray:
     if payload[:2] == BMP_MAGIC:
         return decode_bmp(payload)
     if payload[: len(_JPEG_MAGIC)] == _JPEG_MAGIC:
-        raise NotImplementedError("JPEG codec not available in this container (needs PIL)")
+        try:
+            return _pil_decode(payload)
+        except ImportError:
+            raise NotImplementedError(
+                "JPEG codec not available in this container (needs PIL)"
+            ) from None
     if payload[: len(_PNG_MAGIC)] == _PNG_MAGIC:
-        raise NotImplementedError("PNG codec not available in this container (needs PIL)")
+        try:
+            return _pil_decode(payload)
+        except ImportError:
+            raise NotImplementedError(
+                "PNG codec not available in this container (needs PIL)"
+            ) from None
     raise ValueError(f"unrecognized image magic {payload[:4]!r}")
 
 

@@ -61,16 +61,28 @@ def ppm_payload(text_col: str, width: int, height: int) -> Column:
     return F.concat(header, body)
 
 
+# byte offset between consecutive frames' raster views of the text —
+# shared with the DuckDB oracle SQL (queries/extensions.py derives its
+# substr positions from this constant, so payload geometry has ONE home)
+FRAME_BYTE_STRIDE = 37
+
+
+def ppm_header(width: int, height: int) -> bytes:
+    """The P6 header both the JVM payload synthesis and the oracle SQL
+    derive sizes from (no hardcoded 13s/589s anywhere)."""
+    return f"P6\n{width} {height}\n255\n".encode()
+
+
 def video_payload(text_col: str, width: int, height: int, n_frames: int) -> Column:
     """The engine's "video" container: ``n_frames`` full P6 images back
     to back, frame *i* rastered from a byte-shifted view of the text so
     frames differ deterministically.  Space-padded like
     :func:`ppm_payload` (oracle-replicable bytes)."""
     n = width * height * 3
-    header = F.lit(f"P6\n{width} {height}\n255\n".encode())
+    header = F.lit(ppm_header(width, height))
     parts: list[Column] = []
     for i in range(n_frames):
-        start = 1 + i * 37  # byte stride between frames
+        start = 1 + i * FRAME_BYTE_STRIDE
         parts.append(header)
         parts.append(
             F.expr(f"rpad(substr(encode(`{text_col}`, 'UTF-8'), {start}, {n}), {n}, X'20')")
@@ -148,11 +160,26 @@ def extract_features(df: DataFrame, id_col: str, payload_col: str, dim: int = FE
 FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes int, frame_md5 string"
 
 
+def sample_frame_indices(n_stored: int, n_sample: int) -> list[int]:
+    """Evenly-covering sample of ``n_sample`` source-frame indices out
+    of ``n_stored``: ``i * n_stored // n_sample`` — spans the whole clip
+    (first through last region) for ANY ratio, unlike a floor-div
+    stride, which degenerates to the leading frames whenever
+    ``n_stored < 2 * n_sample``.  Deduplicated (order-preserving) when
+    the clip has fewer frames than requested.  Shared with the DuckDB
+    oracle SQL, which embeds exactly this pick list."""
+    if n_stored <= 0:
+        return []
+    return list(dict.fromkeys(i * n_stored // n_sample for i in range(n_sample)))
+
+
 def frame_sample(df: DataFrame, id_col: str, payload_col: str, n_frames: int = 4) -> DataFrame:
     """Sample up to N frames per video via ``mapInPandas``: the payload
     is a concatenated-P6 stream; every stored frame is decoded for real
-    and an evenly-strided subset re-encoded + digested.  Arrow batches
-    in, Arrow batches out, one python worker per partition."""
+    and an evenly-covering subset re-encoded + digested.  ``frame_idx``
+    is the SOURCE frame index (identifies the stored frame, not the
+    sample position).  Arrow batches in, Arrow batches out, one python
+    worker per partition."""
     id_name, payload_name = id_col, payload_col
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -160,11 +187,10 @@ def frame_sample(df: DataFrame, id_col: str, payload_col: str, n_frames: int = 4
             out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_md5": []}
             for doc_id, payload in zip(pdf[id_name], pdf[payload_name]):
                 frames = decode_frames(bytes(payload))
-                stride = max(len(frames) // n_frames, 1)
-                for idx, frame in enumerate(frames[::stride][:n_frames]):
-                    enc = encode_ppm(frame)
+                for src_idx in sample_frame_indices(len(frames), n_frames):
+                    enc = encode_ppm(frames[src_idx])
                     out["doc_id"].append(int(doc_id))
-                    out["frame_idx"].append(idx)
+                    out["frame_idx"].append(src_idx)
                     out["frame_bytes"].append(len(enc))
                     out["frame_md5"].append(hashlib.md5(enc).hexdigest())
             yield pd.DataFrame(out)

@@ -645,9 +645,21 @@ FROM unioned GROUP BY md5(text)
 """
 
 
+# ONE home for the multimodal payload geometry: the Spark queries below
+# and the DuckDB oracle SQL generators both read these (plus
+# FRAME_BYTE_STRIDE / sample_frame_indices imported from the kernel
+# module), so a config change cannot desync oracle from kernel.
+_MM_IMG_W, _MM_IMG_H = 32, 24  # still-image payload raster
+_MM_OUT_W, _MM_OUT_H = 16, 16  # resize target
+_MM_FEAT_DIM = 16  # feature chunks (== extensions.multimodal.FEATURE_DIM)
+_MM_VID_W, _MM_VID_H = 16, 12  # video frame raster
+_MM_VID_FRAMES = 6  # stored frames per clip
+_MM_SAMPLE_FRAMES = 4  # sampled frames per clip
+
+
 def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling over a real concatenated-P6 "video" per document
-    (6 stored frames, rastered from byte-shifted views of the text,
+    (stored frames rastered from byte-shifted views of the text,
     synthesized JVM-side).  Every sampled frame is decoded with the
     pure-python PPM codec and re-digested; the DuckDB oracle rebuilds
     each sampled frame's exact bytes with VARCHAR slicing (the fixture
@@ -655,21 +667,24 @@ def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     python kernel's md5 — a hash-level cross-language check of the
     decode path."""
     docs = load(spark, sf_dir, "documents").select(
-        "doc_id", video_payload("text", 16, 12, n_frames=6).alias("payload")
+        "doc_id",
+        video_payload("text", _MM_VID_W, _MM_VID_H, n_frames=_MM_VID_FRAMES).alias(
+            "payload"
+        ),
     )
-    return frame_sample(docs, "doc_id", "payload", n_frames=4)
+    return frame_sample(docs, "doc_id", "payload", n_frames=_MM_SAMPLE_FRAMES)
 
 
 def _multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode→nearest-neighbor-resize→re-encode over mapInPandas; the
-    input is a valid 32×24 P6 image per document (JVM-synthesized), the
+    input is a valid P6 image per document (JVM-synthesized), the
     pixel math is real (extensions/codecs.py).  The oracle gathers the
-    same 256 nearest-neighbor pixels by byte position in SQL and
+    same nearest-neighbor pixels by byte position in SQL and
     md5-verifies the re-encoded image the python kernel emitted."""
     docs = load(spark, sf_dir, "documents").select(
-        "doc_id", ppm_payload("text", 32, 24).alias("payload")
+        "doc_id", ppm_payload("text", _MM_IMG_W, _MM_IMG_H).alias("payload")
     )
-    return resize_images(docs, "doc_id", "payload", width=16, height=16)
+    return resize_images(docs, "doc_id", "payload", width=_MM_OUT_W, height=_MM_OUT_H)
 
 
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -680,7 +695,7 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     python decode+aggregate path is hash-checked; the normalized
     vector's squared norm is 1 by construction."""
     docs = load(spark, sf_dir, "documents").select(
-        "doc_id", ppm_payload("text", 32, 24).alias("payload")
+        "doc_id", ppm_payload("text", _MM_IMG_W, _MM_IMG_H).alias("payload")
     )
     feats = extract_features(docs, "doc_id", "payload")
     return feats.select(
@@ -714,16 +729,23 @@ def _ppm_gather_sql(in_w: int, in_h: int, out_w: int, out_h: int) -> str:
     )
 
 
-_MM_RESIZE_SQL = _ppm_gather_sql(32, 24, 16, 16)
+_MM_RESIZE_SQL = _ppm_gather_sql(_MM_IMG_W, _MM_IMG_H, _MM_OUT_W, _MM_OUT_H)
 
-# per-chunk byte sums of the 32*24*3 raster (16 chunks of 144 bytes),
-# recomputed byte-by-byte: ord() over a generate_series join
-_MM_FEAT_SQL = """
+
+def _mm_feat_sql(w: int, h: int, dim: int) -> str:
+    """Per-chunk byte sums of the ``w*h*3`` raster (``dim`` equal
+    chunks), recomputed byte-by-byte: ``ord()`` over a generate_series
+    join.  Geometry comes from the SAME constants the Spark query feeds
+    ``ppm_payload`` — change one, both move."""
+    n = w * h * 3
+    assert n % dim == 0, "raster must split into equal chunks"
+    chunk = n // dim
+    return f"""
 WITH base AS (
-  SELECT doc_id, substr(text || repeat(' ', 2304), 1, 2304) AS r FROM documents),
+  SELECT doc_id, substr(text || repeat(' ', {n}), 1, {n}) AS r FROM documents),
 bytes AS (
-  SELECT doc_id, CAST((i - 1) // 144 AS INT) AS chunk, ord(substr(r, CAST(i AS INT), 1)) AS v
-  FROM base, generate_series(1, 2304) AS s(i)),
+  SELECT doc_id, CAST((i - 1) // {chunk} AS INT) AS chunk, ord(substr(r, CAST(i AS INT), 1)) AS v
+  FROM base, generate_series(1, {n}) AS s(i)),
 chunks AS (
   SELECT doc_id, chunk, sum(v) AS sm FROM bytes GROUP BY doc_id, chunk)
 SELECT doc_id,
@@ -732,17 +754,38 @@ SELECT doc_id,
 FROM chunks GROUP BY doc_id
 """
 
-# 6 stored 16x12 frames at byte stride 37, first 4 sampled (stride 1);
-# each frame is a contiguous slice, so the oracle slice IS the raster
-_MM_FRAMES_SQL = """
-WITH f AS (SELECT unnest([0, 1, 2, 3]) AS frame_idx),
-base AS (SELECT doc_id, text || repeat(' ', 800) AS padded FROM documents)
+
+def _mm_frames_sql(w: int, h: int, n_stored: int, n_sample: int) -> str:
+    """Rebuild every SAMPLED frame's exact bytes in SQL: the pick list
+    and byte stride are imported from the kernel module
+    (``sample_frame_indices`` / ``FRAME_BYTE_STRIDE``), so kernel and
+    oracle cannot desync on payload geometry.  ``frame_idx`` is the
+    source frame index; each frame is a contiguous slice of the padded
+    text, so the oracle slice IS the raster."""
+    from data_pipeline_bigquery_spark.extensions.multimodal import (
+        FRAME_BYTE_STRIDE,
+        ppm_header,
+        sample_frame_indices,
+    )
+
+    n = w * h * 3
+    picks = sample_frame_indices(n_stored, n_sample)
+    frame_bytes = len(ppm_header(w, h)) + n
+    pad = max(picks) * FRAME_BYTE_STRIDE + n  # enough for the last sampled slice
+    picks_sql = ", ".join(str(p) for p in picks)
+    return f"""
+WITH f AS (SELECT unnest([{picks_sql}]) AS frame_idx),
+base AS (SELECT doc_id, text || repeat(' ', {pad}) AS padded FROM documents)
 SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
-       CAST(589 AS INT) AS frame_bytes,
-       md5('P6' || chr(10) || '16 12' || chr(10) || '255' || chr(10)
-           || substr(padded, 1 + frame_idx * 37, 576)) AS frame_md5
+       CAST({frame_bytes} AS INT) AS frame_bytes,
+       md5('P6' || chr(10) || '{w} {h}' || chr(10) || '255' || chr(10)
+           || substr(padded, 1 + frame_idx * {FRAME_BYTE_STRIDE}, {n})) AS frame_md5
 FROM base CROSS JOIN f
 """
+
+
+_MM_FEAT_SQL = _mm_feat_sql(_MM_IMG_W, _MM_IMG_H, _MM_FEAT_DIM)
+_MM_FRAMES_SQL = _mm_frames_sql(_MM_VID_W, _MM_VID_H, _MM_VID_FRAMES, _MM_SAMPLE_FRAMES)
 
 
 # --- sessionization (events) -------------------------------------------------

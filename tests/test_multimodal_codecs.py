@@ -57,12 +57,51 @@ def test_decode_image_dispatch():
     px = _gradient(3, 3)
     np.testing.assert_array_equal(decode_image(encode_ppm(px)), px)
     np.testing.assert_array_equal(decode_image(encode_bmp(px)), px)
+    with pytest.raises(ValueError):
+        decode_image(b"not an image")
+
+
+def test_compressed_codecs_raise_without_pil():
+    """Without PIL the compressed formats must name the missing codec
+    (the honest seam); with PIL present this case is unreachable and the
+    skip-marked tests below take over."""
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL installed: compressed decode is live, not a stub")
+    except ImportError:
+        pass
     with pytest.raises(NotImplementedError, match="JPEG"):
         decode_image(b"\xff\xd8\xff\xe0rest")
     with pytest.raises(NotImplementedError, match="PNG"):
         decode_image(b"\x89PNG\r\n\x1a\nrest")
-    with pytest.raises(ValueError):
-        decode_image(b"not an image")
+
+
+def test_png_decode_through_pil_when_available():
+    """The day PIL lands, PNG decode goes green with NO code edit: a
+    losslessly-compressed PNG of a known raster must decode to the exact
+    pixels (PNG is lossless, so equality is exact)."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    px = _gradient(5, 4)
+    buf = io.BytesIO()
+    PIL_Image.fromarray(px, "RGB").save(buf, format="PNG")
+    np.testing.assert_array_equal(decode_image(buf.getvalue()), px)
+
+
+def test_jpeg_decode_through_pil_when_available():
+    """JPEG is lossy — assert shape/dtype and near-equality on a flat
+    image (a constant field survives DCT quantization ~exactly)."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    px = np.full((8, 8, 3), 128, dtype=np.uint8)
+    buf = io.BytesIO()
+    PIL_Image.fromarray(px, "RGB").save(buf, format="JPEG", quality=95)
+    out = decode_image(buf.getvalue())
+    assert out.shape == (8, 8, 3) and out.dtype == np.uint8
+    assert int(np.abs(out.astype(int) - 128).max()) <= 3
 
 
 def test_resize_nearest_exact_picks():
@@ -124,10 +163,16 @@ def test_spark_features_chunk_sums_exact(spark):
 
 
 def test_spark_frame_sample_real_frames(spark):
-    """6 stored frames, 4 sampled (stride 1 → first 4); each frame's
-    digest must match an independent decode of the same byte-shifted
-    raster."""
-    from data_pipeline_bigquery_spark.extensions.multimodal import frame_sample, video_payload
+    """6 stored frames, 4 sampled with even coverage → source indices
+    [0, 1, 3, 4]; frame_idx identifies the STORED frame, so each
+    digest must match an independent decode of the raster at
+    frame_idx * FRAME_BYTE_STRIDE."""
+    from data_pipeline_bigquery_spark.extensions.multimodal import (
+        FRAME_BYTE_STRIDE,
+        frame_sample,
+        sample_frame_indices,
+        video_payload,
+    )
 
     text = "0123456789" * 80
     w, h, nstore = 16, 12, 6
@@ -138,14 +183,38 @@ def test_spark_frame_sample_real_frames(spark):
         frame_sample(docs, "doc_id", "payload", n_frames=4).collect(),
         key=lambda r: r["frame_idx"],
     )
-    assert [r["frame_idx"] for r in rows] == [0, 1, 2, 3]
+    assert [r["frame_idx"] for r in rows] == [0, 1, 3, 4]
+    assert [r["frame_idx"] for r in rows] == sample_frame_indices(nstore, 4)
 
     n = w * h * 3
-    for idx, r in enumerate(rows):
-        start = idx * 37  # matches video_payload's stride (substr is 1-based)
+    for r in rows:
+        start = r["frame_idx"] * FRAME_BYTE_STRIDE  # substr is 1-based in the payload
         raw = text.encode()[start : start + n].ljust(n, b" ")
         expected = encode_ppm(np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3))
-        assert r["frame_md5"] == hashlib.md5(expected).hexdigest(), idx
+        assert r["frame_md5"] == hashlib.md5(expected).hexdigest(), r["frame_idx"]
+
+
+def test_sample_frame_indices_coverage_properties():
+    """Even coverage for any ratio: spans the clip, strictly increasing,
+    dedupes when the clip is shorter than the request — the cases the
+    old floor-div stride got wrong (n_stored < 2*n_sample degenerated
+    to the leading frames)."""
+    from data_pipeline_bigquery_spark.extensions.multimodal import sample_frame_indices
+
+    assert sample_frame_indices(6, 4) == [0, 1, 3, 4]
+    assert sample_frame_indices(7, 4) == [0, 1, 3, 5]  # old stride gave [0,1,2,3]
+    assert sample_frame_indices(8, 4) == [0, 2, 4, 6]
+    assert sample_frame_indices(100, 4) == [0, 25, 50, 75]
+    assert sample_frame_indices(2, 4) == [0, 1]  # short clip: each frame once
+    assert sample_frame_indices(1, 4) == [0]
+    assert sample_frame_indices(0, 4) == []
+    for n_stored in range(1, 40):
+        picks = sample_frame_indices(n_stored, 4)
+        assert picks == sorted(set(picks))  # strictly increasing, unique
+        assert picks[0] == 0 and picks[-1] <= n_stored - 1
+        if n_stored >= 4:
+            assert len(picks) == 4
+            assert picks[-1] >= (3 * n_stored) // 4  # reaches the last quarter
 
 
 # --- property-based round trips ----------------------------------------------
