@@ -58,84 +58,37 @@ def _driver_green_counts() -> dict[str, int]:
 
 # expensive queries (ANN training loops, multimodal batch decode):
 # within the same green-count tier they yield the sweep budget to
-# cheaper queries and rotate in on later rounds (all are oracle-checked
-# since r4; the name is historical)
-_HEAVY_ROWS_ONLY = {
+# cheaper queries and rotate in on later rounds
+_HEAVY_QUERIES = {
     "ann_ivf_pq_recall_contract",
     "ann_ivf_trained_recall_contract",
     "ann_ivf_recall_contract",
     "multimodal_frame_sample",
 }
 
-# queries added in round 2: longest-waiting evidence goes first, so
-# these sort behind the round-1-era queries that are still unchecked
-_ADDED_ROUND_2 = {
-    "schema_discovery_projection",
-    "incremental_rollup_maintenance",
-    "q4_order_priority_exists",
-    "q11_important_part_value",
-    "q2_min_price_supplier",
-    "q15_top_supplier",
-    "q16_supplier_cnt_excluding",
-    "unpivot_order_measures",
-    "fuzzy_name_match",
-    "gapfill_daily_events",
-    "cohort_retention",
-    "funnel_signup_purchase",
-    "multimodal_binary_dedup",
-    "division_all_priorities",
-    "anomaly_days_mad",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q19_disjunctive_predicates",
-    "q20_part_promotion",
-    "argmax_priciest_line",
-    "corr_qty_price_by_flag",
-    "decile_customer_value",
-    "mom_revenue_change",
-    "chunk_dedup_ratio",
-    "vocab_oov_rate",
-    "csv_typed_scan",
-    "orc_roundtrip_scan",
-}
 
-
-# Queries whose behavior changed in round 4, so their pre-round-4 driver
-# rows are stale evidence: the six TIMESTAMP_NTZ-regression fixes
-# (VERDICT r03; catalog.load normalization + NTZ-tolerant epoch helpers),
-# the two sketch queries (now oracle-checked accuracy contracts instead
-# of rows-only), and the multimodal trio (real PPM/BMP decode instead of
-# synthetic-byte stubs).  They jump the rotation until a green
-# CORRECTNESS row postdating the change exists.
+# Queries whose OUTPUT changed in round 5, making earlier driver rows
+# stale evidence: the three ANN recall contracts now emit the exact
+# top-k pair set (DuckDB-independent oracle) instead of a recall_ok
+# boolean, and frame sampling switched to even-coverage source-indexed
+# frames.  They jump the rotation until a green CORRECTNESS row
+# postdating the change exists.  (The round-4 re-evidence set — NTZ
+# fixes, sketches, multimodal decode — was fully discharged in r04.)
 _NEEDS_REEVIDENCE = {
-    "pipeline_change_log",
-    "multi_format_timestamp_parse",
-    "epoch_millis_to_timestamp",
-    "pipeline_engagement",
-    "window_frame_specs",
-    "sessionize_events",
-    "approx_distinct_daily",
-    "approx_price_percentiles",
-    "multimodal_resize",
-    "multimodal_features",
+    "ann_ivf_recall_contract",
+    "ann_ivf_trained_recall_contract",
+    "ann_ivf_pq_recall_contract",
     "multimodal_frame_sample",
 }
-_REEVIDENCE_AFTER_ROUND = 3  # green rows in CORRECTNESS_r>NN clear the flag
+_REEVIDENCE_AFTER_ROUND = 4  # green rows in CORRECTNESS_r>NN clear the flag
 
 
 def _tier(name: str) -> int:
-    if name in _HEAVY_ROWS_ONLY:
-        return 2
-    if name in _ADDED_ROUND_2:
-        return 1
-    return 0
+    return 1 if name in _HEAVY_QUERIES else 0
 
 
 def _post_fix_greens() -> dict[str, int]:
-    """Green-count restricted to rounds after the round-4 changes landed.
+    """Green-count restricted to rounds after the round-5 changes landed.
 
     Same green rule as :func:`_driver_green_counts` (hash when computed,
     rows-only otherwise) so rows-only keys can clear the re-evidence flag

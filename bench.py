@@ -94,6 +94,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # methodology, so round-over-round numbers are comparable:
+                # timings are best-of-N warm runs after a full pre-pass at
+                # warmup_dir (r1-r2 recorded single cold runs; r4+ this)
+                "runs": 2,
+                "timing": "best_of_runs_warm",
+                "warmup_dir": warm_dir,
             }
         )
     )
