@@ -1,7 +1,10 @@
 """Coverage batch 4 — the remaining classic warehouse shapes.
 
 Completes the TPC-H-shape family started in coverage3 (q2/q4/q11/q15/
-q16/q17/q21/q22 there) with q7/q8/q10/q13/q14/q19/q20, and adds the
+q16/q17/q21/q22 there) with q6/q7/q8/q9/q10/q12/q13/q14/q19/q20 — all
+22 TPC-H query shapes now have a registry analog (q1=agg_pricing_summary,
+q3=shipping_priority_topk, q5=join_agg_revenue_by_nation,
+q18=large_orders_having in core/coverage3) — and adds the
 analytic staples the reference's BigQuery SQL layer would be asked for:
 arg-max per group, Pearson correlation, decile segmentation, and
 period-over-period deltas via lag.
@@ -570,7 +573,115 @@ FROM lagged
 """
 
 
+def _q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: pure scan-side predicate aggregation — date range +
+    discount band + quantity cap, one global sum, no join.  The
+    predicates are all pushable (explain shows PushedFilters on
+    l_shipdate/l_discount/l_quantity), so at 100 TB this reads only the
+    row groups whose stats overlap the band — the canonical
+    'filters-reach-the-scan' query."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(_DEC) * F.col("l_discount").cast(_DEC)
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_Q6_SQL = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def _q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: the profit star — part(filtered by name) ⋈ lineitem ⋈
+    supplier ⋈ nation, profit per (nation, year).  The fixture carries
+    no partsupp, so profit is the revenue term (the join/agg shape is
+    what Q9 tests; supplycost is one more broadcast dim).  Both dims
+    broadcast; lineitem never shuffles until the final keyed agg."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("o_year"),
+        )
+        .agg(F.sum(_rev_dec()).cast("double").alias("profit"))
+    )
+
+
+_Q9_SQL = f"""
+SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+       CAST(sum({_REV_SQL}) AS DOUBLE) AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, year(l_shipdate)
+"""
+
+
+def _q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: fact-to-fact join + conditional two-way count split.
+    The fixture has no l_shipmode/commitdate, so the grouping dimension
+    is l_linestatus and the split is urgent-vs-other o_orderpriority —
+    identical plan shape (join, then per-group CASE sums).  orders is
+    the smaller fact: at fixture scale it broadcasts; at 100 TB both
+    sides co-partition on the key (no hint forced — the AQE-era rule
+    from the r4 revenue-star fix)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+_Q12_SQL = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "q6_forecast_revenue": QuerySpec(_q6_forecast_revenue, _Q6_SQL),
+    "q9_product_type_profit": QuerySpec(_q9_product_type_profit, _Q9_SQL),
+    "q12_priority_by_status": QuerySpec(_q12_priority_by_status, _Q12_SQL),
     "q7_volume_shipping": QuerySpec(_q7_volume_shipping, _Q7_SQL),
     "q8_market_share": QuerySpec(_q8_market_share, _Q8_SQL),
     "q10_returned_items": QuerySpec(_q10_returned_items, _Q10_SQL),
