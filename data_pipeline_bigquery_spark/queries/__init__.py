@@ -32,6 +32,7 @@ def registry() -> dict[str, QuerySpec]:
         coverage4,
         corpus_ops,
         curation,
+        curation2,
         formats,
         extensions,
         pipelines,
@@ -42,7 +43,7 @@ def registry() -> dict[str, QuerySpec]:
     merged: dict[str, QuerySpec] = {}
     for mod in (
         core, pipelines, coverage, coverage2, coverage3, coverage4,
-        corpus_ops, formats, extensions, training, curation, sketches,
+        corpus_ops, formats, extensions, training, curation, curation2, sketches,
     ):
         merged.update(mod.QUERIES)
     return merged

@@ -1,0 +1,204 @@
+"""Corpus curation batch 2 — the web-pipeline staples the first batch
+(`extensions/curation.py`, `extensions/sampling.py`) didn't cover:
+
+- ``quality_filter_cascade``: a C4-style rule cascade with per-rule
+  drop accounting in ONE corpus pass — every production filter pipeline
+  reports "how many documents did each rule kill", because a rule that
+  suddenly drops 40% is a bug in the rule, not the corpus.  Attribution
+  is first-failing-rule in a fixed order (the cascade semantics of
+  C4/Gopher/RefinedWeb).
+- ``training_shard_manifest``: deterministic md5-bucket shard
+  assignment plus a per-shard manifest (row count, token sum, digest of
+  the ordered member ids).  Shard writers need the manifest to verify a
+  re-run produced byte-identical membership — the digest makes shard
+  assignment drift (a changed hash seed, a lost doc) loud.
+- ``doc_commonness_score``: a unigram-LM perplexity proxy (CCNet
+  filters on LM perplexity; the integer-exact stand-in is the mean
+  corpus frequency of the document's words — low = rare/noisy tokens,
+  high = boilerplate).  All math is integer sums plus one IEEE double
+  division, so the DuckDB oracle hash-matches bit for bit.
+
+All three are single-plan Catalyst jobs: explode → keyed agg (+ a
+vocabulary-sized join for the commonness score).  Nothing touches the
+driver; nothing is quadratic; the shuffles key on words, digests, or
+shard ids — never on document text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_bigquery_spark.catalog import load
+from data_pipeline_bigquery_spark.queries import QuerySpec
+
+# cascade thresholds (integer-exact forms; see docstrings)
+_MIN_WORDS = 30
+_MIN_DISTINCT_PCT = 30  # distinct/total >= 30%
+_MEAN_LEN_MIN, _MEAN_LEN_MAX = 2, 12  # mean word length band
+_N_SHARDS = 8
+
+
+def _quality_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule drop accounting for a 4-rule C4-style cascade.
+
+    Rules, in cascade order (a doc counts against its FIRST failure):
+
+    1. ``min_words``      — at least {_MIN_WORDS} words;
+    2. ``repetition``     — distinct words ≥ 30% of total (the Gopher
+       repetition family, integer-exact: ``distinct*100 >= total*30``);
+    3. ``stopword``       — contains a common-English stopword
+       ('the'/'a'), C4's natural-language check;
+    4. ``word_length``    — mean word length in [2, 12], integer-exact
+       as ``sum_chars between 2*n and 12*n``.
+
+    One corpus pass: per-doc metrics from pure array functions, a CASE
+    chain for attribution, one tiny groupBy.  At 100 TB the output is
+    five rows — the shuffle carries per-partition partial counts only.
+    """
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("words"), F.col("text")
+    )
+    metrics = docs.select(
+        "doc_id",
+        F.size("words").alias("n_words"),
+        F.size(F.array_distinct("words")).alias("n_distinct"),
+        # sum of word lengths == chars minus separators
+        (F.length("text") - (F.size("words") - 1)).alias("sum_chars"),
+        F.arrays_overlap("words", F.array(F.lit("the"), F.lit("a"))).alias("has_stop"),
+    )
+    reason = (
+        F.when(F.col("n_words") < _MIN_WORDS, "min_words")
+        .when(F.col("n_distinct") * 100 < F.col("n_words") * _MIN_DISTINCT_PCT, "repetition")
+        .when(~F.col("has_stop"), "stopword")
+        .when(
+            (F.col("sum_chars") < _MEAN_LEN_MIN * F.col("n_words"))
+            | (F.col("sum_chars") > _MEAN_LEN_MAX * F.col("n_words")),
+            "word_length",
+        )
+        .otherwise("pass")
+    )
+    return (
+        metrics.select(reason.alias("rule"))
+        .groupBy("rule")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_CASCADE_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct,
+         length(text) - (len(string_split(text, ' ')) - 1) AS sum_chars,
+         list_has_any(string_split(text, ' '), ['the', 'a']) AS has_stop
+  FROM documents),
+r AS (
+  SELECT CASE
+           WHEN n_words < {_MIN_WORDS} THEN 'min_words'
+           WHEN n_distinct * 100 < n_words * {_MIN_DISTINCT_PCT} THEN 'repetition'
+           WHEN NOT has_stop THEN 'stopword'
+           WHEN sum_chars < {_MEAN_LEN_MIN} * n_words
+             OR sum_chars > {_MEAN_LEN_MAX} * n_words THEN 'word_length'
+           ELSE 'pass'
+         END AS rule
+  FROM m)
+SELECT rule, count(*) AS n_docs FROM r GROUP BY rule
+"""
+
+
+def _training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard manifest: every document lands in
+    ``md5-bucket % {_N_SHARDS}`` (the same digit-for-digit portable
+    bucket as ``extensions.sampling.hash_bucket``), and each shard
+    reports row count, token sum, and an order-insensitive membership
+    digest (md5 of the comma-joined SORTED doc ids).
+
+    The digest is the drift alarm: if a re-run assigns even one doc to
+    a different shard, that shard's digest changes.  At 100 TB: one
+    keyed agg over {_N_SHARDS} groups; the ids inside a group are
+    collected post-aggregation per shard — bounded by shard membership,
+    exactly what the manifest must enumerate anyway (production would
+    digest incrementally via sorted write order instead)."""
+    from data_pipeline_bigquery_spark.extensions.sampling import hash_bucket
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        (hash_bucket(F.col("doc_id"), _N_SHARDS)).alias("shard"),
+    )
+    return (
+        docs.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.md5(
+                F.concat_ws(",", F.array_sort(F.collect_list(F.col("doc_id").cast("string"))))
+            ).alias("ids_md5"),
+        )
+    )
+
+
+_SHARD_MANIFEST_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % {_N_SHARDS} AS shard
+  FROM documents)
+SELECT shard, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR))) AS ids_md5
+FROM d GROUP BY shard
+"""
+
+
+def _doc_commonness_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity proxy, integer-exact: per document, the
+    mean corpus frequency of its words (CCNet keeps middle-perplexity
+    documents; rank-by-commonness gives the same ordering without
+    transcendental math, so the oracle hash-matches).
+
+    Two passes over the exploded words — count, then join back.  The
+    frequency table is vocabulary-sized; no broadcast hint, so AQE
+    broadcasts when it fits and co-partitions when it doesn't (the
+    100 TB vocabulary can exceed a broadcast budget)."""
+    words = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+    )
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    return (
+        words.join(wc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("freq").alias("freq_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "freq_sum",
+            (F.col("freq_sum").cast("double") / F.col("n_words").cast("double")).alias(
+                "avg_word_freq"
+            ),
+        )
+    )
+
+
+_COMMONNESS_SQL = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+wc AS (SELECT w, count(*) AS freq FROM words GROUP BY w),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_words, sum(freq) AS freq_sum
+  FROM words JOIN wc USING (w) GROUP BY doc_id)
+SELECT doc_id, n_words, CAST(freq_sum AS BIGINT) AS freq_sum,
+       CAST(freq_sum AS DOUBLE) / CAST(n_words AS DOUBLE) AS avg_word_freq
+FROM per_doc
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "quality_filter_cascade": QuerySpec(_quality_filter_cascade, _CASCADE_SQL),
+    "training_shard_manifest": QuerySpec(_training_shard_manifest, _SHARD_MANIFEST_SQL),
+    "doc_commonness_score": QuerySpec(_doc_commonness_score, _COMMONNESS_SQL),
+}
