@@ -158,3 +158,22 @@ def test_sketch_distinct_single_exchange(spark, reg):
     df = _q(reg, spark, "approx_distinct_daily")
     assert_no_cartesian(df)
     assert_max_exchanges(df, 3)
+
+
+def test_whole_registry_no_cartesian_products(spark, reg):
+    """Every registry plan, scanned automatically: a new query that
+    sneaks in a CartesianProduct fails here the day it lands (this
+    replaces the one-off r4 bulk scan).  BroadcastNestedLoopJoin is
+    allowed — the ANN corpus x broadcast(queries/seeds) assignments and
+    the 1-row scalar-subquery gates are intentional; a true unkeyed
+    cartesian of two data-sized sides is not."""
+    offenders = []
+    for name in sorted(reg):
+        try:
+            df = reg[name].fn(spark, SF)
+        except Exception as exc:  # plan construction itself must not die
+            offenders.append(f"{name}: failed to build plan: {exc}")
+            continue
+        if count_nodes(df, "CartesianProduct"):
+            offenders.append(f"{name}: CartesianProduct in plan")
+    assert not offenders, "\n".join(offenders)
