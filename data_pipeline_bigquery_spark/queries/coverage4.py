@@ -678,8 +678,131 @@ GROUP BY l_linestatus
 """
 
 
+def _snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC from two snapshots: full-outer join on the pk classifies
+    every row as insert / delete / update / unchanged — the change feed
+    a MERGE-based warehouse (the reference's BigQuery sink) implies but
+    never materializes.  Snapshots here are two deterministic views of
+    orders ("old" = pre-1998 rows; "new" = same minus every 20th order
+    [deletes], plus price bumps on every 10th [updates], plus post-1998
+    rows [inserts]).  One co-partitioned shuffle on the pk, AQE-sized;
+    counts per change type keep the output tiny at any scale."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    cut = F.lit("1998-01-01").cast("timestamp")
+    old = orders.filter(F.col("o_orderdate") < cut)
+    new = (
+        orders.filter(F.col("o_orderkey") % 20 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 10 == 0, F.col("o_totalprice") + 1
+            ).otherwise(F.col("o_totalprice")),
+        )
+    )
+    o = old.alias("o")
+    n = new.alias("n")
+    joined = o.join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer")
+    change = (
+        F.when(F.col("o.o_orderkey").isNull(), "insert")
+        .when(F.col("n.o_orderkey").isNull(), "delete")
+        .when(
+            (F.col("o.o_totalprice") != F.col("n.o_totalprice"))
+            | (F.col("o.o_orderdate") != F.col("n.o_orderdate")),
+            "update",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(change.alias("change_type"))
+        .groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+_CDC_SQL = """
+WITH old AS (
+  SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+  WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice,
+         o_orderdate
+  FROM orders WHERE o_orderkey % 20 != 0),
+j AS (
+  SELECT CASE
+           WHEN old.o_orderkey IS NULL THEN 'insert'
+           WHEN new.o_orderkey IS NULL THEN 'delete'
+           WHEN old.o_totalprice != new.o_totalprice
+             OR old.o_orderdate != new.o_orderdate THEN 'update'
+           ELSE 'unchanged'
+         END AS change_type
+  FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey)
+SELECT change_type, count(*) AS n_rows FROM j GROUP BY change_type
+"""
+
+
+def _referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK audit across the star: orphan counts for every foreign-key
+    edge (lineitem→orders, lineitem→part, lineitem→supplier,
+    orders→customer, customer→nation), each a left-anti join.  The dim
+    sides broadcast; the two fact-to-fact edges co-partition.  The
+    output is one row per relationship — the audit a warehouse runs
+    after every load (the reference audits only pk nulls/dups;
+    data_quality_checks covers those)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    part = load(spark, sf_dir, "part")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+
+    def orphans(child: DataFrame, fk: str, parent: DataFrame, pk: str, rel: str) -> DataFrame:
+        n = (
+            child.join(parent.select(pk), child[fk] == parent[pk], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        return n.select(F.lit(rel).alias("relationship"), "n_orphans")
+
+    return (
+        orphans(li, "l_orderkey", orders, "o_orderkey", "lineitem->orders")
+        .unionByName(orphans(li, "l_partkey", part, "p_partkey", "lineitem->part"))
+        .unionByName(orphans(li, "l_suppkey", supp, "s_suppkey", "lineitem->supplier"))
+        .unionByName(orphans(orders, "o_custkey", cust, "c_custkey", "orders->customer"))
+        .unionByName(orphans(cust, "c_nationkey", nation, "n_nationkey", "customer->nation"))
+    )
+
+
+_RI_AUDIT_SQL = """
+SELECT 'lineitem->orders' AS relationship,
+       (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+         (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+UNION ALL
+SELECT 'lineitem->part',
+       (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+         (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+UNION ALL
+SELECT 'lineitem->supplier',
+       (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+         (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+UNION ALL
+SELECT 'orders->customer',
+       (SELECT count(*) FROM orders o WHERE NOT EXISTS
+         (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'customer->nation',
+       (SELECT count(*) FROM customer c WHERE NOT EXISTS
+         (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q6_forecast_revenue": QuerySpec(_q6_forecast_revenue, _Q6_SQL),
+    "snapshot_diff_cdc": QuerySpec(_snapshot_diff_cdc, _CDC_SQL),
+    "referential_integrity_audit": QuerySpec(
+        _referential_integrity_audit, _RI_AUDIT_SQL
+    ),
     "q9_product_type_profit": QuerySpec(_q9_product_type_profit, _Q9_SQL),
     "q12_priority_by_status": QuerySpec(_q12_priority_by_status, _Q12_SQL),
     "q7_volume_shipping": QuerySpec(_q7_volume_shipping, _Q7_SQL),
