@@ -107,8 +107,98 @@ def _sink_seam_sql() -> str:
     return _MERGE_SQL
 
 
+def _schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across file generations — the lake reality that
+    columns get ADDED over a table's life.  Generation 1 stages
+    customers WITHOUT the segment column; generation 2 adds it.  A
+    ``mergeSchema`` read unifies both: old files surface NULL for the
+    new column, new files carry values — and the aggregate proves the
+    merged scan sees every generation (the oracle reproduces the same
+    null-backfill split from the source table).  At 100 TB the merge is
+    footer-only work per file; production would pin the evolved schema
+    in the catalog instead of re-inferring per read."""
+    path = _stage_dir(sf_dir, "schema_evo")
+    cust = load(spark, sf_dir, "customer")
+    gen1 = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    gen2 = cust.filter(F.col("c_custkey") % 2 == 1).select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    gen1.write.mode("overwrite").parquet(path)
+    gen2.write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    return merged.groupBy(
+        F.coalesce(F.col("c_mktsegment"), F.lit("__pre_evolution__")).alias("segment")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("c_acctbal").cast(_DEC)).cast("double").alias("total_balance"),
+    )
+
+
+_SCHEMA_EVO_SQL = """
+SELECT CASE WHEN c_custkey % 2 = 0 THEN '__pre_evolution__' ELSE c_mktsegment END AS segment,
+       count(*) AS n_rows,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+FROM customer
+GROUP BY CASE WHEN c_custkey % 2 = 0 THEN '__pre_evolution__' ELSE c_mktsegment END
+"""
+
+
+def _malformed_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter ingestion: a JSON batch where a deterministic subset
+    of lines is corrupt (every 7th record truncated mid-object).  The
+    text scan + ``from_json`` split routes every line: parseable rows
+    come out typed, unparseable ones surface a NULL struct and are
+    counted for the dead-letter sink instead of failing the job or
+    silently disappearing.  (Spark's raw-scan ``_corrupt_record``
+    column forbids corrupt-only queries — UNSUPPORTED_FEATURE — so the
+    expression form is also the ROBUST form.)  Output: ingested vs
+    quarantined counts; the oracle recomputes both from the corruption
+    rule.
+
+    The corrupt batch itself is synthesized JVM-side (``to_json`` +
+    conditional truncation, written as text) — no driver loop, so the
+    staging step scales with the corpus like every other fixture
+    stage."""
+    path = _stage_dir(sf_dir, "dead_letter")
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.to_json(F.struct("doc_id", "lang")).alias("line")
+    )
+    corrupted = docs.select(
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.expr("substr(line, 1, length(line) div 2)"),
+        )
+        .otherwise(F.col("line"))
+        .alias("value")
+    )
+    corrupted.write.mode("overwrite").text(path)
+    parsed = spark.read.text(path).select(
+        F.from_json("value", "doc_id long, lang string").alias("j")
+    )
+    # a truncated object parses to NULL; every intact record carries a
+    # non-null doc_id by construction
+    ok = F.col("j").isNotNull() & F.col("j.doc_id").isNotNull()
+    return parsed.agg(
+        F.sum(F.when(ok, 1).otherwise(0)).alias("n_ingested"),
+        F.sum(F.when(~ok, 1).otherwise(0)).alias("n_quarantined"),
+    )
+
+
+_DEAD_LETTER_SQL = """
+SELECT sum(CASE WHEN doc_id % 7 != 0 THEN 1 ELSE 0 END) AS n_ingested,
+       sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS n_quarantined
+FROM documents
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "csv_typed_scan": QuerySpec(_csv_typed_scan, _AGG_SQL),
     "orc_roundtrip_scan": QuerySpec(_orc_roundtrip_scan, _AGG_SQL),
     "sink_seam_merge_roundtrip": QuerySpec(_sink_seam_merge_roundtrip, _sink_seam_sql()),
+    "schema_evolution_scan": QuerySpec(_schema_evolution_scan, _SCHEMA_EVO_SQL),
+    "malformed_json_quarantine": QuerySpec(
+        _malformed_json_quarantine, _DEAD_LETTER_SQL
+    ),
 }
