@@ -1,0 +1,118 @@
+"""Corpus curation batch 2 (queries/curation2.py): invariants the
+DuckDB parity sweep can't express — rule counts partition the corpus,
+shard digests are layout-invariant, commonness bounds hold — checked on
+synthetic corpora, including shapes the fixture never produces (docs
+failing each cascade rule)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from data_pipeline_bigquery_spark.queries.curation2 import (
+    _N_SHARDS,
+    _doc_commonness_score,
+    _quality_filter_cascade,
+    _training_shard_manifest,
+)
+from tests.conftest import SF_DIR
+
+
+def test_cascade_counts_partition_the_corpus(spark):
+    """Every document lands in exactly one bucket: the rule counts must
+    sum to the corpus size."""
+    out = {r.rule: r.n_docs for r in _quality_filter_cascade(spark, SF_DIR).collect()}
+    from data_pipeline_bigquery_spark.catalog import load
+
+    assert sum(out.values()) == load(spark, SF_DIR, "documents").count()
+
+
+def test_cascade_first_failure_attribution(spark, tmp_path):
+    """Synthetic docs engineered to fail each rule — and one failing
+    SEVERAL rules, which must be attributed to the FIRST in cascade
+    order (min_words before repetition before stopword)."""
+    docs = [
+        # 1: too short (also no stopword -> must still count as min_words)
+        (1, "tiny doc"),
+        # 2: 40 words but one word repeated -> repetition
+        (2, " ".join(["spam"] * 40)),
+        # 3: 40 distinct words, no 'the'/'a' -> stopword
+        (3, " ".join(f"w{i}" for i in range(40))),
+        # 4: clean passing doc (has 'the', distinct, normal lengths)
+        (4, "the " + " ".join(f"word{i}" for i in range(40))),
+        # 5: mean word length too long -> word_length (has stopword 'the',
+        # words all distinct so repetition doesn't fire first)
+        (5, "the " + " ".join("x" * 20 + str(i) for i in range(40))),
+    ]
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in docs],
+                               "doc_id long, text string")
+    sf = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    out = {r.rule: r.n_docs for r in _quality_filter_cascade(spark, sf).collect()}
+    assert out == {
+        "min_words": 1,
+        "repetition": 1,
+        "stopword": 1,
+        "pass": 1,
+        "word_length": 1,
+    }
+
+
+def test_shard_manifest_partition_and_layout_invariance(spark, tmp_path):
+    """Shards partition the corpus (counts sum to total; every doc in
+    exactly one shard) and the membership digest is independent of the
+    physical partitioning of the input."""
+    from data_pipeline_bigquery_spark.catalog import load
+
+    m1 = {r.shard: r for r in _training_shard_manifest(spark, SF_DIR).collect()}
+    total = load(spark, SF_DIR, "documents").count()
+    assert sum(r.n_docs for r in m1.values()) == total
+    assert set(m1) <= set(range(_N_SHARDS))
+
+    # re-layout the same corpus into 1 file; digests must not move
+    docs = load(spark, SF_DIR, "documents")
+    sf2 = str(tmp_path / "relayout")
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{sf2}/documents.parquet")
+    m2 = {r.shard: r for r in _training_shard_manifest(spark, sf2).collect()}
+    assert {s: r.ids_md5 for s, r in m1.items()} == {s: r.ids_md5 for s, r in m2.items()}
+    assert {s: r.total_tokens for s, r in m1.items()} == {
+        s: r.total_tokens for s, r in m2.items()
+    }
+
+
+def test_shard_digest_detects_membership_drift(spark, tmp_path):
+    """Dropping a single document changes exactly that document's
+    shard digest — the manifest is the drift alarm it claims to be."""
+    from data_pipeline_bigquery_spark.catalog import load
+
+    docs = load(spark, SF_DIR, "documents")
+    victim = docs.select("doc_id").orderBy("doc_id").first().doc_id
+    sf2 = str(tmp_path / "dropped")
+    docs.filter(F.col("doc_id") != victim).write.mode("overwrite").parquet(
+        f"{sf2}/documents.parquet"
+    )
+    m1 = {r.shard: r.ids_md5 for r in _training_shard_manifest(spark, SF_DIR).collect()}
+    m2 = {r.shard: r.ids_md5 for r in _training_shard_manifest(spark, sf2).collect()}
+    changed = [s for s in m1 if m1[s] != m2.get(s)]
+    assert len(changed) == 1  # exactly the victim's shard
+
+
+def test_commonness_score_bounds_and_extremes(spark, tmp_path):
+    """avg_word_freq is bounded by [1, total_words]; an all-unique doc
+    scores the minimum of the corpus, a one-word-corpus doc the max."""
+    docs = [
+        (1, "alpha alpha alpha alpha"),  # common word
+        (2, "beta gamma delta epsilon"),  # all unique (freq 1 each)
+    ]
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in docs],
+                               "doc_id long, text string")
+    sf = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    out = {r.doc_id: r for r in _doc_commonness_score(spark, sf).collect()}
+    assert out[1].avg_word_freq == 4.0  # 'alpha' freq 4, all four words
+    assert out[2].avg_word_freq == 1.0  # every word unique
+    for r in out.values():
+        assert 1.0 <= r.avg_word_freq <= 8.0
