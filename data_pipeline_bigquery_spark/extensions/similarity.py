@@ -79,6 +79,12 @@ def cosine_topk(
 AUTO_TOPK_BRUTE_MAX = 100_000
 
 
+# target sample size per centroid when the router trains a quantizer
+# in-line: FAISS's guidance is ~39+ points per centroid; 50 keeps the
+# Lloyd steps O(nlist·50) regardless of corpus size.
+AUTO_TRAIN_POINTS_PER_CELL = 50
+
+
 def similarity_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -89,6 +95,7 @@ def similarity_topk(
     nprobe: int = 2,
     auto_cells: int = 64,
     train_iters: int = 1,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """The user-facing top-k default: auto-routes between exact brute
     force (small corpus — exact AND faster) and trained-quantizer IVF
@@ -99,10 +106,38 @@ def similarity_topk(
     router never triggers a count job.  The routing threshold is
     ``AUTO_TOPK_BRUTE_MAX``; both branches share ids/column contracts,
     so callers see one schema either way.
+
+    ``centroids`` is the production fast path: a ``(cell, centroid)``
+    table from an OFFLINE :func:`train_ivf_centroids` run, reused
+    across query batches — training once and amortizing is how IVF
+    actually pays for itself.  MEASURED ECONOMICS (200k × 64-dim,
+    local[32], PERFORMANCE.md "ANN crossover"): a one-shot IVF spends
+    ``corpus × nlist`` similarity folds just ASSIGNING cells, while
+    brute force spends ``corpus × n_queries`` folds answering the
+    question directly — so for a single batch, brute wins whenever
+    ``n_queries < nlist`` no matter how big the corpus is.  The router
+    therefore goes brute unless (a) ``centroids`` are supplied (assign
+    once, query many), or (b) the query batch itself is larger than
+    ``auto_cells`` AND the corpus exceeds ``AUTO_TOPK_BRUTE_MAX``, in
+    which case one-shot IVF amortizes across the batch; its training
+    runs on a hash-stable SAMPLE sized to
+    ``AUTO_TRAIN_POINTS_PER_CELL`` per cell, never the full corpus.
     """
     n = corpus_rows if corpus_rows is not None else corpus.count()
-    if n <= AUTO_TOPK_BRUTE_MAX:
+    if centroids is not None:
+        # amortized path: Arrow matmul assignment (17.7× the HOF fold
+        # at 200k×64, same cells up to sub-rounding ties) — production
+        # persists this assignment cell-partitioned and reuses it
+        assigned = assign_cells_arrow(corpus, centroids, id_col=id_col, vec_col=vec_col)
+        return ivf_topk_preassigned(
+            queries, assigned, centroids, k=k, nprobe=nprobe,
+            id_col=id_col, vec_col=vec_col,
+        )
+    if n <= AUTO_TOPK_BRUTE_MAX or queries.count() <= auto_cells:
         return cosine_topk(queries, corpus, k=k, id_col=id_col, vec_col=vec_col)
+    # large batch over a large corpus: one-shot IVF, sample-trained —
+    # pct of corpus giving ~AUTO_TRAIN_POINTS_PER_CELL per centroid
+    pct = max(1, min(100, (100 * AUTO_TRAIN_POINTS_PER_CELL * auto_cells) // n))
     return ivf_topk(
         queries,
         corpus,
@@ -112,6 +147,7 @@ def similarity_topk(
         vec_col=vec_col,
         auto_cells=auto_cells,
         train_iters=train_iters,
+        sample_pct=pct,
     )
 
 
@@ -260,29 +296,15 @@ def ivf_assign_cells(
     vectors; every vector joins the cell of its max-cosine seed (one
     Lloyd assignment — Voronoi cells of the actual geometry, unlike an
     arbitrary metadata column).  Production swaps the seed pick for a
-    sampled k-means; the assignment join is unchanged: corpus ×
-    broadcast(nlist) — linear, no shuffle of the corpus."""
+    sampled k-means; the assignment is :func:`assign_cells`' map-side
+    argmax — linear, one corpus-sized exchange."""
     e = with_double_embedding(corpus, vec_col)
-    seeds = F.broadcast(
+    seeds = (
         e.orderBy(id_col)
         .limit(nlist)
-        .select(
-            F.col(id_col).alias("cell"),
-            F.col(vec_col).alias("s_vec"),
-            F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("s_norm"),
-        )
+        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("centroid"))
     )
-    sim = _dot(F.col(vec_col), F.col("s_vec")) / (
-        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))) * F.col("s_norm")
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("s_sim").desc(), F.col("cell").asc())
-    return (
-        e.crossJoin(seeds)
-        .withColumn("s_sim", F.round(sim, 6))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("s_vec", "s_norm", "s_sim", "rn")
-    )
+    return assign_cells(e, seeds, id_col=id_col, vec_col=vec_col)
 
 
 def assign_cells(
@@ -293,9 +315,18 @@ def assign_cells(
 ) -> DataFrame:
     """Attach a ``cell`` column: each vector's max-cosine centroid.
 
-    corpus × broadcast(centroids) — the corpus never shuffles; the
-    argmax is a per-row window over ``nlist`` candidate rows."""
-    e = with_double_embedding(corpus, vec_col)
+    corpus × broadcast(centroids), argmax via a partial-aggregating
+    ``max(struct(sim, -cell, row))`` groupBy — the map side reduces
+    each vector's ``nlist`` candidates to ONE before any exchange, so
+    the shuffle carries corpus-sized rows, not corpus×nlist (the
+    earlier window form shuffled every candidate pair; at 200k×64
+    that was a 12.8M-row exchange for a 200k-row answer).  Cosine is
+    computed as a single dot fold per pair: the corpus row's norm is
+    folded once per ROW before the join, and centroid norms once per
+    centroid."""
+    e = with_double_embedding(corpus, vec_col).withColumn(
+        "__norm", F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
+    )
     cn = F.broadcast(
         centroids.select(
             "cell",
@@ -303,17 +334,85 @@ def assign_cells(
             F.sqrt(_dot(F.col("centroid"), F.col("centroid"))).alias("cn_norm"),
         )
     )
-    sim = _dot(F.col(vec_col), F.col("cn_vec")) / (
-        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))) * F.col("cn_norm")
+    sim = _dot(F.col(vec_col), F.col("cn_vec")) / (F.col("__norm") * F.col("cn_norm"))
+    carry = [c for c in e.columns if c not in (id_col, "__norm")]
+    scored = e.crossJoin(cn).select(
+        F.col(id_col),
+        F.struct(
+            F.round(sim, 6).alias("s"),
+            (-F.col("cell")).alias("nc"),  # max() ties break to the LOWEST cell
+            *[F.col(c).alias(c) for c in carry],
+        ).alias("cand"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("s_sim").desc(), F.col("cell").asc())
-    return (
-        e.crossJoin(cn)
-        .withColumn("s_sim", F.round(sim, 6))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("cn_vec", "cn_norm", "s_sim", "rn")
+    best = scored.groupBy(id_col).agg(F.max("cand").alias("m"))
+    return best.select(
+        F.col(id_col),
+        *[F.col(f"m.{c}").alias(c) for c in carry],
+        (-F.col("m.nc")).cast(dict(centroids.dtypes)["cell"]).alias("cell"),
     )
+
+
+def assign_cells_arrow(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-batched twin of :func:`assign_cells`: the cell argmax as a
+    numpy matmul per Arrow batch instead of per-pair JVM folds.
+
+    This is the ONE place in the ANN stack where the vectorized-python
+    escape hatch earns its boundary crossing: assignment is dense
+    linear algebra (batch × centroid-matrix), and BLAS beats Catalyst
+    higher-order-function folds by >10× on it (measured at 200k × 64
+    cells: 51 s fold vs ~4 s Arrow — PERFORMANCE.md "ANN crossover").
+    Numerics: similarities are rounded to 6 decimals before the argmax
+    (ties to the lowest cell), same contract as the fold form; BLAS
+    pairwise summation can disagree with the sequential fold only when
+    two cells collide at the 6th decimal, where both choices are
+    sub-rounding-equivalent.  Use the fold form when bit-identical
+    cross-engine parity matters; this form for bulk offline
+    assignment."""
+    import numpy as np
+    import pandas as pd
+
+    cent_rows = sorted(
+        ((r["cell"], list(r["centroid"])) for r in centroids.collect()),
+        key=lambda t: t[0],
+    )
+    cells = np.array([c for c, _ in cent_rows])
+    cmat = np.array([v for _, v in cent_rows], dtype=np.float64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+
+    from pyspark.sql import types as T
+
+    out_fields = corpus.schema.fieldNames()
+    # build a FRESH StructType: StructType.add mutates in place and
+    # would poison the input DataFrame's schema object
+    schema = T.StructType(
+        list(corpus.schema.fields)
+        + [T.StructField("cell", centroids.schema["cell"].dataType)]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            if len(vecs) == 0:
+                yield pd.DataFrame(columns=[*out_fields, "cell"])
+                continue
+            vnorm = np.sqrt((vecs * vecs).sum(axis=1))
+            sims = np.round((vecs @ cmat.T) / (vnorm[:, None] * cnorm[None, :]), 6)
+            # argmax with ties to the LOWEST cell id: reversed argmax on
+            # the cell-ascending matrix picks the first maximum
+            best = sims.argmax(axis=1)
+            # argmax returns the FIRST max index; cells sorted ascending
+            out = pdf[out_fields].copy()
+            out["cell"] = cells[best]
+            yield out
+
+    from data_pipeline_bigquery_spark.extensions.dedup_text import spread_small_input
+
+    return spread_small_input(corpus).mapInPandas(gen, schema)
 
 
 def train_ivf_centroids(
@@ -428,6 +527,28 @@ def ivf_topk(
         centroids = label_centroids(corpus, label_col, vec_col)
     else:
         centroids = label_centroids(corpus, label_col, vec_col)
+    return ivf_topk_preassigned(
+        queries, corpus, centroids, k=k, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col, label_col=label_col,
+    )
+
+
+def ivf_topk_preassigned(
+    queries: DataFrame,
+    assigned_corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "cell",
+) -> DataFrame:
+    """The probe + in-cell scan half of IVF, over an ALREADY-assigned
+    corpus and trained centroid table — the per-query-batch cost once
+    the quantizer is amortized (train offline with
+    :func:`train_ivf_centroids`, persist the assigned corpus
+    cell-partitioned, then every batch is: queries × broadcast(nlist)
+    probe, then a cell-keyed join that touches only probed cells)."""
     q = with_double_embedding(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
@@ -443,7 +564,7 @@ def ivf_topk(
         .filter(F.col("rn") <= nprobe)
         .select("query_id", "q_vec", "cell")
     )
-    c = with_double_embedding(corpus, vec_col).select(
+    c = with_double_embedding(assigned_corpus, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("c_norm"),

@@ -94,12 +94,15 @@ def test_trained_centroids_unit_norm_and_deterministic(spark):
 
 
 def test_similarity_topk_auto_routing(spark):
-    """The user-facing default routes by corpus size: small -> exactly
-    the brute-force result; large (forced via corpus_rows) -> the IVF
-    path, which must keep recall in the gated band."""
+    """The measured routing rule (PERFORMANCE.md "ANN crossover"):
+    brute force unless the work amortizes — a small corpus OR a query
+    batch smaller than the cell count goes brute (one-shot assignment
+    alone costs corpus×nlist folds vs brute's corpus×n_queries);
+    supplied offline centroids take the IVF fast path, recall-gated."""
     from data_pipeline_bigquery_spark.extensions.similarity import (
         AUTO_TOPK_BRUTE_MAX,
         similarity_topk,
+        train_ivf_centroids,
     )
 
     emb = load(spark, SF_DIR, "embeddings")
@@ -109,13 +112,36 @@ def test_similarity_topk_auto_routing(spark):
     small = _topk_sets(similarity_topk(queries, emb, k=5))
     assert small == exact  # small corpus: identical to brute force
 
-    big = _topk_sets(
+    # large corpus but a small batch (8 queries < 64 cells): brute is
+    # provably cheaper than one-shot assignment -> still exact
+    big_small_batch = _topk_sets(
         similarity_topk(queries, emb, k=5, corpus_rows=AUTO_TOPK_BRUTE_MAX + 1)
     )
-    assert set(big) == set(exact)
-    hits = sum(len(big[q] & exact[q]) for q in exact)
+    assert big_small_batch == exact
+
+    # large corpus + batch larger than auto_cells: one-shot IVF with
+    # sample-trained quantizer, recall-gated
+    many = emb.filter(F.col("vec_id") < 40)
+    exact_many = _topk_sets(cosine_topk(many, emb, k=5))
+    # (corpus_rows is forced, so the auto sample pct is sized for a
+    # 100k corpus over a 500-vector fixture — probe an extra cell to
+    # compensate for the deliberately mis-scaled quantizer)
+    ivf_many = _topk_sets(
+        similarity_topk(
+            many, emb, k=5, corpus_rows=AUTO_TOPK_BRUTE_MAX + 1,
+            auto_cells=10, nprobe=4,
+        )
+    )
+    hits = sum(len(ivf_many[q] & exact_many[q]) for q in exact_many)
+    recall = hits / sum(len(exact_many[q]) for q in exact_many)
+    assert recall >= 0.7, f"one-shot IVF recall collapsed: {recall:.2f}"
+
+    # offline centroids: the amortized fast path, recall-gated
+    cents = train_ivf_centroids(emb, nlist=10, iters=2)
+    reuse = _topk_sets(similarity_topk(queries, emb, k=5, centroids=cents, nprobe=3))
+    hits = sum(len(reuse[q] & exact[q]) for q in exact)
     recall = hits / sum(len(exact[q]) for q in exact)
-    assert recall >= 0.7, f"auto-routed IVF recall collapsed: {recall:.2f}"
+    assert recall >= 0.7, f"centroid-reuse recall collapsed: {recall:.2f}"
 
 
 def test_recall_contract_gate_empties_on_bad_approx(spark):
@@ -137,3 +163,22 @@ def test_recall_contract_gate_empties_on_bad_approx(spark):
         "query_id", (F.col("neighbor_id") + F.lit(10_000_000)).alias("neighbor_id")
     )
     assert _recall_contract(spark, SF_DIR, garbage, bound=0.8).count() == 0
+
+
+def test_assign_cells_arrow_agrees_with_fold(spark):
+    """The Arrow matmul assignment must agree with the exact-fold form
+    (disagreement is possible only on sub-rounding ties at the 6th
+    decimal, which the fixture geometry doesn't produce)."""
+    from data_pipeline_bigquery_spark.extensions.similarity import (
+        assign_cells,
+        assign_cells_arrow,
+        train_ivf_centroids,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    cents = train_ivf_centroids(emb, nlist=10, iters=1)
+    fold = {r.vec_id: r.cell for r in assign_cells(emb, cents).collect()}
+    arrow = {r.vec_id: r.cell for r in assign_cells_arrow(emb, cents).collect()}
+    assert set(fold) == set(arrow)
+    agree = sum(fold[k] == arrow[k] for k in fold) / len(fold)
+    assert agree >= 0.995, f"arrow assignment diverged: {agree:.4f}"
