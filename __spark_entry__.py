@@ -63,6 +63,7 @@ _HEAVY_QUERIES = {
     "ann_ivf_pq_recall_contract",
     "ann_ivf_trained_recall_contract",
     "ann_ivf_recall_contract",
+    "ann_reuse_centroids_contract",
     "multimodal_frame_sample",
 }
 

@@ -461,6 +461,26 @@ def _ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_contract(spark, sf_dir, _ann_ivf_pq(spark, sf_dir), 0.7)
 
 
+def _ann_reuse_centroids_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall contract for the AMORTIZED production path: offline
+    ``train_ivf_centroids`` → ``similarity_topk(centroids=...)``, i.e.
+    Arrow-matmul assignment + ``ivf_topk_preassigned`` probe/scan (the
+    route the measured crossover economics recommend — PERFORMANCE.md
+    "ANN crossover").  Deterministic: pinned seeds/tie-breaks; the
+    Arrow argmax matches the fold form on this geometry (agreement
+    test in tests/test_ann_recall.py).  Gate 0.7."""
+    from data_pipeline_bigquery_spark.extensions.similarity import (
+        similarity_topk,
+        train_ivf_centroids,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    cents = train_ivf_centroids(emb, nlist=10, iters=2)
+    approx = similarity_topk(queries, emb, k=5, centroids=cents, nprobe=3)
+    return _recall_contract(spark, sf_dir, approx, 0.7)
+
+
 # The recall contracts share the brute-force oracle: DuckDB recomputes
 # the exact cosine top-k neighbor set itself and the driver hash-compares
 # it against the (recall-gated) Spark exact arm.  See _recall_contract.
@@ -833,6 +853,7 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_ivf_recall_contract": QuerySpec(_ann_ivf_recall, _ANN_RECALL_SQL),
     "ann_ivf_trained_recall_contract": QuerySpec(_ann_ivf_trained_recall, _ANN_RECALL_SQL),
     "ann_ivf_pq_recall_contract": QuerySpec(_ann_ivf_pq_recall, _ANN_RECALL_SQL),
+    "ann_reuse_centroids_contract": QuerySpec(_ann_reuse_centroids_recall, _ANN_RECALL_SQL),
     "text_lang_id": QuerySpec(_lang_id, _LANG_SQL),
     "text_quality_score": QuerySpec(_quality, _QUALITY_SQL),
     "text_token_count": QuerySpec(_token_count, _TOKEN_SQL),
