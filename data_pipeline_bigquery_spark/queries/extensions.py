@@ -481,6 +481,19 @@ def _ann_reuse_centroids_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_contract(spark, sf_dir, approx, 0.7)
 
 
+def _ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH recall contract — the BUCKETED (training-
+    free) ANN path next to the IVF family: map-side sign signatures,
+    band collisions, exact rerank (`extensions/rhp_lsh.py`).  Measured
+    recall@5 0.925 at sf0.001 / 0.875 at sf0.01 with the default
+    24-bit × 3-bit-band geometry; gate 0.7."""
+    from data_pipeline_bigquery_spark.extensions.rhp_lsh import rhp_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return _recall_contract(spark, sf_dir, rhp_topk(queries, emb, k=5), 0.7)
+
+
 # The recall contracts share the brute-force oracle: DuckDB recomputes
 # the exact cosine top-k neighbor set itself and the driver hash-compares
 # it against the (recall-gated) Spark exact arm.  See _recall_contract.
@@ -854,6 +867,7 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_ivf_trained_recall_contract": QuerySpec(_ann_ivf_trained_recall, _ANN_RECALL_SQL),
     "ann_ivf_pq_recall_contract": QuerySpec(_ann_ivf_pq_recall, _ANN_RECALL_SQL),
     "ann_reuse_centroids_contract": QuerySpec(_ann_reuse_centroids_recall, _ANN_RECALL_SQL),
+    "ann_lsh_recall_contract": QuerySpec(_ann_lsh_recall, _ANN_RECALL_SQL),
     "text_lang_id": QuerySpec(_lang_id, _LANG_SQL),
     "text_quality_score": QuerySpec(_quality, _QUALITY_SQL),
     "text_token_count": QuerySpec(_token_count, _TOKEN_SQL),
