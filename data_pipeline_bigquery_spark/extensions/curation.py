@@ -117,3 +117,60 @@ def pack_sequences(
         tokens_col.cast("long").alias("n_tokens"),
         F.floor(cum_before / ctx).cast("long").alias("bin_id"),
     )
+
+
+def model_quality_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 1024,
+    weights: DataFrame | None = None,
+) -> DataFrame:
+    """Linear quality model over hashed bag-of-words features — the
+    fasttext-style classifier shape (hashing trick + weight vector +
+    squash) that production pipelines run after the cheap rule filters.
+
+    Plumbing is the point: tokens explode map-side, each token hashes to
+    a feature id in ``[0, dim)`` (the md5-hex7 idiom shared with
+    ``sampling.hash_bucket``), features join a ``dim``-row ``(fid, wt)``
+    weight table — broadcast, it is KBs even at fasttext's 2M buckets —
+    and one keyed agg produces the per-doc margin.  Swap ``weights``
+    for a learned table and this IS the production scorer; the default
+    is a frozen pseudo-random init derived from the same md5 idiom so
+    an external oracle can rebuild it exactly.
+
+    Numerics are drift-proof by construction: weights are integer
+    millis (order-independent exact sum), the margin is ONE double
+    division, and the squash is the rational ``0.5 + m/(2(1+|m|))`` —
+    no transcendental calls, so engines agree bit for bit.
+    """
+    spark = df.sparkSession
+    if weights is None:
+        wt_m = (
+            F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 7), 16, 10)
+            .cast("long") % 2001 - 1000
+        )
+        weights = spark.range(dim).select(
+            F.col("id").alias("fid"), wt_m.alias("wt_millis")
+        )
+    tok = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    fid = F.conv(F.substring(F.md5(F.col("tok")), 1, 7), 16, 10).cast("long") % dim
+    agg = (
+        tok.select(id_col, fid.alias("fid"))
+        .join(F.broadcast(weights), "fid")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_tok"), F.sum("wt_millis").alias("sw_millis"))
+    )
+    margin = F.col("sw_millis").cast("double") / (
+        F.col("n_tok").cast("double") * 1000.0
+    )
+    return agg.select(
+        id_col,
+        "n_tok",
+        "sw_millis",
+        F.round(F.lit(0.5) + margin / (2.0 * (1.0 + F.abs(margin))), 6).alias(
+            "model_score"
+        ),
+    )

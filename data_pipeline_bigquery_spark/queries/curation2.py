@@ -197,8 +197,46 @@ FROM per_doc
 """
 
 
+def _model_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear quality model (fasttext shape): md5-hashed
+    bag-of-words → broadcast ``(fid, wt)`` table → integer-exact margin
+    → rational squash.  The weight table is a frozen md5-derived init
+    the oracle rebuilds via ``generate_series``; production swaps in a
+    learned table through the ``weights`` parameter
+    (`extensions/curation.py::model_quality_score`)."""
+    from data_pipeline_bigquery_spark.extensions.curation import model_quality_score
+
+    return model_quality_score(load(spark, sf_dir, "documents"))
+
+
+_MODEL_SCORE_SQL = """
+WITH w AS (
+  SELECT i AS fid,
+         CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 7)) AS BIGINT) % 2001 - 1000
+           AS wt_millis
+  FROM generate_series(0, 1023) t(i)),
+tok AS (
+  SELECT doc_id, w AS tok
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''),
+f AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 7)) AS BIGINT) % 1024 AS fid
+  FROM tok),
+s AS (
+  SELECT doc_id, count(*) AS n_tok, sum(wt_millis) AS sw_millis
+  FROM f JOIN w USING (fid) GROUP BY doc_id)
+SELECT doc_id, n_tok, CAST(sw_millis AS BIGINT) AS sw_millis,
+       round(0.5 + (CAST(sw_millis AS DOUBLE) / (n_tok * 1000.0))
+                   / (2.0 * (1.0 + abs(CAST(sw_millis AS DOUBLE) / (n_tok * 1000.0)))),
+             6) AS model_score
+FROM s
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "quality_filter_cascade": QuerySpec(_quality_filter_cascade, _CASCADE_SQL),
+    "quality_model_score": QuerySpec(_model_quality_score, _MODEL_SCORE_SQL),
     "training_shard_manifest": QuerySpec(_training_shard_manifest, _SHARD_MANIFEST_SQL),
     "doc_commonness_score": QuerySpec(_doc_commonness_score, _COMMONNESS_SQL),
 }

@@ -116,3 +116,36 @@ def test_commonness_score_bounds_and_extremes(spark, tmp_path):
     assert out[2].avg_word_freq == 1.0  # every word unique
     for r in out.values():
         assert 1.0 <= r.avg_word_freq <= 8.0
+
+
+def test_model_quality_score_pluggable_weights(spark):
+    """The default frozen init and a supplied (learned) weight table run
+    through the same plan; scores stay in (0,1); an all-positive weight
+    table pushes every doc above 0.5, all-negative below — the margin
+    plumbing actually routes the weights."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_bigquery_spark.extensions.curation import model_quality_score
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="aa bb cc"), Row(doc_id=2, text="dd ee")],
+        "doc_id long, text string",
+    )
+    default = {r.doc_id: r for r in model_quality_score(docs).collect()}
+    assert set(default) == {1, 2}
+    for r in default.values():
+        assert 0.0 < r.model_score < 1.0
+        assert abs(r.sw_millis) <= r.n_tok * 1000  # weights are in [-1, 1]
+
+    pos = spark.range(1024).select(
+        F.col("id").alias("fid"), F.lit(700).alias("wt_millis")
+    )
+    neg = spark.range(1024).select(
+        F.col("id").alias("fid"), F.lit(-700).alias("wt_millis")
+    )
+    up = {r.doc_id: r.model_score for r in model_quality_score(docs, weights=pos).collect()}
+    down = {r.doc_id: r.model_score for r in model_quality_score(docs, weights=neg).collect()}
+    assert all(s > 0.5 for s in up.values())
+    assert all(s < 0.5 for s in down.values())
+    # rational squash is symmetric: flipped weights mirror around 0.5
+    assert all(abs(up[d] + down[d] - 1.0) < 1e-9 for d in up)
