@@ -130,10 +130,17 @@ def rhp_topk(
     cosine_sim)``, sims rounded to 6 decimals, id tie-breaks — so the
     recall-contract machinery applies unchanged.
 
-    Default geometry 24 bits × 3-bit bands = 8 bands: a neighbor at
-    cosine 0.5 (60°) collides in ≥1 band with p ≈ 0.94; at cosine 0.8
-    (37°) p ≈ 0.999.  Tune like MinHash bands: more bands → recall,
-    wider bands → precision (fewer candidates)."""
+    Band width is THE knob, and it must match the neighbor-similarity
+    regime (measured sweep in PERFORMANCE.md "RHP-LSH band geometry"):
+    a random pair collides per band at ``2^-band_bits``, so the
+    candidate floor over ``B`` bands is ``1-(1-2^-band_bits)^B`` —
+    3-bit bands price that floor at 66% (recall-favoring, right when
+    neighbors are weak, as at fixture scale: recall 0.925/0.875),
+    while 8-bit bands price it at ~2% (the scale geometry for real
+    clustered embedding corpora, where cosine-0.9 neighbors keep
+    recall 0.825 at 48 bits).  Like IVF, the index pays when
+    amortized: cache/persist the corpus band rows once and the warm
+    per-batch cost at 48/8 measured 28× faster than brute at 200k."""
     # one-row dim probe (arrays carry no length in the schema); bounded,
     # and at scale callers pass a corpus whose dim they already know via
     # the plane cache anyway
