@@ -120,3 +120,17 @@ def assert_wholestage_codegen(df: DataFrame) -> None:
         )
     )
     assert "*(" in simple, "no WholeStageCodegen stage in executed plan"
+
+
+def assert_dynamic_partition_pruning(df: DataFrame) -> None:
+    """Runtime partition pruning is active: a ``dynamicpruning``
+    subquery sits inside the fact scan's PartitionFilters, so the
+    partitions a selective dim filter eliminates are never listed —
+    the join-time analog of static pruning, and the difference between
+    scanning 1 and 1000 date partitions of a 100 TB fact when the dim
+    side filters to one day."""
+    plan = formatted_plan(df)
+    assert "dynamicpruning" in plan.lower(), (
+        "no dynamic-pruning subquery in the plan — the fact scan lists "
+        "every partition regardless of the dim filter"
+    )

@@ -56,3 +56,32 @@ def test_rest_spill_scan(spark, tmp_path):
     # bounded spill → multiple staged files → a multi-split scan
     assert df.rdd.getNumPartitions() > 1 or len(list(__import__("os").listdir(staging))) >= 4
     assert df.select(F.max("id")).first()[0] == 249
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
+    """A partitioned fact joined to a selectively-filtered dim must
+    prune fact partitions at RUNTIME (dynamicpruning subquery in
+    PartitionFilters): the dim filter's surviving keys decide which
+    fact directories are listed.  This is the plan shape that keeps a
+    date-partitioned 100 TB fact scan proportional to the dim filter,
+    not the calendar."""
+    from data_pipeline_bigquery_spark.plans.audit import (
+        assert_dynamic_partition_pruning,
+    )
+
+    fact = str(tmp_path / "fact")
+    spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 20).alias("day_key"), (F.col("id") * 3).alias("amt")
+    ).write.partitionBy("day_key").parquet(fact)
+    dim = str(tmp_path / "dim")
+    spark.range(20).select(
+        F.col("id").alias("day_key"),
+        F.when(F.col("id") < 2, "hot").otherwise("cold").alias("tier"),
+    ).write.parquet(dim)
+
+    f = spark.read.parquet(fact)
+    d = spark.read.parquet(dim).filter(F.col("tier") == "hot")
+    joined = f.join(d, "day_key").groupBy("day_key").agg(F.sum("amt").alias("total"))
+    assert_dynamic_partition_pruning(joined)
+    rows = {r.day_key: r.total for r in joined.collect()}
+    assert set(rows) == {0, 1}  # only the two hot partitions survive
