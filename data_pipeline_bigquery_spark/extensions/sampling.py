@@ -139,3 +139,57 @@ def contamination_report(
         .filter(F.col("contamination_rate") >= min_rate)
         .select("doc_id", "n_shared", "n_grams", "contamination_rate")
     )
+
+
+def mixture_resample(
+    df: DataFrame,
+    weights: DataFrame,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    precision: int = 1000,
+) -> DataFrame:
+    """Downsample sources to hit a TARGET MIXTURE — the data-recipe op
+    every pretraining run starts with ("50% web, 30% books, 20% code")
+    when the raw corpus arrives in whatever proportions crawling
+    produced.
+
+    Semantics: never upsample.  The feasible corpus total is set by the
+    most over-demanded source — ``T = min_s(count_s / w_s)`` — and each
+    source keeps ``T·w_s`` rows via a deterministic md5-bucket filter
+    (per-``precision``-ile, same idiom as :func:`hash_bucket`), so the
+    output mixture tracks ``weights`` and membership is stable across
+    runs/engines.  Sources absent from ``weights`` are dropped (recipe
+    says zero).
+
+    One Catalyst plan, no driver math: per-source counts (one agg on a
+    low-cardinality key), a 1-row min (broadcast scalar pattern), the
+    rate table broadcast back onto the corpus, one map-side filter.
+    The corpus itself is scanned once and never shuffled — at 100 TB
+    the only full-size pass is the final filter.
+
+    ``weights`` is ``(source, w)`` with integer ``w`` (relative parts,
+    need not sum to anything).  Returns the surviving rows of ``df``.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    wt = counts.join(weights, source_col)
+    t = wt.agg(
+        F.min(F.col("__n").cast("double") / F.col("w").cast("double")).alias("__t")
+    )
+    rates = (
+        wt.crossJoin(F.broadcast(t))
+        .select(
+            source_col,
+            F.least(
+                F.lit(precision).cast("long"),
+                F.floor(
+                    F.lit(float(precision)) * F.col("__t") * F.col("w").cast("double")
+                    / F.col("__n").cast("double")
+                ).cast("long"),
+            ).alias("__rate"),
+        )
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(hash_bucket(F.col(key_col), precision) < F.col("__rate"))
+        .drop("__rate")
+    )

@@ -146,7 +146,51 @@ WHERE round(CAST(n_shared AS DOUBLE) / n_grams, 6) >= 0.3
 """
 
 
+def _mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-mixture resampling (`extensions/sampling.py::
+    mixture_resample`): the data-recipe op — per-source weights set the
+    output proportions, the most over-demanded source caps the feasible
+    total, membership is md5-bucket deterministic.  Weights here derive
+    from the source name (src0..src19 → parts 1..4 cycling) so the
+    oracle rebuilds the recipe exactly; production passes a real
+    ``(source, w)`` recipe table."""
+    from data_pipeline_bigquery_spark.extensions.sampling import mixture_resample
+
+    docs = load(spark, sf_dir, "documents")
+    weights = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            (1 + F.substring("source", 4, 10).cast("int") % 4).alias("w"),
+        )
+    )
+    out = mixture_resample(docs, weights)
+    return out.select("doc_id", "source")
+
+
+_MIXTURE_SQL = """
+WITH w AS (
+  SELECT source, 1 + CAST(substr(source, 4) AS INT) % 4 AS w
+  FROM (SELECT DISTINCT source FROM documents)),
+c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+t AS (SELECT min(CAST(n AS DOUBLE) / CAST(w AS DOUBLE)) AS t
+      FROM c JOIN w USING (source)),
+r AS (
+  SELECT source,
+         least(CAST(1000 AS BIGINT),
+               CAST(floor(1000.0 * t.t * CAST(w.w AS DOUBLE)
+                          / CAST(c.n AS DOUBLE)) AS BIGINT)) AS rate
+  FROM c JOIN w USING (source) CROSS JOIN t)
+SELECT d.doc_id, d.source
+FROM documents d JOIN r USING (source)
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 1000
+      < r.rate
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "source_mixture_resample": QuerySpec(_mixture_resample, _MIXTURE_SQL),
     "train_test_split": QuerySpec(_train_test_split, _SPLIT_SQL),
     "stratified_sample_lang": QuerySpec(_stratified_sample, _STRATIFIED_SQL),
     "global_shuffle_order": QuerySpec(_global_shuffle, _SHUFFLE_SQL),

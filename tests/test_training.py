@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import hashlib
 
+from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from data_pipeline_bigquery_spark.extensions.dedup_text import word_ngrams
@@ -87,3 +88,52 @@ def test_contamination_finds_planted_leak(spark):
     ).collect()
     assert [r.doc_id for r in out] == [10]
     assert out[0].contamination_rate == 1.0  # every 3-gram of the near-copy is in bench
+
+
+class TestMixtureResample:
+    def _toy(self, spark):
+        # 400 web, 100 books, 100 code — recipe wants 2:1:1
+        rows = (
+            [Row(doc_id=i, source="web") for i in range(400)]
+            + [Row(doc_id=1000 + i, source="books") for i in range(100)]
+            + [Row(doc_id=2000 + i, source="code") for i in range(100)]
+        )
+        return spark.createDataFrame(rows, "doc_id long, source string")
+
+    def _weights(self, spark, d):
+        return spark.createDataFrame(
+            [Row(source=s, w=w) for s, w in d.items()], "source string, w int"
+        )
+
+    def test_output_tracks_target_mixture_without_upsampling(self, spark):
+        from data_pipeline_bigquery_spark.extensions.sampling import mixture_resample
+
+        df = self._toy(spark)
+        out = mixture_resample(df, self._weights(spark, {"web": 2, "books": 1, "code": 1}))
+        got = {r.source: r.n for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+        # books is the binding source (100/1 < 400/2): T=100, targets 200/100/100
+        assert got["books"] == 100 and got["code"] == 100  # rate 1000 keeps all
+        # web downsamples toward 200 via md5 buckets (binomial, wide tolerance)
+        assert 150 <= got["web"] <= 250
+        # strict subset of the input, no duplicated rows
+        assert out.count() == out.select("doc_id").distinct().count()
+        assert out.join(df, ["doc_id", "source"], "left_anti").count() == 0
+
+    def test_deterministic_and_recipe_sensitive(self, spark):
+        from data_pipeline_bigquery_spark.extensions.sampling import mixture_resample
+
+        df = self._toy(spark)
+        w = self._weights(spark, {"web": 2, "books": 1, "code": 1})
+        a = {r.doc_id for r in mixture_resample(df, w).collect()}
+        b = {r.doc_id for r in mixture_resample(df, w).collect()}
+        assert a == b  # md5 membership, not sampling randomness
+        w2 = self._weights(spark, {"web": 1, "books": 1, "code": 1})
+        c = {r.doc_id for r in mixture_resample(df, w2).collect()}
+        assert a != c  # the recipe actually drives membership
+
+    def test_unlisted_source_dropped(self, spark):
+        from data_pipeline_bigquery_spark.extensions.sampling import mixture_resample
+
+        df = self._toy(spark)
+        out = mixture_resample(df, self._weights(spark, {"web": 1, "books": 1}))
+        assert out.filter(F.col("source") == "code").count() == 0
