@@ -152,7 +152,95 @@ FROM per_doc
 """
 
 
+# boilerplate spans: 3-word grain (collisions actually occur in the
+# fixture's ~30-word vocabulary), dropped when seen >= 2 times corpus-wide
+_SPAN = 3
+_BOILER_K = 2
+
+
+def _boilerplate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global span removal — the TRANSFORM twin of
+    `chunk_dedup_ratio`'s statistics: every fixed {_SPAN}-word span
+    that appears >= {_BOILER_K} times anywhere in the corpus is dropped
+    from every document, and each document is reassembled from its
+    surviving spans in order.
+
+    Scale shape: span explode is map-side; the global occurrence count
+    groups on md5(span) (16-byte keys); the reassembly groupBy is
+    keyed on doc_id and carries only SURVIVING span text — for
+    boilerplate-heavy corpora the rewrite shuffle is smaller than the
+    input.  Documents whose every span is boilerplate still emit a row
+    (n_kept = 0, empty text) — collect_list ignores the nulls the
+    keep-condition leaves, so no doc is lost to the filter.  Output
+    hashes the cleaned text (md5) to keep driver rows small."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("words")
+    )
+    n_spans = F.ceil(F.size("words") / F.lit(float(_SPAN))).cast("int")
+    spans = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_spans - F.lit(1)),
+                lambda i: F.array_join(F.slice("words", i * _SPAN + 1, _SPAN), " "),
+            )
+        ).alias("pos", "span"),
+    )
+    occ = spans.groupBy(F.md5("span").alias("h")).agg(F.count(F.lit(1)).alias("occ"))
+    keep = F.col("occ") < _BOILER_K
+    per_doc = (
+        spans.withColumn("h", F.md5("span"))
+        .join(occ, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(keep.cast("int")).cast("bigint").alias("n_kept"),
+            F.sum((~keep).cast("int")).cast("bigint").alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(keep, F.struct(F.col("pos"), F.col("span")))
+                        )
+                    ),
+                    lambda s: s["span"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    return per_doc.select(
+        "doc_id", "n_kept", "n_dropped", F.md5("clean_text").alias("clean_digest")
+    )
+
+
+_BOILER_SQL = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+spans AS (
+  SELECT doc_id, u.i AS pos, u.c AS span
+  FROM (
+    SELECT doc_id,
+           unnest([struct_pack(i := i,
+                               c := array_to_string(words[i*{_SPAN}+1 : i*{_SPAN}+{_SPAN}], ' '))
+                   for i in generate_series(0, CAST(ceil(len(words)/{_SPAN}.0) AS BIGINT)-1)]) AS u
+    FROM w)),
+occ AS (SELECT md5(span) AS h, count(*) AS occ FROM spans GROUP BY 1),
+per_doc AS (
+  SELECT doc_id,
+         sum(CASE WHEN occ < {_BOILER_K} THEN 1 ELSE 0 END) AS n_kept,
+         sum(CASE WHEN occ >= {_BOILER_K} THEN 1 ELSE 0 END) AS n_dropped,
+         coalesce(string_agg(span, ' ' ORDER BY pos)
+                    FILTER (WHERE occ < {_BOILER_K}), '') AS clean_text
+  FROM spans JOIN occ ON occ.h = md5(span)
+  GROUP BY doc_id)
+SELECT doc_id, CAST(n_kept AS BIGINT) AS n_kept,
+       CAST(n_dropped AS BIGINT) AS n_dropped,
+       md5(clean_text) AS clean_digest
+FROM per_doc
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "chunk_dedup_ratio": QuerySpec(_chunk_dedup_ratio, _CHUNK_DEDUP_SQL),
     "vocab_oov_rate": QuerySpec(_vocab_oov_rate, _VOCAB_OOV_SQL),
+    "boilerplate_span_removal": QuerySpec(_boilerplate_span_removal, _BOILER_SQL),
 }
