@@ -132,7 +132,81 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+CMS_EPS = 1e-4  # count-min: over-estimate only, error <= eps * N
+CMS_CONFIDENCE = 0.99
+CMS_SEED = 42
+_CMS_TOP = 20
+
+
+def _cms_frequent_terms_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch + exact heavy-hitters audit.
+
+    The CMS aggregates map-side into a fixed ``e/eps × ln(1/delta)``
+    counter grid (a few hundred KB here) and merges by cell-wise sum —
+    the classic frequency sketch for 100 TB streams where a full
+    ``groupBy(term)`` shuffle is unaffordable.  The contract probes the
+    sketch for the corpus's top-{_CMS_TOP} terms and asserts the CMS
+    guarantee: ``exact <= estimate <= exact + eps·N`` (one-sided
+    over-estimation; deterministic for a fixed dataset since the seed
+    is pinned).  Bounded driver traffic by construction: the sketch
+    itself (KBs) and the {_CMS_TOP} audited terms — never the term
+    counts at large.  The oracle recomputes the exact heavy hitters and
+    asserts every bound held."""
+    words = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    n_total = words.count()
+    # one row of sketch bytes (a few hundred KB at eps=1e-4) comes back
+    # to the driver; the aggregation itself merges map-side in the JVM
+    raw = words.agg(
+        F.count_min_sketch(
+            "term", F.lit(CMS_EPS), F.lit(CMS_CONFIDENCE), F.lit(CMS_SEED)
+        ).alias("s")
+    ).collect()[0]["s"]
+    jvm = spark._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(raw))
+    )
+    top = (
+        words.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), F.col("term"))
+        .limit(_CMS_TOP)
+        .collect()
+    )
+    bound = CMS_EPS * n_total
+    rows = [
+        (
+            r["term"],
+            r["exact_count"],
+            bool(
+                r["exact_count"]
+                <= cms.estimateCount(r["term"])
+                <= r["exact_count"] + bound
+            ),
+        )
+        for r in top
+    ]
+    return spark.createDataFrame(
+        rows, "term string, exact_count bigint, within_bound boolean"
+    )
+
+
+_CMS_SQL = f"""
+SELECT term, exact_count, TRUE AS within_bound FROM (
+  SELECT w AS term, count(*) AS exact_count
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+  GROUP BY 1
+  ORDER BY exact_count DESC, term
+  LIMIT {_CMS_TOP})
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "approx_distinct_daily": QuerySpec(_approx_distinct_checked, _APPROX_DISTINCT_SQL),
     "approx_price_percentiles": QuerySpec(_approx_percentiles_checked, _APPROX_PCT_SQL),
+    "approx_frequent_terms": QuerySpec(_cms_frequent_terms_checked, _CMS_SQL),
 }

@@ -59,3 +59,51 @@ def test_sketches_aggregate_partially(spark):
     li = load(spark, SF_DIR, "lineitem")
     plan2 = approx_price_percentiles(li)._jdf.queryExecution().executedPlan().toString()
     assert "partial_percentile_approx" in plan2
+
+
+def test_count_min_sketch_overestimates_and_merges(spark):
+    """The CMS contract's two load-bearing properties, numerically:
+    (1) one-sided error — estimate >= exact for every term; (2)
+    mergeability — two half-corpus sketches merged cell-wise give the
+    SAME estimates as one full-corpus sketch (what makes the map-side
+    partial aggregation correct at any partition count)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_bigquery_spark.queries.sketches import (
+        CMS_CONFIDENCE,
+        CMS_EPS,
+        CMS_SEED,
+    )
+
+    words = (
+        load(spark, SF_DIR, "documents")
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    exact = {
+        r["term"]: r["n"]
+        for r in words.groupBy("term").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+    def sketch(df):
+        raw = df.agg(
+            F.count_min_sketch(
+                "term", F.lit(CMS_EPS), F.lit(CMS_CONFIDENCE), F.lit(CMS_SEED)
+            ).alias("s")
+        ).collect()[0]["s"]
+        jvm = spark._jvm
+        return jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            jvm.java.io.ByteArrayInputStream(bytes(raw))
+        )
+
+    full = sketch(words)
+    n_total = sum(exact.values())
+    for term, n in exact.items():
+        est = full.estimateCount(term)
+        assert n <= est <= n + CMS_EPS * n_total, (term, n, est)
+
+    half_a = sketch(words.filter(F.col("doc_id") % 2 == 0))
+    half_b = sketch(words.filter(F.col("doc_id") % 2 == 1))
+    half_a.mergeInPlace(half_b)
+    for term in exact:
+        assert half_a.estimateCount(term) == full.estimateCount(term), term
