@@ -228,3 +228,56 @@ def test_rollup_maintenance_any_batching_equals_recompute(spark, facts, splits):
         n, tot = expect.get((et, day), (0, 0))
         expect[(et, day)] = (n + 1, tot + cents)
     assert got == expect
+
+
+# --- mixture_resample vs an independent Python model -------------------------
+
+_corpus = st.lists(
+    st.tuples(st.integers(0, 10_000), st.sampled_from(["web", "books", "code"])),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: t[0],
+)
+_recipe = st.dictionaries(
+    st.sampled_from(["web", "books", "code"]), st.integers(1, 5), min_size=1
+)
+
+
+@given(corpus=_corpus, recipe=_recipe)
+@settings(**_SETTINGS)
+def test_mixture_resample_matches_model(spark, corpus, recipe):
+    """Row-level replay: the md5-bucket membership rule and the
+    rate arithmetic are recomputed in plain Python; Spark must keep
+    exactly the rows the model keeps."""
+    import hashlib
+    import math
+
+    from pyspark.sql import Row
+
+    from data_pipeline_bigquery_spark.extensions.sampling import mixture_resample
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source=s) for i, s in corpus], "doc_id long, source string"
+    )
+    wdf = spark.createDataFrame(
+        [Row(source=s, w=w) for s, w in sorted(recipe.items())], "source string, w int"
+    )
+    got = {(r.doc_id, r.source) for r in mixture_resample(df, wdf).collect()}
+
+    counts: dict[str, int] = {}
+    for _, s in corpus:
+        counts[s] = counts.get(s, 0) + 1
+    present = {s: w for s, w in recipe.items() if s in counts}
+    if not present:
+        assert got == set()
+        return
+    t = min(counts[s] / w for s, w in present.items())
+    expected = set()
+    for i, s in corpus:
+        if s not in present:
+            continue
+        rate = min(1000, math.floor(1000.0 * t * present[s] / counts[s]))
+        bucket = int(hashlib.md5(str(i).encode()).hexdigest()[:7], 16) % 1000
+        if bucket < rate:
+            expected.add((i, s))
+    assert got == expected
