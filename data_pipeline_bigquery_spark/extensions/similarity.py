@@ -583,3 +583,34 @@ def ivf_topk_preassigned(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cosine_sim")
     )
+
+
+def save_ivf_index(
+    assigned_corpus: DataFrame,
+    centroids: DataFrame,
+    path: str,
+) -> None:
+    """Persist a trained IVF index: centroids (nlist rows) plus the
+    assigned corpus written PARTITIONED BY CELL.
+
+    The cell-partitioned layout is the point, not a convenience: a
+    probe touches ``nprobe`` cells, and a cell-partitioned parquet
+    index lets the candidate join prune every other cell's files at
+    the directory level (runtime/dynamic pruning — see
+    ``tests/test_ann_index_persist.py``), so per-batch IO is
+    ``nprobe/nlist`` of the index instead of a full scan.  This is the
+    durable half of the amortized path measured in PERFORMANCE.md
+    "ANN crossover"."""
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    assigned_corpus.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/corpus"
+    )
+
+
+def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Load a persisted IVF index → ``(assigned_corpus, centroids)``,
+    ready for :func:`ivf_topk_preassigned` / ``similarity_topk(
+    centroids=...)``."""
+    centroids = spark.read.parquet(f"{path}/centroids")
+    corpus = spark.read.parquet(f"{path}/corpus")
+    return corpus, centroids
