@@ -173,3 +173,88 @@ def resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
     ys = (np.arange(height) * h) // height
     xs = (np.arange(width) * w) // width
     return pixels[ys][:, xs]
+
+
+# --- audio: PCM WAV ----------------------------------------------------------
+
+_RIFF_MAGIC = b"RIFF"
+_MP3_ID3 = b"ID3"
+_OGG_MAGIC = b"OggS"
+
+
+def wav_header(n_samples: int, rate: int) -> bytes:
+    """The 44-byte canonical PCM header for unsigned-8-bit mono audio —
+    one home for the byte layout, shared by :func:`encode_wav`, the JVM
+    payload synthesis (`multimodal.wav_payload`), and the DuckDB oracle
+    geometry in ``queries/extensions.py``."""
+    import struct
+
+    return b"".join(
+        [
+            b"RIFF",
+            struct.pack("<I", 36 + n_samples),
+            b"WAVEfmt ",
+            struct.pack("<IHHIIHH", 16, 1, 1, rate, rate, 1, 8),
+            b"data",
+            struct.pack("<I", n_samples),
+        ]
+    )
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """Unsigned-8-bit PCM mono WAV from a uint8 sample vector."""
+    s = np.asarray(samples, dtype=np.uint8)
+    return wav_header(len(s), rate) + s.tobytes()
+
+
+def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
+    """Parse a PCM WAV → ``(samples, rate)``.  Real RIFF walking: the
+    fmt chunk is validated (PCM, mono, 8-bit — the canonical layout
+    this engine synthesizes) and the data chunk is located by chunk
+    scan, not fixed offset, so externally produced canonical PCM files
+    decode too."""
+    import struct
+
+    if buf[:4] != _RIFF_MAGIC or buf[8:12] != b"WAVE":
+        raise ValueError(f"not a RIFF/WAVE stream: {buf[:12]!r}")
+    pos, rate, bits, channels = 12, None, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+        body = buf[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_code, channels, rate = struct.unpack("<HHI", body[:8])
+            (bits,) = struct.unpack("<H", body[14:16])
+            if fmt_code != 1:
+                raise NotImplementedError(
+                    f"only PCM WAV supported (fmt={fmt_code})"
+                )
+        elif cid == b"data":
+            if rate is None:
+                raise ValueError("data chunk before fmt chunk")
+            if channels != 1 or bits != 8:
+                raise NotImplementedError(
+                    f"only mono 8-bit PCM supported (ch={channels}, bits={bits})"
+                )
+            return np.frombuffer(body, dtype=np.uint8), rate
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    raise ValueError("no data chunk in WAV stream")
+
+
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """Magic-byte dispatch for audio — the seam where pyav/soundfile
+    would plug in for compressed formats, mirroring
+    :func:`decode_image`'s contract."""
+    if payload is None or len(payload) < 4:
+        raise ValueError("empty payload")
+    if payload[:4] == _RIFF_MAGIC:
+        return decode_wav(payload)
+    if payload[:3] == _MP3_ID3 or payload[:2] == b"\xff\xfb":
+        raise NotImplementedError(
+            "MP3 codec not available in this container (needs pyav/soundfile)"
+        )
+    if payload[:4] == _OGG_MAGIC:
+        raise NotImplementedError(
+            "OGG codec not available in this container (needs pyav/soundfile)"
+        )
+    raise ValueError(f"unrecognized audio magic {payload[:4]!r}")

@@ -200,3 +200,86 @@ def frame_sample(df: DataFrame, id_col: str, payload_col: str, n_frames: int = 4
     return spread_small_input(df.select(F.col(id_col), F.col(payload_col))).mapInPandas(
         gen, FRAME_SCHEMA
     )
+
+
+# audio geometry — ONE home, shared by wav_payload, the kernel, and the
+# DuckDB oracle SQL (queries/extensions.py derives its substr/window
+# arithmetic from these, per the shared-constants rule the image oracles
+# follow)
+AUDIO_N_SAMPLES = 800
+AUDIO_RATE = 8000
+AUDIO_WINDOW = 100
+
+
+def wav_payload(
+    text_col: str, n_samples: int = AUDIO_N_SAMPLES, rate: int = AUDIO_RATE
+) -> Column:
+    """A valid unsigned-8-bit PCM mono WAV whose sample stream is the
+    UTF-8 bytes of ``text_col`` (truncated / space-padded to
+    ``n_samples``) — literal 44-byte header + JVM rpad/substr body,
+    the audio twin of :func:`ppm_payload`.  ASCII text ⇒ every byte is
+    oracle-reconstructable with VARCHAR functions."""
+    from data_pipeline_bigquery_spark.extensions.codecs import wav_header
+
+    header = F.lit(wav_header(n_samples, rate))
+    body = F.expr(
+        f"rpad(substr(encode(`{text_col}`, 'UTF-8'), 1, {n_samples}), {n_samples}, X'20')"
+    )
+    return F.concat(header, body)
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id long, rate int, n_samples int, n_windows int,"
+    " total_energy bigint, crossings bigint, energy_md5 string"
+)
+
+
+def audio_features(
+    df: DataFrame, id_col: str, payload_col: str, window: int = AUDIO_WINDOW
+) -> DataFrame:
+    """Windowed signal features over decoded PCM — per-window energy
+    (sum |sample − 128|, integer-exact) and mean-crossing count (sign
+    changes of the centered signal), the cheap speech/music/silence
+    discriminators an audio curation pass runs before expensive ASR.
+
+    Real decode (`codecs.decode_audio` RIFF walk) per Arrow batch;
+    features are integer sums so the DuckDB oracle reproduces them
+    exactly from the same synthesized bytes, and ``energy_md5`` hashes
+    the ordered per-window energies (comma-joined) to keep driver rows
+    small."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from data_pipeline_bigquery_spark.extensions.codecs import decode_audio
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                samples, rate = decode_audio(bytes(payload))
+                dev = np.abs(samples.astype(np.int64) - 128)
+                n = len(samples)
+                n_win = n // window
+                energies = dev[: n_win * window].reshape(n_win, window).sum(axis=1)
+                centered = samples.astype(np.int64) < 128
+                crossings = int((centered[:-1] != centered[1:]).sum())
+                out.append(
+                    (
+                        int(doc_id),
+                        int(rate),
+                        n,
+                        n_win,
+                        int(dev.sum()),
+                        crossings,
+                        hashlib.md5(
+                            ",".join(str(int(e)) for e in energies).encode()
+                        ).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "rate", "n_samples", "n_windows",
+                    "total_energy", "crossings", "energy_md5",
+                ],
+            )
+
+    return df.mapInPandas(gen, AUDIO_FEATURES_SCHEMA)

@@ -821,6 +821,71 @@ _MM_FEAT_SQL = _mm_feat_sql(_MM_IMG_W, _MM_IMG_H, _MM_FEAT_DIM)
 _MM_FRAMES_SQL = _mm_frames_sql(_MM_VID_W, _MM_VID_H, _MM_VID_FRAMES, _MM_SAMPLE_FRAMES)
 
 
+def _multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio pillar: synthesize a valid PCM-u8 WAV per document
+    (`wav_payload` — literal RIFF header + text-byte samples), decode
+    it for real in the Arrow kernel (`codecs.decode_wav` RIFF chunk
+    walk), and emit integer-exact windowed signal features.  The oracle
+    rebuilds every sample byte from the text and recomputes energy,
+    crossings, and the per-window energy digest."""
+    from data_pipeline_bigquery_spark.extensions.multimodal import (
+        audio_features,
+        wav_payload,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", wav_payload("text").alias("payload")
+    )
+    return audio_features(docs, "doc_id", "payload")
+
+
+def _mm_audio_sql(n: int, rate: int, window: int) -> str:
+    """Sample-exact SQL reconstruction of the audio feature kernel:
+    the padded text IS the sample stream (u8 PCM), so ``ord`` over a
+    generate_series rebuilds each sample; geometry comes from the SAME
+    constants `wav_payload`/`audio_features` use — change one, both
+    move (the shared-constants rule of the image oracles)."""
+    n_win = n // window
+    return f"""
+WITH base AS (
+  SELECT doc_id, substr(text || repeat(' ', {n}), 1, {n}) AS body FROM documents),
+s AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS i, ord(substr(body, CAST(i AS INT), 1)) AS v
+  FROM base, generate_series(1, {n}) AS g(i)),
+e AS (
+  SELECT doc_id, i // {window} AS w, sum(abs(v - 128)) AS ew
+  FROM s GROUP BY 1, 2),
+x AS (
+  SELECT a.doc_id, count(*) AS crossings
+  FROM s a JOIN s b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  WHERE (a.v < 128) != (b.v < 128) GROUP BY 1),
+agg AS (
+  SELECT doc_id,
+         md5(string_agg(CAST(ew AS VARCHAR), ',' ORDER BY w)) AS energy_md5,
+         sum(ew) AS total_energy
+  FROM e GROUP BY 1)
+SELECT agg.doc_id, CAST({rate} AS INT) AS rate, CAST({n} AS INT) AS n_samples,
+       CAST({n_win} AS INT) AS n_windows,
+       CAST(total_energy AS BIGINT) AS total_energy,
+       CAST(coalesce(x.crossings, 0) AS BIGINT) AS crossings,
+       energy_md5
+FROM agg LEFT JOIN x USING (doc_id)
+"""
+
+
+def _mm_audio_sql_from_constants() -> str:
+    from data_pipeline_bigquery_spark.extensions.multimodal import (
+        AUDIO_N_SAMPLES,
+        AUDIO_RATE,
+        AUDIO_WINDOW,
+    )
+
+    return _mm_audio_sql(AUDIO_N_SAMPLES, AUDIO_RATE, AUDIO_WINDOW)
+
+
+_MM_AUDIO_SQL = _mm_audio_sql_from_constants()
+
+
 # --- sessionization (events) -------------------------------------------------
 
 def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -880,5 +945,6 @@ QUERIES: dict[str, QuerySpec] = {
     "multimodal_frame_sample": QuerySpec(_multimodal_frames, _MM_FRAMES_SQL),
     "multimodal_resize": QuerySpec(_multimodal_resize, _MM_RESIZE_SQL),
     "multimodal_features": QuerySpec(_multimodal_features, _MM_FEAT_SQL),
+    "multimodal_audio_features": QuerySpec(_multimodal_audio, _MM_AUDIO_SQL),
     "sessionize_events": QuerySpec(_sessionize, _SESSIONIZE_SQL),
 }

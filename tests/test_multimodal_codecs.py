@@ -262,3 +262,91 @@ def test_resize_property(px, w, h):
     # every output pixel exists somewhere in the input (nearest = a pick)
     flat_in = {tuple(p) for p in px.reshape(-1, 3)}
     assert all(tuple(p) in flat_in for p in out.reshape(-1, 3))
+
+
+# --- audio: PCM WAV ----------------------------------------------------------
+
+def test_wav_roundtrip():
+    from data_pipeline_bigquery_spark.extensions.codecs import decode_wav, encode_wav
+
+    s = np.arange(256, dtype=np.uint8)
+    out, rate = decode_wav(encode_wav(s, 8000))
+    assert rate == 8000 and (out == s).all()
+
+
+def test_wav_chunk_walk_skips_foreign_chunks():
+    """The decoder walks RIFF chunks rather than assuming byte 44 —
+    a LIST metadata chunk between fmt and data must be skipped (real
+    recorders emit them)."""
+    import struct
+
+    from data_pipeline_bigquery_spark.extensions.codecs import decode_wav, encode_wav
+
+    s = np.array([1, 2, 3, 250], dtype=np.uint8)
+    canonical = encode_wav(s, 44100)
+    header, data_chunk = canonical[:36], canonical[36:]
+    listed = (
+        header[:4]
+        + struct.pack("<I", len(canonical) - 8 + 12)
+        + header[8:]
+        + b"LIST" + struct.pack("<I", 4) + b"INFO"
+        + data_chunk
+    )
+    out, rate = decode_wav(listed)
+    assert rate == 44100 and (out == s).all()
+
+
+def test_wav_rejects_unsupported_layouts():
+    import struct
+
+    from data_pipeline_bigquery_spark.extensions.codecs import decode_wav
+
+    # 16-bit stereo header: parses, then refuses honestly at the seam
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(NotImplementedError):
+        decode_wav(hdr)
+
+
+def test_compressed_audio_raises_at_seam():
+    from data_pipeline_bigquery_spark.extensions.codecs import decode_audio
+
+    for magic in (b"ID3\x03\x00rest", b"\xff\xfbframe", b"OggSpage"):
+        with pytest.raises(NotImplementedError):
+            decode_audio(magic)
+    with pytest.raises(ValueError):
+        decode_audio(b"????")
+
+
+def test_audio_features_kernel_matches_numpy_model(spark):
+    """The mapInPandas kernel vs a direct numpy replay on the same
+    synthesized payloads — windowed energies, crossings, digest."""
+    from data_pipeline_bigquery_spark.extensions.multimodal import (
+        AUDIO_WINDOW,
+        audio_features,
+        wav_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="abc " * 300), Row(doc_id=2, text="zz")],
+        "doc_id long, text string",
+    ).select("doc_id", wav_payload("text").alias("payload"))
+    got = {r.doc_id: r for r in audio_features(docs, "doc_id", "payload").collect()}
+
+    for doc_id, text in ((1, "abc " * 300), (2, "zz")):
+        body = (text.encode()[:800] + b" " * 800)[:800]
+        arr = np.frombuffer(body, dtype=np.uint8).astype(np.int64)
+        dev = np.abs(arr - 128)
+        n_win = 800 // AUDIO_WINDOW
+        energies = dev.reshape(n_win, AUDIO_WINDOW).sum(axis=1)
+        digest = hashlib.md5(
+            ",".join(str(int(e)) for e in energies).encode()
+        ).hexdigest()
+        r = got[doc_id]
+        assert r.total_energy == int(dev.sum())
+        assert r.crossings == int(((arr[:-1] < 128) != (arr[1:] < 128)).sum())
+        assert r.energy_md5 == digest
+        assert (r.rate, r.n_samples, r.n_windows) == (8000, 800, n_win)
