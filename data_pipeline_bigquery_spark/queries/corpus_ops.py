@@ -239,8 +239,76 @@ FROM per_doc
 """
 
 
+_DRIFT_TOP = 15
+
+
+def _corpus_drift_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift monitor: which terms shifted most between a
+    baseline corpus and a candidate batch — the check a production
+    pipeline runs on every new crawl delivery before letting it into
+    the training mix (a crawler regression or a spam flood shows up
+    here first).
+
+    The two "corpora" are the stable md5-halves of the documents table
+    (the same split machinery as ``train_test_split``, so the key is
+    deterministic and self-contained).  Drift per term is integer-exact
+    by cross-multiplication: ``|c_new·N_old − c_old·N_new|`` compares
+    the frequencies ``c_new/N_new`` vs ``c_old/N_old`` without a
+    division, so the ranking hash-matches across engines.  One word
+    explode, one term-keyed agg, a broadcast 1-row totals join, and a
+    TakeOrdered top-{_DRIFT_TOP} — linear, shuffle keyed on terms."""
+    from data_pipeline_bigquery_spark.extensions.sampling import hash_bucket
+
+    words = (
+        load(spark, sf_dir, "documents")
+        .select(
+            (hash_bucket(F.col("doc_id")) < 50).alias("is_old"),
+            F.explode(F.split(F.col("text"), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    counts = words.groupBy("term").agg(
+        F.sum(F.col("is_old").cast("long")).alias("c_old"),
+        F.sum((~F.col("is_old")).cast("long")).alias("c_new"),
+    )
+    totals = counts.agg(
+        F.sum("c_old").alias("n_old"), F.sum("c_new").alias("n_new")
+    )
+    scored = counts.crossJoin(F.broadcast(totals)).select(
+        "term",
+        "c_old",
+        "c_new",
+        F.abs(
+            F.col("c_new") * F.col("n_old") - F.col("c_old") * F.col("n_new")
+        ).alias("drift_num"),
+    )
+    return scored.orderBy(F.col("drift_num").desc(), F.col("term")).limit(_DRIFT_TOP)
+
+
+_DRIFT_SQL = f"""
+WITH words AS (
+  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 100 < 50
+           AS is_old,
+         w AS term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''),
+counts AS (
+  SELECT term,
+         sum(CASE WHEN is_old THEN 1 ELSE 0 END) AS c_old,
+         sum(CASE WHEN is_old THEN 0 ELSE 1 END) AS c_new
+  FROM words GROUP BY term),
+totals AS (SELECT sum(c_old) AS n_old, sum(c_new) AS n_new FROM counts)
+SELECT term, CAST(c_old AS BIGINT) AS c_old, CAST(c_new AS BIGINT) AS c_new,
+       CAST(abs(c_new * n_old - c_old * n_new) AS BIGINT) AS drift_num
+FROM counts CROSS JOIN totals
+ORDER BY drift_num DESC, term
+LIMIT {_DRIFT_TOP}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "chunk_dedup_ratio": QuerySpec(_chunk_dedup_ratio, _CHUNK_DEDUP_SQL),
     "vocab_oov_rate": QuerySpec(_vocab_oov_rate, _VOCAB_OOV_SQL),
     "boilerplate_span_removal": QuerySpec(_boilerplate_span_removal, _BOILER_SQL),
+    "corpus_drift_topterms": QuerySpec(_corpus_drift_topterms, _DRIFT_SQL),
 }

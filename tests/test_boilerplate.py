@@ -51,3 +51,38 @@ def test_surviving_spans_keep_document_order(spark, tmp_path):
     ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
     out = {r.doc_id: r for r in _boilerplate_span_removal(spark, str(tmp_path)).collect()}
     assert out[1].clean_digest == _md5("one two three seven eight nine")
+
+
+def test_corpus_drift_flags_flooded_term(spark, tmp_path):
+    """A term that floods the candidate (new) half must rank first by
+    the cross-multiplied drift statistic; a term with identical
+    frequency in both halves contributes zero drift."""
+    import hashlib
+
+    from data_pipeline_bigquery_spark.queries.corpus_ops import (
+        _corpus_drift_topterms,
+    )
+
+    def half(i):  # mirror of sampling.hash_bucket(..., 100) < 50
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:7], 16) % 100 < 50
+
+    old_ids = [i for i in range(200) if half(i)]
+    new_ids = [i for i in range(200) if not half(i)]
+    # 'base' keeps identical relative frequency in both halves → zero
+    # drift; 'spamword' (new-only) and 'filler' (old-only) carry the
+    # shifted mass — L1 drift is symmetric, so they tie at the top
+    rows = [(i, "base filler") for i in old_ids] + [
+        (i, "base spamword") for i in new_ids
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+
+    out = _corpus_drift_topterms(spark, str(tmp_path)).collect()
+    drift = {r["term"]: r["drift_num"] for r in out}
+    rows_by_term = {r["term"]: r for r in out}
+    assert {out[0]["term"], out[1]["term"]} == {"filler", "spamword"}
+    assert drift["filler"] == drift["spamword"] > 0
+    assert rows_by_term["spamword"]["c_old"] == 0
+    assert rows_by_term["spamword"]["c_new"] == len(new_ids)
+    assert drift["base"] == 0  # stable-frequency term contributes nothing
