@@ -222,7 +222,17 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
         cid = buf[pos : pos + 4]
         (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
         body = buf[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            # a declared size past the buffer end is a truncated file;
+            # silently decoding the short tail would mis-blame the
+            # feature layer when n_samples disagrees with the header
+            raise ValueError(
+                f"truncated WAV: chunk {cid!r} declares {size} bytes, "
+                f"{len(body)} present"
+            )
         if cid == b"fmt ":
+            if size < 16:
+                raise ValueError(f"malformed fmt chunk: {size} bytes (need 16)")
             fmt_code, channels, rate = struct.unpack("<HHI", body[:8])
             (bits,) = struct.unpack("<H", body[14:16])
             if fmt_code != 1:

@@ -163,10 +163,17 @@ def model_quality_score(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_tok"), F.sum("wt_millis").alias("sw_millis"))
     )
-    margin = F.col("sw_millis").cast("double") / (
-        F.col("n_tok").cast("double") * 1000.0
+    # a doc with no non-empty tokens must still score (neutral 0.5),
+    # not vanish — downstream inner-joins would silently drop it
+    scored = df.select(id_col).join(agg, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_tok"), F.lit(0)).alias("n_tok"),
+        F.coalesce(F.col("sw_millis"), F.lit(0)).alias("sw_millis"),
     )
-    return agg.select(
+    margin = F.col("sw_millis").cast("double") / (
+        F.greatest(F.col("n_tok"), F.lit(1)).cast("double") * 1000.0
+    )
+    return scored.select(
         id_col,
         "n_tok",
         "sw_millis",

@@ -257,8 +257,12 @@ def audio_features(
                 samples, rate = decode_audio(bytes(payload))
                 dev = np.abs(samples.astype(np.int64) - 128)
                 n = len(samples)
-                n_win = n // window
-                energies = dev[: n_win * window].reshape(n_win, window).sum(axis=1)
+                # ceil windows: a partial tail window is a window (the
+                # oracle SQL groups EVERY sample by i // window, so
+                # dropping the tail would desync digest vs total_energy
+                # whenever window doesn't divide n)
+                n_win = (n + window - 1) // window
+                energies = np.add.reduceat(dev, np.arange(0, n, window)) if n else np.array([], dtype=np.int64)
                 centered = samples.astype(np.int64) < 128
                 crossings = int((centered[:-1] != centered[1:]).sum())
                 out.append(

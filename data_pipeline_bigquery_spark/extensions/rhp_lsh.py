@@ -88,17 +88,19 @@ def rhp_band_rows(
     assert n_bits % band_bits == 0, "n_bits must be a multiple of band_bits"
     n_bands = n_bits // band_bits
     e = with_double_embedding(df, vec_col)
-    sig = rhp_signature(F.col(vec_col), planes)
+    # Each band value is packed from ONLY its own band_bits planes.
+    # Building bands as slices of one shared signature expression reads
+    # nicer but duplicates the full n_bits fold tree into every band
+    # (higher-order functions defeat subexpression elimination), an
+    # n_bands x overcharge on the map-side hot path — verified on the
+    # optimized plan (tests/test_rhp_lsh.py pins the fold count).
+    def band_val(b: int):
+        bits = rhp_signature(F.col(vec_col), planes[b * band_bits : (b + 1) * band_bits])
+        return F.aggregate(bits, F.lit(0), lambda acc, x: acc * 2 + x)
+
     bands = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.aggregate(
-                    F.slice(sig, b * band_bits + 1, band_bits),
-                    F.lit(0),
-                    lambda acc, x: acc * 2 + x,
-                ).alias("band_val"),
-            )
+            F.struct(F.lit(b).alias("band"), band_val(b).alias("band_val"))
             for b in range(n_bands)
         ]
     )

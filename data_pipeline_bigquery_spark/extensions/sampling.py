@@ -168,8 +168,13 @@ def mixture_resample(
     the only full-size pass is the final filter.
 
     ``weights`` is ``(source, w)`` with integer ``w`` (relative parts,
-    need not sum to anything).  Returns the surviving rows of ``df``.
+    need not sum to anything); a source listed more than once (e.g.
+    unioned recipe fragments) combines ADDITIVELY — the weights are
+    aggregated before any join, so duplicate recipe rows can never fan
+    out the corpus join and break the never-upsample contract.
+    Returns the surviving rows of ``df``.
     """
+    weights = weights.groupBy(source_col).agg(F.sum("w").alias("w"))
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
     wt = counts.join(weights, source_col)
     t = wt.agg(

@@ -30,28 +30,30 @@ _CHUNK = 20
 _VOCAB_K = 10
 
 
+def _word_spans(width: int):
+    """Fixed-``width``-word spans of a ``words`` array column, as an
+    array expression (sequence → slice → array_join) — pure array
+    functions, no UDF.  The ONE home for the span arithmetic shared by
+    chunk dedup (20-word grain) and boilerplate removal (3-word)."""
+    n = F.ceil(F.size("words") / F.lit(float(width))).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n - F.lit(1)),
+        lambda i: F.array_join(F.slice("words", i * width + 1, width), " "),
+    )
+
+
 def _chunk_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplicate-chunk statistics at 20-word grain.
 
-    The chunk list is built with pure array functions (sequence →
-    slice → array_join) — one generator explode per document, no UDF.
     Global occurrence counts group on the md5 digest; the join back to
     per-document rows is digest-keyed, so both shuffles carry fixed
     16-byte keys regardless of chunk length."""
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.col("text"), " ").alias("words")
     )
-    n_chunks = F.ceil(F.size("words") / F.lit(float(_CHUNK))).cast("int")
     chunks = docs.select(
         "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), n_chunks - F.lit(1)),
-                lambda i: F.array_join(
-                    F.slice("words", i * _CHUNK + 1, _CHUNK), " "
-                ),
-            )
-        ).alias("chunk"),
+        F.explode(_word_spans(_CHUNK)).alias("chunk"),
     ).select("doc_id", F.md5("chunk").alias("h"))
     occ = chunks.groupBy("h").agg(F.count(F.lit(1)).alias("occ"))
     per_doc = (
@@ -160,8 +162,9 @@ _BOILER_K = 2
 
 def _boilerplate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style global span removal — the TRANSFORM twin of
-    `chunk_dedup_ratio`'s statistics: every fixed {_SPAN}-word span
-    that appears >= {_BOILER_K} times anywhere in the corpus is dropped
+    `chunk_dedup_ratio`'s statistics: every fixed 3-word span
+    (``_SPAN``) that appears twice or more anywhere in the corpus
+    (``_BOILER_K``) is dropped
     from every document, and each document is reassembled from its
     surviving spans in order.
 
@@ -176,15 +179,9 @@ def _boilerplate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.col("text"), " ").alias("words")
     )
-    n_spans = F.ceil(F.size("words") / F.lit(float(_SPAN))).cast("int")
     spans = docs.select(
         "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_spans - F.lit(1)),
-                lambda i: F.array_join(F.slice("words", i * _SPAN + 1, _SPAN), " "),
-            )
-        ).alias("pos", "span"),
+        F.posexplode(_word_spans(_SPAN)).alias("pos", "span"),
     )
     occ = spans.groupBy(F.md5("span").alias("h")).agg(F.count(F.lit(1)).alias("occ"))
     keep = F.col("occ") < _BOILER_K
@@ -256,7 +253,7 @@ def _corpus_drift_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     the frequencies ``c_new/N_new`` vs ``c_old/N_old`` without a
     division, so the ranking hash-matches across engines.  One word
     explode, one term-keyed agg, a broadcast 1-row totals join, and a
-    TakeOrdered top-{_DRIFT_TOP} — linear, shuffle keyed on terms."""
+    TakeOrdered top-15 (``_DRIFT_TOP``) — linear, shuffle keyed on terms."""
     from data_pipeline_bigquery_spark.extensions.sampling import hash_bucket
 
     words = (

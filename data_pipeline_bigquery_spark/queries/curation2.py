@@ -225,12 +225,18 @@ f AS (
   FROM tok),
 s AS (
   SELECT doc_id, count(*) AS n_tok, sum(wt_millis) AS sw_millis
-  FROM f JOIN w USING (fid) GROUP BY doc_id)
-SELECT doc_id, n_tok, CAST(sw_millis AS BIGINT) AS sw_millis,
-       round(0.5 + (CAST(sw_millis AS DOUBLE) / (n_tok * 1000.0))
-                   / (2.0 * (1.0 + abs(CAST(sw_millis AS DOUBLE) / (n_tok * 1000.0)))),
+  FROM f JOIN w USING (fid) GROUP BY doc_id),
+-- token-less docs still score (neutral 0.5) instead of vanishing
+d AS (
+  SELECT documents.doc_id,
+         CAST(coalesce(n_tok, 0) AS BIGINT) AS n_tok,
+         CAST(coalesce(sw_millis, 0) AS BIGINT) AS sw_millis
+  FROM documents LEFT JOIN s ON documents.doc_id = s.doc_id)
+SELECT doc_id, n_tok, sw_millis,
+       round(0.5 + (CAST(sw_millis AS DOUBLE) / (greatest(n_tok, 1) * 1000.0))
+                   / (2.0 * (1.0 + abs(CAST(sw_millis AS DOUBLE) / (greatest(n_tok, 1) * 1000.0)))),
              6) AS model_score
-FROM s
+FROM d
 """
 
 

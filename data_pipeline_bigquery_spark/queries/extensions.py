@@ -845,7 +845,7 @@ def _mm_audio_sql(n: int, rate: int, window: int) -> str:
     generate_series rebuilds each sample; geometry comes from the SAME
     constants `wav_payload`/`audio_features` use — change one, both
     move (the shared-constants rule of the image oracles)."""
-    n_win = n // window
+    n_win = (n + window - 1) // window  # ceil: a partial tail window IS a window (the kernel matches)
     return f"""
 WITH base AS (
   SELECT doc_id, substr(text || repeat(' ', {n}), 1, {n}) AS body FROM documents),

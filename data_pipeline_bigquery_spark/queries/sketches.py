@@ -145,11 +145,11 @@ def _cms_frequent_terms_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     counter grid (a few hundred KB here) and merges by cell-wise sum —
     the classic frequency sketch for 100 TB streams where a full
     ``groupBy(term)`` shuffle is unaffordable.  The contract probes the
-    sketch for the corpus's top-{_CMS_TOP} terms and asserts the CMS
+    sketch for the corpus's top-20 terms (``_CMS_TOP``) and asserts the CMS
     guarantee: ``exact <= estimate <= exact + eps·N`` (one-sided
     over-estimation; deterministic for a fixed dataset since the seed
     is pinned).  Bounded driver traffic by construction: the sketch
-    itself (KBs) and the {_CMS_TOP} audited terms — never the term
+    itself (KBs) and the top-20 audited terms — never the term
     counts at large.  The oracle recomputes the exact heavy hitters and
     asserts every bound held."""
     words = (
@@ -157,14 +157,16 @@ def _cms_frequent_terms_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.split(F.col("text"), " ")).alias("term"))
         .filter(F.col("term") != "")
     )
-    n_total = words.count()
-    # one row of sketch bytes (a few hundred KB at eps=1e-4) comes back
-    # to the driver; the aggregation itself merges map-side in the JVM
-    raw = words.agg(
+    # sketch and total ride ONE aggregation (one corpus pass, both
+    # merge map-side); the row returning to the driver is the sketch
+    # bytes (a few hundred KB at eps=1e-4) plus one long
+    agg_row = words.agg(
         F.count_min_sketch(
             "term", F.lit(CMS_EPS), F.lit(CMS_CONFIDENCE), F.lit(CMS_SEED)
-        ).alias("s")
-    ).collect()[0]["s"]
+        ).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    raw, n_total = agg_row["s"], agg_row["n"]
     jvm = spark._jvm
     cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
         jvm.java.io.ByteArrayInputStream(bytes(raw))

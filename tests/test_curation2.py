@@ -128,11 +128,13 @@ def test_model_quality_score_pluggable_weights(spark):
     from data_pipeline_bigquery_spark.extensions.curation import model_quality_score
 
     docs = spark.createDataFrame(
-        [Row(doc_id=1, text="aa bb cc"), Row(doc_id=2, text="dd ee")],
+        [Row(doc_id=1, text="aa bb cc"), Row(doc_id=2, text="dd ee"),
+         Row(doc_id=3, text="   ")],
         "doc_id long, text string",
     )
     default = {r.doc_id: r for r in model_quality_score(docs).collect()}
-    assert set(default) == {1, 2}
+    assert set(default) == {1, 2, 3}  # token-less doc still scores
+    assert (default[3].n_tok, default[3].sw_millis, default[3].model_score) == (0, 0, 0.5)
     for r in default.values():
         assert 0.0 < r.model_score < 1.0
         assert abs(r.sw_millis) <= r.n_tok * 1000  # weights are in [-1, 1]
@@ -145,7 +147,8 @@ def test_model_quality_score_pluggable_weights(spark):
     )
     up = {r.doc_id: r.model_score for r in model_quality_score(docs, weights=pos).collect()}
     down = {r.doc_id: r.model_score for r in model_quality_score(docs, weights=neg).collect()}
-    assert all(s > 0.5 for s in up.values())
-    assert all(s < 0.5 for s in down.values())
+    assert all(s > 0.5 for d, s in up.items() if d != 3)
+    assert all(s < 0.5 for d, s in down.items() if d != 3)
+    assert up[3] == down[3] == 0.5  # token-less doc is weight-invariant
     # rational squash is symmetric: flipped weights mirror around 0.5
     assert all(abs(up[d] + down[d] - 1.0) < 1e-9 for d in up)

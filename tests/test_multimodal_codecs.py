@@ -334,19 +334,39 @@ def test_audio_features_kernel_matches_numpy_model(spark):
         [Row(doc_id=1, text="abc " * 300), Row(doc_id=2, text="zz")],
         "doc_id long, text string",
     ).select("doc_id", wav_payload("text").alias("payload"))
-    got = {r.doc_id: r for r in audio_features(docs, "doc_id", "payload").collect()}
 
-    for doc_id, text in ((1, "abc " * 300), (2, "zz")):
+    def model(text, window):
         body = (text.encode()[:800] + b" " * 800)[:800]
         arr = np.frombuffer(body, dtype=np.uint8).astype(np.int64)
         dev = np.abs(arr - 128)
-        n_win = 800 // AUDIO_WINDOW
-        energies = dev.reshape(n_win, AUDIO_WINDOW).sum(axis=1)
+        n_win = (800 + window - 1) // window
+        energies = np.add.reduceat(dev, np.arange(0, 800, window))
         digest = hashlib.md5(
             ",".join(str(int(e)) for e in energies).encode()
         ).hexdigest()
-        r = got[doc_id]
-        assert r.total_energy == int(dev.sum())
-        assert r.crossings == int(((arr[:-1] < 128) != (arr[1:] < 128)).sum())
-        assert r.energy_md5 == digest
-        assert (r.rate, r.n_samples, r.n_windows) == (8000, 800, n_win)
+        crossings = int(((arr[:-1] < 128) != (arr[1:] < 128)).sum())
+        return int(dev.sum()), crossings, digest, n_win
+
+    # the registered geometry AND a non-divisor window: the partial
+    # tail window must be counted and hashed (ceil semantics, matching
+    # the oracle's i // window grouping over every sample)
+    for window in (AUDIO_WINDOW, 300):
+        got = {
+            r.doc_id: r
+            for r in audio_features(docs, "doc_id", "payload", window=window).collect()
+        }
+        for doc_id, text in ((1, "abc " * 300), (2, "zz")):
+            energy, crossings, digest, n_win = model(text, window)
+            r = got[doc_id]
+            assert r.total_energy == energy
+            assert r.crossings == crossings
+            assert r.energy_md5 == digest
+            assert (r.rate, r.n_samples, r.n_windows) == (8000, 800, n_win)
+
+
+def test_wav_truncated_data_rejected():
+    from data_pipeline_bigquery_spark.extensions.codecs import decode_wav, encode_wav
+
+    buf = encode_wav(np.arange(100, dtype=np.uint8), 8000)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(buf[:-40])  # data chunk declares 100, fewer present

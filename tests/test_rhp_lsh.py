@@ -90,3 +90,24 @@ def test_identical_vectors_always_collide(spark):
     assert len(top) == 1
     assert top[0]["neighbor_id"] == 990001
     assert abs(top[0]["cosine_sim"] - 1.0) < 1e-9
+
+
+def test_band_plan_folds_are_linear_in_n_bits(spark):
+    """Each corpus row must pay exactly n_bits plane folds (+1 norm),
+    not n_bands x n_bits: building bands as slices of one shared
+    signature expression duplicates the whole fold tree into every band
+    (HOFs defeat subexpression elimination).  Regression pin for the
+    per-band plane construction."""
+    df = spark.range(4).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 7), d -> cast(hash(id, d) % 100 as double))"
+        ).alias("embedding"),
+    )
+    plan = (
+        rhp_band_rows(df, rhp_planes(8, 8), 2)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("zip_with") == 8 + 1  # one per plane + the norm

@@ -137,3 +137,28 @@ class TestMixtureResample:
         df = self._toy(spark)
         out = mixture_resample(df, self._weights(spark, {"web": 1, "books": 1}))
         assert out.filter(F.col("source") == "code").count() == 0
+
+
+def test_mixture_resample_duplicate_recipe_rows_never_upsample(spark):
+    """A source listed twice in the recipe (unioned config fragments)
+    must combine additively — NOT fan out the corpus join into
+    duplicated rows."""
+    from data_pipeline_bigquery_spark.extensions.sampling import mixture_resample
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source="web") for i in range(100)]
+        + [Row(doc_id=1000 + i, source="books") for i in range(100)],
+        "doc_id long, source string",
+    )
+    dup = spark.createDataFrame(
+        [Row(source="web", w=1), Row(source="web", w=1), Row(source="books", w=2)],
+        "source string, w int",
+    )
+    out = mixture_resample(df, dup)
+    assert out.count() == out.select("doc_id").distinct().count()  # no dup rows
+    merged = spark.createDataFrame(
+        [Row(source="web", w=2), Row(source="books", w=2)], "source string, w int"
+    )
+    assert {r.doc_id for r in out.collect()} == {
+        r.doc_id for r in mixture_resample(df, merged).collect()
+    }
