@@ -27,6 +27,10 @@ WORKFLOWS: dict[str, str] = {
     "mautic_email_log_to_bigquery": "pipeline_email_read_log",
     "mautic_hubspot_email_read_activities": "pipeline_reverse_etl",
     "hubspot_association_to_bigquery": "pipeline_association_edges",
+    # extension workflow (no reference counterpart): the full training-
+    # corpus curation pipeline — quality filter → exact dedup →
+    # decontamination → split → sequence packing — as one Catalyst plan
+    "corpus_build": "pipeline_corpus_curation",
 }
 
 

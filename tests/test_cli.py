@@ -10,7 +10,8 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_all_workflow_names_present():
-    # the reference main.py declares exactly these eight
+    # the reference main.py declares exactly these eight; corpus_build
+    # is the engine's extension workflow (full curation pipeline)
     assert set(WORKFLOWS) == {
         "hubspot_companies_bigquery",
         "hubspot_contacts_bigquery",
@@ -20,6 +21,7 @@ def test_all_workflow_names_present():
         "mautic_email_log_to_bigquery",
         "mautic_hubspot_email_read_activities",
         "hubspot_association_to_bigquery",
+        "corpus_build",
     }
 
 
