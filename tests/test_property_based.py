@@ -281,3 +281,63 @@ def test_mixture_resample_matches_model(spark, corpus, recipe):
         if bucket < rate:
             expected.add((i, s))
     assert got == expected
+
+
+# --- boilerplate_span_removal vs an independent Python model -----------------
+
+_docs_corpus = st.lists(
+    st.tuples(
+        st.integers(0, 10_000),
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=8),
+    ),
+    min_size=1,
+    max_size=10,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(corpus=_docs_corpus)
+@settings(**_SETTINGS)
+def test_boilerplate_removal_matches_model(spark, corpus, tmp_path_factory):
+    """Span chunking, corpus-wide occurrence counting, keep/drop, and
+    ordered reassembly replayed in plain Python; small vocab + short
+    docs make span collisions (and all-boilerplate docs) common."""
+    import hashlib
+    from collections import Counter
+
+    from pyspark.sql import Row
+
+    from data_pipeline_bigquery_spark.queries.corpus_ops import (
+        _BOILER_K,
+        _SPAN,
+        _boilerplate_span_removal,
+    )
+
+    tmp = tmp_path_factory.mktemp("bp")
+    rows = [Row(doc_id=i, text=" ".join(ws)) for i, ws in corpus]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/documents.parquet")
+
+    def spans(ws):
+        return [
+            " ".join(ws[i : i + _SPAN]) for i in range(0, len(ws), _SPAN)
+        ]
+
+    occ = Counter(s for _, ws in corpus for s in spans(ws))
+    expected = {}
+    for i, ws in corpus:
+        kept = [s for s in spans(ws) if occ[s] < _BOILER_K]
+        dropped = len(spans(ws)) - len(kept)
+        clean = " ".join(kept)
+        expected[i] = (
+            len(kept),
+            dropped,
+            hashlib.md5(clean.encode()).hexdigest(),
+        )
+
+    got = {
+        r.doc_id: (r.n_kept, r.n_dropped, r.clean_digest)
+        for r in _boilerplate_span_removal(spark, str(tmp)).collect()
+    }
+    assert got == expected
