@@ -303,9 +303,69 @@ LIMIT {_DRIFT_TOP}
 """
 
 
+_BPE_TOP = 20
+
+
+def _bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first step of BPE tokenizer training, distributed: count
+    adjacent character pairs across the word-frequency table and rank
+    the merge candidates.  Real BPE iterates this (merge the top pair,
+    recount); one exact iteration at corpus scale is the primitive the
+    loop is made of, and the word-frequency pre-aggregation is the
+    classic trick — pairs are counted per DISTINCT word weighted by its
+    corpus frequency, so the explode is vocabulary-sized, not
+    corpus-sized (a 100 TB corpus has a few-million-row vocabulary).
+
+    Word-end is marked ``_`` (the </w> convention) so merges can't
+    cross word boundaries.  Output: top candidates by weighted count
+    (count desc, pair asc — total order)."""
+    words = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # adjacent char pairs of word + '_' : positions 1..len(word)
+    marked = words.select(
+        F.concat(F.col("word"), F.lit("_")).alias("w"), "freq"
+    )
+    pairs = marked.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    counted = pairs.groupBy("pair").agg(F.sum("freq").alias("weighted_count"))
+    return counted.orderBy(
+        F.col("weighted_count").desc(), F.col("pair")
+    ).limit(_BPE_TOP)
+
+
+_BPE_SQL = f"""
+WITH words AS (
+  SELECT w AS word, count(*) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY 1),
+pairs AS (
+  SELECT unnest([substr(word || '_', CAST(i AS INT), 2)
+                 for i in generate_series(1, len(word))]) AS pair,
+         freq
+  FROM words)
+SELECT pair, CAST(sum(freq) AS BIGINT) AS weighted_count
+FROM pairs GROUP BY pair
+ORDER BY weighted_count DESC, pair
+LIMIT {_BPE_TOP}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "chunk_dedup_ratio": QuerySpec(_chunk_dedup_ratio, _CHUNK_DEDUP_SQL),
     "vocab_oov_rate": QuerySpec(_vocab_oov_rate, _VOCAB_OOV_SQL),
     "boilerplate_span_removal": QuerySpec(_boilerplate_span_removal, _BOILER_SQL),
     "corpus_drift_topterms": QuerySpec(_corpus_drift_topterms, _DRIFT_SQL),
+    "bpe_pair_stats": QuerySpec(_bpe_pair_stats, _BPE_SQL),
 }

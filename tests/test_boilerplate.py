@@ -86,3 +86,18 @@ def test_corpus_drift_flags_flooded_term(spark, tmp_path):
     assert rows_by_term["spamword"]["c_old"] == 0
     assert rows_by_term["spamword"]["c_new"] == len(new_ids)
     assert drift["base"] == 0  # stable-frequency term contributes nothing
+
+
+def test_bpe_pair_stats_weighted_by_word_frequency(spark, tmp_path):
+    """Pair counts must be weighted by corpus word frequency computed
+    over the vocabulary (the BPE pre-aggregation trick), with the _
+    end-marker keeping merges inside word boundaries."""
+    from data_pipeline_bigquery_spark.queries.corpus_ops import _bpe_pair_stats
+
+    docs = [(1, "ab ab ab"), (2, "ab cd")]
+    spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in docs], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {r.pair: r.weighted_count for r in _bpe_pair_stats(spark, str(tmp_path)).collect()}
+    # 'ab' occurs 4 times, 'cd' once; pairs of 'ab_': ab, b_; of 'cd_': cd, d_
+    assert out == {"ab": 4, "b_": 4, "cd": 1, "d_": 1}
