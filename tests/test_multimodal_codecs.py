@@ -370,3 +370,22 @@ def test_wav_truncated_data_rejected():
     buf = encode_wav(np.arange(100, dtype=np.uint8), 8000)
     with pytest.raises(ValueError, match="truncated"):
         decode_wav(buf[:-40])  # data chunk declares 100, fewer present
+
+
+def test_wav_roundtrip_property():
+    """Any sample vector and rate round-trips bit-exactly (hypothesis)."""
+    from hypothesis import given, settings, strategies as st
+
+    from data_pipeline_bigquery_spark.extensions.codecs import decode_wav, encode_wav
+
+    @given(
+        samples=st.lists(st.integers(0, 255), min_size=0, max_size=400),
+        rate=st.sampled_from([8000, 16000, 44100]),
+    )
+    @settings(max_examples=50, deadline=None)
+    def check(samples, rate):
+        arr = np.array(samples, dtype=np.uint8)
+        out, r = decode_wav(encode_wav(arr, rate))
+        assert r == rate and (out == arr).all()
+
+    check()
