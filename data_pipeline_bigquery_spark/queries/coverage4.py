@@ -797,7 +797,56 @@ SELECT 'customer->nation',
 """
 
 
+def _join_size_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join planning audit: BEFORE running an expensive join,
+    estimate its exact output size (``Σ_k a_k·b_k`` over per-key
+    counts) and name the heaviest keys with their contribution share —
+    the decision input for salting/AQE-skew settings on a 100 TB join.
+    Both inputs reduce to per-key counts first (map-side combine), so
+    the audit join is counts × counts — vocabulary-of-keys sized, never
+    row × row.  Output: total projected rows, the top-5 key
+    contributions, and each key's integer permille share."""
+    li = load(spark, sf_dir, "lineitem").groupBy(
+        F.col("l_orderkey").alias("k")
+    ).agg(F.count(F.lit(1)).alias("a"))
+    orders = load(spark, sf_dir, "orders").groupBy(
+        F.col("o_orderkey").alias("k")
+    ).agg(F.count(F.lit(1)).alias("b"))
+    per_key = li.join(orders, "k").select(
+        "k", (F.col("a") * F.col("b")).alias("rows_out")
+    )
+    total = per_key.agg(F.sum("rows_out").alias("total_rows"))
+    return (
+        per_key.crossJoin(F.broadcast(total))
+        .select(
+            "k",
+            "rows_out",
+            "total_rows",
+            # integer `div`, not double `/`+cast: exact at any magnitude,
+            # digit-for-digit DuckDB's `//`
+            F.expr("rows_out * 1000 div total_rows").alias("permille_share"),
+        )
+        .orderBy(F.col("rows_out").desc(), F.col("k"))
+        .limit(5)
+    )
+
+
+_JOIN_AUDIT_SQL = """
+WITH a AS (SELECT l_orderkey AS k, count(*) AS a FROM lineitem GROUP BY 1),
+b AS (SELECT o_orderkey AS k, count(*) AS b FROM orders GROUP BY 1),
+pk AS (SELECT k, a * b AS rows_out FROM a JOIN b USING (k)),
+t AS (SELECT sum(rows_out) AS total_rows FROM pk)
+SELECT k, CAST(rows_out AS BIGINT) AS rows_out,
+       CAST(total_rows AS BIGINT) AS total_rows,
+       CAST(rows_out * 1000 // total_rows AS BIGINT) AS permille_share
+FROM pk CROSS JOIN t
+ORDER BY rows_out DESC, k
+LIMIT 5
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "join_size_skew_audit": QuerySpec(_join_size_skew_audit, _JOIN_AUDIT_SQL),
     "q6_forecast_revenue": QuerySpec(_q6_forecast_revenue, _Q6_SQL),
     "snapshot_diff_cdc": QuerySpec(_snapshot_diff_cdc, _CDC_SQL),
     "referential_integrity_audit": QuerySpec(
