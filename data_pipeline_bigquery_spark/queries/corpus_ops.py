@@ -304,6 +304,7 @@ LIMIT {_DRIFT_TOP}
 
 
 _BPE_TOP = 20
+_BPE_EOW = "\x01"  # out-of-alphabet end-of-word sentinel (</w>)
 
 
 def _bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -316,8 +317,10 @@ def _bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus frequency, so the explode is vocabulary-sized, not
     corpus-sized (a 100 TB corpus has a few-million-row vocabulary).
 
-    Word-end is marked ``_`` (the </w> convention) so merges can't
-    cross word boundaries.  Output: top candidates by weighted count
+    Word-end is marked with the out-of-alphabet sentinel ``\\x01``
+    (the </w> convention; a literal ``_`` would collide with
+    snake_case tokens and merge end-of-word counts into mid-word
+    pairs).  Output: top candidates by weighted count
     (count desc, pair asc — total order)."""
     words = (
         load(spark, sf_dir, "documents")
@@ -326,9 +329,9 @@ def _bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    # adjacent char pairs of word + '_' : positions 1..len(word)
+    # adjacent char pairs of word + sentinel: positions 1..len(word)
     marked = words.select(
-        F.concat(F.col("word"), F.lit("_")).alias("w"), "freq"
+        F.concat(F.col("word"), F.lit(_BPE_EOW)).alias("w"), "freq"
     )
     pairs = marked.select(
         F.explode(
@@ -351,7 +354,7 @@ WITH words AS (
   FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
   WHERE w <> '' GROUP BY 1),
 pairs AS (
-  SELECT unnest([substr(word || '_', CAST(i AS INT), 2)
+  SELECT unnest([substr(word || chr(1), CAST(i AS INT), 2)
                  for i in generate_series(1, len(word))]) AS pair,
          freq
   FROM words)

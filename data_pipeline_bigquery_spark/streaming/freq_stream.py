@@ -12,10 +12,14 @@ guarantee the batch contract asserts, now cumulative over the stream.
 
 Exactly-once: ``foreachBatch`` is at-least-once, and sketch merge is
 NOT idempotent (a replayed epoch would double-add its counts), so the
-last-applied ``epoch_id`` is persisted NEXT TO the sketch and swapped
-atomically with it (write-tmp-then-rename, the `rollup_stream.py`
-pattern): a replayed epoch sees ``epoch_id <= last_applied`` and
-no-ops.
+last-applied ``epoch_id`` and the sketch bytes are ONE state file
+committed with a single ``os.replace`` — genuinely atomic: no crash
+window where the epoch exists without the sketch, where neither
+exists, or where a concurrent reader sees a missing file.  A replayed
+epoch sees ``epoch_id <= last_applied`` and no-ops.  The checkpoint
+and the state file form a unit (as in `rollup_stream.py`): delete
+both or neither — a fresh checkpoint renumbers epochs from 0, which
+the guard would silently discard against an old state file.
 """
 
 from __future__ import annotations
@@ -31,38 +35,49 @@ from data_pipeline_bigquery_spark.queries.sketches import (
     CMS_SEED,
 )
 
-_SKETCH_FILE = "cms.bin"
-_EPOCH_FILE = "_epoch"
+_STATE_FILE = "cms.state"  # 8-byte LE epoch header + sketch bytes
 
 
-def _read_sketch(spark: SparkSession, path: str):
-    jvm = spark._jvm
-    with open(os.path.join(path, _SKETCH_FILE), "rb") as fh:
-        raw = fh.read()
-    return jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        jvm.java.io.ByteArrayInputStream(raw)
-    )
+def _state_path(sketch_dir: str) -> str:
+    return os.path.join(sketch_dir, _STATE_FILE)
 
 
-def _write_state(path: str, sketch_bytes: bytes, epoch_id: int) -> None:
-    """Atomic swap: both files land under a tmp dir that is renamed
-    over the old state, so a crash between writes can't leave a sketch
-    without its epoch (which would re-admit a replay)."""
-    import shutil
+def _read_state(sketch_dir: str) -> tuple[int, bytes] | None:
+    """``(last_applied_epoch, sketch_bytes)`` or None if no state yet."""
+    import struct
 
-    tmp = path + ".tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    os.makedirs(tmp)
-    with open(os.path.join(tmp, _SKETCH_FILE), "wb") as fh:
+    try:
+        with open(_state_path(sketch_dir), "rb") as fh:
+            raw = fh.read()
+    except OSError:
+        return None
+    (epoch,) = struct.unpack("<q", raw[:8])
+    return epoch, raw[8:]
+
+
+def _write_state(sketch_dir: str, sketch_bytes: bytes, epoch_id: int) -> None:
+    """ONE file, ONE ``os.replace``: the epoch header and sketch commit
+    together or not at all — a crash leaves either the complete old
+    state or the complete new state, never a gap, and a concurrent
+    reader always finds a full file."""
+    import struct
+
+    os.makedirs(sketch_dir, exist_ok=True)
+    tmp = _state_path(sketch_dir) + ".tmp"
+    with open(tmp, "wb") as fh:
+        fh.write(struct.pack("<q", epoch_id))
         fh.write(sketch_bytes)
-    with open(os.path.join(tmp, _EPOCH_FILE), "w") as fh:
-        fh.write(str(epoch_id))
-    old = path + ".old"
-    shutil.rmtree(old, ignore_errors=True)
-    if os.path.exists(path):
-        os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old, ignore_errors=True)
+    os.replace(tmp, _state_path(sketch_dir))
+
+
+def _read_sketch(spark: SparkSession, sketch_dir: str):
+    state = _read_state(sketch_dir)
+    if state is None:
+        raise FileNotFoundError(f"no sketch state in {sketch_dir}")
+    jvm = spark._jvm
+    return jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(state[1])
+    )
 
 
 def _serialize(spark: SparkSession, cms) -> bytes:
@@ -83,11 +98,8 @@ def make_sketch_batch(
     :func:`start_freq_stream` wires it into ``foreachBatch``)."""
 
     def _last_applied() -> int:
-        try:
-            with open(os.path.join(sketch_dir, _EPOCH_FILE)) as fh:
-                return int(fh.read().strip())
-        except (OSError, ValueError):
-            return -1
+        state = _read_state(sketch_dir)
+        return -1 if state is None else state[0]
 
     def _sketch_batch(batch: DataFrame, epoch_id: int) -> None:
         if epoch_id <= _last_applied():
@@ -102,8 +114,11 @@ def make_sketch_batch(
         incoming = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
             jvm.java.io.ByteArrayInputStream(bytes(row["s"]))
         )
-        if os.path.exists(os.path.join(sketch_dir, _SKETCH_FILE)):
-            merged = _read_sketch(spark, sketch_dir)
+        state = _read_state(sketch_dir)
+        if state is not None:
+            merged = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+                jvm.java.io.ByteArrayInputStream(state[1])
+            )
             merged.mergeInPlace(incoming)
         else:
             merged = incoming
@@ -117,18 +132,23 @@ def start_freq_stream(
     stream_path: str,
     schema,
     sketch_dir: str,
+    checkpoint: str,
     term_col: str = "term",
-    checkpoint: str | None = None,
 ):
     """File-source stream → per-batch CMS → merged persistent sketch.
-    Returns the StreamingQuery (caller stops it)."""
+    Returns the StreamingQuery (caller stops it).
+
+    ``checkpoint`` is REQUIRED: without a durable checkpoint a restart
+    renumbers epochs from 0 and the idempotence guard silently discards
+    every batch against an old state file (undercount) — checkpoint and
+    state file are a unit; delete both or neither."""
     stream = spark.readStream.schema(schema).parquet(stream_path)
-    writer = stream.writeStream.foreachBatch(
-        make_sketch_batch(sketch_dir, term_col)
-    ).trigger(availableNow=True)
-    if checkpoint:
-        writer = writer.option("checkpointLocation", checkpoint)
-    return writer.start()
+    return (
+        stream.writeStream.foreachBatch(make_sketch_batch(sketch_dir, term_col))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
 
 
 def estimate_counts(spark: SparkSession, sketch_dir: str, terms: list[str]) -> dict[str, int]:

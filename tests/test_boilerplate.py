@@ -99,5 +99,20 @@ def test_bpe_pair_stats_weighted_by_word_frequency(spark, tmp_path):
         [Row(doc_id=i, text=t) for i, t in docs], "doc_id long, text string"
     ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
     out = {r.pair: r.weighted_count for r in _bpe_pair_stats(spark, str(tmp_path)).collect()}
-    # 'ab' occurs 4 times, 'cd' once; pairs of 'ab_': ab, b_; of 'cd_': cd, d_
-    assert out == {"ab": 4, "b_": 4, "cd": 1, "d_": 1}
+    # 'ab' occurs 4 times, 'cd' once; end-of-word pairs use the \x01 sentinel
+    assert out == {"ab": 4, "b\x01": 4, "cd": 1, "d\x01": 1}
+
+
+def test_bpe_sentinel_does_not_collide_with_literal_underscore(spark, tmp_path):
+    """snake_case words carry literal underscores; their mid-word pairs
+    must stay distinct from end-of-word pairs (the reason the sentinel
+    is out-of-alphabet, not '_')."""
+    from data_pipeline_bigquery_spark.queries.corpus_ops import _bpe_pair_stats
+
+    spark.createDataFrame(
+        [Row(doc_id=1, text="a_b ca")], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {r.pair: r.weighted_count for r in _bpe_pair_stats(spark, str(tmp_path)).collect()}
+    # 'a_b\x01': pairs a_, _b, b\x01 ; 'ca\x01': ca, a\x01 — the literal
+    # 'a_' (mid-word) and the end-marker 'a\x01' are separate candidates
+    assert out["a_"] == 1 and out["a\x01"] == 1

@@ -23,7 +23,7 @@ def _deliver(spark, stream_dir, terms):
 
 
 def _drain(spark, stream_dir, sketch_dir, ckpt):
-    q = start_freq_stream(spark, str(stream_dir), SCHEMA, str(sketch_dir), checkpoint=ckpt)
+    q = start_freq_stream(spark, str(stream_dir), SCHEMA, str(sketch_dir), ckpt)
     q.awaitTermination()
 
 
@@ -86,3 +86,33 @@ def test_streamed_sketch_equals_one_shot_batch_sketch(spark, tmp_path):
     streamed = estimate_counts(spark, sketch_dir, ["x", "y", "z"])
     for t in ("x", "y", "z"):
         assert streamed[t] == one_shot.estimateCount(t)
+
+
+def test_state_swap_is_single_file_atomic(spark, tmp_path):
+    """A stale .tmp from a crashed write must not affect reads, and the
+    committed state file carries epoch + sketch together (no window
+    where one exists without the other)."""
+    import os
+
+    from data_pipeline_bigquery_spark.streaming.freq_stream import (
+        _read_state,
+        _state_path,
+        make_sketch_batch,
+    )
+
+    sketch_dir = str(tmp_path / "sketch")
+    fn = make_sketch_batch(sketch_dir)
+    fn(spark.createDataFrame([Row(term="a")] * 3, SCHEMA), 0)
+    epoch, sketch_bytes = _read_state(sketch_dir)
+    assert epoch == 0 and len(sketch_bytes) > 0
+
+    # simulate a crash mid-write: stale tmp next to good state
+    with open(_state_path(sketch_dir) + ".tmp", "wb") as fh:
+        fh.write(b"partial garbage")
+    assert estimate_counts(spark, sketch_dir, ["a"]) == {"a": 3}
+
+    # next successful epoch replaces cleanly and bumps the epoch header
+    fn(spark.createDataFrame([Row(term="a")] * 2, SCHEMA), 1)
+    epoch2, _ = _read_state(sketch_dir)
+    assert epoch2 == 1
+    assert estimate_counts(spark, sketch_dir, ["a"]) == {"a": 5}
