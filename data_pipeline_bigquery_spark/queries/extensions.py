@@ -34,7 +34,6 @@ from data_pipeline_bigquery_spark.extensions.multimodal import (
 from data_pipeline_bigquery_spark.streaming.sessions import session_aggregate
 from data_pipeline_bigquery_spark.extensions.similarity import (
     cell_bucketed_neardup_pairs,
-    cosine_neardup_pairs,
     cosine_topk,
     ivf_topk,
 )
