@@ -1193,7 +1193,59 @@ FROM acts GROUP BY 1, 2
 """
 
 
+def _dedup_time_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-windowed event dedup (double-fire suppression): within each
+    ``(user_id, event_type)`` stream, events separated by ≤ 30 min are
+    one BURST and only the first survives — the retry/duplicate-webhook
+    suppression every event pipeline runs, and a different semantics
+    from both exact dedup (no time bound) and sessionization (which
+    aggregates rather than suppresses).
+
+    Plan: one window partition per (user, type) — lag for the gap,
+    cumulative sum of gap-breaks for the burst id, keep rank 1 per
+    burst.  Single exchange keyed on the high-cardinality (user, type)
+    pair; integer epoch-second arithmetic so both engines agree
+    exactly."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    burst = F.sum(
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    wb = Window.partitionBy("user_id", "event_type", "burst").orderBy(
+        "ts", "event_id"
+    )
+    return (
+        ev.withColumn("burst", burst)
+        .withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "ts", "burst")
+    )
+
+
+_DEDUP_TW_SQL = """
+WITH g AS (
+  SELECT event_id, user_id, event_type, ts,
+         epoch(ts) - epoch(lag(ts) OVER w) AS gap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)),
+b AS (
+  SELECT *,
+         sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS burst
+  FROM g)
+SELECT event_id, user_id, event_type, ts, CAST(burst AS BIGINT) AS burst
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type, burst
+                               ORDER BY ts, event_id) AS rn
+  FROM b)
+WHERE rn = 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dedup_time_windowed": QuerySpec(_dedup_time_windowed, _DEDUP_TW_SQL),
     "incremental_rollup_maintenance": QuerySpec(_incremental_rollup, _INCR_ROLLUP_SQL),
     "gapfill_daily_events": QuerySpec(_gapfill_daily, _GAPFILL_SQL),
     "cohort_retention": QuerySpec(_cohort_retention, _COHORT_SQL),

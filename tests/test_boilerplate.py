@@ -116,3 +116,27 @@ def test_bpe_sentinel_does_not_collide_with_literal_underscore(spark, tmp_path):
     # 'a_b\x01': pairs a_, _b, b\x01 ; 'ca\x01': ca, a\x01 — the literal
     # 'a_' (mid-word) and the end-marker 'a\x01' are separate candidates
     assert out["a_"] == 1 and out["a\x01"] == 1
+
+
+def test_dedup_time_windowed_burst_chaining(spark, tmp_path):
+    """Bursts chain: 0, 25min, 50min are ONE burst (each gap <= 30min)
+    even though first-to-last exceeds the window; a 2h-later event
+    starts burst 2.  Different (user, type) streams never interact."""
+    from datetime import datetime, timedelta
+
+    from data_pipeline_bigquery_spark.queries.coverage3 import _dedup_time_windowed
+
+    t0 = datetime(2024, 1, 1, 12, 0)
+    rows = [
+        (1, t0, 10, "click", 0.0, "{}"),
+        (2, t0 + timedelta(minutes=25), 10, "click", 0.0, "{}"),
+        (3, t0 + timedelta(minutes=50), 10, "click", 0.0, "{}"),
+        (4, t0 + timedelta(hours=3), 10, "click", 0.0, "{}"),
+        (5, t0 + timedelta(minutes=1), 10, "view", 0.0, "{}"),
+        (6, t0 + timedelta(minutes=2), 11, "click", 0.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    kept = {r.event_id: r.burst for r in _dedup_time_windowed(spark, str(tmp_path)).collect()}
+    assert kept == {1: 1, 4: 2, 5: 1, 6: 1}  # 2,3 suppressed into burst 1
