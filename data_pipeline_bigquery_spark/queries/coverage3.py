@@ -1244,8 +1244,61 @@ WHERE rn = 1
 """
 
 
+def _pattern_no_intervening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-pattern with a NEGATIVE condition — the MATCH_RECOGNIZE
+    shape (``A … B`` with no ``C`` between) relational engines struggle
+    to express: users whose first signup is followed by a purchase with
+    NO error event in between.  Each stage is a type-pruned scan
+    (predicate pushes to parquet); the ordering constraints live in
+    join predicates and the negation is one left-anti join against the
+    interval — no per-user sort, no UDF, no state machine."""
+    ev = load(spark, sf_dir, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(F.col("ts") > F.col("signup_ts"))
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("err_user"), F.col("ts").alias("err_ts")
+    )
+    clean = pu.join(
+        err,
+        (F.col("user_id") == F.col("err_user"))
+        & (F.col("err_ts") > F.col("signup_ts"))
+        & (F.col("err_ts") < F.col("purchase_ts")),
+        "left_anti",
+    )
+    return clean.select("user_id", "signup_ts", "purchase_ts")
+
+
+_PATTERN_SQL = """
+WITH su AS (
+  SELECT user_id, min(ts) AS signup_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id),
+pu AS (
+  SELECT e.user_id, su.signup_ts, min(e.ts) AS purchase_ts
+  FROM events e JOIN su ON e.user_id = su.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > su.signup_ts
+  GROUP BY e.user_id, su.signup_ts)
+SELECT user_id, signup_ts, purchase_ts
+FROM pu
+WHERE NOT EXISTS (
+  SELECT 1 FROM events x
+  WHERE x.user_id = pu.user_id AND x.event_type = 'error'
+    AND x.ts > pu.signup_ts AND x.ts < pu.purchase_ts)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_time_windowed": QuerySpec(_dedup_time_windowed, _DEDUP_TW_SQL),
+    "pattern_no_intervening": QuerySpec(_pattern_no_intervening, _PATTERN_SQL),
     "incremental_rollup_maintenance": QuerySpec(_incremental_rollup, _INCR_ROLLUP_SQL),
     "gapfill_daily_events": QuerySpec(_gapfill_daily, _GAPFILL_SQL),
     "cohort_retention": QuerySpec(_cohort_retention, _COHORT_SQL),

@@ -140,3 +140,37 @@ def test_dedup_time_windowed_burst_chaining(spark, tmp_path):
     ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
     kept = {r.event_id: r.burst for r in _dedup_time_windowed(spark, str(tmp_path)).collect()}
     assert kept == {1: 1, 4: 2, 5: 1, 6: 1}  # 2,3 suppressed into burst 1
+
+
+def test_pattern_no_intervening_negative_condition(spark, tmp_path):
+    """The negation is interval-scoped and user-scoped: an error INSIDE
+    the signup->purchase window kills the match; an error outside it,
+    or another user's error inside it, does not."""
+    from datetime import datetime, timedelta
+
+    from data_pipeline_bigquery_spark.queries.coverage3 import _pattern_no_intervening
+
+    t0 = datetime(2024, 1, 1, 12, 0)
+    m = timedelta(minutes=1)
+    rows = [
+        # user 1: clean conversion
+        (1, t0, 1, "signup", 0.0, "{}"),
+        (2, t0 + 5 * m, 1, "purchase", 0.0, "{}"),
+        # user 2: error inside the window -> excluded
+        (3, t0, 2, "signup", 0.0, "{}"),
+        (4, t0 + 2 * m, 2, "error", 0.0, "{}"),
+        (5, t0 + 5 * m, 2, "purchase", 0.0, "{}"),
+        # user 3: error BEFORE signup and AFTER purchase -> still clean
+        (6, t0 - 5 * m, 3, "error", 0.0, "{}"),
+        (7, t0, 3, "signup", 0.0, "{}"),
+        (8, t0 + 5 * m, 3, "purchase", 0.0, "{}"),
+        (9, t0 + 9 * m, 3, "error", 0.0, "{}"),
+        # user 4: purchase before signup only -> no conversion
+        (10, t0 - 5 * m, 4, "purchase", 0.0, "{}"),
+        (11, t0, 4, "signup", 0.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {r.user_id for r in _pattern_no_intervening(spark, str(tmp_path)).collect()}
+    assert got == {1, 3}
