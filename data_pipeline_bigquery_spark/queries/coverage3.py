@@ -1296,9 +1296,60 @@ WHERE NOT EXISTS (
 """
 
 
+def _clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inventory-style clamped running balance — ``b_i = max(0,
+    b_{i-1} + delta_i)`` per user — WITHOUT the per-key sequential UDF
+    folklore says it needs.  The recurrence has a closed form over
+    prefix aggregates: ``b_i = cumsum_i - least(0, running_min(cumsum))``
+    (subtracting the deepest sub-zero excursion is exactly what the
+    clamp discards), so it runs as two stacked window functions in ONE
+    exchange keyed on user — Catalyst all the way, no applyInPandas.
+    Deltas are integerized (``floor(value*100) - 5000``) so the
+    recurrence is exact on both engines; floor (not cast) because
+    DuckDB rounds double→int casts while Spark truncates."""
+    ev = load(spark, sf_dir, "events")
+    delta = (F.floor(F.col("value") * 100).cast("long") - 5000).alias("delta")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("delta").over(w)
+    scored = ev.select("event_id", "user_id", "ts", delta).withColumn("cum", cum)
+    runmin = F.min("cum").over(w)
+    return scored.select(
+        "event_id",
+        "user_id",
+        "delta",
+        (F.col("cum") - F.least(F.lit(0), runmin)).alias("balance"),
+    )
+
+
+_CLAMPED_SQL = """
+WITH d AS (
+  SELECT event_id, user_id, ts,
+         CAST(floor(value * 100) AS BIGINT) - 5000 AS delta
+  FROM events),
+c AS (
+  SELECT event_id, user_id, ts, delta,
+         sum(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM d),
+r AS (
+  SELECT event_id, user_id, delta, cum,
+         min(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmin
+  FROM c)
+SELECT event_id, user_id, delta,
+       CAST(cum - least(0, runmin) AS BIGINT) AS balance
+FROM r
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_time_windowed": QuerySpec(_dedup_time_windowed, _DEDUP_TW_SQL),
     "pattern_no_intervening": QuerySpec(_pattern_no_intervening, _PATTERN_SQL),
+    "clamped_running_balance": QuerySpec(_clamped_running_balance, _CLAMPED_SQL),
     "incremental_rollup_maintenance": QuerySpec(_incremental_rollup, _INCR_ROLLUP_SQL),
     "gapfill_daily_events": QuerySpec(_gapfill_daily, _GAPFILL_SQL),
     "cohort_retention": QuerySpec(_cohort_retention, _COHORT_SQL),

@@ -174,3 +174,36 @@ def test_pattern_no_intervening_negative_condition(spark, tmp_path):
     ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
     got = {r.user_id for r in _pattern_no_intervening(spark, str(tmp_path)).collect()}
     assert got == {1, 3}
+
+
+def test_clamped_running_balance_matches_sequential_replay(spark, tmp_path):
+    """The prefix-min closed form must equal the literal recurrence
+    b_i = max(0, b_{i-1} + delta_i) replayed sequentially."""
+    from datetime import datetime, timedelta
+
+    from data_pipeline_bigquery_spark.queries.coverage3 import _clamped_running_balance
+
+    t0 = datetime(2024, 1, 1)
+    # values chosen so deltas (floor(v*100) - 5000) swing both ways AND
+    # the leading negatives force the clamp to fire
+    values = [10.0, 1.0, 120.0, 95.0, 1.0, 1.0, 200.0]
+    rows = [
+        (i, t0 + timedelta(minutes=i), 1, "click", v, "{}")
+        for i, v in enumerate(values)
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    got = {
+        r.event_id: r.balance
+        for r in _clamped_running_balance(spark, str(tmp_path)).collect()
+    }
+    import math
+
+    b, expected = 0, {}
+    for i, v in enumerate(values):
+        b = max(0, b + (math.floor(v * 100) - 5000))
+        expected[i] = b
+    assert got == expected
+    assert any(v == 0 for v in expected.values())  # the clamp actually fired
