@@ -1346,10 +1346,45 @@ FROM r
 """
 
 
+def _variant_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured aggregation through Spark 4's VARIANT type:
+    ``parse_json`` once per row into the binary VARIANT encoding, then
+    typed path extraction (``try_variant_get``) feeding a regular agg.
+    VARIANT is the modern engine answer to JSON columns — parsed once,
+    queried many times without re-tokenizing the string (the reference
+    keeps JSON as strings end to end, SURVEY §2.9).  The string-based
+    `get_json_object` path remains in ``nested_field_extract``; this is
+    its typed, shreddable successor."""
+    ev = load(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_VARIANT_SQL = """
+SELECT event_type,
+       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_time_windowed": QuerySpec(_dedup_time_windowed, _DEDUP_TW_SQL),
     "pattern_no_intervening": QuerySpec(_pattern_no_intervening, _PATTERN_SQL),
     "clamped_running_balance": QuerySpec(_clamped_running_balance, _CLAMPED_SQL),
+    "variant_json_field_stats": QuerySpec(_variant_json_stats, _VARIANT_SQL),
     "incremental_rollup_maintenance": QuerySpec(_incremental_rollup, _INCR_ROLLUP_SQL),
     "gapfill_daily_events": QuerySpec(_gapfill_daily, _GAPFILL_SQL),
     "cohort_retention": QuerySpec(_cohort_retention, _COHORT_SQL),
