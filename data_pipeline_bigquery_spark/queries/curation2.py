@@ -240,8 +240,78 @@ FROM d
 """
 
 
+def _chi_square_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical-independence audit: the chi-square statistic between
+    ``lang`` and ``source`` over the documents table — the check that
+    catches a crawler whose language mix depends on the source (a
+    biased shard) before it skews the training recipe.
+
+    One contingency pass (groupBy lang, source) plus broadcast
+    marginals; the per-cell term uses the cross-multiplied form
+    ``(o·N − r·c)² / (r·c·N)`` so every numerator is exact integer
+    arithmetic and only ONE IEEE division happens per cell.  ZERO cells
+    (pairs that never co-occur, absent from the groupBy) contribute
+    ``r·c/N`` each, handled ALGEBRAICALLY instead of materializing the
+    full grid: ``Σ_zero r·c/N = N − Σ_observed r·c/N`` (the marginals'
+    product sums to N over the complete grid), so
+    ``chi² = Σ_obs term + N − Σ_obs r·c/N`` — perfect-association
+    grids score the textbook N·(k−1) (unit-tested) with no cartesian
+    join anywhere."""
+    docs = load(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    rows = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("r"))
+    cols = docs.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    num = (F.col("o") * F.col("n") - F.col("r") * F.col("c"))
+    term = (num * num).cast("double") / (
+        (F.col("r") * F.col("c") * F.col("n")).cast("double")
+    )
+    # identical IEEE divisions on both engines produce identical term
+    # doubles; summing DOUBLES would reintroduce order dependence, so
+    # each term routes through DECIMAL(38,12) (deterministic rounding
+    # of an identical input) and the SUM is exact decimal arithmetic
+    term_dec = term.cast("decimal(38,12)")
+    rc_over_n = (
+        (F.col("r") * F.col("c")).cast("double") / F.col("n").cast("double")
+    ).cast("decimal(38,12)")
+    return (
+        cells.join(F.broadcast(rows), "lang")
+        .join(F.broadcast(cols), "source")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.round(
+                F.sum(term_dec)
+                + F.max(F.col("n")).cast("decimal(38,12)")
+                - F.sum(rc_over_n),
+                6,
+            )
+            .cast("double")
+            .alias("chi_square"),
+        )
+    )
+
+
+_CHI_SQUARE_SQL = """
+WITH cells AS (SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+r AS (SELECT lang, count(*) AS r FROM documents GROUP BY 1),
+c AS (SELECT source, count(*) AS c FROM documents GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents)
+SELECT CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(round(sum(CAST(
+                 CAST((o * n - r * c) * (o * n - r * c) AS DOUBLE)
+                 / CAST(r * c * n AS DOUBLE) AS DECIMAL(38,12)))
+                 + CAST(max(n) AS DECIMAL(38,12))
+                 - sum(CAST(CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE)
+                            AS DECIMAL(38,12))), 6)
+            AS DOUBLE) AS chi_square
+FROM cells JOIN r USING (lang) JOIN c USING (source) CROSS JOIN n
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "quality_filter_cascade": QuerySpec(_quality_filter_cascade, _CASCADE_SQL),
+    "chi_square_lang_source": QuerySpec(_chi_square_lang_source, _CHI_SQUARE_SQL),
     "quality_model_score": QuerySpec(_model_quality_score, _MODEL_SCORE_SQL),
     "training_shard_manifest": QuerySpec(_training_shard_manifest, _SHARD_MANIFEST_SQL),
     "doc_commonness_score": QuerySpec(_doc_commonness_score, _COMMONNESS_SQL),

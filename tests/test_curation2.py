@@ -152,3 +152,31 @@ def test_model_quality_score_pluggable_weights(spark):
     assert up[3] == down[3] == 0.5  # token-less doc is weight-invariant
     # rational squash is symmetric: flipped weights mirror around 0.5
     assert all(abs(up[d] + down[d] - 1.0) < 1e-9 for d in up)
+
+
+def test_chi_square_independence_extremes(spark, tmp_path):
+    """A perfectly independent lang x source grid scores exactly 0; a
+    perfectly dependent one (lang determined by source) scores N*(k-1)."""
+    from data_pipeline_bigquery_spark.queries.curation2 import _chi_square_lang_source
+
+    # independent: every (lang, source) cell has identical count
+    indep = [
+        (i, "t", l, s, 1)
+        for i, (l, s) in enumerate(
+            (l, s) for l in ("en", "fr") for s in ("a", "b") for _ in range(10)
+        )
+    ]
+    spark.createDataFrame(
+        indep, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    row = _chi_square_lang_source(spark, str(tmp_path)).collect()[0]
+    assert row.n_cells == 4 and row.chi_square == 0.0
+
+    # dependent: lang == f(source)
+    dep = [(i, "t", "en" if i % 2 == 0 else "fr", "a" if i % 2 == 0 else "b", 1) for i in range(40)]
+    spark.createDataFrame(
+        dep, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    row = _chi_square_lang_source(spark, str(tmp_path)).collect()[0]
+    assert row.n_cells == 2
+    assert row.chi_square == 40.0  # N*(k-1) for a 2x2 perfect association
