@@ -155,3 +155,81 @@ def estimate_counts(spark: SparkSession, sketch_dir: str, terms: list[str]) -> d
     """Probe the persisted sketch — the serving-side read path."""
     cms = _read_sketch(spark, sketch_dir)
     return {t: int(cms.estimateCount(t)) for t in terms}
+
+
+# --- heavy hitters over the stream (CMS + candidate tracking) ----------------
+
+_CAND_FILE = "candidates.txt"
+
+
+def make_topk_batch(
+    sketch_dir: str,
+    term_col: str = "term",
+    max_candidates: int = 200,
+    eps: float = CMS_EPS,
+    confidence: float = CMS_CONFIDENCE,
+    seed: int = CMS_SEED,
+):
+    """Streaming heavy hitters: the classic CMS + candidate-set
+    construction.  Each epoch (a) folds the batch into the cumulative
+    sketch (same epoch-guarded single-file state as
+    :func:`make_sketch_batch`) and (b) refreshes a bounded candidate
+    set — stored candidates ∪ the batch's exact top terms, re-ranked by
+    CUMULATIVE sketch estimate and truncated to ``max_candidates``.
+
+    Why this is sound at stream scale: a term can only become a global
+    heavy hitter by being frequent in SOME batch (counts are sums of
+    batch counts), so every eventual heavy hitter enters the candidate
+    set the first epoch it spikes, and from then on its rank uses the
+    cumulative CMS estimate (never an undercount).  State is
+    O(max_candidates) + the fixed sketch grid — independent of the
+    vocabulary."""
+    sketch_fn = make_sketch_batch(sketch_dir, term_col, eps, confidence, seed)
+
+    def _read_candidates() -> list[str]:
+        try:
+            with open(os.path.join(sketch_dir, _CAND_FILE)) as fh:
+                return [l.rstrip("\n") for l in fh if l != "\n"]
+        except OSError:
+            return []
+
+    def _topk_batch(batch: DataFrame, epoch_id: int) -> None:
+        state_before = _read_state(sketch_dir)
+        sketch_fn(batch, epoch_id)
+        state_after = _read_state(sketch_dir)
+        if state_before is not None and state_after[0] == state_before[0]:
+            return  # replayed epoch: sketch untouched, candidates stay
+        spark = batch.sparkSession
+        batch_top = [
+            r[0]
+            for r in batch.groupBy(term_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col(term_col))
+            .limit(max_candidates)
+            .collect()
+        ]
+        merged = sorted(set(_read_candidates()) | set(batch_top))
+        cms = _read_sketch(spark, sketch_dir)
+        ranked = sorted(
+            merged, key=lambda t: (-cms.estimateCount(t), t)
+        )[:max_candidates]
+        tmp = os.path.join(sketch_dir, _CAND_FILE + ".tmp")
+        with open(tmp, "w") as fh:
+            fh.write("\n".join(ranked) + ("\n" if ranked else ""))
+        os.replace(tmp, os.path.join(sketch_dir, _CAND_FILE))
+
+    return _topk_batch
+
+
+def top_terms(spark: SparkSession, sketch_dir: str, k: int = 10) -> list[tuple[str, int]]:
+    """Serving-side read: the current top-``k`` candidates with their
+    cumulative estimates."""
+    cms = _read_sketch(sketch_dir=sketch_dir, spark=spark)
+    cands = []
+    try:
+        with open(os.path.join(sketch_dir, _CAND_FILE)) as fh:
+            cands = [l.rstrip("\n") for l in fh if l != "\n"]
+    except OSError:
+        pass
+    ranked = sorted(cands, key=lambda t: (-cms.estimateCount(t), t))[:k]
+    return [(t, int(cms.estimateCount(t))) for t in ranked]

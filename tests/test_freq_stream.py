@@ -116,3 +116,32 @@ def test_state_swap_is_single_file_atomic(spark, tmp_path):
     epoch2, _ = _read_state(sketch_dir)
     assert epoch2 == 1
     assert estimate_counts(spark, sketch_dir, ["a"]) == {"a": 5}
+
+
+def test_streaming_heavy_hitters_track_exact_top(spark, tmp_path):
+    """Across epochs the candidate set + cumulative sketch must
+    surface the true global top terms — including a term that is cold
+    early and spikes later — and replayed epochs must leave both the
+    sketch and candidates untouched."""
+    from data_pipeline_bigquery_spark.streaming.freq_stream import (
+        make_topk_batch,
+        top_terms,
+    )
+
+    sketch_dir = str(tmp_path / "s")
+    fn = make_topk_batch(sketch_dir, max_candidates=5)
+
+    def batch(terms):
+        return spark.createDataFrame([Row(term=t) for t in terms], SCHEMA)
+
+    fn(batch(["a"] * 10 + ["b"] * 3 + ["x", "y", "z"]), 0)
+    fn(batch(["late"] * 20 + ["a"] * 2), 1)      # late spiker enters here
+    fn(batch(["b"] * 9 + ["late"] * 1), 2)
+
+    top = top_terms(spark, sketch_dir, k=3)
+    # exact totals: late=21, a=12, b=12 — ties break lexicographically
+    assert top == [("late", 21), ("a", 12), ("b", 12)]
+
+    before = top_terms(spark, sketch_dir, k=5)
+    fn(batch(["a"] * 100), 1)  # replay of an applied epoch
+    assert top_terms(spark, sketch_dir, k=5) == before
