@@ -258,12 +258,17 @@ def _chi_square_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     grids score the textbook N·(k−1) (unit-tested) with no cartesian
     join anywhere."""
     docs = load(spark, sf_dir, "documents")
+    # ONE corpus pass: marginals and the total derive from the tiny
+    # contingency aggregate, not from re-scanning documents
     cells = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
-    rows = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("r"))
-    cols = docs.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
-    n = docs.agg(F.count(F.lit(1)).alias("n"))
-    num = (F.col("o") * F.col("n") - F.col("r") * F.col("c"))
-    term = (num * num).cast("double") / (
+    rows = cells.groupBy("lang").agg(F.sum("o").alias("r"))
+    cols = cells.groupBy("source").agg(F.sum("o").alias("c"))
+    n = cells.agg(F.sum("o").alias("n"))
+    # num stays exact int64 up to ~3e9 docs (o·N ≤ N²); the SQUARE is
+    # computed in double — it feeds an IEEE division anyway, and int64
+    # squaring would overflow at ~1e5 docs on a skewed grid
+    num = (F.col("o") * F.col("n") - F.col("r") * F.col("c")).cast("double")
+    term = (num * num) / (
         (F.col("r") * F.col("c") * F.col("n")).cast("double")
     )
     # identical IEEE divisions on both engines produce identical term
@@ -294,12 +299,12 @@ def _chi_square_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHI_SQUARE_SQL = """
 WITH cells AS (SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
-r AS (SELECT lang, count(*) AS r FROM documents GROUP BY 1),
-c AS (SELECT source, count(*) AS c FROM documents GROUP BY 1),
-n AS (SELECT count(*) AS n FROM documents)
+r AS (SELECT lang, sum(o) AS r FROM cells GROUP BY 1),
+c AS (SELECT source, sum(o) AS c FROM cells GROUP BY 1),
+n AS (SELECT sum(o) AS n FROM cells)
 SELECT CAST(count(*) AS BIGINT) AS n_cells,
        CAST(round(sum(CAST(
-                 CAST((o * n - r * c) * (o * n - r * c) AS DOUBLE)
+                 CAST(o * n - r * c AS DOUBLE) * CAST(o * n - r * c AS DOUBLE)
                  / CAST(r * c * n AS DOUBLE) AS DECIMAL(38,12)))
                  + CAST(max(n) AS DECIMAL(38,12))
                  - sum(CAST(CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE)

@@ -35,15 +35,21 @@ from data_pipeline_bigquery_spark.queries.sketches import (
     CMS_SEED,
 )
 
-_STATE_FILE = "cms.state"  # 8-byte LE epoch header + sketch bytes
+# single state file: 8-byte LE epoch, 4-byte LE candidate-json length,
+# candidate json (possibly empty list), sketch bytes — EVERYTHING the
+# stream accumulates commits in one os.replace, so sketch and heavy-
+# hitter candidates can never diverge across a crash, and terms
+# round-trip via json (an empty-string term survives)
+_STATE_FILE = "cms.state"
 
 
 def _state_path(sketch_dir: str) -> str:
     return os.path.join(sketch_dir, _STATE_FILE)
 
 
-def _read_state(sketch_dir: str) -> tuple[int, bytes] | None:
-    """``(last_applied_epoch, sketch_bytes)`` or None if no state yet."""
+def _read_full_state(sketch_dir: str) -> tuple[int, list[str], bytes] | None:
+    """``(last_applied_epoch, candidates, sketch_bytes)`` or None."""
+    import json
     import struct
 
     try:
@@ -52,20 +58,41 @@ def _read_state(sketch_dir: str) -> tuple[int, bytes] | None:
     except OSError:
         return None
     (epoch,) = struct.unpack("<q", raw[:8])
-    return epoch, raw[8:]
+    (clen,) = struct.unpack("<I", raw[8:12])
+    cands = json.loads(raw[12 : 12 + clen].decode()) if clen else []
+    return epoch, cands, raw[12 + clen :]
 
 
-def _write_state(sketch_dir: str, sketch_bytes: bytes, epoch_id: int) -> None:
-    """ONE file, ONE ``os.replace``: the epoch header and sketch commit
-    together or not at all — a crash leaves either the complete old
-    state or the complete new state, never a gap, and a concurrent
-    reader always finds a full file."""
+def _read_state(sketch_dir: str) -> tuple[int, bytes] | None:
+    """``(last_applied_epoch, sketch_bytes)`` or None if no state yet."""
+    full = _read_full_state(sketch_dir)
+    return None if full is None else (full[0], full[2])
+
+
+def _write_state(
+    sketch_dir: str,
+    sketch_bytes: bytes,
+    epoch_id: int,
+    candidates: list[str] | None = None,
+) -> None:
+    """ONE file, ONE ``os.replace``: epoch, candidates, and sketch
+    commit together or not at all — a crash leaves either the complete
+    old state or the complete new state, never a gap, and a concurrent
+    reader always finds a full file.  ``candidates=None`` preserves the
+    stored candidate list (the sketch-only caller)."""
+    import json
     import struct
 
+    if candidates is None:
+        prior = _read_full_state(sketch_dir)
+        candidates = prior[1] if prior is not None else []
+    cand_blob = json.dumps(candidates).encode() if candidates else b""
     os.makedirs(sketch_dir, exist_ok=True)
     tmp = _state_path(sketch_dir) + ".tmp"
     with open(tmp, "wb") as fh:
         fh.write(struct.pack("<q", epoch_id))
+        fh.write(struct.pack("<I", len(cand_blob)))
+        fh.write(cand_blob)
         fh.write(sketch_bytes)
     os.replace(tmp, _state_path(sketch_dir))
 
@@ -159,77 +186,90 @@ def estimate_counts(spark: SparkSession, sketch_dir: str, terms: list[str]) -> d
 
 # --- heavy hitters over the stream (CMS + candidate tracking) ----------------
 
-_CAND_FILE = "candidates.txt"
-
 
 def make_topk_batch(
     sketch_dir: str,
     term_col: str = "term",
     max_candidates: int = 200,
+    admission_factor: int = 10,
     eps: float = CMS_EPS,
     confidence: float = CMS_CONFIDENCE,
     seed: int = CMS_SEED,
 ):
-    """Streaming heavy hitters: the classic CMS + candidate-set
-    construction.  Each epoch (a) folds the batch into the cumulative
-    sketch (same epoch-guarded single-file state as
-    :func:`make_sketch_batch`) and (b) refreshes a bounded candidate
-    set — stored candidates ∪ the batch's exact top terms, re-ranked by
-    CUMULATIVE sketch estimate and truncated to ``max_candidates``.
+    """Streaming heavy hitters: the CMS + candidate-set construction.
 
-    Why this is sound at stream scale: a term can only become a global
-    heavy hitter by being frequent in SOME batch (counts are sums of
-    batch counts), so every eventual heavy hitter enters the candidate
-    set the first epoch it spikes, and from then on its rank uses the
-    cumulative CMS estimate (never an undercount).  State is
-    O(max_candidates) + the fixed sketch grid — independent of the
-    vocabulary."""
-    sketch_fn = make_sketch_batch(sketch_dir, term_col, eps, confidence, seed)
+    Each epoch folds the batch into the cumulative sketch AND refreshes
+    a bounded candidate set, committing BOTH in the one atomic state
+    file — sketch and candidates can never diverge across a crash (a
+    retried epoch either sees neither update or both).
 
-    def _read_candidates() -> list[str]:
-        try:
-            with open(os.path.join(sketch_dir, _CAND_FILE)) as fh:
-                return [l.rstrip("\n") for l in fh if l != "\n"]
-        except OSError:
-            return []
+    Admission: the batch's top ``admission_factor × max_candidates``
+    terms by batch count form the admission pool; stored candidates ∪
+    pool are ranked by CUMULATIVE sketch estimate (never an
+    undercount) and truncated to ``max_candidates``.  The honest bound:
+    a term is missed only if it NEVER ranks inside any batch's
+    admission pool, which caps its total count at
+    ``epochs × (pool-floor batch count)`` — the wider pool exists
+    precisely so steadily-moderate accumulators are admitted and then
+    ranked by their cumulative estimate.  An exact-guarantee
+    alternative is Space-Saving counters; this construction is the
+    standard sketch-serving compromise with O(max_candidates) state.
+    """
 
     def _topk_batch(batch: DataFrame, epoch_id: int) -> None:
-        state_before = _read_state(sketch_dir)
-        sketch_fn(batch, epoch_id)
-        state_after = _read_state(sketch_dir)
-        if state_before is not None and state_after[0] == state_before[0]:
-            return  # replayed epoch: sketch untouched, candidates stay
+        state = _read_full_state(sketch_dir)
+        if state is not None and epoch_id <= state[0]:
+            return  # replayed epoch: sketch AND candidates already final
         spark = batch.sparkSession
-        batch_top = [
-            r[0]
-            for r in batch.groupBy(term_col)
-            .agg(F.count(F.lit(1)).alias("n"))
-            .orderBy(F.col("n").desc(), F.col(term_col))
-            .limit(max_candidates)
-            .collect()
-        ]
-        merged = sorted(set(_read_candidates()) | set(batch_top))
-        cms = _read_sketch(spark, sketch_dir)
+        batch = batch.persist()
+        try:
+            row = batch.agg(
+                F.count_min_sketch(
+                    term_col, F.lit(eps), F.lit(confidence), F.lit(seed)
+                ).alias("s")
+            ).collect()[0]
+            pool = [
+                r[0]
+                for r in batch.filter(F.col(term_col).isNotNull())
+                .groupBy(term_col)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .orderBy(F.col("n").desc(), F.col(term_col))
+                .limit(admission_factor * max_candidates)
+                .collect()
+            ]
+        finally:
+            batch.unpersist()
+        jvm = spark._jvm
+        incoming = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            jvm.java.io.ByteArrayInputStream(bytes(row["s"]))
+        )
+        stored_cands: list[str] = []
+        if state is not None:
+            merged = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+                jvm.java.io.ByteArrayInputStream(state[2])
+            )
+            merged.mergeInPlace(incoming)
+            stored_cands = state[1]
+        else:
+            merged = incoming
         ranked = sorted(
-            merged, key=lambda t: (-cms.estimateCount(t), t)
+            set(stored_cands) | set(pool),
+            key=lambda t: (-merged.estimateCount(t), t),
         )[:max_candidates]
-        tmp = os.path.join(sketch_dir, _CAND_FILE + ".tmp")
-        with open(tmp, "w") as fh:
-            fh.write("\n".join(ranked) + ("\n" if ranked else ""))
-        os.replace(tmp, os.path.join(sketch_dir, _CAND_FILE))
+        _write_state(sketch_dir, _serialize(spark, merged), epoch_id, ranked)
 
     return _topk_batch
 
 
 def top_terms(spark: SparkSession, sketch_dir: str, k: int = 10) -> list[tuple[str, int]]:
     """Serving-side read: the current top-``k`` candidates with their
-    cumulative estimates."""
-    cms = _read_sketch(sketch_dir=sketch_dir, spark=spark)
-    cands = []
-    try:
-        with open(os.path.join(sketch_dir, _CAND_FILE)) as fh:
-            cands = [l.rstrip("\n") for l in fh if l != "\n"]
-    except OSError:
-        pass
-    ranked = sorted(cands, key=lambda t: (-cms.estimateCount(t), t))[:k]
+    cumulative estimates, straight from the atomic state file."""
+    state = _read_full_state(sketch_dir)
+    if state is None:
+        return []
+    jvm = spark._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(state[2])
+    )
+    ranked = sorted(state[1], key=lambda t: (-cms.estimateCount(t), t))[:k]
     return [(t, int(cms.estimateCount(t))) for t in ranked]
