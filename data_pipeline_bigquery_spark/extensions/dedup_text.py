@@ -270,3 +270,59 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def containment_pairs(
+    grams: DataFrame, threshold: float = 0.8, max_bucket: int | None = None
+) -> DataFrame:
+    """Asymmetric containment over shared n-grams: ``|A∩B| / |A|`` per
+    direction — the measure that catches a document mostly CONTAINED
+    in another (quotes, copies-with-additions, boilerplate wrappers),
+    which symmetric Jaccard under-scores as the size gap grows (a doc
+    fully inside one 10× larger scores jaccard ≈ 0.1 but containment
+    1.0).
+
+    Same one-exchange bucket machinery as :func:`ngram_jaccard_pairs`
+    (intersections from in-bucket pairs, sizes from the same buckets);
+    emits the pair once with both directions and keeps it when EITHER
+    containment clears ``threshold``.  Exact int/int divisions —
+    engine-portable."""
+    buckets = grams.groupBy("gram").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
+    sizes = (
+        buckets.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"))
+    )
+    pair_buckets = buckets.filter(F.size("ids") > 1)
+    if max_bucket is not None:
+        pair_buckets = pair_buckets.filter(F.size("ids") <= max_bucket)
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) ->"
+        " transform(slice(ids, i + 2, size(ids) - i - 1),"
+        " y -> struct(x AS doc_a, y AS doc_b))))"
+    )
+    inter = (
+        pair_buckets.select(F.explode(pair_expr).alias("p"))
+        .groupBy("p.doc_a", "p.doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("n_b"))
+    cont_a = F.col("n_inter").cast("double") / F.col("n_a").cast("double")
+    cont_b = F.col("n_inter").cast("double") / F.col("n_b").cast("double")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(cont_a, 6).alias("containment_a_in_b"),
+            F.round(cont_b, 6).alias("containment_b_in_a"),
+        )
+        .filter(
+            (F.col("containment_a_in_b") >= threshold)
+            | (F.col("containment_b_in_a") >= threshold)
+        )
+    )

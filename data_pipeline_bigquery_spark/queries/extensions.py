@@ -282,6 +282,47 @@ SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.5
 )
 
 
+def _dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs — the near-CONTAINMENT detector the
+    symmetric measures miss: the planted copy (4 chars dropped) has
+    almost its whole gram set inside its source, so containment(copy →
+    source) ≈ 1 even where jaccard sits far below 1
+    (`extensions/dedup_text.py::containment_pairs`)."""
+    from data_pipeline_bigquery_spark.extensions.dedup_text import containment_pairs
+
+    aug = _augmented_docs(spark, sf_dir, max_doc=150)
+    grams = word_ngrams(aug, "doc_id", "t")
+    return containment_pairs(grams, threshold=0.8)
+
+
+_CONTAINMENT_SQL = (
+    "WITH "
+    + _aug_cte(max_doc=150)
+    + """,
+w AS (SELECT doc_id, string_split(t, ' ') AS words FROM aug),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(words[CAST(i AS INT):CAST(i AS INT) + 2], ' ') AS gram
+  FROM w, UNNEST(range(1, greatest(len(words) - 2, 1) + 1)) AS u(i)),
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+c AS (
+  SELECT doc_a, doc_b,
+         round(CAST(n_inter AS DOUBLE) / CAST(sa.n_grams AS DOUBLE), 6) AS containment_a_in_b,
+         round(CAST(n_inter AS DOUBLE) / CAST(sb.n_grams AS DOUBLE), 6) AS containment_b_in_a
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b)
+SELECT doc_a, doc_b, containment_a_in_b, containment_b_in_a
+FROM c
+WHERE containment_a_in_b >= 0.8 OR containment_b_in_a >= 0.8
+"""
+)
+
+
 # --- embedding cosine near-dup ----------------------------------------------
 
 def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -918,6 +959,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_near_corpus": QuerySpec(_dedup_near_corpus, _dedup_near_corpus_sql()),
     "dedup_simhash": QuerySpec(_dedup_simhash, _simhash_sql()),
     "dedup_ngram_jaccard": QuerySpec(_ngram_jaccard, _JACCARD_SQL),
+    "dedup_containment": QuerySpec(_dedup_containment, _CONTAINMENT_SQL),
     "dedup_embedding_cosine": QuerySpec(_embedding_neardup, _NEARDUP_SQL),
     "ann_cosine_topk": QuerySpec(_ann_topk, _ANN_SQL),
     "ann_auto_topk": QuerySpec(_ann_auto_topk, _ANN_SQL),

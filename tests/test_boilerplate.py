@@ -207,3 +207,29 @@ def test_clamped_running_balance_matches_sequential_replay(spark, tmp_path):
         expected[i] = b
     assert got == expected
     assert any(v == 0 for v in expected.values())  # the clamp actually fired
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    """A short doc fully inside a much longer one: containment(short in
+    long) = 1.0 while jaccard stays far below any dedup threshold —
+    the asymmetric measure's reason to exist."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_bigquery_spark.extensions.dedup_text import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+        word_ngrams,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    longer = short + " " + " ".join(f"w{i}" for i in range(50))
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, t=short), Row(doc_id=2, t=longer)], "doc_id long, t string"
+    )
+    grams = word_ngrams(docs, "doc_id", "t")
+    cont = containment_pairs(grams, threshold=0.8).collect()
+    assert len(cont) == 1
+    assert cont[0]["containment_a_in_b"] == 1.0  # doc 1 fully inside doc 2
+    assert cont[0]["containment_b_in_a"] < 0.2
+    jac = ngram_jaccard_pairs(grams, threshold=0.5).collect()
+    assert jac == []  # symmetric measure misses the containment entirely
