@@ -189,8 +189,48 @@ WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 1
 """
 
 
+def _token_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson sampling with inclusion probability
+    proportional to document LENGTH — the token-budget sampler: when a
+    budget is counted in tokens, uniform doc sampling over-represents
+    short docs; weighting by token count makes every TOKEN equally
+    likely to enter the sample.
+
+    Membership is the md5-permille idiom against a per-doc rate
+    ``floor(1000·n_tokens / max_tokens)`` (the longest doc is always
+    kept, integer `div` both engines).  The max is a broadcast 1-row
+    scalar; one corpus scan, map-side filter — same scale shape as
+    `mixture_resample`."""
+    from data_pipeline_bigquery_spark.extensions.sampling import hash_bucket
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    mx = docs.agg(F.max("n_tokens").alias("mx"))
+    return (
+        docs.crossJoin(F.broadcast(mx))
+        .filter(
+            hash_bucket(F.col("doc_id"), 1000)
+            < F.expr("n_tokens * 1000 div mx")
+        )
+        .select("doc_id", "n_tokens")
+    )
+
+
+_TOKEN_WEIGHTED_SQL = """
+WITH d AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+m AS (SELECT max(n_tokens) AS mx FROM d)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens
+FROM d CROSS JOIN m
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 1000
+      < n_tokens * 1000 // mx
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "source_mixture_resample": QuerySpec(_mixture_resample, _MIXTURE_SQL),
+    "token_weighted_sample": QuerySpec(_token_weighted_sample, _TOKEN_WEIGHTED_SQL),
     "train_test_split": QuerySpec(_train_test_split, _SPLIT_SQL),
     "stratified_sample_lang": QuerySpec(_stratified_sample, _STRATIFIED_SQL),
     "global_shuffle_order": QuerySpec(_global_shuffle, _SHUFFLE_SQL),

@@ -162,3 +162,25 @@ def test_mixture_resample_duplicate_recipe_rows_never_upsample(spark):
     assert {r.doc_id for r in out.collect()} == {
         r.doc_id for r in mixture_resample(df, merged).collect()
     }
+
+
+def test_token_weighted_sample_inclusion_tracks_length(spark, tmp_path):
+    """Long docs must be sampled at (close to) their proportional rate
+    and the longest doc is always kept; membership is md5-deterministic
+    (identical across runs)."""
+    from data_pipeline_bigquery_spark.queries.training import _token_weighted_sample
+
+    rows = (
+        [(i, " ".join(["w"] * 100)) for i in range(200)]          # long: rate 1000
+        + [(1000 + i, " ".join(["w"] * 10)) for i in range(200)]  # short: rate 100
+    )
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    a = {r.doc_id for r in _token_weighted_sample(spark, str(tmp_path)).collect()}
+    b = {r.doc_id for r in _token_weighted_sample(spark, str(tmp_path)).collect()}
+    assert a == b  # deterministic membership
+    long_kept = sum(1 for d in a if d < 1000)
+    short_kept = len(a) - long_kept
+    assert long_kept == 200               # rate 1000 permille keeps everything
+    assert 5 <= short_kept <= 40          # ~10% of 200, binomial tolerance
