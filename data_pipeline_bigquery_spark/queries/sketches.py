@@ -207,8 +207,54 @@ SELECT term, exact_count, TRUE AS within_bound FROM (
 """
 
 
+def _hll_reagg_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL REAGGREGATION contract — the property
+    ``approx_count_distinct`` lacks: Datasketches HLL sketches built
+    per ``(day, event_type)`` UNION up to per-day distinct users
+    without touching the raw data again.  This is how a 100 TB rollup
+    serves distinct counts at every grain from ONE pre-aggregated
+    sketch table (store sketches at the finest grain; every coarser
+    query is a cheap sketch union, not a rescan).
+
+    The contract computes per-day (a) the estimate from unioning the
+    per-type sketches and (b) the exact distinct, asserting the
+    estimate within 5% — generous against HLL's ~2% rsd at the default
+    lgK=12, deterministic for a fixed dataset."""
+    events = load(spark, sf_dir, "events")
+    fine = events.groupBy(
+        F.to_date("ts").alias("day"), F.col("event_type")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    coarse = fine.groupBy("day").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    )
+    exact = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        coarse.join(exact, "day")
+        .select(
+            "day",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= F.col("exact_users") * F.lit(0.05)
+            ).alias("within_bound"),
+        )
+        .orderBy("day")
+    )
+
+
+_HLL_REAGG_SQL = """
+SELECT CAST(ts AS DATE) AS day,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS within_bound
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "approx_distinct_daily": QuerySpec(_approx_distinct_checked, _APPROX_DISTINCT_SQL),
+    "hll_reaggregatable_rollup": QuerySpec(_hll_reagg_checked, _HLL_REAGG_SQL),
     "approx_price_percentiles": QuerySpec(_approx_percentiles_checked, _APPROX_PCT_SQL),
     "approx_frequent_terms": QuerySpec(_cms_frequent_terms_checked, _CMS_SQL),
 }

@@ -107,3 +107,20 @@ def test_count_min_sketch_overestimates_and_merges(spark):
     half_a.mergeInPlace(half_b)
     for term in exact:
         assert half_a.estimateCount(term) == full.estimateCount(term), term
+
+
+def test_hll_union_equals_direct_sketch(spark):
+    """Reaggregation soundness: unioning per-type sketches gives the
+    SAME estimate as sketching the union directly — the invariant that
+    lets a rollup serve every grain from the finest sketch table."""
+    from pyspark.sql import functions as F
+
+    ev = load(spark, SF_DIR, "events")
+    fine = ev.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    unioned = fine.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n")
+    ).collect()[0]["n"]
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("n")
+    ).collect()[0]["n"]
+    assert unioned == direct
