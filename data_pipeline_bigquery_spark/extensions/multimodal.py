@@ -287,3 +287,46 @@ def audio_features(
             )
 
     return df.mapInPandas(gen, AUDIO_FEATURES_SCHEMA)
+
+
+DHASH_SCHEMA = "doc_id long, dhash string"
+
+
+def dhash_images(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """Perceptual image hash (dHash): decode → integer grayscale →
+    nearest-resize to 9×8 → 64 left-vs-right brightness comparisons →
+    16-hex fingerprint.  Two images with the same dHash look alike
+    even when their bytes differ (re-encode, slight crop) — the
+    image-side analog of MinHash for text, and the primitive behind
+    perceptual media dedup.  Pure integer math end to end
+    (``(r+g+b)//3`` grayscale, the `resize_nearest` index arithmetic),
+    so the DuckDB oracle rebuilds the exact fingerprint byte-for-byte
+    from the synthesized raster."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from data_pipeline_bigquery_spark.extensions.codecs import (
+            decode_image,
+            resize_nearest,
+        )
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                px = decode_image(bytes(payload))
+                gray = px.astype(np.int64).sum(axis=2) // 3  # h×w ints
+                # same nearest index arithmetic as codecs.resize_nearest
+                # ((out_i * in) // out), applied to the 2-D grayscale
+                h, w = gray.shape
+                ys = (np.arange(8) * h) // 8
+                xs = (np.arange(9) * w) // 9
+                small = gray[ys][:, xs]
+                hex_parts = []
+                for r in range(8):
+                    byte = 0
+                    for c in range(8):
+                        byte |= (1 if small[r, c + 1] > small[r, c] else 0) << (7 - c)
+                    hex_parts.append(f"{byte:02x}")
+                out.append((int(doc_id), "".join(hex_parts)))
+            yield pd.DataFrame(out, columns=["doc_id", "dhash"])
+
+    return df.mapInPandas(gen, DHASH_SCHEMA)

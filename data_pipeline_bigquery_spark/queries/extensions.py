@@ -926,6 +926,64 @@ def _mm_audio_sql_from_constants() -> str:
 _MM_AUDIO_SQL = _mm_audio_sql_from_constants()
 
 
+def _multimodal_perceptual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual media dedup: dHash fingerprints over the decoded
+    rasters, grouped — images that LOOK alike share a hash even when
+    bytes differ (the image-side MinHash;
+    `extensions/multimodal.py::dhash_images`).  Output is the dedup
+    group table: fingerprint, group size, canonical min doc_id."""
+    from data_pipeline_bigquery_spark.extensions.multimodal import dhash_images
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", ppm_payload("text", _MM_IMG_W, _MM_IMG_H).alias("payload")
+    )
+    hashed = dhash_images(docs, "doc_id", "payload")
+    return hashed.groupBy("dhash").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("canonical_id"),
+    )
+
+
+def _mm_dhash_sql(w: int, h: int) -> str:
+    """Byte-exact SQL reconstruction of the dHash kernel: grayscale,
+    nearest-resize sample points, 64 comparisons, hex assembly — every
+    offset derived from the SAME geometry constants as the Spark
+    query's `ppm_payload`, and the SAME nearest index arithmetic as
+    `codecs.resize_nearest` (``(out_i * in) // out``)."""
+    n = w * h * 3
+    ys = [(r * h) // 8 for r in range(8)]
+    xs = [(c * w) // 9 for c in range(9)]
+
+    def gray(y: int, x: int) -> str:
+        o = (y * w + x) * 3 + 1  # 1-based substr into the padded raster
+        return (
+            f"((ord(substr(t, {o}, 1)) + ord(substr(t, {o + 1}, 1))"
+            f" + ord(substr(t, {o + 2}, 1))) // 3)"
+        )
+
+    byte_exprs = []
+    for r in range(8):
+        terms = [
+            f"(CASE WHEN {gray(ys[r], xs[c + 1])} > {gray(ys[r], xs[c])}"
+            f" THEN {1 << (7 - c)} ELSE 0 END)"
+            for c in range(8)
+        ]
+        byte_exprs.append(
+            "lpad(to_hex(" + " + ".join(terms) + "), 2, '0')"
+        )
+    dhash = "lower(" + " || ".join(byte_exprs) + ")"
+    return f"""
+WITH base AS (
+  SELECT doc_id, substr(text || repeat(' ', {n}), 1, {n}) AS t FROM documents),
+h AS (SELECT doc_id, {dhash} AS dhash FROM base)
+SELECT dhash, count(*) AS n_docs, min(doc_id) AS canonical_id
+FROM h GROUP BY dhash
+"""
+
+
+_MM_DHASH_SQL = _mm_dhash_sql(_MM_IMG_W, _MM_IMG_H)
+
+
 # --- sessionization (events) -------------------------------------------------
 
 def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -987,5 +1045,6 @@ QUERIES: dict[str, QuerySpec] = {
     "multimodal_resize": QuerySpec(_multimodal_resize, _MM_RESIZE_SQL),
     "multimodal_features": QuerySpec(_multimodal_features, _MM_FEAT_SQL),
     "multimodal_audio_features": QuerySpec(_multimodal_audio, _MM_AUDIO_SQL),
+    "multimodal_perceptual_dedup": QuerySpec(_multimodal_perceptual_dedup, _MM_DHASH_SQL),
     "sessionize_events": QuerySpec(_sessionize, _SESSIONIZE_SQL),
 }

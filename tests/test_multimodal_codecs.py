@@ -389,3 +389,32 @@ def test_wav_roundtrip_property():
         assert r == rate and (out == arr).all()
 
     check()
+
+
+def test_dhash_invariant_to_brightness_shift(spark):
+    """dHash compares ADJACENT brightness, so a constant brightness
+    shift (every raster byte +1) changes the payload digest but not
+    the fingerprint — the perceptual property exact digests lack."""
+    from data_pipeline_bigquery_spark.extensions.multimodal import (
+        dhash_images,
+        ppm_payload,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 60
+    shifted = "".join(chr(ord(c) + 1) for c in base)  # +1 every byte
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=base), Row(doc_id=2, text=shifted)],
+        "doc_id long, text string",
+    ).select("doc_id", ppm_payload("text", 32, 24).alias("payload"))
+    out = {r.doc_id: r.dhash for r in dhash_images(docs, "doc_id", "payload").collect()}
+    assert out[1] == out[2]  # perceptually identical
+    assert len(out[1]) == 16 and int(out[1], 16) >= 0  # well-formed 64-bit hex
+    # while the exact bytes differ (different payload digests)
+    md5s = {
+        r.content_md5
+        for r in __import__(
+            "data_pipeline_bigquery_spark.extensions.multimodal",
+            fromlist=["binary_metadata"],
+        ).binary_metadata(docs, "doc_id", "payload").collect()
+    }
+    assert len(md5s) == 2
