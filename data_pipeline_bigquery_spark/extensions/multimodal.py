@@ -320,13 +320,9 @@ def dhash_images(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
                 ys = (np.arange(8) * h) // 8
                 xs = (np.arange(9) * w) // 9
                 small = gray[ys][:, xs]
-                hex_parts = []
-                for r in range(8):
-                    byte = 0
-                    for c in range(8):
-                        byte |= (1 if small[r, c + 1] > small[r, c] else 0) << (7 - c)
-                    hex_parts.append(f"{byte:02x}")
-                out.append((int(doc_id), "".join(hex_parts)))
+                # MSB-first row bytes, fully vectorized
+                bits = small[:, 1:] > small[:, :-1]
+                out.append((int(doc_id), np.packbits(bits).tobytes().hex()))
             yield pd.DataFrame(out, columns=["doc_id", "dhash"])
 
     return df.mapInPandas(gen, DHASH_SCHEMA)

@@ -257,10 +257,9 @@ def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(grams, threshold=0.5)
 
 
-_JACCARD_SQL = (
-    "WITH "
-    + _aug_cte(max_doc=150)
-    + """,
+# shared gram/size/intersection CTE chain for the gram-overlap oracles
+# (jaccard + containment) — ONE home, appended after the aug CTE
+_GRAM_STATS_CTES = """,
 w AS (SELECT doc_id, string_split(t, ' ') AS words FROM aug),
 grams AS (
   SELECT DISTINCT doc_id,
@@ -270,7 +269,15 @@ sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
   FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id),
+  GROUP BY a.doc_id, b.doc_id)
+"""
+
+
+_JACCARD_SQL = (
+    "WITH "
+    + _aug_cte(max_doc=150)
+    + _GRAM_STATS_CTES
+    + """,
 j AS (
   SELECT doc_a, doc_b,
          CAST(n_inter AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - n_inter AS DOUBLE) AS jac
@@ -298,17 +305,8 @@ def _dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CONTAINMENT_SQL = (
     "WITH "
     + _aug_cte(max_doc=150)
+    + _GRAM_STATS_CTES
     + """,
-w AS (SELECT doc_id, string_split(t, ' ') AS words FROM aug),
-grams AS (
-  SELECT DISTINCT doc_id,
-         array_to_string(words[CAST(i AS INT):CAST(i AS INT) + 2], ' ') AS gram
-  FROM w, UNNEST(range(1, greatest(len(words) - 2, 1) + 1)) AS u(i)),
-sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id),
 c AS (
   SELECT doc_a, doc_b,
          round(CAST(n_inter AS DOUBLE) / CAST(sa.n_grams AS DOUBLE), 6) AS containment_a_in_b,

@@ -211,7 +211,7 @@ def _token_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.crossJoin(F.broadcast(mx))
         .filter(
             hash_bucket(F.col("doc_id"), 1000)
-            < F.expr("n_tokens * 1000 div mx")
+            < F.expr("cast(n_tokens as bigint) * 1000 div mx")
         )
         .select("doc_id", "n_tokens")
     )
@@ -224,7 +224,7 @@ m AS (SELECT max(n_tokens) AS mx FROM d)
 SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens
 FROM d CROSS JOIN m
 WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 1000
-      < n_tokens * 1000 // mx
+      < CAST(n_tokens AS BIGINT) * 1000 // mx
 """
 
 

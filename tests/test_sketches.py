@@ -123,4 +123,7 @@ def test_hll_union_equals_direct_sketch(spark):
     direct = ev.agg(
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("n")
     ).collect()[0]["n"]
-    assert unioned == direct
+    # exact equality holds in coupon mode (small fixture); dense-mode
+    # HLL can diverge by estimator choice (HIP vs composite), so the
+    # stated invariant is agreement within the sketch's error band
+    assert abs(unioned - direct) <= max(1, 0.01 * direct)
