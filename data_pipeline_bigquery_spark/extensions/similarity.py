@@ -96,6 +96,7 @@ def similarity_topk(
     auto_cells: int = 64,
     train_iters: int = 1,
     centroids: DataFrame | None = None,
+    method: str = "auto",
 ) -> DataFrame:
     """The user-facing top-k default: auto-routes between exact brute
     force (small corpus — exact AND faster) and trained-quantizer IVF
@@ -122,7 +123,28 @@ def similarity_topk(
     which case one-shot IVF amortizes across the batch; its training
     runs on a hash-stable SAMPLE sized to
     ``AUTO_TRAIN_POINTS_PER_CELL`` per cell, never the full corpus.
+
+    ``method`` overrides the router: ``"brute"`` / ``"ivf"`` /
+    ``"lsh"`` (random-hyperplane sign LSH, `extensions/rhp_lsh.py` —
+    the TRAINING-FREE bucketed path; pick its band geometry for the
+    neighbor-similarity regime per PERFORMANCE.md "RHP-LSH band
+    geometry") force that path; ``"auto"`` (default) applies the
+    measured crossover economics above.  All paths share the output
+    contract ``(query_id, neighbor_id, cosine_sim)``.
     """
+    if method not in ("auto", "brute", "ivf", "lsh"):
+        raise ValueError(f"unknown method {method!r}")
+    if method == "brute":
+        return cosine_topk(queries, corpus, k=k, id_col=id_col, vec_col=vec_col)
+    if method == "lsh":
+        from data_pipeline_bigquery_spark.extensions.rhp_lsh import rhp_topk
+
+        return rhp_topk(queries, corpus, k=k, id_col=id_col, vec_col=vec_col)
+    if method == "ivf" and centroids is None:
+        return ivf_topk(
+            queries, corpus, k=k, nprobe=nprobe, id_col=id_col, vec_col=vec_col,
+            auto_cells=auto_cells, train_iters=max(train_iters, 1),
+        )
     n = corpus_rows if corpus_rows is not None else corpus.count()
     if centroids is not None:
         # amortized path: Arrow matmul assignment (17.7× the HOF fold

@@ -111,3 +111,25 @@ def test_band_plan_folds_are_linear_in_n_bits(spark):
         .toString()
     )
     assert plan.count("zip_with") == 8 + 1  # one per plane + the norm
+
+
+def test_router_method_override_routes_all_paths(spark):
+    """similarity_topk(method=...) forces each path; all share the
+    output contract and 'brute' equals the exact baseline."""
+    import pytest
+
+    from data_pipeline_bigquery_spark.extensions.similarity import similarity_topk
+
+    emb = load(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4)
+    brute = similarity_topk(queries, emb, k=3, method="brute")
+    exact = cosine_topk(queries, emb, k=3)
+    assert {tuple(r) for r in brute.collect()} == {tuple(r) for r in exact.collect()}
+
+    for m in ("lsh", "ivf"):
+        out = similarity_topk(queries, emb, k=3, method=m)
+        assert out.columns == ["query_id", "neighbor_id", "cosine_sim"]
+        assert out.count() > 0
+
+    with pytest.raises(ValueError, match="unknown method"):
+        similarity_topk(queries, emb, k=3, method="hnsw")
