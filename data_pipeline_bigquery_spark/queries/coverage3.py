@@ -1380,11 +1380,64 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def _event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavior model: the event-type transition matrix —
+    for each user's time-ordered stream, count consecutive
+    ``(from_type, to_type)`` pairs corpus-wide, with each row's share
+    of its from-type's outgoing mass (integer permille, exact `div`).
+    The Markov-chain view of the event log: which step usually follows
+    which — the input to funnel design and anomaly baselines.
+
+    One lag window per user (single exchange on user_id), then a
+    25-cell aggregate; the share denominator derives from the tiny
+    transition table itself (window over from_type), not a rescan."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    counts = steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wf = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("n * 1000").cast("long").alias("__num"),
+        F.sum("n").over(wf).alias("__den"),
+    ).select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("__num div __den").alias("permille_of_from"),
+    )
+
+
+_TRANSITIONS_SQL = """
+WITH s AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS from_type,
+         event_type AS to_type
+  FROM events),
+c AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM s WHERE from_type IS NOT NULL
+  GROUP BY 1, 2)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+       CAST(n * 1000 // sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+         AS permille_of_from
+FROM c
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_time_windowed": QuerySpec(_dedup_time_windowed, _DEDUP_TW_SQL),
     "pattern_no_intervening": QuerySpec(_pattern_no_intervening, _PATTERN_SQL),
     "clamped_running_balance": QuerySpec(_clamped_running_balance, _CLAMPED_SQL),
     "variant_json_field_stats": QuerySpec(_variant_json_stats, _VARIANT_SQL),
+    "event_type_transitions": QuerySpec(_event_transitions, _TRANSITIONS_SQL),
     "incremental_rollup_maintenance": QuerySpec(_incremental_rollup, _INCR_ROLLUP_SQL),
     "gapfill_daily_events": QuerySpec(_gapfill_daily, _GAPFILL_SQL),
     "cohort_retention": QuerySpec(_cohort_retention, _COHORT_SQL),

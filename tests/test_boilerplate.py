@@ -233,3 +233,33 @@ def test_containment_catches_what_jaccard_misses(spark):
     assert cont[0]["containment_b_in_a"] < 0.2
     jac = ngram_jaccard_pairs(grams, threshold=0.5).collect()
     assert jac == []  # symmetric measure misses the containment entirely
+
+
+def test_event_transitions_count_consecutive_pairs_per_user(spark, tmp_path):
+    """Transitions are per-user consecutive pairs in time order; streams
+    of different users never chain, and permille shares normalize over
+    each from-type's outgoing mass."""
+    from datetime import datetime, timedelta
+
+    from data_pipeline_bigquery_spark.queries.coverage3 import _event_transitions
+
+    t0 = datetime(2024, 1, 1)
+    m = timedelta(minutes=1)
+    rows = [
+        (1, t0, 1, "signup", 0.0, "{}"),
+        (2, t0 + m, 1, "click", 0.0, "{}"),
+        (3, t0 + 2 * m, 1, "click", 0.0, "{}"),
+        (4, t0 + 3 * m, 1, "purchase", 0.0, "{}"),
+        # user 2 starts with purchase: no cross-user chain from user 1
+        (5, t0 + 4 * m, 2, "purchase", 0.0, "{}"),
+        (6, t0 + 5 * m, 2, "click", 0.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {(r.from_type, r.to_type): r for r in _event_transitions(spark, str(tmp_path)).collect()}
+    assert set(out) == {("signup", "click"), ("click", "click"), ("click", "purchase"), ("purchase", "click")}
+    assert out[("click", "click")].n == 1 and out[("click", "purchase")].n == 1
+    # click's outgoing mass = 2 → each transition is 500 permille
+    assert out[("click", "click")].permille_of_from == 500
+    assert out[("signup", "click")].permille_of_from == 1000
