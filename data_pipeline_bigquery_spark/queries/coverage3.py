@@ -1432,12 +1432,60 @@ FROM c
 """
 
 
+def _event_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness audit — THE input for choosing a streaming
+    watermark: treating ``event_id`` as arrival order, how many events
+    arrive with an event time older than the max already seen, and how
+    late (p-of-stream counts + max lateness seconds).  A watermark
+    below the observed p99.9 lateness silently drops data;
+    one far above it bloats state — this audit is how you pick it.
+
+    One global running-max window (arrival order is a total order, so
+    this is the one intentionally-global window, same caveat as the
+    deterministic shuffle) and a 1-row aggregate.  The fixture stream
+    is perfectly ordered, so the audit asserts the CLEAN state (zero
+    late, zero max-lateness) — the same shape as
+    `referential_integrity_audit`'s zero orphans; the late-event
+    semantics are pinned by unit test with a perturbed stream."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    seen = F.max("ts").over(w)
+    lateness = F.when(
+        F.col("ts") < seen, F.unix_timestamp(seen) - F.unix_timestamp("ts")
+    ).otherwise(F.lit(0))
+    return (
+        ev.select(lateness.alias("late_s"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("late_s") > 0).cast("long")).alias("n_late"),
+            F.max("late_s").alias("max_late_s"),
+        )
+    )
+
+
+_LATENESS_SQL = """
+WITH s AS (
+  SELECT ts,
+         max(ts) OVER (ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seen
+  FROM events)
+SELECT count(*) AS n_events,
+       CAST(sum(CASE WHEN ts < seen THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(max(CASE WHEN ts < seen THEN epoch(seen) - epoch(ts) ELSE 0 END) AS BIGINT)
+         AS max_late_s
+FROM s
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_time_windowed": QuerySpec(_dedup_time_windowed, _DEDUP_TW_SQL),
     "pattern_no_intervening": QuerySpec(_pattern_no_intervening, _PATTERN_SQL),
     "clamped_running_balance": QuerySpec(_clamped_running_balance, _CLAMPED_SQL),
     "variant_json_field_stats": QuerySpec(_variant_json_stats, _VARIANT_SQL),
     "event_type_transitions": QuerySpec(_event_transitions, _TRANSITIONS_SQL),
+    "event_lateness_audit": QuerySpec(_event_lateness_audit, _LATENESS_SQL),
     "incremental_rollup_maintenance": QuerySpec(_incremental_rollup, _INCR_ROLLUP_SQL),
     "gapfill_daily_events": QuerySpec(_gapfill_daily, _GAPFILL_SQL),
     "cohort_retention": QuerySpec(_cohort_retention, _COHORT_SQL),

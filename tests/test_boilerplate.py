@@ -263,3 +263,26 @@ def test_event_transitions_count_consecutive_pairs_per_user(spark, tmp_path):
     # click's outgoing mass = 2 → each transition is 500 permille
     assert out[("click", "click")].permille_of_from == 500
     assert out[("signup", "click")].permille_of_from == 1000
+
+
+def test_event_lateness_audit_detects_late_arrivals(spark, tmp_path):
+    """A perturbed arrival stream (event 3 carries an OLD timestamp)
+    must register as late with the right lateness in seconds; the clean
+    fixture asserts zeros in the registry oracle."""
+    from datetime import datetime, timedelta
+
+    from data_pipeline_bigquery_spark.queries.coverage3 import _event_lateness_audit
+
+    t0 = datetime(2024, 1, 1)
+    m = timedelta(minutes=1)
+    rows = [
+        (1, t0, 1, "a", 0.0, "{}"),
+        (2, t0 + 10 * m, 1, "a", 0.0, "{}"),
+        (3, t0 + 2 * m, 2, "a", 0.0, "{}"),   # arrives 3rd, 8 min late
+        (4, t0 + 11 * m, 2, "a", 0.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    row = _event_lateness_audit(spark, str(tmp_path)).collect()[0]
+    assert (row.n_events, row.n_late, row.max_late_s) == (4, 1, 480)
