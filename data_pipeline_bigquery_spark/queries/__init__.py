@@ -25,6 +25,7 @@ class QuerySpec:
 
 def registry() -> dict[str, QuerySpec]:
     from data_pipeline_bigquery_spark.queries import (
+        analytics5,
         core,
         coverage,
         coverage2,
@@ -44,6 +45,7 @@ def registry() -> dict[str, QuerySpec]:
     for mod in (
         core, pipelines, coverage, coverage2, coverage3, coverage4,
         corpus_ops, formats, extensions, training, curation, curation2, sketches,
+        analytics5,
     ):
         merged.update(mod.QUERIES)
     return merged

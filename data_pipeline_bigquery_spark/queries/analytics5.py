@@ -1,0 +1,481 @@
+"""Coverage batch 5 — growth-analytics and search-engine primitives.
+
+Four analytic shapes every warehouse user eventually asks for, plus
+the retrieval primitive every corpus pipeline needs:
+
+- ``cumulative_distinct_users``: running distinct-user count per day.
+  The naive form (``COUNT(DISTINCT) OVER (ORDER BY day)``) rescans the
+  full prefix per day — O(n²) and unsupported by most engines anyway.
+  The scale form decomposes into *first-seen day per user* (one
+  user-keyed exchange — the only data-proportional shuffle) followed
+  by a cumulative sum over day-grain rows (bounded by the calendar,
+  thousands of rows, so the single global window is safe).
+- ``peak_open_orders``: maximum number of simultaneously-open orders
+  per priority, where an order is open from ``o_orderdate`` until its
+  last ``l_shipdate``.  The naive interval self-join is O(n²); the
+  scale form is the classic *sweep line*: ±1 deltas at interval
+  endpoints, aggregated to (priority, day) grain, then a running sum
+  whose argmax is the peak.  All exchanges after the delta aggregation
+  are day-grain.
+- ``event_pair_affinity``: market-basket lift between event types.
+  Per-user distinct types self-joined within user — fan-out is bounded
+  by the *type* cardinality (k·(k−1)/2 pairs per user, k=5 here), so
+  the join output is O(users), never O(events²).
+- ``inverted_index_build``: the search-engine core — term → postings.
+  df/tf come from a hash aggregate on term; the postings *preview* is
+  cut to the first 5 (doc, pos) entries per term with a rank window
+  BEFORE any list is materialised, so no executor ever holds a hot
+  term's full posting list (a stop-word's list is corpus-sized at
+  100 TB).  Spark's WindowGroupLimit pushes the rank<=5 cut below the
+  exchange, so even the shuffle carries only per-partition top-5s.
+- ``keyword_search_bm25lite``: ranked keyword retrieval over the
+  corpus with a BM25-shaped score (k1=1.2, b=0.75) whose idf factor is
+  the log-free rational ``(2N−2df+1)/(2df+1)`` — rank-monotone in df
+  exactly like the BM25 idf, but expressible in engine-portable
+  integer arithmetic.  Every per-term score is ONE IEEE division of
+  two exact int64s (identical bits on both engines), routed through
+  DECIMAL(38,12) so the 3-term sum is exact decimal arithmetic — the
+  same portability pattern as ``chi_square_lang_source``.  One corpus
+  pass (explode → per-doc conditional aggregate), stats broadcast
+  back, TakeOrderedAndProject top-10.
+
+Reference analog: the reference's reporting layer answers "how many
+accounts have we ever touched" / "what do engaged users do together"
+style questions with pandas groupbys over full REST extracts
+(`/root/reference/pipeline/gs_deal_log_2_bigquery/main_oop.py`); the
+retrieval ops serve the corpus-search need its BigQuery console
+queries fill today.
+
+Engine-portability rules (PERFORMANCE.md): integer arithmetic end to
+end; the only divisions are single IEEE double divisions of exact
+int64 inputs; multi-term sums route through DECIMAL(38,12); every
+LIMIT sits on a total order with an explicit tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_bigquery_spark.catalog import load
+from data_pipeline_bigquery_spark.queries import QuerySpec
+
+
+# --- cumulative distinct users ----------------------------------------------
+
+def _cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-user count per day via the first-seen
+    decomposition: a user contributes to the cumulative count exactly
+    on their first-seen day, so ``cum_users(d) = Σ_{d'<=d}
+    new_users(d')``.  The user-keyed min-aggregate is the only
+    event-proportional exchange; the window runs on day-grain rows."""
+    ev = load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("day"))
+    new_per_day = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    all_days = ev.select("day").distinct()
+    # Left join keeps days where only returning users were active
+    # (new_users = 0); the window is day-grain (calendar-bounded), so
+    # the single global ordering is safe at any corpus size.
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        all_days.join(new_per_day, "day", "left")
+        .select("day", F.coalesce("new_users", F.lit(0)).alias("new_users"))
+        .select(
+            "day",
+            "new_users",
+            F.sum("new_users").over(w).alias("cum_users"),
+        )
+    )
+
+
+_CUMULATIVE_USERS_SQL = """
+WITH fs AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY 1),
+npd AS (SELECT day, count(*) AS new_users FROM fs GROUP BY 1),
+days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+SELECT d.day,
+       CAST(COALESCE(n.new_users, 0) AS BIGINT) AS new_users,
+       CAST(sum(COALESCE(n.new_users, 0)) OVER (
+              ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_users
+FROM days d LEFT JOIN npd n USING (day)
+"""
+
+
+# --- peak concurrently-open orders (sweep line) ------------------------------
+
+def _peak_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max simultaneously-open orders per priority, sweep-line form:
+    +1 at ``o_orderdate``, −1 the day after the order's last
+    ``l_shipdate``.  After the (priority, day) delta aggregate, every
+    exchange is day-grain; the interval self-join the naive form needs
+    never happens.  First day attaining the peak breaks ties."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.to_date("o_orderdate").alias("start_day"),
+    )
+    last_ship = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max(F.to_date("l_shipdate")).alias("last_ship"))
+    )
+    # The synthetic fixture has orders whose last shipment precedes
+    # the order date; an order is open at least on its placement day,
+    # so the interval end clamps to greatest(last_ship, start_day).
+    spans = orders.join(
+        last_ship, orders.o_orderkey == last_ship.l_orderkey
+    ).select(
+        "o_orderpriority",
+        "start_day",
+        F.greatest("last_ship", "start_day").alias("last_ship"),
+    )
+    deltas = spans.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("start_day").alias("day"),
+        F.lit(1).alias("delta"),
+    ).unionAll(
+        spans.select(
+            F.col("o_orderpriority").alias("priority"),
+            F.date_add("last_ship", 1).alias("day"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    grain = deltas.groupBy("priority", "day").agg(F.sum("delta").alias("d"))
+    w_run = (
+        Window.partitionBy("priority")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    conc = grain.select(
+        "priority", "day", F.sum("d").over(w_run).alias("open_orders")
+    )
+    w_rank = Window.partitionBy("priority").orderBy(
+        F.col("open_orders").desc(), F.col("day")
+    )
+    return (
+        conc.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "priority",
+            F.col("open_orders").alias("peak_open"),
+            F.col("day").alias("peak_date"),
+        )
+    )
+
+
+_PEAK_OPEN_SQL = """
+WITH spans AS (
+  SELECT o.o_orderpriority AS priority,
+         CAST(o.o_orderdate AS DATE) AS start_day,
+         greatest(max(CAST(l.l_shipdate AS DATE)),
+                  CAST(o.o_orderdate AS DATE)) AS last_ship
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2, o.o_orderkey),
+deltas AS (
+  SELECT priority, start_day AS day, 1 AS delta FROM spans
+  UNION ALL
+  SELECT priority, last_ship + 1, -1 FROM spans),
+grain AS (
+  SELECT priority, day, sum(delta) AS d FROM deltas GROUP BY 1, 2),
+conc AS (
+  SELECT priority, day,
+         sum(d) OVER (PARTITION BY priority ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS open_orders
+  FROM grain),
+ranked AS (
+  SELECT priority, day, open_orders,
+         row_number() OVER (PARTITION BY priority
+                            ORDER BY open_orders DESC, day) AS rn
+  FROM conc)
+SELECT priority, CAST(open_orders AS BIGINT) AS peak_open, day AS peak_date
+FROM ranked WHERE rn = 1
+"""
+
+
+# --- event-type pair affinity (market basket) --------------------------------
+
+def _event_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lift between event-type pairs: how much more often do two types
+    co-occur in the same user's history than independence predicts.
+    ``lift = n_pair · n_users / (n_a · n_b)`` — exact int64 products,
+    one IEEE division.  The within-user self-join fans out to at most
+    k·(k−1)/2 rows per user (k = type cardinality, 5 here), so output
+    is O(users) regardless of event volume."""
+    ut = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pair_counts = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    type_counts = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_type")
+    )
+    totals = ut.agg(F.countDistinct("user_id").alias("n_users"))
+    return (
+        pair_counts.join(
+            F.broadcast(
+                type_counts.select(
+                    F.col("event_type").alias("type_a"),
+                    F.col("n_type").alias("n_a"),
+                )
+            ),
+            "type_a",
+        )
+        .join(
+            F.broadcast(
+                type_counts.select(
+                    F.col("event_type").alias("type_b"),
+                    F.col("n_type").alias("n_b"),
+                )
+            ),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "type_a",
+            "type_b",
+            "n_pair",
+            (
+                (F.col("n_pair") * F.col("n_users")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
+_PAIR_AFFINITY_SQL = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+pc AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_pair
+  FROM ut a JOIN ut b ON a.user_id = b.user_id
+  WHERE a.event_type < b.event_type
+  GROUP BY 1, 2),
+tc AS (SELECT event_type, count(*) AS n_type FROM ut GROUP BY 1),
+tot AS (SELECT count(DISTINCT user_id) AS n_users FROM ut)
+SELECT pc.type_a, pc.type_b, CAST(pc.n_pair AS BIGINT) AS n_pair,
+       CAST(pc.n_pair * tot.n_users AS DOUBLE)
+         / CAST(ta.n_type * tb.n_type AS DOUBLE) AS lift
+FROM pc
+JOIN tc ta ON ta.event_type = pc.type_a
+JOIN tc tb ON tb.event_type = pc.type_b
+CROSS JOIN tot
+"""
+
+
+# --- inverted index ----------------------------------------------------------
+
+_POSTINGS_PREVIEW = 5
+
+
+def _inverted_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term → (df, tf, first-5 postings) over the corpus tokenizer
+    (space split, the same machinery as ``chunk_dedup_ratio``).  The
+    rank window cuts each term's postings to 5 BEFORE any list
+    aggregation, so no executor materialises a hot term's full list —
+    WindowGroupLimit additionally applies the cut per-partition below
+    the exchange.  df/tf aggregate over ALL postings on the same term
+    key (AQE reuses the exchange where it can)."""
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), " ")).alias("pos", "term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    full = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.count(F.lit(1)).alias("tf"),
+    )
+    w = Window.partitionBy("term").orderBy("doc_id", "pos")
+    preview = (
+        toks.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _POSTINGS_PREVIEW)
+        .groupBy("term")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "pos"))),
+                    lambda s: F.concat_ws(":", s.doc_id, s.pos),
+                ),
+            ).alias("postings")
+        )
+    )
+    return full.join(preview, "term").select(
+        "term", "df", "tf", "postings"
+    )
+
+
+_INVERTED_INDEX_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, t.pos, t.term
+  FROM (SELECT doc_id,
+               unnest([{{'pos': i - 1, 'term': toks[i]}}
+                       for i in generate_series(1, len(toks))]) AS t
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents))
+  WHERE t.term <> ''),
+full_agg AS (
+  SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf
+  FROM toks GROUP BY 1),
+ranked AS (
+  SELECT term, doc_id, pos,
+         row_number() OVER (PARTITION BY term ORDER BY doc_id, pos) AS rn
+  FROM toks),
+preview AS (
+  SELECT term,
+         string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR),
+                    ' ' ORDER BY doc_id, pos) AS postings
+  FROM ranked WHERE rn <= {_POSTINGS_PREVIEW} GROUP BY 1)
+SELECT f.term, CAST(f.df AS BIGINT) AS df, CAST(f.tf AS BIGINT) AS tf,
+       p.postings
+FROM full_agg f JOIN preview p USING (term)
+"""
+
+
+# --- BM25-lite keyword search ------------------------------------------------
+
+_Q_TERMS = ("merge", "scan", "window")  # fixture vocabulary, all SFs
+_TOP_K = 10
+
+
+def _keyword_search_bm25lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 docs for the 3-term query, BM25-shaped scoring in
+    engine-portable arithmetic.  Per term:
+
+        score_t = 44·tf·T·(2N−2df+1)
+                  ─────────────────────────────────
+                  (20·T·tf + 6·T + 18·dl·N)·(2df+1)
+
+    which is tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) · idf_lite with
+    k1=1.2, b=0.75, avgdl=T/N, both sides multiplied by 20·T — all
+    int64-exact (≤ ~1e14 at sf0.1), then ONE IEEE division.  idf_lite
+    = (2N−2df+1)/(2df+1) is the log-free Robertson idf: same sign and
+    monotonicity, no transcendentals, so the oracle hash-matches.
+    Terms sum in fixed order through DECIMAL(38,12).
+
+    Two corpus passes — the classic stats-then-score ranking: each
+    pass is explode → per-doc conditional aggregate (dl and the three
+    tfs in one shuffle keyed on doc_id); the 1-row stats reduce
+    broadcasts back into the scoring pass; top-10 is a
+    TakeOrderedAndProject, never a global sort.  (Catalyst cannot
+    share the per-doc aggregate across the two branches without
+    caching; at scale the stats pass is the price of exact idf.)"""
+    t1, t2, t3 = _Q_TERMS
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    perdoc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        F.sum((F.col("term") == t1).cast("long")).alias("tf1"),
+        F.sum((F.col("term") == t2).cast("long")).alias("tf2"),
+        F.sum((F.col("term") == t3).cast("long")).alias("tf3"),
+    )
+    stats = perdoc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tok"),
+        F.sum((F.col("tf1") > 0).cast("long")).alias("df1"),
+        F.sum((F.col("tf2") > 0).cast("long")).alias("df2"),
+        F.sum((F.col("tf3") > 0).cast("long")).alias("df3"),
+    )
+
+    def term_score(tf: str, df: str) -> F.Column:
+        n, t = F.col("n_docs"), F.col("total_tok")
+        num = (
+            F.lit(44) * F.col(tf) * t * (F.lit(2) * n - F.lit(2) * F.col(df) + F.lit(1))
+        ).cast("double")
+        den = (
+            (F.lit(20) * t * F.col(tf) + F.lit(6) * t + F.lit(18) * F.col("dl") * n)
+            * (F.lit(2) * F.col(df) + F.lit(1))
+        ).cast("double")
+        return (num / den).cast("decimal(38,12)")
+
+    return (
+        perdoc.crossJoin(F.broadcast(stats))
+        .filter((F.col("tf1") + F.col("tf2") + F.col("tf3")) > 0)
+        .select(
+            "doc_id",
+            "tf1",
+            "tf2",
+            "tf3",
+            F.round(
+                term_score("tf1", "df1")
+                + term_score("tf2", "df2")
+                + term_score("tf3", "df3"),
+                6,
+            )
+            .cast("double")
+            .alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(_TOP_K)
+    )
+
+
+_BM25LITE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, w AS term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''),
+perdoc AS (
+  SELECT doc_id, count(*) AS dl,
+         sum(CASE WHEN term = '{_Q_TERMS[0]}' THEN 1 ELSE 0 END) AS tf1,
+         sum(CASE WHEN term = '{_Q_TERMS[1]}' THEN 1 ELSE 0 END) AS tf2,
+         sum(CASE WHEN term = '{_Q_TERMS[2]}' THEN 1 ELSE 0 END) AS tf3
+  FROM toks GROUP BY 1),
+stats AS (
+  SELECT count(*) AS n_docs, sum(dl) AS total_tok,
+         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+         sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+  FROM perdoc)
+SELECT doc_id, CAST(tf1 AS BIGINT) AS tf1, CAST(tf2 AS BIGINT) AS tf2,
+       CAST(tf3 AS BIGINT) AS tf3,
+       CAST(round(
+         CAST(CAST(44 * tf1 * total_tok * (2 * n_docs - 2 * df1 + 1) AS DOUBLE)
+              / CAST((20 * total_tok * tf1 + 6 * total_tok + 18 * dl * n_docs)
+                     * (2 * df1 + 1) AS DOUBLE) AS DECIMAL(38,12))
+         + CAST(CAST(44 * tf2 * total_tok * (2 * n_docs - 2 * df2 + 1) AS DOUBLE)
+              / CAST((20 * total_tok * tf2 + 6 * total_tok + 18 * dl * n_docs)
+                     * (2 * df2 + 1) AS DOUBLE) AS DECIMAL(38,12))
+         + CAST(CAST(44 * tf3 * total_tok * (2 * n_docs - 2 * df3 + 1) AS DOUBLE)
+              / CAST((20 * total_tok * tf3 + 6 * total_tok + 18 * dl * n_docs)
+                     * (2 * df3 + 1) AS DOUBLE) AS DECIMAL(38,12)), 6)
+       AS DOUBLE) AS score
+FROM perdoc CROSS JOIN stats
+WHERE tf1 + tf2 + tf3 > 0
+ORDER BY score DESC, doc_id
+LIMIT {_TOP_K}
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "cumulative_distinct_users": QuerySpec(
+        _cumulative_distinct_users, _CUMULATIVE_USERS_SQL
+    ),
+    "peak_open_orders": QuerySpec(_peak_open_orders, _PEAK_OPEN_SQL),
+    "event_pair_affinity": QuerySpec(_event_pair_affinity, _PAIR_AFFINITY_SQL),
+    "inverted_index_build": QuerySpec(_inverted_index_build, _INVERTED_INDEX_SQL),
+    "keyword_search_bm25lite": QuerySpec(
+        _keyword_search_bm25lite, _BM25LITE_SQL
+    ),
+}
