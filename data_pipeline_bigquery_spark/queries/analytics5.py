@@ -468,6 +468,207 @@ LIMIT {_TOP_K}
 """
 
 
+# --- Pareto skyline (distributed prefix scan) --------------------------------
+
+_SKYLINE_BUCKETS = 256
+
+
+def _pareto_skyline_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers on the (spend, order-count) Pareto frontier: nobody
+    else has both ≥ spend and ≥ orders with one strict.  The naive
+    dominance test is an O(n²) self-join; the 2-D scale form is a
+    PREFIX MAX — a point survives iff its order count beats the max
+    order count over all strictly-higher spends — and a global prefix
+    max over data-proportional rows must NOT be a single-partition
+    window.  This runs it as the classic two-phase distributed scan:
+    range-bucket on spend, local running max per bucket (partitioned
+    window), bucket-level maxima rolled into a strict-prefix max over
+    the ~256 bucket rows (tiny global window), then
+    ``greatest(local, higher-bucket)``.  Equal-spend domination is
+    handled by reducing to distinct spend levels first (a customer
+    survives only with the level's max order count); duplicate
+    (spend, orders) points are mutually non-dominating and all kept.
+    The oracle is the NAIVE O(n²) NOT EXISTS — a genuinely independent
+    formulation."""
+    per_cust = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    levels = per_cust.groupBy("spend").agg(F.max("n_orders").alias("maxn"))
+    rng = levels.agg(
+        F.min("spend").alias("smin"), F.max("spend").alias("smax")
+    )
+    nb = F.lit(_SKYLINE_BUCKETS)
+    lv = levels.crossJoin(F.broadcast(rng)).withColumn(
+        "b",
+        F.when(F.col("smax") == F.col("smin"), F.lit(0)).otherwise(
+            F.least(
+                nb - 1,
+                F.floor(
+                    (F.col("spend") - F.col("smin")).cast("double")
+                    * nb
+                    / (F.col("smax") - F.col("smin")).cast("double")
+                ).cast("int"),
+            )
+        ),
+    )
+    w_local = (
+        Window.partitionBy("b")
+        .orderBy(F.col("spend").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = lv.withColumn("local_pm", F.max("maxn").over(w_local))
+    w_bucket = Window.orderBy(F.col("b").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    higher = (
+        lv.groupBy("b")
+        .agg(F.max("maxn").alias("bm"))
+        .withColumn("higher_pm", F.max("bm").over(w_bucket))
+        .select("b", "higher_pm")
+    )
+    m1 = F.greatest(
+        F.coalesce(F.col("local_pm"), F.lit(-1)),
+        F.coalesce(F.col("higher_pm"), F.lit(-1)),
+    )
+    sky_levels = (
+        local.join(F.broadcast(higher), "b")
+        .filter(m1 < F.col("maxn"))
+        .select(F.col("spend").alias("s_spend"), F.col("maxn"))
+    )
+    return per_cust.join(
+        F.broadcast(sky_levels),
+        (per_cust.spend == F.col("s_spend"))
+        & (per_cust.n_orders == F.col("maxn")),
+    ).select(
+        "o_custkey", F.col("spend").cast("double").alias("spend"), "n_orders"
+    )
+
+
+_SKYLINE_SQL = """
+WITH pc AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1)
+SELECT p.o_custkey, CAST(p.spend AS DOUBLE) AS spend,
+       CAST(p.n_orders AS BIGINT) AS n_orders
+FROM pc p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pc q
+  WHERE q.spend >= p.spend AND q.n_orders >= p.n_orders
+    AND (q.spend > p.spend OR q.n_orders > p.n_orders))
+"""
+
+
+# --- nearest-centroid confusion matrix ---------------------------------------
+
+_QSCALE = 1_000_000
+
+
+def _nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-separability audit over the embedding table: assign every
+    vector to its nearest LABEL CENTROID and cross-tabulate true vs
+    assigned — the confusion matrix that tells you whether labels are
+    linearly separable before you spend GPU time on them.
+
+    Engine-portable float policy: components quantize to integer
+    micros (float→double is exact, ×1e6 correctly rounded, floor
+    deterministic — identical int64s on both engines).  The label
+    centroid stays a RATIONAL (component sum S, count n) — never a
+    float mean — so the squared distance to centroid scales to
+    ``Σ_d (q_d·n − S_d)²``, exact int64 diffs squared in double
+    (correctly rounded, identical) and summed through DECIMAL(38,6)
+    (order-exact).  int64 bound: |q·n| ≤ 1e6·n_label, safe below ~9e12
+    rows per label; beyond that drop _QSCALE.
+
+    Plan shape: the 10 (centroid, count) rows broadcast; each vector
+    computes all 10 distances in ONE whole-stage HOF fold over its own
+    array — the corpus never shuffles for assignment, only the final
+    10×10 confusion aggregate exchanges.  The oracle recomputes
+    distances via an explicit dim-join — an independent formulation of
+    the same exact arithmetic."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * _QSCALE).cast("long"),
+        ).alias("q"),
+    )
+    cent = (
+        emb.select("label", F.posexplode("q").alias("dim", "qi"))
+        .groupBy("label", "dim")
+        .agg(F.sum("qi").alias("s"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "s"))),
+                lambda t: t.s,
+            ).alias("c")
+        )
+    )
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_l"))
+    cents = cent.join(counts, "label").select(
+        F.col("label").alias("c_label"), "c", "n_l"
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            "q",
+            "c",
+            lambda qi, s: (
+                (qi * F.col("n_l") - s).cast("double")
+                * (qi * F.col("n_l") - s).cast("double")
+            ).cast("decimal(38,6)"),
+        ),
+        F.lit(0).cast("decimal(38,6)"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "c_label")
+    return (
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", "label", "c_label", dist.alias("dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("label", F.col("c_label").alias("assigned"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_CENTROID_SQL = f"""
+WITH q AS (
+  SELECT vec_id, label,
+         [CAST(floor(CAST(x AS DOUBLE) * {_QSCALE}) AS BIGINT)
+          for x in embedding] AS qv
+  FROM embeddings),
+ex AS (
+  SELECT vec_id, label, t.dim, t.qi
+  FROM (SELECT vec_id, label,
+               unnest([{{'dim': i, 'qi': qv[i]}}
+                       for i in generate_series(1, len(qv))]) AS t
+        FROM q)),
+cent AS (
+  SELECT label AS c_label, dim, sum(qi) AS s, count(*) AS n_l
+  FROM ex GROUP BY 1, 2),
+dists AS (
+  SELECT e.vec_id, e.label, c.c_label,
+         sum(CAST(CAST(e.qi * c.n_l - c.s AS DOUBLE)
+                  * CAST(e.qi * c.n_l - c.s AS DOUBLE)
+                  AS DECIMAL(38,6))) AS dist
+  FROM ex e JOIN cent c USING (dim)
+  GROUP BY 1, 2, 3),
+r AS (
+  SELECT label, c_label,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rn
+  FROM dists)
+SELECT label, c_label AS assigned, CAST(count(*) AS BIGINT) AS n
+FROM r WHERE rn = 1 GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "cumulative_distinct_users": QuerySpec(
         _cumulative_distinct_users, _CUMULATIVE_USERS_SQL
@@ -477,5 +678,11 @@ QUERIES: dict[str, QuerySpec] = {
     "inverted_index_build": QuerySpec(_inverted_index_build, _INVERTED_INDEX_SQL),
     "keyword_search_bm25lite": QuerySpec(
         _keyword_search_bm25lite, _BM25LITE_SQL
+    ),
+    "pareto_skyline_customers": QuerySpec(
+        _pareto_skyline_customers, _SKYLINE_SQL
+    ),
+    "nearest_centroid_confusion": QuerySpec(
+        _nearest_centroid_confusion, _CENTROID_SQL
     ),
 }

@@ -9,7 +9,7 @@ identical derivation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_bigquery_spark.catalog import load
@@ -223,6 +223,82 @@ def _dedup_near_corpus_sql() -> str:
 SELECT CAST(count(*) AS BIGINT) AS n_docs_kept,
        CAST(sum(length(t)) AS BIGINT) AS chars_kept
 FROM aug WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id != component)
+"""
+    )
+
+
+# --- keep-best-quality dedup policy ------------------------------------------
+
+def _dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style retention policy: within each near-dup cluster
+    keep the HIGHEST-QUALITY member, not the arbitrary min-id one.
+    ``dedup_near_corpus`` answers "how much survives"; this answers
+    "which copy survives" — the policy real curation pipelines apply
+    (near-dups often differ by truncation or boilerplate, and the
+    min-id copy may be the worst one).
+
+    Quality is the same stopword/alpha composite as
+    ``text_quality_score`` computed on the augmented corpus; the
+    per-cluster argmax is a row_number window keyed on component —
+    cluster-sized partitions, shuffled once on the component key.
+    Ties break to the lower doc_id.  Output is one row per
+    multi-member cluster (singletons are implicitly kept)."""
+    aug = _augmented_docs(spark, sf_dir)
+    comp = connected_components(_dedup_minhash(spark, sf_dir))
+    words = F.split(F.col("t"), " ")
+    stop = F.array(F.lit("the"), F.lit("a"), F.lit("and"), F.lit("of"))
+    stop_ratio = F.size(
+        F.filter(words, lambda w: F.array_contains(stop, w))
+    ).cast("double") / F.size(words).cast("double")
+    alpha_ratio = F.length(
+        F.regexp_replace(F.col("t"), "[^a-z]", "")
+    ).cast("double") / F.length(F.col("t")).cast("double")
+    q = aug.select(
+        "doc_id",
+        F.round(stop_ratio * 0.5 + alpha_ratio * 0.5, 6).alias("quality"),
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return (
+        comp.join(q, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .groupBy("component")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("kept_doc"),
+            F.max(F.when(F.col("rn") == 1, F.col("quality"))).alias(
+                "kept_quality"
+            ),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
+
+
+def _keep_best_sql() -> str:
+    return (
+        "WITH RECURSIVE "
+        + _minhash_ctes()
+        + _CLUSTER_CTES
+        + """,
+q AS (
+  SELECT doc_id,
+         round(
+           CAST(len(list_filter(string_split(t, ' '),
+                    x -> list_contains(['the','a','and','of'], x))) AS DOUBLE)
+             / CAST(len(string_split(t, ' ')) AS DOUBLE) * 0.5
+           + CAST(length(regexp_replace(t, '[^a-z]', '', 'g')) AS DOUBLE)
+             / CAST(length(t) AS DOUBLE) * 0.5, 6) AS quality
+  FROM aug),
+ranked AS (
+  SELECT c.component, c.doc_id, q.quality,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY q.quality DESC, c.doc_id) AS rn
+  FROM comp c JOIN q USING (doc_id))
+SELECT component,
+       max(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc,
+       max(CASE WHEN rn = 1 THEN quality END) AS kept_quality,
+       CAST(count(*) AS BIGINT) AS n_members
+FROM ranked GROUP BY 1
 """
     )
 
@@ -1013,6 +1089,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_minhash_lsh": QuerySpec(_dedup_minhash, _minhash_sql()),
     "dedup_clusters": QuerySpec(_dedup_clusters, _clusters_sql()),
     "dedup_near_corpus": QuerySpec(_dedup_near_corpus, _dedup_near_corpus_sql()),
+    "dedup_keep_best_quality": QuerySpec(_dedup_keep_best_quality, _keep_best_sql()),
     "dedup_simhash": QuerySpec(_dedup_simhash, _simhash_sql()),
     "dedup_ngram_jaccard": QuerySpec(_ngram_jaccard, _JACCARD_SQL),
     "dedup_containment": QuerySpec(_dedup_containment, _CONTAINMENT_SQL),

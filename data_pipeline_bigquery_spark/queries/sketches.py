@@ -252,8 +252,87 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def _hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch INTERSECTION via inclusion–exclusion — the audience-
+    overlap question ("how many users do segments A and B share") that
+    exact COUNT(DISTINCT) answers only by rescanning both segments.
+    With one HLL sketch per event type, every pairwise overlap is
+    ``est(A) + est(B) − est(A ∪ B)`` — three sketch reads, zero
+    rescans, and the same finest-grain sketch table that serves
+    ``hll_reaggregatable_rollup`` serves all k·(k−1)/2 overlaps.
+
+    Error compounds: each estimate carries ~2% rsd of ITS OWN
+    cardinality, so the bound is 5% of the exact UNION (not of the
+    intersection — a small overlap of two big segments is where
+    inclusion–exclusion is genuinely noisy, and the bound says so).
+    The oracle recomputes exact intersections and unions from the raw
+    pairs and asserts ``within_bound`` TRUE."""
+    events = load(spark, sf_dir, "events")
+    per_type = events.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    a = per_type.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("n_users").alias("n_a"),
+    )
+    b = per_type.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("n_users").alias("n_b"),
+    )
+    est_inter = (
+        F.hll_sketch_estimate("sk_a")
+        + F.hll_sketch_estimate("sk_b")
+        - F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+    )
+    exact_inter = (
+        events.select("user_id", "event_type")
+        .distinct()
+        .alias("x")
+        .join(
+            events.select("user_id", "event_type").distinct().alias("y"),
+            "user_id",
+        )
+        .filter(F.col("x.event_type") < F.col("y.event_type"))
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.countDistinct("user_id").alias("exact_inter"))
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("type_a") < F.col("type_b"))
+        .join(exact_inter, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "exact_inter",
+            (
+                F.abs(est_inter - F.col("exact_inter"))
+                <= (F.col("n_a") + F.col("n_b") - F.col("exact_inter"))
+                * F.lit(0.05)
+            ).alias("within_bound"),
+        )
+    )
+
+
+_HLL_OVERLAP_SQL = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       count(DISTINCT a.user_id) AS exact_inter,
+       TRUE AS within_bound
+FROM ut a JOIN ut b ON a.user_id = b.user_id
+WHERE a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "approx_distinct_daily": QuerySpec(_approx_distinct_checked, _APPROX_DISTINCT_SQL),
+    "hll_audience_overlap": QuerySpec(_hll_audience_overlap, _HLL_OVERLAP_SQL),
     "hll_reaggregatable_rollup": QuerySpec(_hll_reagg_checked, _HLL_REAGG_SQL),
     "approx_price_percentiles": QuerySpec(_approx_percentiles_checked, _APPROX_PCT_SQL),
     "approx_frequent_terms": QuerySpec(_cms_frequent_terms_checked, _CMS_SQL),

@@ -21,6 +21,8 @@ from data_pipeline_bigquery_spark.queries.analytics5 import (
     _event_pair_affinity,
     _inverted_index_build,
     _keyword_search_bm25lite,
+    _nearest_centroid_confusion,
+    _pareto_skyline_customers,
     _peak_open_orders,
 )
 from tests.conftest import SF_DIR
@@ -124,6 +126,106 @@ def test_inverted_index_counts_full_but_previews_five(spark):
         assert r.df == len({d for d, _ in plist})
         want = " ".join(f"{d}:{p}" for d, p in sorted(plist)[:5])
         assert r.postings == want
+
+
+def test_pareto_skyline_edge_cases(spark, tmp_path):
+    # c1 (100, 2) dominated by c2 (100, 3) via equal-spend/strict-n;
+    # c3 (50, 3) dominated by c2; c4 (120, 1) on frontier; c5 (100, 3)
+    # duplicates c2 — mutually non-dominating, BOTH kept.
+    rows = [
+        (1, 1, 60.0), (2, 1, 40.0),          # c1: 100, 2 orders
+        (3, 2, 50.0), (4, 2, 30.0), (5, 2, 20.0),   # c2: 100, 3
+        (6, 3, 20.0), (7, 3, 20.0), (8, 3, 10.0),   # c3: 50, 3
+        (9, 4, 120.0),                        # c4: 120, 1
+        (10, 5, 70.0), (11, 5, 20.0), (12, 5, 10.0),  # c5: 100, 3
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    got = {
+        r.o_custkey: (r.spend, r.n_orders)
+        for r in _pareto_skyline_customers(spark, str(tmp_path)).collect()
+    }
+    assert got == {2: (100.0, 3), 5: (100.0, 3), 4: (120.0, 1)}
+
+
+def test_pareto_skyline_matches_dominance_replay(spark):
+    pc = duckdb.sql(f"""
+        SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                               AS DOUBLE) AS spend, count(*) AS n
+        FROM '{SF_DIR}/orders.parquet' GROUP BY 1""").fetchall()
+    expect = {
+        c for c, s, n in pc
+        if not any(
+            s2 >= s and n2 >= n and (s2 > s or n2 > n)
+            for _, s2, n2 in pc
+        )
+    }
+    got = {r.o_custkey for r in _pareto_skyline_customers(spark, SF_DIR).collect()}
+    assert got == expect
+
+
+def test_nearest_centroid_separated_clusters(spark, tmp_path):
+    # two tight clusters on opposite axes → perfect diagonal confusion
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(20):
+        base = [0.0] * 8
+        lbl = i % 2
+        base[lbl] = 0.9 if lbl == 0 else -0.9
+        vec = [x + rng.uniform(-0.01, 0.01) for x in base]
+        rows.append((i, [float(v) for v in vec], lbl))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    got = {
+        (r.label, r.assigned): r.n
+        for r in _nearest_centroid_confusion(spark, str(tmp_path)).collect()
+    }
+    assert got == {(0, 0): 10, (1, 1): 10}
+
+
+def test_keep_best_quality_picks_argmax_not_min_id(spark):
+    from data_pipeline_bigquery_spark.queries.extensions import (
+        _augmented_docs,
+        _dedup_keep_best_quality,
+        _dedup_minhash,
+    )
+    from data_pipeline_bigquery_spark.extensions.clusters import (
+        connected_components,
+    )
+
+    members: dict = {}
+    for r in connected_components(_dedup_minhash(spark, SF_DIR)).collect():
+        members.setdefault(r.component, []).append(r.doc_id)
+    texts = {r.doc_id: r.t for r in _augmented_docs(spark, SF_DIR).collect()}
+
+    def quality(doc):
+        t = texts[doc]
+        ws = t.split(" ")
+        stop = sum(1 for w in ws if w in ("the", "a", "and", "of"))
+        alpha = sum(1 for ch in t if "a" <= ch <= "z")
+        return round(0.5 * stop / len(ws) + 0.5 * alpha / len(t), 6)
+
+    got = {
+        r.component: (r.kept_doc, r.kept_quality, r.n_members)
+        for r in _dedup_keep_best_quality(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(members)
+    saw_non_min = False
+    for comp, docs in members.items():
+        best = min(docs, key=lambda d: (-quality(d), d))
+        kept_doc, kept_q, n = got[comp]
+        assert kept_doc == best
+        assert kept_q == pytest.approx(quality(best), abs=1e-9)
+        assert n == len(docs)
+        if best != min(docs):
+            saw_non_min = True
+    # the policy must actually differ from min-id on this corpus,
+    # otherwise the test proves nothing
+    assert saw_non_min
 
 
 def test_bm25lite_matches_float_replay(spark):
