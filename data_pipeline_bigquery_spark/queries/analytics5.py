@@ -375,6 +375,16 @@ def _keyword_search_bm25lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject, never a global sort.  (Catalyst cannot
     share the per-doc aggregate across the two branches without
     caching; at scale the stats pass is the price of exact idf.)"""
+    return (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(_TOP_K)
+    )
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared keyword arm: every matching doc with its BM25-lite
+    score (see ``_keyword_search_bm25lite``), pre-ranking."""
     t1, t2, t3 = _Q_TERMS
     toks = (
         load(spark, sf_dir, "documents")
@@ -426,13 +436,10 @@ def _keyword_search_bm25lite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("score"),
         )
-        .orderBy(F.col("score").desc(), F.col("doc_id"))
-        .limit(_TOP_K)
     )
 
 
-_BM25LITE_SQL = f"""
-WITH toks AS (
+_BM25_SCORED_CTES = f"""toks AS (
   SELECT doc_id, w AS term
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
   WHERE w <> ''),
@@ -447,7 +454,8 @@ stats AS (
          sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
          sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
          sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
-  FROM perdoc)
+  FROM perdoc),
+kw_scored AS (
 SELECT doc_id, CAST(tf1 AS BIGINT) AS tf1, CAST(tf2 AS BIGINT) AS tf2,
        CAST(tf3 AS BIGINT) AS tf3,
        CAST(round(
@@ -462,7 +470,12 @@ SELECT doc_id, CAST(tf1 AS BIGINT) AS tf1, CAST(tf2 AS BIGINT) AS tf2,
                      * (2 * df3 + 1) AS DOUBLE) AS DECIMAL(38,12)), 6)
        AS DOUBLE) AS score
 FROM perdoc CROSS JOIN stats
-WHERE tf1 + tf2 + tf3 > 0
+WHERE tf1 + tf2 + tf3 > 0)"""
+
+
+_BM25LITE_SQL = f"""
+WITH {_BM25_SCORED_CTES}
+SELECT doc_id, tf1, tf2, tf3, score FROM kw_scored
 ORDER BY score DESC, doc_id
 LIMIT {_TOP_K}
 """
@@ -669,6 +682,244 @@ FROM r WHERE rn = 1 GROUP BY 1, 2
 """
 
 
+# --- hybrid retrieval: reciprocal-rank fusion --------------------------------
+
+_RRF_K = 60
+_ARM_DEPTH = 20
+_HYBRID_QUERY_VEC = 0  # query = embedding of vec_id 0 (doc_id ≡ vec_id)
+
+
+def _hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — the RAG-era primitive: fuse the keyword arm
+    (BM25-lite over ``documents``) with the vector arm (cosine against
+    the query embedding) by reciprocal-rank fusion,
+    ``rrf = Σ_arm 1/(60 + rank_arm)``.  RRF needs only RANKS, so the
+    two arms' incomparable score scales never meet — which is exactly
+    why it is the standard fusion baseline.
+
+    Scale shape: each arm reduces to its top-20 via
+    TakeOrderedAndProject BEFORE any rank window exists, so the
+    row_number windows run on ≤20-row inputs — there is no
+    data-proportional global window.  The fusion itself is a full
+    outer join of two 20-row lists.  Portability: ranks are exact
+    ints; each RRF term is ONE IEEE division (1/(60+r)); the two-term
+    sum is fixed-order double addition, rounded at 6."""
+    kw_top = (
+        _bm25_scored(spark, sf_dir)
+        .select("doc_id", "score")
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(_ARM_DEPTH)
+    )
+    kw_rank = kw_top.withColumn(
+        "kw_rank",
+        F.row_number().over(
+            Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+        ),
+    ).select("doc_id", "kw_rank")
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qv = emb.filter(F.col("vec_id") == _HYBRID_QUERY_VEC).select(
+        F.col("v").alias("qv")
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "qv", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm2 = lambda c: F.aggregate(  # noqa: E731
+        F.zip_with(c, c, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    vec_top = (
+        emb.filter(F.col("vec_id") != _HYBRID_QUERY_VEC)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                dot / (F.sqrt(norm2("v")) * F.sqrt(norm2("qv"))), 6
+            ).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("doc_id"))
+        .limit(_ARM_DEPTH)
+    )
+    vec_rank = vec_top.withColumn(
+        "vec_rank",
+        F.row_number().over(
+            Window.orderBy(F.col("cos").desc(), F.col("doc_id"))
+        ),
+    ).select("doc_id", "vec_rank")
+
+    fused = kw_rank.join(vec_rank, "doc_id", "full_outer")
+    rrf = F.round(
+        F.coalesce(
+            F.lit(1.0) / (F.lit(_RRF_K) + F.col("kw_rank")), F.lit(0.0)
+        )
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(_RRF_K) + F.col("vec_rank")), F.lit(0.0)
+        ),
+        6,
+    )
+    return (
+        fused.select(
+            "doc_id",
+            F.col("kw_rank").cast("long").alias("kw_rank"),
+            F.col("vec_rank").cast("long").alias("vec_rank"),
+            rrf.alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), F.col("doc_id"))
+        .limit(_TOP_K)
+    )
+
+
+_HYBRID_SQL = f"""
+WITH {_BM25_SCORED_CTES},
+kw_rank AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS kw_rank
+  FROM kw_scored QUALIFY kw_rank <= {_ARM_DEPTH}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qv AS (SELECT v FROM e WHERE vec_id = {_HYBRID_QUERY_VEC}),
+vec_scored AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_dot_product(e.v, qv.v)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(qv.v, qv.v))), 6) AS cos
+  FROM e, qv WHERE e.vec_id <> {_HYBRID_QUERY_VEC}),
+vec_rank AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS vec_rank
+  FROM vec_scored QUALIFY vec_rank <= {_ARM_DEPTH}),
+fused AS (
+  SELECT COALESCE(k.doc_id, v.doc_id) AS doc_id,
+         CAST(k.kw_rank AS BIGINT) AS kw_rank,
+         CAST(v.vec_rank AS BIGINT) AS vec_rank
+  FROM kw_rank k FULL OUTER JOIN vec_rank v ON k.doc_id = v.doc_id)
+SELECT doc_id, kw_rank, vec_rank,
+       round(COALESCE(1.0 / ({_RRF_K} + kw_rank), 0.0)
+             + COALESCE(1.0 / ({_RRF_K} + vec_rank), 0.0), 6) AS rrf
+FROM fused
+ORDER BY rrf DESC, doc_id
+LIMIT {_TOP_K}
+"""
+
+
+# --- rolling active users (DAU / WAU / stickiness) ---------------------------
+
+def _rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window distinct — per day: DAU, 7-day WAU, and the
+    DAU/WAU stickiness ratio.  Distinct-over-sliding-window has no
+    incremental form (distinct doesn't subtract), so the scale shape
+    is the contribution EXPLODE: each (user, day) presence contributes
+    to target days d..d+6 (bounded 7× blow-up), then one distinct
+    aggregate per target day — never a per-day rescan of the trailing
+    week.  The oracle uses the range-join formulation instead — an
+    independent derivation."""
+    pres = (
+        load(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    days = pres.select("day").distinct()
+    dau = pres.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = pres.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add("day", 6))
+        ).alias("day"),
+    )
+    wau = (
+        contrib.join(days, "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(
+                F.col("dau").cast("double") / F.col("wau").cast("double"), 6
+            ).alias("stickiness"),
+        )
+    )
+
+
+_ROLLING_ACTIVE_SQL = """
+WITH pres AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+days AS (SELECT DISTINCT day FROM pres),
+dau AS (SELECT day, count(*) AS dau FROM pres GROUP BY 1),
+wau AS (
+  SELECT d.day, count(DISTINCT p.user_id) AS wau
+  FROM days d JOIN pres p ON p.day BETWEEN d.day - 6 AND d.day
+  GROUP BY 1)
+SELECT d.day, CAST(dau.dau AS BIGINT) AS dau, CAST(wau.wau AS BIGINT) AS wau,
+       round(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 6)
+         AS stickiness
+FROM days d JOIN dau USING (day) JOIN wau USING (day)
+"""
+
+
+# --- first-touch attribution -------------------------------------------------
+
+def _first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution: every user's purchase revenue credited
+    to the event type that FIRST touched them.  First touch is a
+    per-user rank window (ts, event_id tiebreak — deterministic under
+    same-timestamp arrivals); purchase totals aggregate per user in
+    exact DECIMAL; both exchanges key on user_id and the final rollup
+    is type-cardinality-sized."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("first_touch"))
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("pv"),
+            F.count(F.lit(1)).alias("np"),
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        first.join(purch, "user_id", "left")
+        .groupBy("first_touch")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.coalesce(F.col("np"), F.lit(0))).alias("n_purchases"),
+            F.sum(F.coalesce(F.col("pv"), zero))
+            .cast("double")
+            .alias("attributed_value"),
+        )
+    )
+
+
+_FIRST_TOUCH_SQL = """
+WITH first AS (
+  SELECT user_id, event_type AS first_touch
+  FROM (SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events)
+  WHERE rn = 1),
+purch AS (
+  SELECT user_id, sum(CAST(value AS DECIMAL(18,2))) AS pv, count(*) AS np
+  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+SELECT f.first_touch,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(COALESCE(p.np, 0)) AS BIGINT) AS n_purchases,
+       CAST(sum(COALESCE(p.pv, CAST(0 AS DECIMAL(18,2)))) AS DOUBLE)
+         AS attributed_value
+FROM first f LEFT JOIN purch p USING (user_id)
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "cumulative_distinct_users": QuerySpec(
         _cumulative_distinct_users, _CUMULATIVE_USERS_SQL
@@ -684,5 +935,12 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "nearest_centroid_confusion": QuerySpec(
         _nearest_centroid_confusion, _CENTROID_SQL
+    ),
+    "hybrid_search_rrf": QuerySpec(_hybrid_search_rrf, _HYBRID_SQL),
+    "rolling_active_users": QuerySpec(
+        _rolling_active_users, _ROLLING_ACTIVE_SQL
+    ),
+    "first_touch_attribution": QuerySpec(
+        _first_touch_attribution, _FIRST_TOUCH_SQL
     ),
 }
