@@ -177,3 +177,31 @@ def test_whole_registry_no_cartesian_products(spark, reg):
         if count_nodes(df, "CartesianProduct"):
             offenders.append(f"{name}: CartesianProduct in plan")
     assert not offenders, "\n".join(offenders)
+
+
+def test_inverted_index_postings_cut_below_exchange(spark, reg):
+    # Partial (map-side) + Final WindowGroupLimit: the top-5 postings
+    # cut runs BEFORE the term exchange, so a hot term's corpus-sized
+    # posting list never concentrates on one executor
+    df = _q(reg, spark, "inverted_index_build")
+    assert_no_cartesian(df)
+    assert count_nodes(df, "WindowGroupLimit") == 2
+
+
+def test_hybrid_arms_take_ordered_before_rank(spark, reg):
+    # each retrieval arm reduces via TakeOrderedAndProject before any
+    # rank window exists — the rank windows run on <=20-row inputs
+    df = _q(reg, spark, "hybrid_search_rrf")
+    assert_no_cartesian(df, allow_broadcast_nl=2)
+    assert count_nodes(df, "TakeOrderedAndProject") >= 2
+
+
+def test_skyline_prefix_scan_stays_bucket_partitioned(spark, reg):
+    # the distributed prefix max: level windows partition by bucket;
+    # the only single-partition exchange carries the ~256 bucket maxima
+    df = _q(reg, spark, "pareto_skyline_customers")
+    assert_no_cartesian(df, allow_broadcast_nl=2)
+    from data_pipeline_bigquery_spark.plans.audit import plan_nodes
+
+    singles = [n for n in plan_nodes(df) if "Exchange SinglePartition" in n]
+    assert len(singles) <= 1
