@@ -920,6 +920,78 @@ GROUP BY 1
 """
 
 
+# --- entity resolution: golden record ----------------------------------------
+
+def _entity_resolution_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution — the master-data op every CRM
+    pipeline eventually needs: sorted-neighborhood candidate pairs
+    (``fuzzy_name_match``: one sort shuffle, O(n·w) candidates, never
+    block²) → connected components (pointer jumping, O(log n) rounds)
+    → one GOLDEN RECORD per entity: canonical key (min member),
+    canonical name, member roster.  Every stage is the scale form of
+    its textbook counterpart; the grouped entity table is kill-list
+    sized, so the golden-name lookup broadcasts the entity side
+    against the customer dim."""
+    from data_pipeline_bigquery_spark.extensions.clusters import (
+        connected_components,
+    )
+    from data_pipeline_bigquery_spark.queries.coverage3 import (
+        _fuzzy_name_match,
+    )
+
+    pairs = _fuzzy_name_match(spark, sf_dir).select(
+        F.col("cust_a").alias("doc_a"), F.col("cust_b").alias("doc_b")
+    )
+    comp = connected_components(pairs)
+    entities = comp.groupBy(F.col("component").alias("entity_id")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("members"),
+    )
+    names = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        names.join(
+            F.broadcast(entities),
+            names.c_custkey == entities.entity_id,
+        )
+        .select(
+            "entity_id",
+            F.col("c_name").alias("canonical_name"),
+            "n_members",
+            "members",
+        )
+    )
+
+
+def _entity_resolution_sql() -> str:
+    from data_pipeline_bigquery_spark.queries.coverage3 import _FUZZY_SQL
+
+    return f"""
+WITH RECURSIVE fp AS ({_FUZZY_SQL}),
+edges AS (SELECT cust_a AS src, cust_b AS dst FROM fp
+          UNION SELECT cust_b, cust_a FROM fp),
+reach AS (
+  SELECT src AS node, dst AS peer FROM edges
+  UNION
+  SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.peer),
+comp AS (
+  SELECT node AS member, least(node, min(peer)) AS entity_id
+  FROM reach GROUP BY node)
+SELECT c.entity_id, cu.c_name AS canonical_name,
+       CAST(c.n_members AS BIGINT) AS n_members, c.members
+FROM (SELECT entity_id, count(*) AS n_members,
+             string_agg(CAST(member AS VARCHAR), ',' ORDER BY member)
+               AS members
+      FROM comp GROUP BY 1) c
+JOIN customer cu ON cu.c_custkey = c.entity_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "cumulative_distinct_users": QuerySpec(
         _cumulative_distinct_users, _CUMULATIVE_USERS_SQL
@@ -942,5 +1014,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "first_touch_attribution": QuerySpec(
         _first_touch_attribution, _FIRST_TOUCH_SQL
+    ),
+    "entity_resolution_golden": QuerySpec(
+        _entity_resolution_golden, _entity_resolution_sql()
     ),
 }
