@@ -992,6 +992,133 @@ JOIN customer cu ON cu.c_custkey = c.entity_id
 """
 
 
+# --- graph triangle count (degree-ordered orientation) -----------------------
+
+def _graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the name-similarity graph (the ER candidate
+    pairs): edge count, wedge count, triangle count, and the global
+    clustering coefficient 3T/W — the structural audit that tells you
+    whether "similar" is transitive enough to trust single-link
+    clustering.
+
+    The scale algorithm is DEGREE-ORDERED ORIENTATION (node-iterator):
+    orient every edge from its (degree, id)-smaller endpoint, so each
+    node's OUT-degree is O(√m) even at a hub; wedges enumerate as
+    out-neighbor pairs canonically ordered by the same total order,
+    and a triangle closes iff the oriented edge (v→w) exists — one
+    equi-join, no OR-condition, never the naive Σd² wedge explosion
+    from a hub.  The oracle is the textbook three-way a<b<c self-join
+    — an independent quadratic formulation."""
+    from data_pipeline_bigquery_spark.queries.coverage3 import (
+        _fuzzy_name_match,
+    )
+
+    raw = _fuzzy_name_match(spark, sf_dir)
+    e = raw.select(
+        F.least("cust_a", "cust_b").alias("a"),
+        F.greatest("cust_a", "cust_b").alias("b"),
+    ).distinct()
+    return triangle_stats(e)
+
+
+def triangle_stats(e: DataFrame) -> DataFrame:
+    """Degree-ordered triangle census over an undirected edge list
+    (columns ``a < b``, deduplicated).  See `_graph_triangle_stats`."""
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("d_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("d_b"))
+    # orient from the (degree, id)-smaller endpoint
+    ed = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("d_a") < F.col("d_b"))
+                | ((F.col("d_a") == F.col("d_b")) & (F.col("a") < F.col("b"))),
+                F.struct(
+                    F.col("a").alias("src"),
+                    F.col("b").alias("dst"),
+                    F.col("d_b").alias("d_dst"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("b").alias("src"),
+                    F.col("a").alias("dst"),
+                    F.col("d_a").alias("d_dst"),
+                )
+            )
+            .alias("o")
+        )
+        .select("o.src", "o.dst", "o.d_dst")
+    )
+    x, y = ed.alias("x"), ed.alias("y")
+    # canonical wedge order = the orientation order itself, so the
+    # closing edge can only be (v→w) — a single equi-join
+    wedges = x.join(y, F.col("x.src") == F.col("y.src")).filter(
+        (F.col("x.d_dst") < F.col("y.d_dst"))
+        | (
+            (F.col("x.d_dst") == F.col("y.d_dst"))
+            & (F.col("x.dst") < F.col("y.dst"))
+        )
+    )
+    closing = ed.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    tri = wedges.join(
+        closing,
+        (F.col("x.dst") == F.col("v")) & (F.col("y.dst") == F.col("w")),
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    stats = e.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        F.broadcast(
+            deg.agg(
+                F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges")
+            )
+        )
+    )
+    return stats.crossJoin(F.broadcast(tri)).select(
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.when(F.col("n_wedges") > 0,
+            F.round(
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+            ),
+        ).otherwise(F.lit(0.0)).alias("global_clustering"),
+    )
+
+
+def _triangle_sql() -> str:
+    from data_pipeline_bigquery_spark.queries.coverage3 import _FUZZY_SQL
+
+    return f"""
+WITH fp AS ({_FUZZY_SQL}),
+ed AS (SELECT DISTINCT least(cust_a, cust_b) AS a,
+                       greatest(cust_a, cust_b) AS b FROM fp),
+deg AS (
+  SELECT v, count(*) AS d FROM (
+    SELECT a AS v FROM ed UNION ALL SELECT b FROM ed) GROUP BY 1),
+tri AS (
+  SELECT count(*) AS t
+  FROM ed x JOIN ed y ON y.a = x.a AND y.b > x.b
+            JOIN ed z ON z.a = x.b AND z.b = y.b),
+w AS (SELECT sum(d * (d - 1) // 2) AS n_wedges FROM deg),
+ne AS (SELECT count(*) AS n_edges FROM ed)
+SELECT CAST(ne.n_edges AS BIGINT) AS n_edges,
+       CAST(w.n_wedges AS BIGINT) AS n_wedges,
+       CAST(tri.t AS BIGINT) AS n_triangles,
+       CASE WHEN w.n_wedges > 0
+            THEN round(3.0 * tri.t / w.n_wedges, 6) ELSE 0.0 END
+         AS global_clustering
+FROM ne, w, tri
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "cumulative_distinct_users": QuerySpec(
         _cumulative_distinct_users, _CUMULATIVE_USERS_SQL
@@ -1017,5 +1144,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "entity_resolution_golden": QuerySpec(
         _entity_resolution_golden, _entity_resolution_sql()
+    ),
+    "graph_triangle_stats": QuerySpec(
+        _graph_triangle_stats, _triangle_sql()
     ),
 }

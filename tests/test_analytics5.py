@@ -349,6 +349,31 @@ def test_hybrid_rrf_both_arms_beat_single_arm(spark, tmp_path):
             assert got[7].rrf > got[d].rrf
 
 
+def test_triangle_stats_on_known_graphs(spark):
+    from data_pipeline_bigquery_spark.queries.analytics5 import triangle_stats
+
+    def stats(edges):
+        df = spark.createDataFrame(edges, "a long, b long")
+        return triangle_stats(df).collect()[0]
+
+    # K4: 6 edges, every vertex degree 3 → wedges 4·3 = 12, 4 triangles,
+    # clustering 3·4/12 = 1.0
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    r = stats(k4)
+    assert (r.n_edges, r.n_wedges, r.n_triangles) == (6, 12, 4)
+    assert r.global_clustering == pytest.approx(1.0)
+
+    # path 1-2-3-4: 2 wedges, no triangles
+    r = stats([(1, 2), (2, 3), (3, 4)])
+    assert (r.n_edges, r.n_wedges, r.n_triangles) == (3, 2, 0)
+    assert r.global_clustering == 0.0
+
+    # K4 plus a pendant hub edge: the hub (degree 4) orients LAST, so
+    # its out-degree stays small — the orientation property itself
+    r = stats(k4 + [(1, 9)])
+    assert (r.n_edges, r.n_triangles) == (7, 4)
+
+
 def test_bm25lite_matches_float_replay(spark):
     docs = _docs()
     toks = {d: [w for w in t.split(" ") if w] for d, t in docs}
