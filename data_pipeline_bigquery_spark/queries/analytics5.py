@@ -1119,6 +1119,113 @@ FROM ne, w, tri
 """
 
 
+# --- integer-exact PageRank --------------------------------------------------
+
+_PR_SCALE = 1_000_000_000_000  # 1e12 integer mass units
+_PR_ITERS = 3
+_PR_TOP = 10
+
+
+def pagerank_integer(edges: DataFrame, iters: int = _PR_ITERS) -> DataFrame:
+    """PageRank with damping 0.85 in INTEGER arithmetic: all mass is
+    integer units of 1e-12, every division is a floor ``div`` —
+    deterministic on any engine, so the oracle can unroll the same
+    iterations in SQL and hash-match exactly (float PageRank never
+    cross-checks bit-for-bit; mass leaks ≤1 unit per floor, which is
+    the price of exactness and irrelevant to ranking).
+
+    ``edges`` is undirected (a, b); each iteration is the Pregel step
+    as two hash exchanges: join rank onto the directed edge list keyed
+    on src, re-aggregate keyed on dst.  Iteration count is fixed and
+    small (the graph-diameter argument as pointer jumping)."""
+    directed = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    out = directed.groupBy("src").agg(F.count(F.lit(1)).alias("out_d"))
+    ed = directed.join(out, "src")
+    nodes = directed.select(F.col("src").alias("v")).distinct()
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n"))
+    p = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "v", F.expr(f"{_PR_SCALE} div n").alias("p"), "n"
+    )
+    for _ in range(iters):
+        contrib = (
+            ed.join(p.select(F.col("v").alias("src"), "p"), "src")
+            .select(
+                F.col("dst").alias("v"),
+                F.expr("p * 85 div (100 * out_d)").alias("c"),
+            )
+            .groupBy("v")
+            .agg(F.sum("c").alias("c"))
+        )
+        p = (
+            nodes.crossJoin(F.broadcast(n_nodes))
+            .join(contrib, "v", "left")
+            .select(
+                "v",
+                (
+                    F.expr(f"({_PR_SCALE} * 15) div (100 * n)")
+                    + F.coalesce("c", F.lit(0))
+                ).alias("p"),
+                "n",
+            )
+        )
+    return p.select("v", "p")
+
+
+def _pagerank_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 central customers of the name-similarity graph by
+    integer PageRank — the 'which records sit at the center of a
+    duplicate tangle' signal ER reviewers triage by."""
+    from data_pipeline_bigquery_spark.queries.coverage3 import (
+        _fuzzy_name_match,
+    )
+
+    e = (
+        _fuzzy_name_match(spark, sf_dir)
+        .select(
+            F.least("cust_a", "cust_b").alias("a"),
+            F.greatest("cust_a", "cust_b").alias("b"),
+        )
+        .distinct()
+    )
+    return (
+        pagerank_integer(e)
+        .orderBy(F.col("p").desc(), F.col("v"))
+        .limit(_PR_TOP)
+    )
+
+
+def _pagerank_sql() -> str:
+    from data_pipeline_bigquery_spark.queries.coverage3 import _FUZZY_SQL
+
+    base = f"({_PR_SCALE} * 15) // (100 * (SELECT n FROM nn))"
+    iters = "".join(
+        f""",
+p{i + 1} AS (
+  SELECT nodes.v,
+         {base} + COALESCE(c.c, 0) AS p
+  FROM nodes LEFT JOIN (
+    SELECT ed.dst AS v, sum(p{i}.p * 85 // (100 * ed.out_d)) AS c
+    FROM ed JOIN p{i} ON p{i}.v = ed.src GROUP BY 1) c USING (v))"""
+        for i in range(_PR_ITERS)
+    )
+    return f"""
+WITH fp AS ({_FUZZY_SQL}),
+e AS (SELECT DISTINCT least(cust_a, cust_b) AS a,
+                      greatest(cust_a, cust_b) AS b FROM fp),
+directed AS (SELECT a AS src, b AS dst FROM e
+             UNION ALL SELECT b, a FROM e),
+outd AS (SELECT src, count(*) AS out_d FROM directed GROUP BY 1),
+ed AS (SELECT d.src, d.dst, o.out_d FROM directed d JOIN outd o USING (src)),
+nodes AS (SELECT DISTINCT src AS v FROM directed),
+nn AS (SELECT count(*) AS n FROM nodes),
+p0 AS (SELECT v, {_PR_SCALE} // (SELECT n FROM nn) AS p FROM nodes){iters}
+SELECT v, CAST(p AS BIGINT) AS p FROM p{_PR_ITERS}
+ORDER BY p DESC, v LIMIT {_PR_TOP}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "cumulative_distinct_users": QuerySpec(
         _cumulative_distinct_users, _CUMULATIVE_USERS_SQL
@@ -1147,5 +1254,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "graph_triangle_stats": QuerySpec(
         _graph_triangle_stats, _triangle_sql()
+    ),
+    "pagerank_similarity_graph": QuerySpec(
+        _pagerank_similarity, _pagerank_sql()
     ),
 }

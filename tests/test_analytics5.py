@@ -374,6 +374,35 @@ def test_triangle_stats_on_known_graphs(spark):
     assert (r.n_edges, r.n_triangles) == (7, 4)
 
 
+def test_pagerank_integer_matches_python_replay(spark):
+    from data_pipeline_bigquery_spark.queries.analytics5 import (
+        _PR_SCALE,
+        pagerank_integer,
+    )
+
+    # star (1 center, 4 leaves) plus a detached triangle
+    edges = [(1, 2), (1, 3), (1, 4), (1, 5), (10, 11), (10, 12), (11, 12)]
+    directed: dict = {}
+    for a, b in edges:
+        directed.setdefault(a, []).append(b)
+        directed.setdefault(b, []).append(a)
+    nodes = sorted(directed)
+    n = len(nodes)
+    p = {v: _PR_SCALE // n for v in nodes}
+    for _ in range(3):
+        nxt = {v: (_PR_SCALE * 15) // (100 * n) for v in nodes}
+        for u, nbrs in directed.items():
+            c = p[u] * 85 // (100 * len(nbrs))
+            for v in nbrs:
+                nxt[v] += c
+        p = nxt
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r.v: r.p for r in pagerank_integer(df).collect()}
+    assert got == p
+    # the star center must out-rank its leaves
+    assert got[1] > got[2]
+
+
 def test_bm25lite_matches_float_replay(spark):
     docs = _docs()
     toks = {d: [w for w in t.split(" ") if w] for d, t in docs}
