@@ -1226,6 +1226,109 @@ ORDER BY p DESC, v LIMIT {_PR_TOP}
 """
 
 
+# --- reaggregatable histogram quantiles --------------------------------------
+
+_HIST_BUCKETS = 100
+
+
+def _histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles served from a STORED HISTOGRAM, at every grain, with
+    no raw rescan — the warehouse pattern when sketches aren't
+    available: prices land in 100 equi-width integer-cent buckets per
+    month; the month-grain histogram is the stored table; the
+    corpus-wide grain REAGGREGATES bucket counts (sum, never rescan);
+    p50/p95 read off the cumulative histogram as bucket upper edges.
+
+    Everything is integer arithmetic — cents, floor-div bucket
+    assignment, cumulative-count comparisons ``cum·100 ≥ p·total`` —
+    so the oracle hash-matches exactly (no float quantile semantics to
+    reconcile across engines).  The per-grain cumulative window runs
+    on ≤100 bucket rows.  Month 0 is the reaggregated all-months row."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.month("l_shipdate").alias("mon"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    rng = li.agg(
+        F.min("cents").alias("mn"), F.max("cents").alias("mx")
+    )
+    bucketed = li.crossJoin(F.broadcast(rng)).select(
+        "mon",
+        F.expr(
+            f"(cents - mn) * {_HIST_BUCKETS} div (mx - mn + 1)"
+        ).alias("b"),
+        "mn",
+        "mx",
+    )
+    monthly = bucketed.groupBy("mon", "b", "mn", "mx").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    overall = monthly.groupBy("b", "mn", "mx").agg(
+        F.sum("cnt").alias("cnt")
+    ).select(F.lit(0).alias("mon"), "b", "mn", "mx", "cnt")
+    hist = monthly.unionByName(overall)
+    w_cum = (
+        Window.partitionBy("mon")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("mon")
+    cum = hist.select(
+        "mon",
+        "b",
+        "mn",
+        "mx",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_tot).alias("total"),
+    )
+    edge = F.expr(f"mn + ((b + 1) * (mx - mn + 1)) div {_HIST_BUCKETS}")
+
+    def q_edge(pct: int) -> F.Column:
+        return F.min(
+            F.when(F.col("cum") * 100 >= F.lit(pct) * F.col("total"), edge)
+        )
+
+    return cum.groupBy("mon").agg(
+        F.max("total").alias("n"),
+        q_edge(50).alias("p50_edge_cents"),
+        q_edge(95).alias("p95_edge_cents"),
+    )
+
+
+_HIST_QUANTILE_SQL = f"""
+WITH li AS (
+  SELECT month(l_shipdate) AS mon,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM lineitem),
+rng AS (SELECT min(cents) AS mn, max(cents) AS mx FROM li),
+bucketed AS (
+  SELECT mon, (cents - mn) * {_HIST_BUCKETS} // (mx - mn + 1) AS b, mn, mx
+  FROM li CROSS JOIN rng),
+monthly AS (
+  SELECT mon, b, mn, mx, count(*) AS cnt FROM bucketed GROUP BY 1, 2, 3, 4),
+hist AS (
+  SELECT * FROM monthly
+  UNION ALL
+  SELECT 0 AS mon, b, mn, mx, sum(cnt) FROM monthly GROUP BY 2, 3, 4),
+cum AS (
+  SELECT mon, b, mn, mx,
+         sum(cnt) OVER (PARTITION BY mon ORDER BY b
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         sum(cnt) OVER (PARTITION BY mon) AS total
+  FROM hist)
+SELECT mon, CAST(max(total) AS BIGINT) AS n,
+       CAST(min(CASE WHEN cum * 100 >= 50 * total
+                THEN mn + ((b + 1) * (mx - mn + 1)) // {_HIST_BUCKETS} END)
+            AS BIGINT) AS p50_edge_cents,
+       CAST(min(CASE WHEN cum * 100 >= 95 * total
+                THEN mn + ((b + 1) * (mx - mn + 1)) // {_HIST_BUCKETS} END)
+            AS BIGINT) AS p95_edge_cents
+FROM cum GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "cumulative_distinct_users": QuerySpec(
         _cumulative_distinct_users, _CUMULATIVE_USERS_SQL
@@ -1257,5 +1360,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "pagerank_similarity_graph": QuerySpec(
         _pagerank_similarity, _pagerank_sql()
+    ),
+    "histogram_quantile_rollup": QuerySpec(
+        _histogram_quantile_rollup, _HIST_QUANTILE_SQL
     ),
 }

@@ -403,6 +403,35 @@ def test_pagerank_integer_matches_python_replay(spark):
     assert got[1] > got[2]
 
 
+def test_histogram_quantiles_bracket_exact(spark):
+    from data_pipeline_bigquery_spark.queries.analytics5 import (
+        _HIST_BUCKETS,
+        _histogram_quantile_rollup,
+    )
+
+    cents = [
+        v
+        for (v,) in duckdb.sql(
+            f"SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            f" FROM '{SF_DIR}/lineitem.parquet'"
+        ).fetchall()
+    ]
+    cents.sort()
+    mn, mx = cents[0], cents[-1]
+    width = (mx - mn + 1 + _HIST_BUCKETS - 1) // _HIST_BUCKETS
+    got = {
+        r.mon: r for r in _histogram_quantile_rollup(spark, SF_DIR).collect()
+    }
+    allrow = got[0]
+    assert allrow.n == len(cents)
+    for pct, edge in ((50, allrow.p50_edge_cents), (95, allrow.p95_edge_cents)):
+        # the bucket upper edge must sit within one bucket width above
+        # the exact rank statistic — the histogram accuracy guarantee
+        exact = cents[(pct * len(cents) + 99) // 100 - 1]
+        assert exact <= edge <= exact + width
+    assert allrow.p50_edge_cents <= allrow.p95_edge_cents
+
+
 def test_bm25lite_matches_float_replay(spark):
     docs = _docs()
     toks = {d: [w for w in t.split(" ") if w] for d, t in docs}
