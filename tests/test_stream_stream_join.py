@@ -64,3 +64,72 @@ def test_stream_stream_interval_join(spark, tmp_path):
     finally:
         q.stop()
     assert rows == [(1, TS(2024, 1, 1, 10, 0), 100.0)]
+
+
+def test_stream_stream_left_outer_emits_nulls_after_watermark(spark, tmp_path):
+    """LEFT OUTER stream-stream join: an unmatched left row may only
+    emit (with null right columns) once BOTH watermarks have passed
+    its join window — before that it must stay pending, because a
+    matching right row could still arrive.  The heartbeat batch is
+    what advances the watermark and flushes the pending row."""
+    clicks_dir, buys_dir = tmp_path / "clicks", tmp_path / "buys"
+    schema = "user_id long, ts timestamp, val double"
+    spark.createDataFrame(
+        [
+            Row(user_id=1, ts=TS(2024, 1, 1, 10, 0), val=1.0),   # will match
+            Row(user_id=3, ts=TS(2024, 1, 1, 10, 5), val=9.0),   # never matches
+        ],
+        schema,
+    ).coalesce(1).write.parquet(str(clicks_dir))
+    spark.createDataFrame(
+        [Row(user_id=1, ts=TS(2024, 1, 1, 10, 30), val=100.0)],
+        schema,
+    ).coalesce(1).write.parquet(str(buys_dir))
+
+    clicks = (
+        spark.readStream.schema(schema).parquet(str(clicks_dir))
+        .withWatermark("ts", "10 minutes")
+        .select("user_id", F.col("ts").alias("click_ts"))
+    )
+    buys = (
+        spark.readStream.schema(schema).parquet(str(buys_dir))
+        .withWatermark("ts", "10 minutes")
+        .select(F.col("user_id").alias("b_user"), F.col("ts").alias("buy_ts"), "val")
+    )
+    joined = clicks.join(
+        buys,
+        (F.col("user_id") == F.col("b_user"))
+        & (F.col("buy_ts") >= F.col("click_ts"))
+        & (F.col("buy_ts") <= F.col("click_ts") + F.expr("interval 1 hour")),
+        "left_outer",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_outer")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        early = {
+            (r["user_id"], r["val"])
+            for r in spark.sql("SELECT * FROM ssj_outer").collect()
+        }
+        # user 3 must NOT have emitted yet — its window is still open
+        assert early == {(1, 100.0)}
+
+        # heartbeats push both watermarks a day past every open window
+        for d in (clicks_dir, buys_dir):
+            spark.createDataFrame(
+                [Row(user_id=99, ts=TS(2024, 1, 2, 12, 0), val=0.0)], schema
+            ).coalesce(1).write.mode("append").parquet(str(d))
+        q.processAllAvailable()
+        late = {
+            (r["user_id"], r["val"])
+            for r in spark.sql("SELECT * FROM ssj_outer").collect()
+        }
+    finally:
+        q.stop()
+    # the unmatched click flushed with null buy columns exactly once
+    assert (3, None) in late
+    assert sum(1 for u, _ in late if u == 3) == 1
