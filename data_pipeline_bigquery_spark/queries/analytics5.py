@@ -1329,6 +1329,94 @@ FROM cum GROUP BY 1
 """
 
 
+# --- session path analysis ---------------------------------------------------
+
+_PATH_CAP = 8
+_PATH_TOP = 10
+
+
+def _top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path mining: the 10 most common event-type
+    sequences of a 30-min-gap session (first 8 steps) — the product-
+    analytics question "how do sessions actually flow".  Sessions form
+    with the same lag/cumulative-break machinery as
+    ``sessionize_events`` but ordered by (ts, event_id) so same-
+    timestamp events sequence deterministically on every engine; the
+    per-session path assembles from a rank-capped prefix (≤8 rows per
+    session ever aggregate into a list) and the path census is a
+    string-keyed hash aggregate + TakeOrderedAndProject."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = F.when(
+        F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w_ord))
+        > 1800,
+        1,
+    ).otherwise(0)
+    sess = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(brk)
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_idx"),
+    )
+    w_rank = Window.partitionBy("user_id", "session_idx").orderBy(
+        "ts", "event_id"
+    )
+    paths = (
+        sess.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= _PATH_CAP)
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda s: s.event_type,
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path"))
+        .limit(_PATH_TOP)
+    )
+
+
+_SESSION_PATHS_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged),
+ranked AS (
+  SELECT user_id, session_idx, ts, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id, session_idx
+                            ORDER BY ts, event_id) AS rn
+  FROM sess),
+paths AS (
+  SELECT user_id, session_idx,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM ranked WHERE rn <= {_PATH_CAP} GROUP BY 1, 2)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY 1
+ORDER BY n_sessions DESC, path
+LIMIT {_PATH_TOP}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "cumulative_distinct_users": QuerySpec(
         _cumulative_distinct_users, _CUMULATIVE_USERS_SQL
@@ -1364,4 +1452,5 @@ QUERIES: dict[str, QuerySpec] = {
     "histogram_quantile_rollup": QuerySpec(
         _histogram_quantile_rollup, _HIST_QUANTILE_SQL
     ),
+    "top_session_paths": QuerySpec(_top_session_paths, _SESSION_PATHS_SQL),
 }
