@@ -1417,6 +1417,149 @@ LIMIT {_PATH_TOP}
 """
 
 
+# --- trailing z-score burst detection ----------------------------------------
+
+_BURST_WINDOW = 7
+
+
+def _event_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days where an event type's count exceeds its trailing-7-day
+    mean by 2σ — the ops-alerting shape.  The z-score never computes a
+    square root or a float mean: with trailing sum S, sum-of-squares
+    Q, n=7, the condition ``c > S/n + 2·σ`` is algebraically
+    ``d > 0 AND d² > 4·(Q·n − S²)`` for ``d = c·n − S`` — all exact
+    wide-integer arithmetic (DECIMAL on Spark, HUGEINT in the oracle),
+    so the flag is bit-deterministic with no float variance semantics
+    to reconcile.  Warm-up rows (fewer than 7 trailing days) never
+    flag.  The fixture's stream genuinely contains a handful of 2σ
+    days (the driver hash pins them); the planted-spike unit test
+    additionally pins the threshold from both sides."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-_BURST_WINDOW, -1)
+    )
+    trail = daily.select(
+        "event_type",
+        "day",
+        "c",
+        F.sum("c").over(w).alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("q"),
+        F.count("c").over(w).alias("nw"),
+    )
+    d = (F.col("c") * F.col("nw") - F.col("s")).cast("decimal(19,0)")
+    rhs = (
+        F.col("q").cast("decimal(19,0)") * F.col("nw")
+        - F.col("s").cast("decimal(19,0)") * F.col("s")
+    ) * 4
+    return (
+        trail.filter(
+            (F.col("nw") == _BURST_WINDOW)
+            & (d > 0)
+            & (d * d > rhs)
+        )
+        .select("event_type", "day", F.col("c").alias("n_events"), "s", "q")
+    )
+
+
+_BURST_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+  FROM events GROUP BY 1, 2),
+trail AS (
+  SELECT event_type, day, c,
+         sum(c) OVER w AS s,
+         sum(c * c) OVER w AS q,
+         count(c) OVER w AS nw
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN {_BURST_WINDOW} PRECEDING AND 1 PRECEDING))
+SELECT event_type, day, CAST(c AS BIGINT) AS n_events,
+       CAST(s AS BIGINT) AS s, CAST(q AS BIGINT) AS q
+FROM trail
+WHERE nw = {_BURST_WINDOW}
+  AND c * nw - s > 0
+  AND CAST(c * nw - s AS HUGEINT) * (c * nw - s)
+      > 4 * (CAST(q AS HUGEINT) * nw - CAST(s AS HUGEINT) * s)
+"""
+
+
+# --- foreign-key inference audit ---------------------------------------------
+
+_FK_CANDIDATES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    # negative control: user_id is NOT a supplier key (2/3 containment
+    # on the fixture) — the audit must report, not assume
+    ("events", "user_id", "supplier", "s_suppkey"),
+)
+
+
+def _fk_inference_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema profiling: measure value-set containment child ⊆ parent
+    for every candidate key pair — the evidence an FK-inference tool
+    (or a migration review) runs before trusting join semantics.  Per
+    pair: distinct child values, orphans (left-anti vs the parent key,
+    which broadcasts), and integer-permille containment.  The negative
+    control row proves the audit reports, not assumes."""
+    import functools
+
+    parts = []
+    for child_t, child_c, parent_t, parent_c in _FK_CANDIDATES:
+        child = (
+            load(spark, sf_dir, child_t)
+            .select(F.col(child_c).alias("k"))
+            .filter(F.col("k").isNotNull())
+            .distinct()
+        )
+        parent = load(spark, sf_dir, parent_t).select(
+            F.col(parent_c).alias("k")
+        )
+        orphans = child.join(F.broadcast(parent), "k", "left_anti")
+        parts.append(
+            child.agg(F.count(F.lit(1)).alias("n_distinct"))
+            .crossJoin(
+                F.broadcast(
+                    orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+                )
+            )
+            .select(
+                F.lit(f"{child_t}.{child_c}").alias("child_key"),
+                F.lit(f"{parent_t}.{parent_c}").alias("parent_key"),
+                "n_distinct",
+                "n_orphans",
+                F.expr(
+                    "(n_distinct - n_orphans) * 1000 div n_distinct"
+                ).alias("containment_permille"),
+            )
+        )
+    return functools.reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def _fk_inference_sql() -> str:
+    selects = []
+    for child_t, child_c, parent_t, parent_c in _FK_CANDIDATES:
+        selects.append(f"""
+SELECT '{child_t}.{child_c}' AS child_key, '{parent_t}.{parent_c}' AS parent_key,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+       CAST((count(*) - sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END)) * 1000
+            // count(*) AS BIGINT) AS containment_permille
+FROM (SELECT DISTINCT {child_c} AS k FROM {child_t}
+      WHERE {child_c} IS NOT NULL) c
+LEFT JOIN (SELECT DISTINCT {parent_c} AS k FROM {parent_t}) p USING (k)""")
+    return "\nUNION ALL\n".join(selects)
+
+
 QUERIES: dict[str, QuerySpec] = {
     "cumulative_distinct_users": QuerySpec(
         _cumulative_distinct_users, _CUMULATIVE_USERS_SQL
@@ -1453,4 +1596,8 @@ QUERIES: dict[str, QuerySpec] = {
         _histogram_quantile_rollup, _HIST_QUANTILE_SQL
     ),
     "top_session_paths": QuerySpec(_top_session_paths, _SESSION_PATHS_SQL),
+    "event_burst_detection": QuerySpec(_event_burst_detection, _BURST_SQL),
+    "fk_inference_audit": QuerySpec(
+        _fk_inference_audit, _fk_inference_sql()
+    ),
 }

@@ -432,6 +432,93 @@ def test_histogram_quantiles_bracket_exact(spark):
     assert allrow.p50_edge_cents <= allrow.p95_edge_cents
 
 
+def test_burst_detection_planted_spike(spark, tmp_path):
+    import datetime as dt
+
+    from data_pipeline_bigquery_spark.queries.analytics5 import (
+        _event_burst_detection,
+    )
+
+    # 7 flat days (count 10) then a spike day; variance 0 → any excess
+    # flags.  A second series stays flat → never flags.
+    rows = []
+    eid = 0
+    for d in range(8):
+        day = dt.datetime(2024, 1, 1 + d, 12, 0)
+        n = 40 if d == 7 else 10
+        for i in range(n):
+            rows.append((eid, day, 1, "spiky", 1.0, "{}"))
+            eid += 1
+        for i in range(10):
+            rows.append((eid, day, 2, "flat", 1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = _event_burst_detection(spark, str(tmp_path)).collect()
+    assert [(r.event_type, r.n_events) for r in got] == [("spiky", 40)]
+    assert got[0].day == dt.date(2024, 1, 8)
+
+
+def test_burst_detection_two_sigma_boundary(spark, tmp_path):
+    import datetime as dt
+
+    from data_pipeline_bigquery_spark.queries.analytics5 import (
+        _event_burst_detection,
+    )
+
+    # trailing week [6,14,6,14,6,14,10]: S=70, Q=796, n=7, so
+    # d = 7c − 70 and rhs = 4·(796·7 − 70²) = 2928.  The flag fires
+    # iff d² > 2928, i.e. c ≥ 18 (d=56, 3136 > 2928); c = 17 gives
+    # d=49, 2401 < 2928 — must NOT flag.  The exact integer form
+    # needs no integer σ; this pins the threshold from both sides.
+    rows = []
+    eid = 0
+    counts = [6, 14, 6, 14, 6, 14, 10]
+    for d, n in enumerate(counts + [17]):  # 17 must NOT flag
+        day = dt.datetime(2024, 2, 1 + d, 12, 0)
+        for i in range(n):
+            rows.append((eid, day, 1, "edge", 1.0, "{}"))
+            eid += 1
+    for d, n in enumerate(counts + [18]):  # 18 must flag
+        day = dt.datetime(2024, 2, 1 + d, 12, 0)
+        for i in range(n):
+            rows.append((eid, day, 2, "burst", 1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        (r.event_type, r.n_events)
+        for r in _event_burst_detection(spark, str(tmp_path)).collect()
+    }
+    assert got == {("burst", 18)}
+
+
+def test_fk_audit_negative_control_is_partial(spark):
+    from data_pipeline_bigquery_spark.queries.analytics5 import (
+        _fk_inference_audit,
+    )
+
+    got = {
+        (r.child_key, r.parent_key): r
+        for r in _fk_inference_audit(spark, SF_DIR).collect()
+    }
+    true_fks = [
+        k for k in got if k != ("events.user_id", "supplier.s_suppkey")
+    ]
+    for k in true_fks:
+        assert got[k].containment_permille == 1000
+        assert got[k].n_orphans == 0
+    neg = got[("events.user_id", "supplier.s_suppkey")]
+    assert 0 < neg.n_orphans < neg.n_distinct
+    assert neg.containment_permille < 1000
+
+
 def test_bm25lite_matches_float_replay(spark):
     docs = _docs()
     toks = {d: [w for w in t.split(" ") if w] for d, t in docs}
