@@ -1560,6 +1560,59 @@ LEFT JOIN (SELECT DISTINCT {parent_c} AS k FROM {parent_t}) p USING (k)""")
     return "\nUNION ALL\n".join(selects)
 
 
+# --- time-decayed aggregation ------------------------------------------------
+
+_DECAY_HALFLIFE_DAYS = 7
+
+
+def _time_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-weighted engagement per event type — the recency-
+    weighted score ranking/feed systems use, with a portability trick:
+    the half-life decay factor is a POWER OF TWO (2^-k for k =
+    whole half-lives elapsed), and multiplying a double by 2^-k is
+    EXACT (exponent arithmetic, no mantissa rounding) — so unlike
+    exp()-based decay the per-row decayed value is bit-identical on
+    every engine.  2^k builds by integer shift (k ≤ span/half-life,
+    fixture ≤ 4); the sum routes through DECIMAL(38,12) as usual.
+    One scan, one 1-row max-day broadcast, one type-keyed aggregate."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    mx = ev.agg(F.max("day").alias("mxd"))
+    decayed = F.expr(
+        "CAST(CAST(v AS DOUBLE) / CAST(shiftleft(1L, CAST("
+        f"datediff(mxd, day) div {_DECAY_HALFLIFE_DAYS}"
+        " AS INT)) AS DOUBLE) AS DECIMAL(38,12))"
+    )
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(decayed), 6).cast("double").alias("decayed_value"),
+        )
+    )
+
+
+_DECAY_SQL = f"""
+WITH ev AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(value AS DECIMAL(18,2)) AS v
+  FROM events),
+mx AS (SELECT max(day) AS mxd FROM ev)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(round(sum(CAST(
+              CAST(v AS DOUBLE)
+              / CAST(1 << (date_diff('day', day, mxd) // {_DECAY_HALFLIFE_DAYS})
+                     AS DOUBLE)
+              AS DECIMAL(38,12))), 6) AS DOUBLE) AS decayed_value
+FROM ev CROSS JOIN mx
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "cumulative_distinct_users": QuerySpec(
         _cumulative_distinct_users, _CUMULATIVE_USERS_SQL
@@ -1599,5 +1652,8 @@ QUERIES: dict[str, QuerySpec] = {
     "event_burst_detection": QuerySpec(_event_burst_detection, _BURST_SQL),
     "fk_inference_audit": QuerySpec(
         _fk_inference_audit, _fk_inference_sql()
+    ),
+    "time_decayed_engagement": QuerySpec(
+        _time_decayed_engagement, _DECAY_SQL
     ),
 }
