@@ -1581,9 +1581,12 @@ def _time_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").cast("decimal(18,2)").alias("v"),
     )
     mx = ev.agg(F.max("day").alias("mxd"))
+    # least(k, 62): a 64-bit shift silently wraps at k >= 64 (Java
+    # shifts mod 64) — capped, anything older than 62 half-lives decays
+    # below DECIMAL(38,12) resolution and contributes exactly 0
     decayed = F.expr(
-        "CAST(CAST(v AS DOUBLE) / CAST(shiftleft(1L, CAST("
-        f"datediff(mxd, day) div {_DECAY_HALFLIFE_DAYS}"
+        "CAST(CAST(v AS DOUBLE) / CAST(shiftleft(1L, CAST(least("
+        f"datediff(mxd, day) div {_DECAY_HALFLIFE_DAYS}, 62)"
         " AS INT)) AS DOUBLE) AS DECIMAL(38,12))"
     )
     return (
@@ -1605,7 +1608,8 @@ mx AS (SELECT max(day) AS mxd FROM ev)
 SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
        CAST(round(sum(CAST(
               CAST(v AS DOUBLE)
-              / CAST(1 << (date_diff('day', day, mxd) // {_DECAY_HALFLIFE_DAYS})
+              / CAST(1 << least(date_diff('day', day, mxd)
+                                // {_DECAY_HALFLIFE_DAYS}, 62)
                      AS DOUBLE)
               AS DECIMAL(38,12))), 6) AS DOUBLE) AS decayed_value
 FROM ev CROSS JOIN mx
