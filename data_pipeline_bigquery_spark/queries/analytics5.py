@@ -58,6 +58,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_bigquery_spark.catalog import load
+from data_pipeline_bigquery_spark.functions.timestamps import to_epoch_seconds
 from data_pipeline_bigquery_spark.queries import QuerySpec
 
 
@@ -1350,7 +1351,7 @@ def _top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
     brk = F.when(
-        F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w_ord))
+        to_epoch_seconds("ts") - to_epoch_seconds(F.lag("ts").over(w_ord))
         > 1800,
         1,
     ).otherwise(0)
@@ -1430,36 +1431,48 @@ def _event_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``d > 0 AND d² > 4·(Q·n − S²)`` for ``d = c·n − S`` — all exact
     wide-integer arithmetic (DECIMAL on Spark, HUGEINT in the oracle),
     so the flag is bit-deterministic with no float variance semantics
-    to reconcile.  Warm-up rows (fewer than 7 trailing days) never
-    flag.  The fixture's stream genuinely contains a handful of 2σ
-    days (the driver hash pins them); the planted-spike unit test
-    additionally pins the threshold from both sides."""
+    to reconcile.  The window is a calendar RANGE frame over day
+    numbers, not a row frame: a day with no events is a true zero in
+    the baseline (it contributes nothing to S and Q while n stays 7),
+    so a sparse series is never judged against a weeks-old baseline.
+    Warm-up days (series younger than 7 days) never flag.  The
+    fixture's stream genuinely contains a handful of 2σ days (the
+    driver hash pins them); the planted-spike unit test additionally
+    pins the threshold from both sides."""
+    n = _BURST_WINDOW
     daily = (
         load(spark, sf_dir, "events")
         .groupBy("event_type", F.to_date("ts").alias("day"))
         .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "day_num", F.datediff("day", F.lit("1970-01-01").cast("date"))
+        )
     )
     w = (
         Window.partitionBy("event_type")
-        .orderBy("day")
-        .rowsBetween(-_BURST_WINDOW, -1)
+        .orderBy("day_num")
+        .rangeBetween(-n, -1)
     )
+    w_all = Window.partitionBy("event_type")
     trail = daily.select(
         "event_type",
         "day",
+        "day_num",
         "c",
-        F.sum("c").over(w).alias("s"),
-        F.sum(F.col("c") * F.col("c")).over(w).alias("q"),
-        F.count("c").over(w).alias("nw"),
+        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("s"),
+        F.coalesce(
+            F.sum(F.col("c") * F.col("c")).over(w), F.lit(0)
+        ).alias("q"),
+        F.min("day_num").over(w_all).alias("first_day"),
     )
-    d = (F.col("c") * F.col("nw") - F.col("s")).cast("decimal(19,0)")
+    d = (F.col("c") * n - F.col("s")).cast("decimal(19,0)")
     rhs = (
-        F.col("q").cast("decimal(19,0)") * F.col("nw")
+        F.col("q").cast("decimal(19,0)") * n
         - F.col("s").cast("decimal(19,0)") * F.col("s")
     ) * 4
     return (
         trail.filter(
-            (F.col("nw") == _BURST_WINDOW)
+            (F.col("day_num") - F.col("first_day") >= n)
             & (d > 0)
             & (d * d > rhs)
         )
@@ -1469,23 +1482,24 @@ def _event_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BURST_SQL = f"""
 WITH daily AS (
-  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
-  FROM events GROUP BY 1, 2),
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num
+  FROM events GROUP BY 1, 2, 4),
 trail AS (
-  SELECT event_type, day, c,
-         sum(c) OVER w AS s,
-         sum(c * c) OVER w AS q,
-         count(c) OVER w AS nw
+  SELECT event_type, day, day_num, c,
+         COALESCE(sum(c) OVER w, 0) AS s,
+         COALESCE(sum(c * c) OVER w, 0) AS q,
+         min(day_num) OVER (PARTITION BY event_type) AS first_day
   FROM daily
-  WINDOW w AS (PARTITION BY event_type ORDER BY day
-               ROWS BETWEEN {_BURST_WINDOW} PRECEDING AND 1 PRECEDING))
+  WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+               RANGE BETWEEN {_BURST_WINDOW} PRECEDING AND 1 PRECEDING))
 SELECT event_type, day, CAST(c AS BIGINT) AS n_events,
        CAST(s AS BIGINT) AS s, CAST(q AS BIGINT) AS q
 FROM trail
-WHERE nw = {_BURST_WINDOW}
-  AND c * nw - s > 0
-  AND CAST(c * nw - s AS HUGEINT) * (c * nw - s)
-      > 4 * (CAST(q AS HUGEINT) * nw - CAST(s AS HUGEINT) * s)
+WHERE day_num - first_day >= {_BURST_WINDOW}
+  AND c * {_BURST_WINDOW} - s > 0
+  AND CAST(c * {_BURST_WINDOW} - s AS HUGEINT) * (c * {_BURST_WINDOW} - s)
+      > 4 * (CAST(q AS HUGEINT) * {_BURST_WINDOW} - CAST(s AS HUGEINT) * s)
 """
 
 
@@ -1508,9 +1522,13 @@ def _fk_inference_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema profiling: measure value-set containment child ⊆ parent
     for every candidate key pair — the evidence an FK-inference tool
     (or a migration review) runs before trusting join semantics.  Per
-    pair: distinct child values, orphans (left-anti vs the parent key,
-    which broadcasts), and integer-permille containment.  The negative
-    control row proves the audit reports, not assumes."""
+    pair: distinct child values, orphans (left-anti vs the parent
+    key), and integer-permille containment.  No broadcast hint on the
+    anti-join: parents range from 25-row dims to fact-proportional key
+    sets (orders, customer), so AQE picks broadcast vs shuffle per
+    pair — a forced broadcast would OOM on the fact-sized parents at
+    scale.  The negative control row proves the audit reports, not
+    assumes."""
     import functools
 
     parts = []
@@ -1524,7 +1542,7 @@ def _fk_inference_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         parent = load(spark, sf_dir, parent_t).select(
             F.col(parent_c).alias("k")
         )
-        orphans = child.join(F.broadcast(parent), "k", "left_anti")
+        orphans = child.join(parent, "k", "left_anti")
         parts.append(
             child.agg(F.count(F.lit(1)).alias("n_distinct"))
             .crossJoin(

@@ -245,18 +245,9 @@ def _dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-member cluster (singletons are implicitly kept)."""
     aug = _augmented_docs(spark, sf_dir)
     comp = connected_components(_dedup_minhash(spark, sf_dir))
-    words = F.split(F.col("t"), " ")
-    stop = F.array(F.lit("the"), F.lit("a"), F.lit("and"), F.lit("of"))
-    stop_ratio = F.size(
-        F.filter(words, lambda w: F.array_contains(stop, w))
-    ).cast("double") / F.size(words).cast("double")
-    alpha_ratio = F.length(
-        F.regexp_replace(F.col("t"), "[^a-z]", "")
-    ).cast("double") / F.length(F.col("t")).cast("double")
-    q = aug.select(
-        "doc_id",
-        F.round(stop_ratio * 0.5 + alpha_ratio * 0.5, 6).alias("quality"),
-    )
+    # the ONE quality definition: text_analysis.quality_score (t is
+    # already lowercase, lower() inside is idempotent)
+    q = quality_score(aug, "doc_id", "t").select("doc_id", "quality")
     w = Window.partitionBy("component").orderBy(
         F.col("quality").desc(), F.col("doc_id")
     )

@@ -499,6 +499,40 @@ def test_burst_detection_two_sigma_boundary(spark, tmp_path):
     assert got == {("burst", 18)}
 
 
+def test_burst_detection_calendar_window_zero_fills_gaps(spark, tmp_path):
+    import datetime as dt
+
+    from data_pipeline_bigquery_spark.queries.analytics5 import (
+        _event_burst_detection,
+    )
+
+    # 7 active days (count 10), 10 silent days, then a count-10 day.
+    # The trailing CALENDAR week at the final day is all zeros, so any
+    # activity is a burst (mean 0, sigma 0) — under a row frame the
+    # stale 7 active rows would be the baseline and count 10 would
+    # not flag.  This pins the zero-fill semantics.
+    rows = []
+    eid = 0
+    for d in range(7):
+        day = dt.datetime(2024, 3, 1 + d, 12, 0)
+        for i in range(10):
+            rows.append((eid, day, 1, "gappy", 1.0, "{}"))
+            eid += 1
+    final = dt.datetime(2024, 3, 18, 12, 0)
+    for i in range(10):
+        rows.append((eid, final, 1, "gappy", 1.0, "{}"))
+        eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = _event_burst_detection(spark, str(tmp_path)).collect()
+    assert [(r.event_type, r.day, r.s) for r in got] == [
+        ("gappy", dt.date(2024, 3, 18), 0)
+    ]
+
+
 def test_fk_audit_negative_control_is_partial(spark):
     from data_pipeline_bigquery_spark.queries.analytics5 import (
         _fk_inference_audit,

@@ -124,12 +124,13 @@ def test_stream_stream_left_outer_emits_nulls_after_watermark(spark, tmp_path):
                 [Row(user_id=99, ts=TS(2024, 1, 2, 12, 0), val=0.0)], schema
             ).coalesce(1).write.mode("append").parquet(str(d))
         q.processAllAvailable()
-        late = {
+        late = [
             (r["user_id"], r["val"])
             for r in spark.sql("SELECT * FROM ssj_outer").collect()
-        }
+        ]
     finally:
         q.stop()
-    # the unmatched click flushed with null buy columns exactly once
-    assert (3, None) in late
+    # the unmatched click flushed with null buy columns exactly once —
+    # a list, not a set, so a duplicate emission would actually fail
+    assert late.count((3, None)) == 1
     assert sum(1 for u, _ in late if u == 3) == 1
