@@ -1635,6 +1635,69 @@ GROUP BY 1
 """
 
 
+# --- share-of-parent (ratio_to_report) ---------------------------------------
+
+def _revenue_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each nation's share of its region's revenue — the
+    ratio_to_report window shape.  The star joins broadcast (nation/
+    region/customer dims); revenue aggregates to NATION grain first
+    (25 rows), and only that tiny aggregate sees the share window —
+    the fact table never meets a window.  Shares are one IEEE division of
+    two exact decimal→double sums."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1.0).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+        ).alias("rev"),
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    reg = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    nation_rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum("rev").alias("rev"))
+    )
+    w = Window.partitionBy("r_name")
+    return nation_rev.select(
+        F.col("r_name").alias("region"),
+        F.col("n_name").alias("nation"),
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(
+            F.col("rev").cast("double")
+            / F.sum("rev").over(w).cast("double"),
+            6,
+        ).alias("share_of_region"),
+    )
+
+
+_REV_SHARE_SQL = """
+WITH nr AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1.0 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+           AS rev
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2)
+SELECT region, nation, CAST(rev AS DOUBLE) AS revenue,
+       round(CAST(rev AS DOUBLE)
+             / CAST(sum(rev) OVER (PARTITION BY region) AS DOUBLE), 6)
+         AS share_of_region
+FROM nr
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "cumulative_distinct_users": QuerySpec(
         _cumulative_distinct_users, _CUMULATIVE_USERS_SQL
@@ -1677,5 +1740,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "time_decayed_engagement": QuerySpec(
         _time_decayed_engagement, _DECAY_SQL
+    ),
+    "revenue_share_of_region": QuerySpec(
+        _revenue_share_of_region, _REV_SHARE_SQL
     ),
 }
