@@ -1698,6 +1698,50 @@ FROM nr
 """
 
 
+# --- dense-rank top-N with ties ----------------------------------------------
+
+def _latest_shipments_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every lineitem on each supplier's two most recent ship DAYS —
+    the WITH-TIES window shape (``dense_rank``), complementing
+    ``topk_per_group``'s row_number: a day with 40 shipments keeps all
+    40, and day boundaries — not row counts — bound the output.
+    Spark's WindowGroupLimit pushes the dense_rank≤2 cut below the
+    exchange exactly as it does for row_number, so each partition
+    pre-prunes to its own two newest days before shuffling."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.to_date("l_shipdate").alias("ship_day"),
+    )
+    w = Window.partitionBy("l_suppkey").orderBy(F.col("ship_day").desc())
+    return (
+        li.withColumn("day_rank", F.dense_rank().over(w))
+        .filter(F.col("day_rank") <= 2)
+        .select(
+            "l_suppkey",
+            "ship_day",
+            "l_orderkey",
+            "l_linenumber",
+            F.col("day_rank").cast("int").alias("day_rank"),
+        )
+    )
+
+
+_LATEST_SHIP_SQL = """
+SELECT l_suppkey, ship_day, l_orderkey, l_linenumber,
+       CAST(day_rank AS INT) AS day_rank
+FROM (
+  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS ship_day,
+         l_orderkey, l_linenumber,
+         dense_rank() OVER (PARTITION BY l_suppkey
+                            ORDER BY CAST(l_shipdate AS DATE) DESC)
+           AS day_rank
+  FROM lineitem)
+WHERE day_rank <= 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "cumulative_distinct_users": QuerySpec(
         _cumulative_distinct_users, _CUMULATIVE_USERS_SQL
@@ -1743,5 +1787,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "revenue_share_of_region": QuerySpec(
         _revenue_share_of_region, _REV_SHARE_SQL
+    ),
+    "latest_shipments_with_ties": QuerySpec(
+        _latest_shipments_with_ties, _LATEST_SHIP_SQL
     ),
 }
