@@ -305,7 +305,11 @@ def _hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.crossJoin(b)
         .filter(F.col("type_a") < F.col("type_b"))
-        .join(exact_inter, ["type_a", "type_b"])
+        # LEFT join + coalesce: a pair with NO shared users must still
+        # report (exact_inter 0) — an inner join would silently drop
+        # exactly the disjoint audiences the report exists to surface
+        .join(exact_inter, ["type_a", "type_b"], "left")
+        .withColumn("exact_inter", F.coalesce("exact_inter", F.lit(0)))
         .select(
             "type_a",
             "type_b",
@@ -320,13 +324,21 @@ def _hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _HLL_OVERLAP_SQL = """
-WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
-SELECT a.event_type AS type_a, b.event_type AS type_b,
-       count(DISTINCT a.user_id) AS exact_inter,
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+types AS (SELECT DISTINCT event_type FROM events),
+pairs AS (
+  SELECT ta.event_type AS type_a, tb.event_type AS type_b
+  FROM types ta JOIN types tb ON ta.event_type < tb.event_type),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(DISTINCT a.user_id) AS exact_inter
+  FROM ut a JOIN ut b ON a.user_id = b.user_id
+  WHERE a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT p.type_a, p.type_b,
+       CAST(COALESCE(i.exact_inter, 0) AS BIGINT) AS exact_inter,
        TRUE AS within_bound
-FROM ut a JOIN ut b ON a.user_id = b.user_id
-WHERE a.event_type < b.event_type
-GROUP BY 1, 2
+FROM pairs p LEFT JOIN inter i USING (type_a, type_b)
 """
 
 

@@ -127,3 +127,35 @@ def test_hll_union_equals_direct_sketch(spark):
     # HLL can diverge by estimator choice (HIP vs composite), so the
     # stated invariant is agreement within the sketch's error band
     assert abs(unioned - direct) <= max(1, 0.01 * direct)
+
+
+def test_hll_audience_overlap_disjoint_and_identical(spark, tmp_path):
+    import datetime as dt
+
+    from data_pipeline_bigquery_spark.queries.sketches import (
+        _hll_audience_overlap,
+    )
+
+    # types A and B share no users; types A and C share ALL users —
+    # the inclusion-exclusion estimate must land on ~0 and ~n inside
+    # the 5%-of-union bound the contract asserts.
+    rows = []
+    eid = 0
+    ts = dt.datetime(2024, 5, 1, 12, 0)
+    for u in range(200):
+        rows.append((eid, ts, u, "A", 1.0, "{}")); eid += 1
+        rows.append((eid, ts, u, "C", 1.0, "{}")); eid += 1
+    for u in range(200, 400):
+        rows.append((eid, ts, u, "B", 1.0, "{}")); eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        (r.type_a, r.type_b): r
+        for r in _hll_audience_overlap(spark, str(tmp_path)).collect()
+    }
+    assert got[("A", "B")].exact_inter == 0
+    assert got[("A", "C")].exact_inter == 200
+    assert all(r.within_bound for r in got.values())
