@@ -1742,6 +1742,94 @@ WHERE day_rank <= 2
 """
 
 
+# --- two-sample KS drift -----------------------------------------------------
+
+_KS_TYPE_A = "click"
+_KS_TYPE_B = "view"
+
+
+def _value_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift between the value
+    distributions of two event types — the distribution-shift audit a
+    pipeline runs before trusting that yesterday's data looks like
+    today's.  The KS statistic ``max|F_a(x) − F_b(x)|`` computes in
+    EXACT integer arithmetic: with per-value cumulative counts cumA,
+    cumB and totals nA, nB, the max of ``|cumA·nB − cumB·nA|`` is the
+    statistic scaled by nA·nB (cross-multiplied through DECIMAL so no
+    count magnitude overflows) and divides back out in one IEEE
+    division at the very end.  The cumulative window runs on
+    VALUE-DOMAIN grain (distinct cent values — bounded by the price
+    domain, not the row count) after a cents-keyed aggregate."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(_KS_TYPE_A, _KS_TYPE_B))
+        .select(
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+            (F.col("event_type") == _KS_TYPE_A).cast("long").alias("is_a"),
+            (F.col("event_type") == _KS_TYPE_B).cast("long").alias("is_b"),
+        )
+    )
+    grain = ev.groupBy("cents").agg(
+        F.sum("is_a").alias("ca"), F.sum("is_b").alias("cb")
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = grain.select(
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    totals = ev.agg(
+        F.sum("is_a").alias("n_a"), F.sum("is_b").alias("n_b")
+    )
+    diff = F.abs(
+        F.col("cum_a").cast("decimal(38,0)") * F.col("n_b")
+        - F.col("cum_b").cast("decimal(38,0)") * F.col("n_a")
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.max(diff).cast("long").alias("ks_scaled"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "ks_scaled",
+            F.round(
+                F.col("ks_scaled").cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                6,
+            ).alias("ks_stat"),
+        )
+    )
+
+
+_KS_SQL = f"""
+WITH ev AS (
+  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         CASE WHEN event_type = '{_KS_TYPE_A}' THEN 1 ELSE 0 END AS is_a,
+         CASE WHEN event_type = '{_KS_TYPE_B}' THEN 1 ELSE 0 END AS is_b
+  FROM events WHERE event_type IN ('{_KS_TYPE_A}', '{_KS_TYPE_B}')),
+grain AS (
+  SELECT cents, sum(is_a) AS ca, sum(is_b) AS cb FROM ev GROUP BY 1),
+cum AS (
+  SELECT sum(ca) OVER w AS cum_a, sum(cb) OVER w AS cum_b
+  FROM grain
+  WINDOW w AS (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)),
+tot AS (SELECT sum(is_a) AS n_a, sum(is_b) AS n_b FROM ev)
+SELECT CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b,
+       CAST(max(abs(CAST(cum_a AS HUGEINT) * n_b
+                    - CAST(cum_b AS HUGEINT) * n_a)) AS BIGINT) AS ks_scaled,
+       round(CAST(max(abs(CAST(cum_a AS HUGEINT) * n_b
+                          - CAST(cum_b AS HUGEINT) * n_a)) AS DOUBLE)
+             / CAST(max(n_a) * max(n_b) AS DOUBLE), 6) AS ks_stat
+FROM cum CROSS JOIN tot
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "cumulative_distinct_users": QuerySpec(
         _cumulative_distinct_users, _CUMULATIVE_USERS_SQL
@@ -1791,4 +1879,5 @@ QUERIES: dict[str, QuerySpec] = {
     "latest_shipments_with_ties": QuerySpec(
         _latest_shipments_with_ties, _LATEST_SHIP_SQL
     ),
+    "value_drift_ks": QuerySpec(_value_drift_ks, _KS_SQL),
 }

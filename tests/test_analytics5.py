@@ -533,6 +533,35 @@ def test_burst_detection_calendar_window_zero_fills_gaps(spark, tmp_path):
     ]
 
 
+def test_value_drift_ks_known_answer(spark, tmp_path):
+    import datetime as dt
+
+    from data_pipeline_bigquery_spark.queries.analytics5 import (
+        _value_drift_ks,
+    )
+
+    # A uniform on {0.01,0.02,0.03,0.04}, B entirely at 0.04: the max
+    # CDF gap sits just below 0.04 where F_a=0.75, F_b=0 → D=0.75
+    rows = []
+    eid = 0
+    ts = dt.datetime(2024, 6, 1, 12, 0)
+    for v in (0.01, 0.02, 0.03, 0.04):
+        for _ in range(5):
+            rows.append((eid, ts, 1, "click", v, "{}")); eid += 1
+    for _ in range(10):
+        rows.append((eid, ts, 2, "view", 0.04, "{}")); eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    r = _value_drift_ks(spark, str(tmp_path)).collect()[0]
+    assert (r.n_a, r.n_b) == (20, 10)
+    # ks_scaled = max|cumA·nB − cumB·nA| = |15·10 − 0·20| = 150
+    assert r.ks_scaled == 150
+    assert r.ks_stat == pytest.approx(0.75)
+
+
 def test_fk_audit_negative_control_is_partial(spark):
     from data_pipeline_bigquery_spark.queries.analytics5 import (
         _fk_inference_audit,
