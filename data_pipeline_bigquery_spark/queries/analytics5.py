@@ -1830,6 +1830,85 @@ FROM cum CROSS JOIN tot
 """
 
 
+# --- revenue concentration (Gini) --------------------------------------------
+
+_GINI_BUCKETS = 256
+
+
+def _revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend — the revenue-concentration
+    audit ("how much of our revenue is a handful of accounts").  Uses
+    the sorted-form identity ``G = (2·Σ rankᵢ·xᵢ − (n+1)·Σx) /
+    (n·Σx)`` with EXACT decimal sums and integer ranks; one IEEE
+    division at the end.
+
+    The global rank is NOT a single-partition window: it is the same
+    two-phase distributed scan as ``pareto_skyline_customers`` —
+    range-bucket on spend, row_number within each bucket, bucket-count
+    prefix offsets (a ~256-row window) broadcast back, global rank =
+    offset + local rank.  Ties break by custkey; equal spends swapping
+    ranks leaves Σ rank·x unchanged, so the statistic is
+    deterministic."""
+    per_cust = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x"))
+    )
+    rng = per_cust.agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    nb = F.lit(_GINI_BUCKETS)
+    b = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.least(
+            nb - 1,
+            F.floor(
+                (F.col("x") - F.col("mn")).cast("double")
+                * nb
+                / (F.col("mx") - F.col("mn")).cast("double")
+            ).cast("int"),
+        )
+    )
+    bucketed = per_cust.crossJoin(F.broadcast(rng)).select(
+        "o_custkey", "x", b.alias("b")
+    )
+    w_local = Window.partitionBy("b").orderBy("x", "o_custkey")
+    local = bucketed.withColumn("rn", F.row_number().over(w_local))
+    w_off = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        bucketed.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("offset", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)))
+        .select("b", "offset")
+    )
+    ranked = local.join(F.broadcast(offsets), "b").select(
+        "x", (F.col("offset") + F.col("rn")).alias("r")
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(
+            (
+                F.lit(2) * F.sum(F.col("r") * F.col("x"))
+                - (F.max("r") + 1) * F.sum("x")
+            ).cast("double")
+            / (F.max("r") * F.sum("x")).cast("double"),
+            6,
+        ).alias("gini"),
+    )
+
+
+_GINI_SQL = """
+WITH pc AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+  FROM orders GROUP BY 1),
+ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS r FROM pc)
+SELECT CAST(count(*) AS BIGINT) AS n_customers,
+       round(CAST(2 * sum(r * x) - (max(r) + 1) * sum(x) AS DOUBLE)
+             / CAST(max(r) * sum(x) AS DOUBLE), 6) AS gini
+FROM ranked
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "cumulative_distinct_users": QuerySpec(
         _cumulative_distinct_users, _CUMULATIVE_USERS_SQL
@@ -1880,4 +1959,5 @@ QUERIES: dict[str, QuerySpec] = {
         _latest_shipments_with_ties, _LATEST_SHIP_SQL
     ),
     "value_drift_ks": QuerySpec(_value_drift_ks, _KS_SQL),
+    "revenue_gini": QuerySpec(_revenue_gini, _GINI_SQL),
 }

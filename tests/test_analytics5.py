@@ -562,6 +562,27 @@ def test_value_drift_ks_known_answer(spark, tmp_path):
     assert r.ks_stat == pytest.approx(0.75)
 
 
+def test_revenue_gini_known_answers(spark, tmp_path):
+    from data_pipeline_bigquery_spark.queries.analytics5 import _revenue_gini
+
+    # equal spends → perfectly even distribution → Gini exactly 0
+    eq = [(i, i, 100.0) for i in range(1, 11)]
+    spark.createDataFrame(
+        eq, "o_orderkey long, o_custkey long, o_totalprice double"
+    ).write.parquet(str(tmp_path / "eq" / "orders.parquet"))
+    r = _revenue_gini(spark, str(tmp_path / "eq")).collect()[0]
+    assert (r.n_customers, r.gini) == (10, 0.0)
+
+    # one customer holds ~all revenue → Gini approaches (n-1)/n
+    conc = [(i, i, 0.01) for i in range(1, 10)] + [(10, 10, 10000.0)]
+    spark.createDataFrame(
+        conc, "o_orderkey long, o_custkey long, o_totalprice double"
+    ).write.parquet(str(tmp_path / "conc" / "orders.parquet"))
+    r = _revenue_gini(spark, str(tmp_path / "conc")).collect()[0]
+    assert r.n_customers == 10
+    assert 0.85 < r.gini < 0.9
+
+
 def test_fk_audit_negative_control_is_partial(spark):
     from data_pipeline_bigquery_spark.queries.analytics5 import (
         _fk_inference_audit,
