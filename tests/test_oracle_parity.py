@@ -28,3 +28,29 @@ def test_rows_only_queries_run(spark, name):
     df = REG[name].fn(spark, SF_DIR)
     assert df.count() > 0
     assert len(df.columns) > 0
+
+
+def test_registry_has_no_cross_module_key_collisions():
+    """registry() merges module QUERIES dicts with dict.update — a
+    duplicate key would silently shadow an earlier module's operator
+    and its oracle.  Fail loudly instead."""
+    import data_pipeline_bigquery_spark.queries as qpkg
+    from data_pipeline_bigquery_spark.queries import registry
+
+    mods = [
+        getattr(qpkg, name)
+        for name in (
+            "core", "pipelines", "coverage", "coverage2", "coverage3",
+            "coverage4", "corpus_ops", "formats", "extensions", "training",
+            "curation", "curation2", "sketches", "analytics5",
+        )
+    ]
+    seen: dict = {}
+    dups = []
+    for m in mods:
+        for k in m.QUERIES:
+            if k in seen:
+                dups.append(f"{k}: {seen[k]} shadowed by {m.__name__}")
+            seen[k] = m.__name__
+    assert not dups, "\n".join(dups)
+    assert len(registry()) == len(seen)
