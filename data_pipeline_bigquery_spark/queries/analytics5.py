@@ -1909,6 +1909,96 @@ FROM ranked
 """
 
 
+# --- Mann-Whitney U drift (rank-sum) -----------------------------------------
+
+def _value_drift_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U between the same two value distributions as
+    ``value_drift_ks`` — KS asks "do the distributions differ
+    anywhere"; U asks "does one stochastically dominate", and
+    U/(nA·nB) is the AUC effect size.  Ties take midranks, which are
+    half-integers — so everything computes DOUBLED to stay in exact
+    integers: for a tied group at value v spanning ranks
+    (prev_cum, prev_cum + c(v)], its doubled midrank is
+    ``2·prev_cum + c(v) + 1`` and
+
+        2·U_A = Σ_v cA(v)·(2·prev_cum(v) + c(v) + 1) − n_A·(n_A+1)
+
+    Products route through DECIMAL(38,0) (cum·count reaches n² long
+    before int64 dies at corpus scale); ONE IEEE division yields the
+    AUC.  Same value-domain-grain cumulative window as KS."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(_KS_TYPE_A, _KS_TYPE_B))
+        .select(
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+            (F.col("event_type") == _KS_TYPE_A).cast("long").alias("is_a"),
+            (F.col("event_type") == _KS_TYPE_B).cast("long").alias("is_b"),
+        )
+    )
+    grain = ev.groupBy("cents").agg(
+        F.sum("is_a").alias("ca"), F.sum("is_b").alias("cb")
+    )
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    with_prev = grain.select(
+        "ca",
+        "cb",
+        F.coalesce(F.sum(F.col("ca") + F.col("cb")).over(w), F.lit(0)).alias(
+            "prev_cum"
+        ),
+    )
+    term = F.col("ca").cast("decimal(38,0)") * (
+        F.lit(2) * F.col("prev_cum") + F.col("ca") + F.col("cb") + F.lit(1)
+    )
+    sums = with_prev.agg(
+        F.sum("ca").alias("n_a"),
+        F.sum("cb").alias("n_b"),
+        F.sum(term).alias("rank2_a"),
+    )
+    u2_a = F.col("rank2_a") - (
+        F.col("n_a").cast("decimal(38,0)") * (F.col("n_a") + 1)
+    )
+    return sums.select(
+        "n_a",
+        "n_b",
+        u2_a.cast("long").alias("u2_a"),
+        F.round(
+            u2_a.cast("double")
+            / (F.lit(2.0) * (F.col("n_a") * F.col("n_b")).cast("double")),
+            6,
+        ).alias("auc"),
+    )
+
+
+_MANNWHITNEY_SQL = f"""
+WITH ev AS (
+  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         CASE WHEN event_type = '{_KS_TYPE_A}' THEN 1 ELSE 0 END AS is_a,
+         CASE WHEN event_type = '{_KS_TYPE_B}' THEN 1 ELSE 0 END AS is_b
+  FROM events WHERE event_type IN ('{_KS_TYPE_A}', '{_KS_TYPE_B}')),
+grain AS (
+  SELECT cents, sum(is_a) AS ca, sum(is_b) AS cb FROM ev GROUP BY 1),
+wp AS (
+  SELECT ca, cb,
+         COALESCE(sum(ca + cb) OVER (ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS prev_cum
+  FROM grain),
+sums AS (
+  SELECT sum(ca) AS n_a, sum(cb) AS n_b,
+         sum(CAST(ca AS HUGEINT) * (2 * prev_cum + ca + cb + 1)) AS rank2_a
+  FROM wp)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(rank2_a - CAST(n_a AS HUGEINT) * (n_a + 1) AS BIGINT) AS u2_a,
+       round(CAST(rank2_a - CAST(n_a AS HUGEINT) * (n_a + 1) AS DOUBLE)
+             / (2.0 * CAST(n_a * n_b AS DOUBLE)), 6) AS auc
+FROM sums
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "cumulative_distinct_users": QuerySpec(
         _cumulative_distinct_users, _CUMULATIVE_USERS_SQL
@@ -1960,4 +2050,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "value_drift_ks": QuerySpec(_value_drift_ks, _KS_SQL),
     "revenue_gini": QuerySpec(_revenue_gini, _GINI_SQL),
+    "value_drift_mannwhitney": QuerySpec(
+        _value_drift_mannwhitney, _MANNWHITNEY_SQL
+    ),
 }

@@ -583,6 +583,37 @@ def test_revenue_gini_known_answers(spark, tmp_path):
     assert 0.85 < r.gini < 0.9
 
 
+def test_mannwhitney_known_answers(spark, tmp_path):
+    import datetime as dt
+
+    from data_pipeline_bigquery_spark.queries.analytics5 import (
+        _value_drift_mannwhitney,
+    )
+
+    def build(vals_a, vals_b, sub):
+        rows = []
+        eid = 0
+        ts = dt.datetime(2024, 7, 1, 12, 0)
+        for v in vals_a:
+            rows.append((eid, ts, 1, "click", v, "{}")); eid += 1
+        for v in vals_b:
+            rows.append((eid, ts, 2, "view", v, "{}")); eid += 1
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).write.parquet(str(tmp_path / sub / "events.parquet"))
+        return _value_drift_mannwhitney(spark, str(tmp_path / sub)).collect()[0]
+
+    # A entirely below B: U_A = 0, AUC = 0
+    r = build([0.01, 0.02], [0.03, 0.04], "below")
+    assert (r.u2_a, r.auc) == (0, 0.0)
+    # tie case with midranks: A={1,3}, B={3,5} cents →
+    # 2*rankSum_A = 2 + 5 = 7, 2U = 7 - 2*3 = 1, AUC = 1/(2*4) = 0.125
+    r = build([0.01, 0.03], [0.03, 0.05], "ties")
+    assert (r.u2_a, r.auc) == (1, 0.125)
+
+
 def test_fk_audit_negative_control_is_partial(spark):
     from data_pipeline_bigquery_spark.queries.analytics5 import (
         _fk_inference_audit,
