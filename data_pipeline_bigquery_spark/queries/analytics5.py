@@ -1830,25 +1830,16 @@ FROM cum CROSS JOIN tot
 """
 
 
-# --- revenue concentration (Gini) --------------------------------------------
+# --- revenue concentration (Gini + Lorenz) -----------------------------------
 
 _GINI_BUCKETS = 256
 
 
-def _revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gini coefficient of customer spend — the revenue-concentration
-    audit ("how much of our revenue is a handful of accounts").  Uses
-    the sorted-form identity ``G = (2·Σ rankᵢ·xᵢ − (n+1)·Σx) /
-    (n·Σx)`` with EXACT decimal sums and integer ranks; one IEEE
-    division at the end.
-
-    The global rank is NOT a single-partition window: it is the same
-    two-phase distributed scan as ``pareto_skyline_customers`` —
-    range-bucket on spend, row_number within each bucket, bucket-count
-    prefix offsets (a ~256-row window) broadcast back, global rank =
-    offset + local rank.  Ties break by custkey; equal spends swapping
-    ranks leaves Σ rank·x unchanged, so the statistic is
-    deterministic."""
+def _ranked_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer spend with a DISTRIBUTED global rank (columns x,
+    r): the two-phase scan — range-bucket on spend, row_number within
+    each bucket, 256-row prefix offsets broadcast back.  Shared by the
+    Gini and Lorenz operators."""
     per_cust = (
         load(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -1880,9 +1871,26 @@ def _revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("offset", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)))
         .select("b", "offset")
     )
-    ranked = local.join(F.broadcast(offsets), "b").select(
+    return local.join(F.broadcast(offsets), "b").select(
         "x", (F.col("offset") + F.col("rn")).alias("r")
     )
+
+
+def _revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend — the revenue-concentration
+    audit ("how much of our revenue is a handful of accounts").  Uses
+    the sorted-form identity ``G = (2·Σ rankᵢ·xᵢ − (n+1)·Σx) /
+    (n·Σx)`` with EXACT decimal sums and integer ranks; one IEEE
+    division at the end.
+
+    The global rank is NOT a single-partition window: it is the same
+    two-phase distributed scan as ``pareto_skyline_customers`` —
+    range-bucket on spend, row_number within each bucket, bucket-count
+    prefix offsets (a ~256-row window) broadcast back, global rank =
+    offset + local rank.  Ties break by custkey; equal spends swapping
+    ranks leaves Σ rank·x unchanged, so the statistic is
+    deterministic."""
+    ranked = _ranked_spend(spark, sf_dir)
     return ranked.agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.round(
@@ -1894,6 +1902,60 @@ def _revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+def _lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve at decile grain — the table behind the Gini
+    number: the bottom-k-decile customers' cumulative share of total
+    revenue.  Reuses the distributed global rank (``_ranked_spend``);
+    decile assignment is floor-div integer math on the rank, the
+    cumulative window runs on 10 decile rows, and the share is one
+    IEEE division of exact decimal sums."""
+    ranked = _ranked_spend(spark, sf_dir)
+    n = ranked.agg(
+        F.max("r").alias("n"), F.sum("x").alias("total")
+    )
+    dec = (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            F.least(
+                F.lit(9), F.expr("(r - 1) * 10 div n").cast("int")
+            ).alias("decile"),
+            "x",
+            "total",
+        )
+        .groupBy("decile", "total")
+        .agg(F.count(F.lit(1)).alias("n_customers"), F.sum("x").alias("dx"))
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return dec.select(
+        "decile",
+        "n_customers",
+        F.round(
+            F.sum("dx").over(w).cast("double")
+            / F.col("total").cast("double"),
+            6,
+        ).alias("cum_revenue_share"),
+    )
+
+
+_LORENZ_SQL = """
+WITH pc AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+  FROM orders GROUP BY 1),
+ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS r FROM pc),
+n AS (SELECT max(r) AS n, sum(x) AS total FROM ranked),
+dec AS (
+  SELECT least(9, CAST((r - 1) * 10 // n.n AS INT)) AS decile,
+         count(*) AS n_customers, sum(x) AS dx, max(n.total) AS total
+  FROM ranked CROSS JOIN n GROUP BY 1)
+SELECT decile, CAST(n_customers AS BIGINT) AS n_customers,
+       round(CAST(sum(dx) OVER (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(total AS DOUBLE), 6) AS cum_revenue_share
+FROM dec
+"""
 
 
 _GINI_SQL = """
@@ -2052,5 +2114,8 @@ QUERIES: dict[str, QuerySpec] = {
     "revenue_gini": QuerySpec(_revenue_gini, _GINI_SQL),
     "value_drift_mannwhitney": QuerySpec(
         _value_drift_mannwhitney, _MANNWHITNEY_SQL
+    ),
+    "lorenz_curve_deciles": QuerySpec(
+        _lorenz_curve_deciles, _LORENZ_SQL
     ),
 }
