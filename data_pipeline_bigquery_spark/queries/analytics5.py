@@ -2061,6 +2061,132 @@ FROM sums
 """
 
 
+# --- cohort LTV curve --------------------------------------------------------
+
+def _cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue per acquisition cohort by month offset — the
+    LTV curve finance actually plots (``cohort_retention`` counts
+    heads; this weights by money).  Cohort = the customer's first
+    order month; offsets are exact integer month arithmetic
+    (year·12+month, no cross-engine months_between semantics); revenue
+    sums in DECIMAL; the cumulative window runs on (cohort × offset)
+    grain — dozens of rows.  Exchanges: one per-customer min, one
+    cohort-grain aggregate."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+    )
+    first = orders.groupBy("o_custkey").agg(F.min("ym").alias("cohort_ym"))
+    cells = (
+        orders.join(first, "o_custkey")
+        .groupBy(
+            "cohort_ym",
+            (F.col("ym") - F.col("cohort_ym")).alias("month_offset"),
+        )
+        .agg(F.sum("v").alias("rev"))
+    )
+    w = (
+        Window.partitionBy("cohort_ym")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return cells.select(
+        "cohort_ym",
+        "month_offset",
+        F.sum("rev").over(w).cast("double").alias("cum_revenue"),
+    )
+
+
+_COHORT_LTV_SQL = """
+WITH o AS (
+  SELECT o_custkey,
+         year(o_orderdate) * 12 + month(o_orderdate) AS ym,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS v
+  FROM orders),
+first AS (SELECT o_custkey, min(ym) AS cohort_ym FROM o GROUP BY 1),
+cells AS (
+  SELECT f.cohort_ym, o.ym - f.cohort_ym AS month_offset, sum(o.v) AS rev
+  FROM o JOIN first f USING (o_custkey) GROUP BY 1, 2)
+SELECT cohort_ym, month_offset,
+       CAST(sum(rev) OVER (PARTITION BY cohort_ym ORDER BY month_offset
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS cum_revenue
+FROM cells
+"""
+
+
+# --- inter-order gap percentiles ---------------------------------------------
+
+def _order_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p25/p50/p75 of the days between a customer's consecutive orders
+    — the repurchase-cadence metric.  Gaps compute with a per-customer
+    lag window (integer days); the percentile reads off a GAP-DOMAIN
+    cumulative histogram (distinct gap values, bounded by the
+    calendar) with the integer rank rule ``cum·100 ≥ p·total`` — the
+    same engine-exact quantile machinery as
+    ``histogram_quantile_rollup``, no float percentile semantics."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("day"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    gaps = (
+        orders.select(
+            F.datediff("day", F.lag("day").over(w)).alias("gap")
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+    grain = gaps.groupBy("gap").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = Window.orderBy("gap").rowsBetween(Window.unboundedPreceding, 0)
+    w_tot = Window.partitionBy()
+    cum = grain.select(
+        "gap",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_tot).alias("total"),
+    )
+
+    def pct(p: int) -> F.Column:
+        return F.min(
+            F.when(F.col("cum") * 100 >= F.lit(p) * F.col("total"), F.col("gap"))
+        )
+
+    return cum.agg(
+        F.max("total").alias("n_gaps"),
+        pct(25).alias("p25_gap_days"),
+        pct(50).alias("p50_gap_days"),
+        pct(75).alias("p75_gap_days"),
+    )
+
+
+_ORDER_GAP_SQL = """
+WITH gaps AS (
+  SELECT date_diff('day',
+           lag(CAST(o_orderdate AS DATE))
+             OVER (PARTITION BY o_custkey
+                   ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+           CAST(o_orderdate AS DATE)) AS gap
+  FROM orders),
+grain AS (
+  SELECT gap, count(*) AS c FROM gaps WHERE gap IS NOT NULL GROUP BY 1),
+cum AS (
+  SELECT gap,
+         sum(c) OVER (ORDER BY gap
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER () AS total
+  FROM grain)
+SELECT CAST(max(total) AS BIGINT) AS n_gaps,
+       CAST(min(CASE WHEN cum * 100 >= 25 * total THEN gap END) AS BIGINT)
+         AS p25_gap_days,
+       CAST(min(CASE WHEN cum * 100 >= 50 * total THEN gap END) AS BIGINT)
+         AS p50_gap_days,
+       CAST(min(CASE WHEN cum * 100 >= 75 * total THEN gap END) AS BIGINT)
+         AS p75_gap_days
+FROM cum
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "cumulative_distinct_users": QuerySpec(
         _cumulative_distinct_users, _CUMULATIVE_USERS_SQL
@@ -2117,5 +2243,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "lorenz_curve_deciles": QuerySpec(
         _lorenz_curve_deciles, _LORENZ_SQL
+    ),
+    "cohort_ltv_curve": QuerySpec(_cohort_ltv_curve, _COHORT_LTV_SQL),
+    "order_gap_percentiles": QuerySpec(
+        _order_gap_percentiles, _ORDER_GAP_SQL
     ),
 }
