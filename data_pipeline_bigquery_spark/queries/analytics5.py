@@ -2187,6 +2187,100 @@ FROM cum
 """
 
 
+# --- new vs returning revenue ------------------------------------------------
+
+def _new_vs_returning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue split into NEW (customer's first-ever order
+    month) vs RETURNING — the growth-mix metric every revenue review
+    opens with.  The newness flag derives from a per-customer min
+    (one user-keyed exchange) joined back; integer year·12+month keys;
+    DECIMAL sums; the output is month-grain."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+    )
+    first = orders.groupBy("o_custkey").agg(F.min("ym").alias("first_ym"))
+    return (
+        orders.join(first, "o_custkey")
+        .groupBy("ym")
+        .agg(
+            F.sum(
+                F.when(F.col("ym") == F.col("first_ym"), F.col("v")).otherwise(
+                    F.lit(0).cast("decimal(18,2)")
+                )
+            )
+            .cast("double")
+            .alias("new_revenue"),
+            F.sum(
+                F.when(F.col("ym") != F.col("first_ym"), F.col("v")).otherwise(
+                    F.lit(0).cast("decimal(18,2)")
+                )
+            )
+            .cast("double")
+            .alias("returning_revenue"),
+            F.sum((F.col("ym") == F.col("first_ym")).cast("long")).alias(
+                "n_new_orders"
+            ),
+        )
+    )
+
+
+_NEW_RETURNING_SQL = """
+WITH o AS (
+  SELECT o_custkey,
+         year(o_orderdate) * 12 + month(o_orderdate) AS ym,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS v
+  FROM orders),
+first AS (SELECT o_custkey, min(ym) AS first_ym FROM o GROUP BY 1)
+SELECT ym,
+       CAST(sum(CASE WHEN ym = first_ym THEN v
+                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS new_revenue,
+       CAST(sum(CASE WHEN ym <> first_ym THEN v
+                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         AS returning_revenue,
+       CAST(sum(CASE WHEN ym = first_ym THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new_orders
+FROM o JOIN first USING (o_custkey)
+GROUP BY 1
+"""
+
+
+# --- weekday seasonality -----------------------------------------------------
+
+def _weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event volume by ISO weekday (1=Mon..7=Sun) with integer-permille
+    share — the seasonality profile behind capacity planning.
+    Cross-engine calendar trap handled explicitly: Spark's
+    ``dayofweek`` is 1=SUNDAY while DuckDB's ``isodow`` is 1=Monday,
+    so the Spark side maps ``weekday()+1`` (0=Mon → 1=Mon) to the ISO
+    convention both sides emit.  Share is floor-div permille of exact
+    counts."""
+    ev = load(spark, sf_dir, "events").select(
+        (F.weekday("ts") + 1).alias("iso_dow")
+    )
+    counts = ev.groupBy("iso_dow").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "iso_dow",
+            "n",
+            F.expr("n * 1000 div total").alias("share_permille"),
+        )
+    )
+
+
+_WEEKDAY_SQL = """
+WITH c AS (
+  SELECT isodow(ts) AS iso_dow, count(*) AS n FROM events GROUP BY 1),
+t AS (SELECT sum(n) AS total FROM c)
+SELECT iso_dow, CAST(n AS BIGINT) AS n,
+       CAST(n * 1000 // total AS BIGINT) AS share_permille
+FROM c CROSS JOIN t
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "cumulative_distinct_users": QuerySpec(
         _cumulative_distinct_users, _CUMULATIVE_USERS_SQL
@@ -2248,4 +2342,8 @@ QUERIES: dict[str, QuerySpec] = {
     "order_gap_percentiles": QuerySpec(
         _order_gap_percentiles, _ORDER_GAP_SQL
     ),
+    "new_vs_returning_revenue": QuerySpec(
+        _new_vs_returning_revenue, _NEW_RETURNING_SQL
+    ),
+    "weekday_profile": QuerySpec(_weekday_profile, _WEEKDAY_SQL),
 }
