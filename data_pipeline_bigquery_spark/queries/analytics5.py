@@ -2281,6 +2281,221 @@ FROM c CROSS JOIN t
 """
 
 
+# --- market basket: co-purchased parts ---------------------------------------
+
+_BASKET_TOP = 20
+
+
+def _basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 co-purchased part pairs with lift — retail market-basket
+    proper (baskets = orders), distinct from ``event_pair_affinity``'s
+    per-user type sets.  The within-order self-join fans out to
+    lines·(lines−1)/2 pairs per order — bounded by basket size, never
+    O(catalog²); lift = one IEEE division of exact int64 products;
+    top-20 is a TakeOrderedAndProject."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pair_counts = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+    )
+    part_counts = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_part")
+    )
+    totals = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    return (
+        pair_counts.join(
+            F.broadcast(
+                part_counts.select(
+                    F.col("l_partkey").alias("part_a"),
+                    F.col("n_part").alias("n_a"),
+                )
+            ),
+            "part_a",
+        )
+        .join(
+            F.broadcast(
+                part_counts.select(
+                    F.col("l_partkey").alias("part_b"),
+                    F.col("n_part").alias("n_b"),
+                )
+            ),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "part_a",
+            "part_b",
+            "n_baskets",
+            F.round(
+                (F.col("n_baskets") * F.col("n_orders")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(
+            F.col("n_baskets").desc(), F.col("part_a"), F.col("part_b")
+        )
+        .limit(_BASKET_TOP)
+    )
+
+
+_BASKET_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pc AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         count(*) AS n_baskets
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2),
+parts AS (SELECT l_partkey, count(*) AS n_part FROM li GROUP BY 1),
+tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li)
+SELECT pc.part_a, pc.part_b, CAST(pc.n_baskets AS BIGINT) AS n_baskets,
+       round(CAST(pc.n_baskets * tot.n_orders AS DOUBLE)
+             / CAST(pa.n_part * pb.n_part AS DOUBLE), 6) AS lift
+FROM pc
+JOIN parts pa ON pa.l_partkey = pc.part_a
+JOIN parts pb ON pb.l_partkey = pc.part_b
+CROSS JOIN tot
+ORDER BY n_baskets DESC, part_a, part_b
+LIMIT {_BASKET_TOP}
+"""
+
+
+# --- RFM segmentation --------------------------------------------------------
+
+def _customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary terciles →
+    27 segments) — the CRM workhorse.  No global NTILE window: each
+    dimension's tercile boundaries come from a DOMAIN-GRAIN cumulative
+    histogram with the integer rank rule (``cum·3 ≥ k·total``), the
+    three tiny boundary tables broadcast back, and every customer
+    scores in one pass.  Monetary uses integer cents; recency uses
+    integer days-before-max; all boundary comparisons are exact, so
+    segment assignment is engine-deterministic."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("day"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    mx = orders.agg(F.max("day").alias("mxd"))
+    rfm = (
+        orders.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.datediff("mxd", "day")).alias("rec"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("cents").alias("mon"),
+        )
+    )
+
+    def boundaries(col: str):
+        grain = rfm.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        w_cum = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        w_tot = Window.partitionBy()
+        cum = grain.select(
+            F.col(col).alias("v"),
+            F.sum("c").over(w_cum).alias("cum"),
+            F.sum("c").over(w_tot).alias("total"),
+        )
+        return cum.agg(
+            F.min(
+                F.when(F.col("cum") * 3 >= F.col("total"), F.col("v"))
+            ).alias(f"{col}_t1"),
+            F.min(
+                F.when(F.col("cum") * 3 >= 2 * F.col("total"), F.col("v"))
+            ).alias(f"{col}_t2"),
+        )
+
+    def tercile(col: str, invert: bool) -> F.Column:
+        # terciles 1..3; recency inverts (smaller days-ago = better)
+        raw = (
+            F.when(F.col(col) <= F.col(f"{col}_t1"), 1)
+            .when(F.col(col) <= F.col(f"{col}_t2"), 2)
+            .otherwise(3)
+        )
+        return (F.lit(4) - raw) if invert else raw
+
+    scored = (
+        rfm.crossJoin(F.broadcast(boundaries("rec")))
+        .crossJoin(F.broadcast(boundaries("freq")))
+        .crossJoin(F.broadcast(boundaries("mon")))
+        .select(
+            F.concat(
+                F.lit("R"),
+                tercile("rec", invert=True).cast("string"),
+                F.lit("F"),
+                tercile("freq", invert=False).cast("string"),
+                F.lit("M"),
+                tercile("mon", invert=False).cast("string"),
+            ).alias("segment")
+        )
+    )
+    return scored.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+_RFM_SQL = """
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders),
+mx AS (SELECT max(day) AS mxd FROM o),
+rfm AS (
+  SELECT o_custkey,
+         min(date_diff('day', day, mxd)) AS rec,
+         count(*) AS freq,
+         sum(cents) AS mon
+  FROM o CROSS JOIN mx GROUP BY 1),
+rb AS (
+  SELECT min(CASE WHEN cum * 3 >= total THEN v END) AS rec_t1,
+         min(CASE WHEN cum * 3 >= 2 * total THEN v END) AS rec_t2
+  FROM (SELECT rec AS v,
+               sum(count(*)) OVER (ORDER BY rec
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(count(*)) OVER () AS total
+        FROM rfm GROUP BY rec)),
+fb AS (
+  SELECT min(CASE WHEN cum * 3 >= total THEN v END) AS freq_t1,
+         min(CASE WHEN cum * 3 >= 2 * total THEN v END) AS freq_t2
+  FROM (SELECT freq AS v,
+               sum(count(*)) OVER (ORDER BY freq
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(count(*)) OVER () AS total
+        FROM rfm GROUP BY freq)),
+mb AS (
+  SELECT min(CASE WHEN cum * 3 >= total THEN v END) AS mon_t1,
+         min(CASE WHEN cum * 3 >= 2 * total THEN v END) AS mon_t2
+  FROM (SELECT mon AS v,
+               sum(count(*)) OVER (ORDER BY mon
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(count(*)) OVER () AS total
+        FROM rfm GROUP BY mon))
+SELECT 'R' || CAST(4 - (CASE WHEN rec <= rec_t1 THEN 1
+                             WHEN rec <= rec_t2 THEN 2 ELSE 3 END) AS VARCHAR)
+       || 'F' || CAST(CASE WHEN freq <= freq_t1 THEN 1
+                           WHEN freq <= freq_t2 THEN 2 ELSE 3 END AS VARCHAR)
+       || 'M' || CAST(CASE WHEN mon <= mon_t1 THEN 1
+                           WHEN mon <= mon_t2 THEN 2 ELSE 3 END AS VARCHAR)
+         AS segment,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM rfm CROSS JOIN rb CROSS JOIN fb CROSS JOIN mb
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "cumulative_distinct_users": QuerySpec(
         _cumulative_distinct_users, _CUMULATIVE_USERS_SQL
@@ -2346,4 +2561,8 @@ QUERIES: dict[str, QuerySpec] = {
         _new_vs_returning_revenue, _NEW_RETURNING_SQL
     ),
     "weekday_profile": QuerySpec(_weekday_profile, _WEEKDAY_SQL),
+    "basket_part_pairs": QuerySpec(_basket_part_pairs, _BASKET_SQL),
+    "customer_rfm_segments": QuerySpec(
+        _customer_rfm_segments, _RFM_SQL
+    ),
 }
