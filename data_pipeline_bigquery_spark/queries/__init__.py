@@ -23,29 +23,27 @@ class QuerySpec:
     oracle: str | None  # DuckDB SQL, or None → driver runs rows-only check
 
 
-def registry() -> dict[str, QuerySpec]:
-    from data_pipeline_bigquery_spark.queries import (
-        analytics5,
-        core,
-        coverage,
-        coverage2,
-        coverage3,
-        coverage4,
-        corpus_ops,
-        curation,
-        curation2,
-        formats,
-        extensions,
-        pipelines,
-        sketches,
-        training,
-    )
+# the ONE list of registry modules — registry() and the collision
+# guard in tests/test_oracle_parity.py both iterate this, so adding a
+# module here automatically puts it under the shadowing check
+MODULE_NAMES = (
+    "core", "pipelines", "coverage", "coverage2", "coverage3",
+    "coverage4", "corpus_ops", "formats", "extensions", "training",
+    "curation", "curation2", "sketches", "analytics5",
+)
 
+
+def registry_modules():
+    import importlib
+
+    return [
+        importlib.import_module(f"data_pipeline_bigquery_spark.queries.{n}")
+        for n in MODULE_NAMES
+    ]
+
+
+def registry() -> dict[str, QuerySpec]:
     merged: dict[str, QuerySpec] = {}
-    for mod in (
-        core, pipelines, coverage, coverage2, coverage3, coverage4,
-        corpus_ops, formats, extensions, training, curation, curation2, sketches,
-        analytics5,
-    ):
+    for mod in registry_modules():
         merged.update(mod.QUERIES)
     return merged

@@ -1657,9 +1657,11 @@ def _revenue_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey", "n_name", "n_regionkey"
     )
     reg = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    # nation/region are fixed-size dims → forced broadcast; customer
+    # grows with scale factor, so AQE decides that join
     nation_rev = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .groupBy("r_name", "n_name")
@@ -1748,6 +1750,39 @@ _KS_TYPE_A = "click"
 _KS_TYPE_B = "view"
 
 
+def _drift_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared KS / Mann-Whitney prep: cents-grain counts (ca, cb) of
+    the two compared event types.  NULL values are excluded HERE, on
+    both engines — Spark windows order NULLS FIRST while DuckDB orders
+    NULLS LAST, so a NULL grain row would shift every cumulative count
+    differently per engine."""
+    return (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(_KS_TYPE_A, _KS_TYPE_B))
+        .select(
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+            (F.col("event_type") == _KS_TYPE_A).cast("long").alias("is_a"),
+            (F.col("event_type") == _KS_TYPE_B).cast("long").alias("is_b"),
+        )
+        .filter(F.col("cents").isNotNull())
+        .groupBy("cents")
+        .agg(F.sum("is_a").alias("ca"), F.sum("is_b").alias("cb"))
+    )
+
+
+_DRIFT_CTES = f"""ev AS (
+  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         CASE WHEN event_type = '{_KS_TYPE_A}' THEN 1 ELSE 0 END AS is_a,
+         CASE WHEN event_type = '{_KS_TYPE_B}' THEN 1 ELSE 0 END AS is_b
+  FROM events
+  WHERE event_type IN ('{_KS_TYPE_A}', '{_KS_TYPE_B}')
+    AND value IS NOT NULL),
+grain AS (
+  SELECT cents, sum(is_a) AS ca, sum(is_b) AS cb FROM ev GROUP BY 1)"""
+
+
 def _value_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov drift between the value
     distributions of two event types — the distribution-shift audit a
@@ -1760,27 +1795,15 @@ def _value_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     division at the very end.  The cumulative window runs on
     VALUE-DOMAIN grain (distinct cent values — bounded by the price
     domain, not the row count) after a cents-keyed aggregate."""
-    ev = (
-        load(spark, sf_dir, "events")
-        .filter(F.col("event_type").isin(_KS_TYPE_A, _KS_TYPE_B))
-        .select(
-            (F.col("value").cast("decimal(18,2)") * 100)
-            .cast("long")
-            .alias("cents"),
-            (F.col("event_type") == _KS_TYPE_A).cast("long").alias("is_a"),
-            (F.col("event_type") == _KS_TYPE_B).cast("long").alias("is_b"),
-        )
-    )
-    grain = ev.groupBy("cents").agg(
-        F.sum("is_a").alias("ca"), F.sum("is_b").alias("cb")
-    )
+    grain = _drift_grain(spark, sf_dir)
     w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
     cum = grain.select(
         F.sum("ca").over(w).alias("cum_a"),
         F.sum("cb").over(w).alias("cum_b"),
     )
-    totals = ev.agg(
-        F.sum("is_a").alias("n_a"), F.sum("is_b").alias("n_b")
+    # totals reduce from the grain — no second scan of events
+    totals = grain.agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
     )
     diff = F.abs(
         F.col("cum_a").cast("decimal(38,0)") * F.col("n_b")
@@ -1807,19 +1830,13 @@ def _value_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KS_SQL = f"""
-WITH ev AS (
-  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
-         CASE WHEN event_type = '{_KS_TYPE_A}' THEN 1 ELSE 0 END AS is_a,
-         CASE WHEN event_type = '{_KS_TYPE_B}' THEN 1 ELSE 0 END AS is_b
-  FROM events WHERE event_type IN ('{_KS_TYPE_A}', '{_KS_TYPE_B}')),
-grain AS (
-  SELECT cents, sum(is_a) AS ca, sum(is_b) AS cb FROM ev GROUP BY 1),
+WITH {_DRIFT_CTES},
 cum AS (
   SELECT sum(ca) OVER w AS cum_a, sum(cb) OVER w AS cum_b
   FROM grain
   WINDOW w AS (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
                AND CURRENT ROW)),
-tot AS (SELECT sum(is_a) AS n_a, sum(is_b) AS n_b FROM ev)
+tot AS (SELECT sum(ca) AS n_a, sum(cb) AS n_b FROM grain)
 SELECT CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b,
        CAST(max(abs(CAST(cum_a AS HUGEINT) * n_b
                     - CAST(cum_b AS HUGEINT) * n_a)) AS BIGINT) AS ks_scaled,
@@ -1987,21 +2004,9 @@ def _value_drift_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Products route through DECIMAL(38,0) (cum·count reaches n² long
     before int64 dies at corpus scale); ONE IEEE division yields the
-    AUC.  Same value-domain-grain cumulative window as KS."""
-    ev = (
-        load(spark, sf_dir, "events")
-        .filter(F.col("event_type").isin(_KS_TYPE_A, _KS_TYPE_B))
-        .select(
-            (F.col("value").cast("decimal(18,2)") * 100)
-            .cast("long")
-            .alias("cents"),
-            (F.col("event_type") == _KS_TYPE_A).cast("long").alias("is_a"),
-            (F.col("event_type") == _KS_TYPE_B).cast("long").alias("is_b"),
-        )
-    )
-    grain = ev.groupBy("cents").agg(
-        F.sum("is_a").alias("ca"), F.sum("is_b").alias("cb")
-    )
+    AUC.  Shares ``_drift_grain`` (cents-grain counts, NULL-guarded)
+    with the KS op."""
+    grain = _drift_grain(spark, sf_dir)
     w = Window.orderBy("cents").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -2036,13 +2041,7 @@ def _value_drift_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MANNWHITNEY_SQL = f"""
-WITH ev AS (
-  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
-         CASE WHEN event_type = '{_KS_TYPE_A}' THEN 1 ELSE 0 END AS is_a,
-         CASE WHEN event_type = '{_KS_TYPE_B}' THEN 1 ELSE 0 END AS is_b
-  FROM events WHERE event_type IN ('{_KS_TYPE_A}', '{_KS_TYPE_B}')),
-grain AS (
-  SELECT cents, sum(is_a) AS ca, sum(is_b) AS cb FROM ev GROUP BY 1),
+WITH {_DRIFT_CTES},
 wp AS (
   SELECT ca, cb,
          COALESCE(sum(ca + cb) OVER (ORDER BY cents
@@ -2063,6 +2062,31 @@ FROM sums
 
 # --- cohort LTV curve --------------------------------------------------------
 
+def _orders_with_first_ym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared growth-metric prep: every order with its integer month
+    key (year·12+month) and the customer's FIRST-ever order month —
+    the one definition of 'new customer' / 'cohort' that
+    ``cohort_ltv_curve`` and ``new_vs_returning_revenue`` must agree
+    on.  Columns: o_custkey, ym, first_ym, v (DECIMAL)."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+    )
+    first = orders.groupBy("o_custkey").agg(F.min("ym").alias("first_ym"))
+    return orders.join(first, "o_custkey")
+
+
+_FIRST_YM_CTES = """o AS (
+  SELECT o_custkey,
+         year(o_orderdate) * 12 + month(o_orderdate) AS ym,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS v
+  FROM orders),
+first AS (SELECT o_custkey, min(ym) AS first_ym FROM o GROUP BY 1),
+of AS (SELECT o.o_custkey, o.ym, o.v, f.first_ym
+       FROM o JOIN first f USING (o_custkey))"""
+
+
 def _cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative revenue per acquisition cohort by month offset — the
     LTV curve finance actually plots (``cohort_retention`` counts
@@ -2071,18 +2095,13 @@ def _cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     (year·12+month, no cross-engine months_between semantics); revenue
     sums in DECIMAL; the cumulative window runs on (cohort × offset)
     grain — dozens of rows.  Exchanges: one per-customer min, one
-    cohort-grain aggregate."""
-    orders = load(spark, sf_dir, "orders").select(
-        "o_custkey",
-        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym"),
-        F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
-    )
-    first = orders.groupBy("o_custkey").agg(F.min("ym").alias("cohort_ym"))
+    cohort-grain aggregate.  Cohort definition shared with
+    ``new_vs_returning_revenue`` via ``_orders_with_first_ym``."""
     cells = (
-        orders.join(first, "o_custkey")
+        _orders_with_first_ym(spark, sf_dir)
         .groupBy(
-            "cohort_ym",
-            (F.col("ym") - F.col("cohort_ym")).alias("month_offset"),
+            F.col("first_ym").alias("cohort_ym"),
+            (F.col("ym") - F.col("first_ym")).alias("month_offset"),
         )
         .agg(F.sum("v").alias("rev"))
     )
@@ -2098,16 +2117,12 @@ def _cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_COHORT_LTV_SQL = """
-WITH o AS (
-  SELECT o_custkey,
-         year(o_orderdate) * 12 + month(o_orderdate) AS ym,
-         CAST(o_totalprice AS DECIMAL(18,2)) AS v
-  FROM orders),
-first AS (SELECT o_custkey, min(ym) AS cohort_ym FROM o GROUP BY 1),
+_COHORT_LTV_SQL = f"""
+WITH {_FIRST_YM_CTES},
 cells AS (
-  SELECT f.cohort_ym, o.ym - f.cohort_ym AS month_offset, sum(o.v) AS rev
-  FROM o JOIN first f USING (o_custkey) GROUP BY 1, 2)
+  SELECT first_ym AS cohort_ym, ym - first_ym AS month_offset,
+         sum(v) AS rev
+  FROM of GROUP BY 1, 2)
 SELECT cohort_ym, month_offset,
        CAST(sum(rev) OVER (PARTITION BY cohort_ym ORDER BY month_offset
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
@@ -2194,15 +2209,10 @@ def _new_vs_returning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     month) vs RETURNING — the growth-mix metric every revenue review
     opens with.  The newness flag derives from a per-customer min
     (one user-keyed exchange) joined back; integer year·12+month keys;
-    DECIMAL sums; the output is month-grain."""
-    orders = load(spark, sf_dir, "orders").select(
-        "o_custkey",
-        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym"),
-        F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
-    )
-    first = orders.groupBy("o_custkey").agg(F.min("ym").alias("first_ym"))
+    DECIMAL sums; the output is month-grain.  Newness definition
+    shared with ``cohort_ltv_curve`` via ``_orders_with_first_ym``."""
     return (
-        orders.join(first, "o_custkey")
+        _orders_with_first_ym(spark, sf_dir)
         .groupBy("ym")
         .agg(
             F.sum(
@@ -2226,13 +2236,8 @@ def _new_vs_returning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NEW_RETURNING_SQL = """
-WITH o AS (
-  SELECT o_custkey,
-         year(o_orderdate) * 12 + month(o_orderdate) AS ym,
-         CAST(o_totalprice AS DECIMAL(18,2)) AS v
-  FROM orders),
-first AS (SELECT o_custkey, min(ym) AS first_ym FROM o GROUP BY 1)
+_NEW_RETURNING_SQL = f"""
+WITH {_FIRST_YM_CTES}
 SELECT ym,
        CAST(sum(CASE WHEN ym = first_ym THEN v
                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS new_revenue,
@@ -2241,7 +2246,7 @@ SELECT ym,
          AS returning_revenue,
        CAST(sum(CASE WHEN ym = first_ym THEN 1 ELSE 0 END) AS BIGINT)
          AS n_new_orders
-FROM o JOIN first USING (o_custkey)
+FROM of
 GROUP BY 1
 """
 
@@ -2310,22 +2315,20 @@ def _basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_part")
     )
     totals = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    # part_counts is catalog-proportional — no forced broadcast; AQE
+    # picks the strategy per scale (only the 1-row totals force)
     return (
         pair_counts.join(
-            F.broadcast(
-                part_counts.select(
-                    F.col("l_partkey").alias("part_a"),
-                    F.col("n_part").alias("n_a"),
-                )
+            part_counts.select(
+                F.col("l_partkey").alias("part_a"),
+                F.col("n_part").alias("n_a"),
             ),
             "part_a",
         )
         .join(
-            F.broadcast(
-                part_counts.select(
-                    F.col("l_partkey").alias("part_b"),
-                    F.col("n_part").alias("n_b"),
-                )
+            part_counts.select(
+                F.col("l_partkey").alias("part_b"),
+                F.col("n_part").alias("n_b"),
             ),
             "part_b",
         )
@@ -2377,9 +2380,12 @@ def _customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension's tercile boundaries come from a DOMAIN-GRAIN cumulative
     histogram with the integer rank rule (``cum·3 ≥ k·total``), the
     three tiny boundary tables broadcast back, and every customer
-    scores in one pass.  Monetary uses integer cents; recency uses
-    integer days-before-max; all boundary comparisons are exact, so
-    segment assignment is engine-deterministic."""
+    scores in one pass.  Recency (days) and frequency (small ints)
+    have naturally bounded domains; monetary per-customer cent sums
+    are near-distinct, so its histogram runs at $100-BAND grain
+    (``mon div 10000``) — a bounded domain again, with the tercile
+    boundary exact at band resolution.  All comparisons are integer,
+    so segment assignment is engine-deterministic."""
     orders = load(spark, sf_dir, "orders").select(
         "o_custkey",
         F.to_date("o_orderdate").alias("day"),
@@ -2396,6 +2402,7 @@ def _customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("freq"),
             F.sum("cents").alias("mon"),
         )
+        .withColumn("mon_band", F.expr("mon div 10000"))
     )
 
     def boundaries(col: str):
@@ -2430,7 +2437,7 @@ def _customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         rfm.crossJoin(F.broadcast(boundaries("rec")))
         .crossJoin(F.broadcast(boundaries("freq")))
-        .crossJoin(F.broadcast(boundaries("mon")))
+        .crossJoin(F.broadcast(boundaries("mon_band")))
         .select(
             F.concat(
                 F.lit("R"),
@@ -2438,7 +2445,7 @@ def _customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("F"),
                 tercile("freq", invert=False).cast("string"),
                 F.lit("M"),
-                tercile("mon", invert=False).cast("string"),
+                tercile("mon_band", invert=False).cast("string"),
             ).alias("segment")
         )
     )
@@ -2457,7 +2464,7 @@ rfm AS (
   SELECT o_custkey,
          min(date_diff('day', day, mxd)) AS rec,
          count(*) AS freq,
-         sum(cents) AS mon
+         sum(cents) // 10000 AS mon_band
   FROM o CROSS JOIN mx GROUP BY 1),
 rb AS (
   SELECT min(CASE WHEN cum * 3 >= total THEN v END) AS rec_t1,
@@ -2476,19 +2483,19 @@ fb AS (
                sum(count(*)) OVER () AS total
         FROM rfm GROUP BY freq)),
 mb AS (
-  SELECT min(CASE WHEN cum * 3 >= total THEN v END) AS mon_t1,
-         min(CASE WHEN cum * 3 >= 2 * total THEN v END) AS mon_t2
-  FROM (SELECT mon AS v,
-               sum(count(*)) OVER (ORDER BY mon
+  SELECT min(CASE WHEN cum * 3 >= total THEN v END) AS mon_band_t1,
+         min(CASE WHEN cum * 3 >= 2 * total THEN v END) AS mon_band_t2
+  FROM (SELECT mon_band AS v,
+               sum(count(*)) OVER (ORDER BY mon_band
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
                sum(count(*)) OVER () AS total
-        FROM rfm GROUP BY mon))
+        FROM rfm GROUP BY mon_band))
 SELECT 'R' || CAST(4 - (CASE WHEN rec <= rec_t1 THEN 1
                              WHEN rec <= rec_t2 THEN 2 ELSE 3 END) AS VARCHAR)
        || 'F' || CAST(CASE WHEN freq <= freq_t1 THEN 1
                            WHEN freq <= freq_t2 THEN 2 ELSE 3 END AS VARCHAR)
-       || 'M' || CAST(CASE WHEN mon <= mon_t1 THEN 1
-                           WHEN mon <= mon_t2 THEN 2 ELSE 3 END AS VARCHAR)
+       || 'M' || CAST(CASE WHEN mon_band <= mon_band_t1 THEN 1
+                           WHEN mon_band <= mon_band_t2 THEN 2 ELSE 3 END AS VARCHAR)
          AS segment,
        CAST(count(*) AS BIGINT) AS n_customers
 FROM rfm CROSS JOIN rb CROSS JOIN fb CROSS JOIN mb

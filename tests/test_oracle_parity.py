@@ -34,17 +34,12 @@ def test_registry_has_no_cross_module_key_collisions():
     """registry() merges module QUERIES dicts with dict.update — a
     duplicate key would silently shadow an earlier module's operator
     and its oracle.  Fail loudly instead."""
-    import data_pipeline_bigquery_spark.queries as qpkg
-    from data_pipeline_bigquery_spark.queries import registry
+    from data_pipeline_bigquery_spark.queries import (
+        registry,
+        registry_modules,
+    )
 
-    mods = [
-        getattr(qpkg, name)
-        for name in (
-            "core", "pipelines", "coverage", "coverage2", "coverage3",
-            "coverage4", "corpus_ops", "formats", "extensions", "training",
-            "curation", "curation2", "sketches", "analytics5",
-        )
-    ]
+    mods = registry_modules()
     seen: dict = {}
     dups = []
     for m in mods:
