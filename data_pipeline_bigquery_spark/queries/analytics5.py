@@ -2503,6 +2503,57 @@ GROUP BY 1
 """
 
 
+# --- per-source quality matrix -----------------------------------------------
+
+def _source_quality_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (source, lang): document count and mean quality — the
+    curation dashboard's headline table, telling you which feeds to
+    cap or re-crawl.  The per-doc quality doubles (round-6 composites)
+    sum through DECIMAL(38,12) so partial-aggregation order can't
+    change the mean; one corpus scan, one (source, lang)-keyed
+    exchange."""
+    from data_pipeline_bigquery_spark.extensions.text_analysis import (
+        quality_score,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    q = quality_score(docs, "doc_id", "text").select("doc_id", "quality")
+    meta = docs.select("doc_id", "source", "lang")
+    return (
+        meta.join(q, "doc_id")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                (
+                    F.sum(F.col("quality").cast("decimal(38,12)"))
+                    / F.count(F.lit(1))
+                ).cast("double"),
+                6,
+            ).alias("mean_quality"),
+        )
+    )
+
+
+_SOURCE_QUALITY_SQL = """
+WITH w AS (SELECT doc_id, source, lang, lower(text) AS t,
+                  string_split(lower(text), ' ') AS words
+           FROM documents),
+q AS (SELECT doc_id, source, lang,
+             round(
+               CAST(len(list_filter(words,
+                        x -> list_contains(['the','a','and','of'], x))) AS DOUBLE)
+                 / CAST(len(words) AS DOUBLE) * 0.5
+               + CAST(length(regexp_replace(t, '[^a-z]', '', 'g')) AS DOUBLE)
+                 / CAST(length(t) AS DOUBLE) * 0.5, 6) AS quality
+      FROM w)
+SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(round(sum(CAST(quality AS DECIMAL(38,12))) / count(*), 6)
+            AS DOUBLE) AS mean_quality
+FROM q GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "cumulative_distinct_users": QuerySpec(
         _cumulative_distinct_users, _CUMULATIVE_USERS_SQL
@@ -2571,5 +2622,8 @@ QUERIES: dict[str, QuerySpec] = {
     "basket_part_pairs": QuerySpec(_basket_part_pairs, _BASKET_SQL),
     "customer_rfm_segments": QuerySpec(
         _customer_rfm_segments, _RFM_SQL
+    ),
+    "source_quality_matrix": QuerySpec(
+        _source_quality_matrix, _SOURCE_QUALITY_SQL
     ),
 }

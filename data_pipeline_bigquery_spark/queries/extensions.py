@@ -294,6 +294,36 @@ FROM ranked GROUP BY 1
     )
 
 
+# --- dedup cluster telemetry -------------------------------------------------
+
+def _dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of near-dup cluster sizes — the curation telemetry
+    that tells you whether dedup is trimming pairs (healthy) or
+    collapsing half the corpus into one blob (a threshold bug).  One
+    extra size-grain aggregate on top of the components output; the
+    histogram is bounded by max cluster size."""
+    comp = connected_components(_dedup_minhash(spark, sf_dir))
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+
+
+def _cluster_sizes_sql() -> str:
+    return (
+        "WITH RECURSIVE "
+        + _minhash_ctes()
+        + _CLUSTER_CTES
+        + """,
+sizes AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1)
+SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY 1
+"""
+    )
+
+
 # --- simhash -----------------------------------------------------------------
 
 def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1081,6 +1111,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_clusters": QuerySpec(_dedup_clusters, _clusters_sql()),
     "dedup_near_corpus": QuerySpec(_dedup_near_corpus, _dedup_near_corpus_sql()),
     "dedup_keep_best_quality": QuerySpec(_dedup_keep_best_quality, _keep_best_sql()),
+    "dedup_cluster_sizes": QuerySpec(_dedup_cluster_sizes, _cluster_sizes_sql()),
     "dedup_simhash": QuerySpec(_dedup_simhash, _simhash_sql()),
     "dedup_ngram_jaccard": QuerySpec(_ngram_jaccard, _JACCARD_SQL),
     "dedup_containment": QuerySpec(_dedup_containment, _CONTAINMENT_SQL),
