@@ -2554,6 +2554,88 @@ FROM q GROUP BY 1, 2
 """
 
 
+# --- funnel window sensitivity -----------------------------------------------
+
+def _funnel_window_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion at THREE attribution windows (1d /
+    7d / 30d) in ONE pass — the sensitivity sweep that tells you
+    whether a reported conversion rate is an artifact of the window
+    choice.  Per user: first signup, then first purchase at or after
+    it (two min-aggregates on the same user key); the delta feeds
+    three conditional counts; rates are integer permille.  No
+    per-window rescan — the window parameter is a predicate, not a
+    job."""
+    ev = load(spark, sf_dir, "events")
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    first_after = (
+        signup.join(purch, "user_id")
+        .filter(F.col("p_ts") >= F.col("signup_ts"))
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("p_ts").alias("first_purchase"))
+    )
+    delta_s = to_epoch_seconds("first_purchase") - to_epoch_seconds(
+        "signup_ts"
+    )
+    joined = signup.join(
+        first_after.select("user_id", "first_purchase"), "user_id", "left"
+    ).select(
+        delta_s.alias("delta_s"),
+    )
+
+    def conv(days: int) -> F.Column:
+        return F.sum(
+            (
+                F.col("delta_s").isNotNull()
+                & (F.col("delta_s") <= days * 86400)
+            ).cast("long")
+        )
+
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_signup_users"),
+        conv(1).alias("c1"),
+        conv(7).alias("c7"),
+        conv(30).alias("c30"),
+    ).select(
+        "n_signup_users",
+        F.expr("c1 * 1000 div n_signup_users").alias("conv_1d_permille"),
+        F.expr("c7 * 1000 div n_signup_users").alias("conv_7d_permille"),
+        F.expr("c30 * 1000 div n_signup_users").alias("conv_30d_permille"),
+    )
+
+
+_FUNNEL_WINDOW_SQL = """
+WITH s AS (
+  SELECT user_id, min(ts) AS signup_ts FROM events
+  WHERE event_type = 'signup' GROUP BY 1),
+fa AS (
+  SELECT s.user_id, min(e.ts) AS first_purchase
+  FROM s JOIN events e ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+  GROUP BY 1),
+d AS (
+  SELECT epoch(fa.first_purchase) - epoch(s.signup_ts) AS delta_s
+  FROM s LEFT JOIN fa USING (user_id))
+SELECT CAST(count(*) AS BIGINT) AS n_signup_users,
+       CAST(sum(CASE WHEN delta_s IS NOT NULL AND delta_s <= 86400
+                THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
+         AS conv_1d_permille,
+       CAST(sum(CASE WHEN delta_s IS NOT NULL AND delta_s <= 7 * 86400
+                THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
+         AS conv_7d_permille,
+       CAST(sum(CASE WHEN delta_s IS NOT NULL AND delta_s <= 30 * 86400
+                THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
+         AS conv_30d_permille
+FROM d
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "cumulative_distinct_users": QuerySpec(
         _cumulative_distinct_users, _CUMULATIVE_USERS_SQL
@@ -2625,5 +2707,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "source_quality_matrix": QuerySpec(
         _source_quality_matrix, _SOURCE_QUALITY_SQL
+    ),
+    "funnel_window_sensitivity": QuerySpec(
+        _funnel_window_sensitivity, _FUNNEL_WINDOW_SQL
     ),
 }
