@@ -2636,6 +2636,66 @@ FROM d
 """
 
 
+# --- supplier concentration (HHI) --------------------------------------------
+
+def _supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman index of supplier revenue concentration —
+    the antitrust-style audit that pairs with ``revenue_gini``
+    (customers) on the supply side.  ``HHI = Σ shareᵢ²`` computes
+    without per-supplier float shares: Σ revᵢ² and (Σ rev)² stay exact
+    DECIMAL (cents², well inside DECIMAL(38)), and ONE IEEE division
+    scales to the conventional 0–10000 basis points.  One supplier-
+    keyed aggregate; the final reduce is rows=suppliers."""
+    rev = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (
+                        F.lit(1.0).cast("decimal(18,2)")
+                        - F.col("l_discount").cast("decimal(18,2)")
+                    )
+                ).cast("decimal(18,2)")
+            ).alias("rev")
+        )
+    )
+    return rev.agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.round(
+            F.lit(10000.0)
+            * F.sum(
+                F.col("rev").cast("decimal(38,4)")
+                * F.col("rev").cast("decimal(38,4)")
+            ).cast("double")
+            / (
+                F.sum("rev").cast("double")
+                * F.sum("rev").cast("double")
+            ),
+            6,
+        ).alias("hhi_bps"),
+    )
+
+
+_SUPPLIER_HHI_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1.0 AS DECIMAL(18,2))
+                     - CAST(l_discount AS DECIMAL(18,2)))
+                  AS DECIMAL(18,2))) AS rev
+  FROM lineitem GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_suppliers,
+       round(10000.0
+             * CAST(sum(CAST(rev AS DECIMAL(38,4))
+                        * CAST(rev AS DECIMAL(38,4))) AS DOUBLE)
+             / (CAST(sum(rev) AS DOUBLE) * CAST(sum(rev) AS DOUBLE)), 6)
+         AS hhi_bps
+FROM rev
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "cumulative_distinct_users": QuerySpec(
         _cumulative_distinct_users, _CUMULATIVE_USERS_SQL
@@ -2711,4 +2771,5 @@ QUERIES: dict[str, QuerySpec] = {
     "funnel_window_sensitivity": QuerySpec(
         _funnel_window_sensitivity, _FUNNEL_WINDOW_SQL
     ),
+    "supplier_hhi": QuerySpec(_supplier_hhi, _SUPPLIER_HHI_SQL),
 }
