@@ -2696,6 +2696,77 @@ FROM rev
 """
 
 
+# --- inter-event burstiness --------------------------------------------------
+
+def _event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness index B = (σ−μ)/(σ+μ) of inter-event gaps per event
+    type (−1 = perfectly periodic, 0 = Poisson, →1 = extreme bursts) —
+    the stream-characterization metric that says whether arrivals are
+    schedulable or bursty.  All statistics derive from EXACT integer
+    sums (n, Σd, Σd² over second-grain gaps): σ and μ only become
+    doubles in the final fixed expression
+    ``(sqrt(n·Σd²−(Σd)²·… ) − …) / (… + …)`` — every step is a
+    correctly-rounded IEEE op on identical inputs, so the result is
+    bit-deterministic.  Per-type lag window keyed on the type, then a
+    type-grain reduce."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (
+            to_epoch_seconds("ts") - to_epoch_seconds(F.lag("ts").over(w))
+        ).alias("d"),
+    ).filter(F.col("d").isNotNull())
+    agg = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("d").alias("s"),
+        F.sum(F.col("d") * F.col("d")).alias("q"),
+    )
+    # σ/μ = sqrt(n·q − s²) / s  (population σ over mean), so
+    # B = (sqrt(n·q − s²) − s) / (sqrt(n·q − s²) + s) — one sqrt of an
+    # exact wide integer (n·q and s² overflow int64 under extreme
+    # gap/volume combinations → DECIMAL here, HUGEINT in the oracle)
+    nq_s2 = (
+        F.col("n").cast("decimal(38,0)") * F.col("q")
+        - F.col("s").cast("decimal(38,0)") * F.col("s")
+    )
+    r = F.sqrt(nq_s2.cast("double"))
+    return agg.select(
+        "event_type",
+        "n",
+        F.round(
+            (r - F.col("s").cast("double")) / (r + F.col("s").cast("double")),
+            6,
+        ).alias("burstiness"),
+    )
+
+
+_BURSTINESS_SQL = """
+WITH gaps AS (
+  -- floor() each epoch BEFORE subtracting: DuckDB's epoch() keeps
+  -- microseconds while the Spark side truncates to whole seconds,
+  -- and floor-of-each is what second-grain gap arithmetic means
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - CAST(floor(epoch(lag(ts) OVER (PARTITION BY event_type
+                                            ORDER BY ts, event_id)))
+                  AS BIGINT) AS d
+  FROM events),
+agg AS (
+  SELECT event_type, count(*) AS n, sum(d) AS s, sum(d * d) AS q
+  FROM gaps WHERE d IS NOT NULL GROUP BY 1)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       round((sqrt(CAST(CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s
+                        AS DOUBLE)) - CAST(s AS DOUBLE))
+             / (sqrt(CAST(CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s
+                          AS DOUBLE)) + CAST(s AS DOUBLE)), 6)
+         AS burstiness
+FROM agg
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "cumulative_distinct_users": QuerySpec(
         _cumulative_distinct_users, _CUMULATIVE_USERS_SQL
@@ -2772,4 +2843,5 @@ QUERIES: dict[str, QuerySpec] = {
         _funnel_window_sensitivity, _FUNNEL_WINDOW_SQL
     ),
     "supplier_hhi": QuerySpec(_supplier_hhi, _SUPPLIER_HHI_SQL),
+    "event_burstiness": QuerySpec(_event_burstiness, _BURSTINESS_SQL),
 }
