@@ -205,3 +205,20 @@ def test_skyline_prefix_scan_stays_bucket_partitioned(spark, reg):
 
     singles = [n for n in plan_nodes(df) if "Exchange SinglePartition" in n]
     assert len(singles) <= 1
+
+
+def test_basket_pairs_no_cartesian_bounded_joins(spark, reg):
+    # the within-order self-join must stay an equi-join on l_orderkey
+    df = _q(reg, spark, "basket_part_pairs")
+    assert_no_cartesian(df, allow_broadcast_nl=1)  # 1-row totals
+    assert count_nodes(df, "TakeOrderedAndProject") == 1
+
+
+def test_rfm_windows_stay_domain_grain(spark, reg):
+    # boundary windows run on rec/freq/mon-band domains; the scoring
+    # pass must not introduce a data-sized cartesian
+    # 7 one-row broadcasts: the max-day join replays in each of the 4
+    # branches that re-derive rfm (scoring + 3 boundary aggregates),
+    # plus the 3 boundary-row joins — all 1-row sides, zero cartesians
+    df = _q(reg, spark, "customer_rfm_segments")
+    assert_no_cartesian(df, allow_broadcast_nl=7)
