@@ -29,7 +29,7 @@ class QuerySpec:
 MODULE_NAMES = (
     "core", "pipelines", "coverage", "coverage2", "coverage3",
     "coverage4", "corpus_ops", "formats", "extensions", "training",
-    "curation", "curation2", "sketches", "analytics5",
+    "curation", "curation2", "sketches", "analytics5", "analytics6",
 )
 
 
