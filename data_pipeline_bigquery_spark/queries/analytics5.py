@@ -593,10 +593,14 @@ def _nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     micros (float→double is exact, ×1e6 correctly rounded, floor
     deterministic — identical int64s on both engines).  The label
     centroid stays a RATIONAL (component sum S, count n) — never a
-    float mean — so the squared distance to centroid scales to
+    float mean — so the squared distance NUMERATOR is
     ``Σ_d (q_d·n − S_d)²``, exact int64 diffs squared in double
     (correctly rounded, identical) and summed through DECIMAL(38,6)
-    (order-exact).  int64 bound: |q·n| ≤ 1e6·n_label, safe below ~9e12
+    (order-exact), then normalized by ``n²`` with ONE correctly-
+    rounded IEEE division so distances COMPARE fairly across labels
+    of different sizes (the unnormalized numerator scales by each
+    label's own n² and biases the argmin toward small labels).
+    int64 bound: |q·n| ≤ 1e6·n_label, safe below ~9e12
     rows per label; beyond that drop _QSCALE.
 
     Plan shape: the 10 (centroid, count) rows broadcast; each vector
@@ -640,7 +644,7 @@ def _nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(0).cast("decimal(38,6)"),
         lambda acc, x: acc + x,
-    )
+    ).cast("double") / (F.col("n_l") * F.col("n_l")).cast("double")
     w = Window.partitionBy("vec_id").orderBy("dist", "c_label")
     return (
         emb.crossJoin(F.broadcast(cents))
@@ -671,12 +675,16 @@ dists AS (
   SELECT e.vec_id, e.label, c.c_label,
          sum(CAST(CAST(e.qi * c.n_l - c.s AS DOUBLE)
                   * CAST(e.qi * c.n_l - c.s AS DOUBLE)
-                  AS DECIMAL(38,6))) AS dist
+                  AS DECIMAL(38,6))) AS num,
+         any_value(c.n_l) AS n_l
   FROM ex e JOIN cent c USING (dim)
   GROUP BY 1, 2, 3),
 r AS (
   SELECT label, c_label,
-         row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_label) AS rn
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY CAST(num AS DOUBLE)
+                                     / CAST(n_l * n_l AS DOUBLE),
+                                     c_label) AS rn
   FROM dists)
 SELECT label, c_label AS assigned, CAST(count(*) AS BIGINT) AS n
 FROM r WHERE rn = 1 GROUP BY 1, 2

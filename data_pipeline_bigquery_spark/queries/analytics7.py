@@ -1,0 +1,387 @@
+"""Coverage batch 7: lake ingestion + warehouse/governance ops.
+
+- ``binary_file_scan`` — the media-lake ingestion path: Spark's
+  built-in ``binaryFile`` source over a directory of files
+  (`sources/media.py`), glob-pruned at listing time.
+- ``pit_dim_lookup`` — point-in-time SCD2 dimension lookup: the
+  as-of join every warehouse with Type-2 dims runs on each fact load.
+- ``multi_touch_attribution`` — position-based (U-shaped) revenue
+  attribution, the successor of ``first_touch_attribution``.
+- ``pii_pseudonymize`` — keyed sha-256 pseudonymization: the
+  reversible-with-key governance twin of ``pii_redaction``'s
+  destructive masking.
+
+All DuckDB-oracled; each docstring carries the 100 TB plan argument.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_bigquery_spark.catalog import load
+from data_pipeline_bigquery_spark.queries import QuerySpec
+from data_pipeline_bigquery_spark.sources.media import (
+    media_inventory,
+    scan_media_dir,
+    write_media_dir,
+)
+
+# --- binaryFile lake scan ----------------------------------------------------
+
+
+def _media_fixture_dir(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_media_{tag}")
+
+
+def _binary_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-lake ingestion (`sources/media.py`): the corpus documents
+    staged as one FILE each (``<doc_id>.txt`` for doc_id % 4 == 0,
+    decoy ``.dat`` otherwise), then scanned back with Spark's built-in
+    ``binaryFile`` source.  ``pathGlobFilter="*.txt"`` prunes the
+    decoys at LISTING time — they are never opened — and file→task
+    assignment rides ``spark.sql.files.maxPartitionBytes`` exactly
+    like parquet, so the same scan distributes over a 100 TB media
+    prefix.  Output is the per-file inventory (name→doc_id, byte
+    size, content md5); the oracle rebuilds each payload from the
+    ``documents`` table and must reproduce every digest, proving the
+    file round-trip AND the binary scan are byte-faithful.
+
+    The staging write is fixture scaffolding (a real lake already has
+    the files) but still runs executor-side via ``foreachPartition``
+    — no driver collect.
+    """
+    path = _media_fixture_dir(sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 4 == 0, ".txt").otherwise(".dat"),
+        ).alias("file_name"),
+        F.encode(
+            F.concat(F.lit("DOC "), F.col("doc_id").cast("string"),
+                     F.lit("\n"), F.col("text")),
+            "UTF-8",
+        ).alias("payload"),
+    )
+    write_media_dir(docs, path, "file_name", "payload")
+    inv = media_inventory(scan_media_dir(spark, path, glob="*.txt"))
+    return inv.select(
+        F.regexp_extract("file_name", r"^(\d+)\.txt$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        "n_bytes",
+        "digest",
+    )
+
+
+_BINARY_FILE_SQL = """
+SELECT doc_id,
+       CAST(strlen('DOC ' || doc_id || chr(10) || text) AS BIGINT) AS n_bytes,
+       md5('DOC ' || doc_id || chr(10) || text) AS digest
+FROM documents WHERE doc_id % 4 = 0
+"""
+
+
+# --- point-in-time SCD2 dimension lookup -------------------------------------
+
+
+def _pit_dim_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time Type-2 lookup: for each fact (orders of the
+    SCD2-tracked customers) find the dimension version valid at a
+    lookup instant 180 days after the order — the ``[valid_from,
+    valid_to)`` containment join every warehouse with SCD2 dims runs
+    on every fact load.
+
+    Scale shape: the join is EQUI on the dimension key with the
+    interval predicate as a residual filter, so it plans as a plain
+    hash join whose per-key fan-out is bounded by versions-per-key
+    (tiny) — never an unbounded range cross product.  Half-open
+    interval semantics: ``valid_from <= ts < valid_to``, open-ended
+    current rows match everything after their start."""
+    from data_pipeline_bigquery_spark.queries.coverage3 import _scd2_history
+
+    dim = _scd2_history(spark, sf_dir).select(
+        F.col("o_custkey").alias("d_custkey"),
+        F.col("o_orderstatus").alias("status_then"),
+        "valid_from",
+        "valid_to",
+    )
+    fact = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.expr("o_orderdate + INTERVAL 180 DAYS").alias("lookup_ts"),
+        )
+    )
+    return fact.join(
+        dim,
+        (fact.o_custkey == dim.d_custkey)
+        & (dim.valid_from <= fact.lookup_ts)
+        & (dim.valid_to.isNull() | (dim.valid_to > fact.lookup_ts)),
+    ).select("o_orderkey", "o_custkey", "lookup_ts", "status_then", "valid_from")
+
+
+_PIT_SQL = """
+WITH w AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+         lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS prev,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders WHERE o_custkey % 10 = 0),
+kept AS (
+  SELECT * FROM w WHERE rn = 1 OR prev IS DISTINCT FROM o_orderstatus),
+dim AS (
+  SELECT o_custkey AS d_custkey, o_orderstatus AS status_then,
+         o_orderdate AS valid_from,
+         lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS valid_to
+  FROM kept),
+fact AS (
+  SELECT o_orderkey, o_custkey,
+         o_orderdate + INTERVAL 180 DAY AS lookup_ts
+  FROM orders WHERE o_custkey % 10 = 0)
+SELECT f.o_orderkey, f.o_custkey, f.lookup_ts, d.status_then, d.valid_from
+FROM fact f JOIN dim d
+  ON f.o_custkey = d.d_custkey
+ AND d.valid_from <= f.lookup_ts
+ AND (d.valid_to IS NULL OR d.valid_to > f.lookup_ts)
+"""
+
+
+# --- position-based multi-touch attribution ----------------------------------
+
+
+def _multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) attribution: each purchase's value is
+    credited 40% to the user's FIRST touch before it, 40% to the LAST,
+    and 20% split evenly across the middles (1 touch → 100%, 2 →
+    50/50).  Completes ``first_touch_attribution`` with the model real
+    marketing teams default to.
+
+    Exactness policy: the weight is an IEEE double built from exact
+    integer counts (0.2/(n−2) is one correctly-rounded division), the
+    credit ``value × weight`` one correctly-rounded product — both
+    bit-identical on every engine — and the per-type SUM routes
+    through DECIMAL(38,12) so partial-aggregation order cannot change
+    the total (the source_quality_matrix pattern).
+
+    Scale shape: the purchases×touches join is user-keyed; fan-out per
+    user is purchases/user × touches/user — bounded by per-user
+    activity, never corpus-quadratic.  The position window partitions
+    on the purchase id (high cardinality, no skew)."""
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    touches = ev.filter(
+        F.col("event_type").isin("view", "click", "signup")
+    ).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("touch_type"),
+    )
+    joined = purchases.join(
+        touches,
+        (purchases.p_user == touches.t_user) & (touches.t_ts < purchases.p_ts),
+    )
+    w = Window.partitionBy("p_id").orderBy("t_ts", "t_id")
+    n = F.count(F.lit(1)).over(Window.partitionBy("p_id"))
+    rn = F.row_number().over(w)
+    weight = (
+        F.when(n == 1, F.lit(1.0))
+        .when((n == 2) & rn.isin(1, 2), F.lit(0.5))
+        .when(rn == 1, F.lit(0.4))
+        .when(rn == n, F.lit(0.4))
+        .otherwise(F.lit(0.2) / (n - F.lit(2)).cast("double"))
+    )
+    return (
+        joined.withColumn("credit", (F.col("p_value") * weight).cast("decimal(38,12)"))
+        .groupBy("touch_type")
+        .agg(
+            F.sum("credit").cast("double").alias("attributed_value"),
+            F.count(F.lit(1)).alias("n_credits"),
+        )
+    )
+
+
+_MTA_SQL = """
+WITH p AS (
+  SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts, value AS p_value
+  FROM events WHERE event_type = 'purchase'),
+t AS (
+  SELECT user_id AS t_user, ts AS t_ts, event_id AS t_id,
+         event_type AS touch_type
+  FROM events WHERE event_type IN ('view', 'click', 'signup')),
+j AS (
+  SELECT p.p_id, p.p_value, t.touch_type,
+         row_number() OVER (PARTITION BY p.p_id ORDER BY t.t_ts, t.t_id) AS rn,
+         count(*) OVER (PARTITION BY p.p_id) AS n
+  FROM p JOIN t ON p.p_user = t.t_user AND t.t_ts < p.p_ts),
+c AS (
+  SELECT touch_type,
+         CAST(p_value * (CASE WHEN n = 1 THEN 1.0::DOUBLE
+                              WHEN n = 2 THEN 0.5::DOUBLE
+                              WHEN rn = 1 OR rn = n THEN 0.4::DOUBLE
+                              ELSE 0.2::DOUBLE / CAST(n - 2 AS DOUBLE) END)
+              AS DECIMAL(38,12)) AS credit
+  FROM j)
+SELECT touch_type, CAST(sum(credit) AS DOUBLE) AS attributed_value,
+       CAST(count(*) AS BIGINT) AS n_credits
+FROM c GROUP BY touch_type
+"""
+
+
+# --- keyed pseudonymization --------------------------------------------------
+
+_PSEUDO_SALT = "tenant-key-2026"
+
+
+def _pii_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed pseudonymization — the governance op `pii_redaction`
+    doesn't cover: identities must be REMOVED from the analytical
+    feed yet stay joinable across tables and re-identifiable by the
+    key holder.  ``sha2(salt ‖ ':' ‖ user_id)`` gives a deterministic
+    pseudonym: same user → same token everywhere (joins survive), no
+    token inverts without the salt, rotating the salt re-keys the
+    whole lake in one pass.  Pure codegen (one hash per row, no
+    shuffle added); the analytical columns pass through untouched."""
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        F.sha2(
+            F.concat(F.lit(_PSEUDO_SALT), F.lit(":"),
+                     F.col("user_id").cast("string")),
+            256,
+        ).alias("user_token"),
+        "event_type",
+        "value",
+    )
+
+
+_PSEUDO_SQL = f"""
+SELECT event_id,
+       sha256('{_PSEUDO_SALT}' || ':' || CAST(user_id AS VARCHAR)) AS user_token,
+       event_type, value
+FROM events
+"""
+
+
+# --- exact-arithmetic Lloyd refinement ---------------------------------------
+
+
+def _kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd (k-means) iterations over the embedding corpus in
+    EXACT arithmetic (`extensions/kmeans.py`), seeded from the label
+    assignment — the iterative-ML pattern on a declarative engine,
+    deterministic enough that the DuckDB oracle unrolls the same two
+    steps and hash-matches bit-for-bit (float k-means never
+    cross-checks like this; see the module docstring for the rational-
+    centroid / int64 / DECIMAL policy).
+
+    Per step the corpus never shuffles: centroids reduce to k rows
+    (map-side partials over exploded components) and broadcast back;
+    assignment is one whole-stage HOF fold per vector.  Output is the
+    per-cluster census after step 2 plus how many vectors left their
+    seed cluster — the convergence telemetry a training loop watches."""
+    from data_pipeline_bigquery_spark.extensions.kmeans import (
+        lloyd_refine,
+        quantize,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", quantize(F.col("embedding")).alias("q")
+    )
+    seeded = emb.select("vec_id", "q", F.col("label").alias("cluster"))
+    final = lloyd_refine(seeded, iters=2)
+    return (
+        final.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("vec_id").alias("sum_vec_id"),
+            F.sum(
+                F.when(F.col("cluster") != F.col("label"), 1).otherwise(0)
+            ).alias("n_moved_from_seed"),
+        )
+    )
+
+
+_KMEANS_SQL = """
+WITH q AS (
+  SELECT vec_id, label,
+         [CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+          for x in embedding] AS qv
+  FROM embeddings),
+ex AS (
+  SELECT vec_id, t.dim, t.qi
+  FROM (SELECT vec_id,
+               unnest([{'dim': i, 'qi': qv[i]}
+                       for i in generate_series(1, len(qv))]) AS t
+        FROM q)),
+a0 AS (SELECT vec_id, label AS cluster FROM q),
+cent1 AS (
+  SELECT a.cluster, e.dim, sum(e.qi) AS s, count(*) AS n_c
+  FROM ex e JOIN a0 a USING (vec_id) GROUP BY 1, 2),
+d1 AS (
+  SELECT e.vec_id, c.cluster,
+         sum(CAST(CAST(e.qi * c.n_c - c.s AS DOUBLE)
+                  * CAST(e.qi * c.n_c - c.s AS DOUBLE)
+                  AS DECIMAL(38,6))) AS num,
+         any_value(c.n_c) AS n_c
+  FROM ex e JOIN cent1 c USING (dim) GROUP BY 1, 2),
+a1 AS (
+  SELECT vec_id, cluster
+  FROM (SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY CAST(num AS DOUBLE)
+                                           / CAST(n_c * n_c AS DOUBLE),
+                                           cluster) AS rn
+        FROM d1)
+  WHERE rn = 1),
+cent2 AS (
+  SELECT a.cluster, e.dim, sum(e.qi) AS s, count(*) AS n_c
+  FROM ex e JOIN a1 a USING (vec_id) GROUP BY 1, 2),
+d2 AS (
+  SELECT e.vec_id, c.cluster,
+         sum(CAST(CAST(e.qi * c.n_c - c.s AS DOUBLE)
+                  * CAST(e.qi * c.n_c - c.s AS DOUBLE)
+                  AS DECIMAL(38,6))) AS num,
+         any_value(c.n_c) AS n_c
+  FROM ex e JOIN cent2 c USING (dim) GROUP BY 1, 2),
+a2 AS (
+  SELECT vec_id, cluster
+  FROM (SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY CAST(num AS DOUBLE)
+                                           / CAST(n_c * n_c AS DOUBLE),
+                                           cluster) AS rn
+        FROM d2)
+  WHERE rn = 1)
+SELECT a2.cluster, CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(a2.vec_id) AS BIGINT) AS sum_vec_id,
+       CAST(sum(CASE WHEN a2.cluster <> q.label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_moved_from_seed
+FROM a2 JOIN q USING (vec_id) GROUP BY 1
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "binary_file_scan": QuerySpec(_binary_file_scan, _BINARY_FILE_SQL),
+    "pit_dim_lookup": QuerySpec(_pit_dim_lookup, _PIT_SQL),
+    "multi_touch_attribution": QuerySpec(_multi_touch_attribution, _MTA_SQL),
+    "pii_pseudonymize": QuerySpec(_pii_pseudonymize, _PSEUDO_SQL),
+    "kmeans_refine_iterations": QuerySpec(_kmeans_refine, _KMEANS_SQL),
+}

@@ -1,0 +1,121 @@
+"""Coverage batch 7 unit tests: media lake scan semantics, PIT lookup
+boundaries, U-shaped attribution weights, pseudonymization properties.
+The oracle sweep (`test_oracle_parity.py`) covers the hash parity; the
+tests here pin the semantics the oracle shares with the engine."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from data_pipeline_bigquery_spark.sources.media import (
+    media_inventory,
+    scan_media_dir,
+    write_media_dir,
+)
+
+
+def test_media_inventory_magic_sniffing_and_glob(spark, tmp_path):
+    payloads = {
+        "a.ppm": b"P6\n2 2 255\n" + b" " * 12,
+        "b.bmp": b"BM" + b"\x00" * 20,
+        "c.wav": b"RIFF\x24\x00\x00\x00WAVE",
+        "d.txt": b"plain text",
+        "skip.log": b"never opened",
+    }
+    df = spark.createDataFrame(
+        [Row(file_name=k, payload=v) for k, v in payloads.items()]
+    )
+    write_media_dir(df, str(tmp_path), "file_name", "payload")
+    assert sorted(os.listdir(tmp_path)) == sorted(payloads)
+
+    # glob pruning: .log never appears
+    inv = media_inventory(
+        scan_media_dir(spark, str(tmp_path), glob="*.{ppm,bmp,wav,txt}")
+    )
+    rows = {r.file_name: r for r in inv.collect()}
+    assert "skip.log" not in rows
+    assert rows["a.ppm"].kind == "ppm"
+    assert rows["b.bmp"].kind == "bmp"
+    assert rows["c.wav"].kind == "riff"
+    assert rows["d.txt"].kind == "unknown"
+    for name, r in rows.items():
+        assert r.n_bytes == len(payloads[name])
+        assert r.digest == hashlib.md5(payloads[name]).hexdigest()
+
+
+def test_pit_lookup_half_open_boundary(spark):
+    """A lookup instant exactly AT a version boundary must resolve to
+    the NEW version (half-open [valid_from, valid_to))."""
+    dim = spark.createDataFrame(
+        [
+            Row(d_custkey=1, status_then="O", valid_from="2020-01-01",
+                valid_to="2020-06-01"),
+            Row(d_custkey=1, status_then="F", valid_from="2020-06-01",
+                valid_to=None),
+        ]
+    ).select(
+        "d_custkey", "status_then",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+    )
+    fact = spark.createDataFrame(
+        [Row(k=1, ts="2020-06-01"), Row(k=1, ts="2020-05-31"),
+         Row(k=1, ts="2021-01-01")]
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    out = fact.join(
+        dim,
+        (fact.k == dim.d_custkey)
+        & (dim.valid_from <= fact.ts)
+        & (dim.valid_to.isNull() | (dim.valid_to > fact.ts)),
+    ).select(F.col("ts").cast("string").alias("ts"), "status_then")
+    got = {r.ts[:10]: r.status_then for r in out.collect()}
+    assert got == {"2020-06-01": "F", "2020-05-31": "O", "2021-01-01": "F"}
+    # exactly one version matches each instant
+    assert out.count() == 3
+
+
+def test_multi_touch_weights_sum_to_one_per_purchase(spark):
+    """For every purchase with >=1 touch, credited weights must sum to
+    1.0 (so total attributed == total attributable revenue), covering
+    the n=1 / n=2 / n>2 branches."""
+    from data_pipeline_bigquery_spark.queries.analytics7 import (
+        _multi_touch_attribution,
+    )
+    from tests.conftest import SF_DIR
+
+    out = _multi_touch_attribution(spark, SF_DIR)
+    total = out.agg(F.sum("attributed_value")).first()[0]
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    p = ev.filter(F.col("event_type") == "purchase").alias("p")
+    t = ev.filter(F.col("event_type").isin("view", "click", "signup")).alias("t")
+    attributable = (
+        p.join(
+            t,
+            (F.col("p.user_id") == F.col("t.user_id"))
+            & (F.col("t.ts") < F.col("p.ts")),
+            "left_semi",
+        )
+        .agg(F.sum(F.col("value").cast("decimal(38,12)")))
+        .first()[0]
+    )
+    assert abs(float(total) - float(attributable)) < 1e-6
+
+
+def test_pseudonymize_is_deterministic_and_collision_free(spark):
+    from data_pipeline_bigquery_spark.queries.analytics7 import (
+        _pii_pseudonymize,
+    )
+    from tests.conftest import SF_DIR
+
+    out = _pii_pseudonymize(spark, SF_DIR)
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n_users = ev.select("user_id").distinct().count()
+    n_tokens = out.select("user_token").distinct().count()
+    assert n_tokens == n_users  # injective on this domain
+    # raw ids never survive into the feed
+    assert "user_id" not in out.columns
