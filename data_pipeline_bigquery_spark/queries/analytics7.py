@@ -279,6 +279,70 @@ FROM events
 """
 
 
+# --- native session_window aggregation ---------------------------------------
+
+
+def _session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE ``session_window`` aggregate (the same operator
+    its Structured Streaming session windows run on) over the event
+    log: per-user 30-minute-gap sessions in one ``groupBy`` — no
+    window functions, no self-join; the engine merges overlapping
+    [ts, ts+gap) intervals inside the aggregation operator itself.
+
+    Boundary semantics (probed, not assumed): an event exactly AT
+    ``prev_ts + gap`` still MERGES (closed boundary), and the session
+    end is ``last_ts + gap``.  The oracle is an independent
+    formulation — lag/cumulative-sum gap sessionization with a
+    strict ``>`` break — so a green row proves the two definitions
+    coincide, closed boundary included.
+
+    Scale: one exchange on user_id; the session merge is per-group
+    state inside the agg, never a data-proportional window.  Value
+    sums route through DECIMAL(38,12) (order-exact)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,12)"))
+            .cast("double")
+            .alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+_SESSION_WINDOW_SQL = """
+WITH o AS (
+  SELECT user_id, ts, value, event_id,
+         lag(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev
+  FROM events),
+m AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN prev IS NULL OR ts > prev + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM o),
+s AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS session_value
+FROM s GROUP BY user_id, sid
+"""
+
+
 # --- exact-arithmetic Lloyd refinement ---------------------------------------
 
 
@@ -305,7 +369,12 @@ def _kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", quantize(F.col("embedding")).alias("q")
     )
     seeded = emb.select("vec_id", "q", F.col("label").alias("cluster"))
-    final = lloyd_refine(seeded, iters=2)
+    # materialize: without it the lazy unroll re-evaluates step 1's
+    # assignment subtree in every consumer (its centroid sums, its
+    # member counts, AND step 2's input — 3x the corpus work); the
+    # checkpoint computes each step once, the pattern any >1-step
+    # iteration needs at scale
+    final = lloyd_refine(seeded, iters=2, materialize=True)
     return (
         final.join(emb.select("vec_id", "label"), "vec_id")
         .groupBy("cluster")
@@ -384,4 +453,5 @@ QUERIES: dict[str, QuerySpec] = {
     "multi_touch_attribution": QuerySpec(_multi_touch_attribution, _MTA_SQL),
     "pii_pseudonymize": QuerySpec(_pii_pseudonymize, _PSEUDO_SQL),
     "kmeans_refine_iterations": QuerySpec(_kmeans_refine, _KMEANS_SQL),
+    "session_window_agg": QuerySpec(_session_window_agg, _SESSION_WINDOW_SQL),
 }

@@ -222,3 +222,45 @@ def test_rfm_windows_stay_domain_grain(spark, reg):
     # plus the 3 boundary-row joins — all 1-row sides, zero cartesians
     df = _q(reg, spark, "customer_rfm_segments")
     assert_no_cartesian(df, allow_broadcast_nl=7)
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark):
+    # one Lloyd step audited un-checkpointed (the registry query
+    # materializes between steps, which truncates the visible plan):
+    # corpus x broadcast(k centroid rows) is the ONLY non-equi join,
+    # and the assignment side adds no corpus-sized exchange — the
+    # exchanges carry exploded components and k centroid rows only
+    from data_pipeline_bigquery_spark.extensions.kmeans import (
+        _centroids,
+        assign_step,
+        quantize,
+    )
+    from data_pipeline_bigquery_spark.catalog import load
+
+    emb = load(spark, SF, "embeddings").select(
+        "vec_id", quantize(F.col("embedding")).alias("q"),
+        F.col("label").alias("cluster"),
+    )
+    df = assign_step(emb.select("vec_id", "q"), _centroids(emb))
+    assert_no_cartesian(df, allow_broadcast_nl=1)
+
+
+def test_session_window_single_user_exchange(spark, reg):
+    # native session_window agg: one hash exchange on user_id, no
+    # window functions, no joins
+    df = _q(reg, spark, "session_window_agg")
+    assert_no_cartesian(df)
+    assert_max_exchanges(df, 1)
+    assert count_nodes(df, "Window") == 0
+
+
+def test_pit_lookup_stays_equi_join(spark, reg):
+    # the interval containment must ride an EQUI join on the dim key
+    # (residual range filter), never a cartesian/range-only join
+    df = _q(reg, spark, "pit_dim_lookup")
+    assert_no_cartesian(df)
+
+
+def test_multi_touch_user_keyed_equi_join(spark, reg):
+    df = _q(reg, spark, "multi_touch_attribution")
+    assert_no_cartesian(df)
