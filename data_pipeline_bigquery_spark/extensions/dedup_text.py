@@ -276,101 +276,6 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash_fingerprint(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
-    """SimHash over whitespace tokens: bit p of the fingerprint is the
-    majority vote of bit p of each token's hash (top bit of the p-th
-    md5 hex digit).  One explode + one hash-aggregate."""
-    tokens = spread_small_input(df).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
-    ).withColumn("h", F.md5(F.col("tok")))
-    sums = tokens.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(
-                    F.expr(f"instr('0123456789abcdef', substring(h, {p + 1}, 1)) - 1") >= 8,
-                    F.lit(1),
-                ).otherwise(F.lit(-1))
-            ).alias(f"s_{p}")
-            for p in range(bits)
-        ]
-    )
-    fingerprint = F.concat(
-        *[F.when(F.col(f"s_{p}") >= 0, F.lit("1")).otherwise(F.lit("0")) for p in range(bits)]
-    )
-    return sums.select("doc_id", fingerprint.alias("simhash"))
-
-
-def word_ngrams(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-grams per doc (for Jaccard)."""
-    w = f"split(lower({text_col}), ' ')"
-    parts = ", ".join(f"element_at({w}, i + {d})" for d in range(n))
-    expr = f"transform(sequence(1, greatest(size({w}) - {n - 1}, 1)), i -> concat_ws(' ', {parts}))"
-    return (
-        spread_small_input(df)
-        .select(F.col(id_col).alias("doc_id"), F.explode(F.expr(expr)).alias("gram"))
-        .distinct()
-    )
-
-
-def ngram_jaccard_pairs(
-    grams: DataFrame, threshold: float = 0.5, max_bucket: int | None = None
-) -> DataFrame:
-    """Pairwise Jaccard over shared n-grams.
-
-    Both ``|A∩B|`` and the per-doc set sizes derive from ONE
-    ``groupBy(gram)`` bucket aggregation — the gram stream (a ~n×
-    explode of the corpus) is derived once and both readers sit above
-    the same exchange, instead of the older shape that re-derived it
-    three times (sizes + both sides of a gram-keyed self-join).
-    Intersections come from in-bucket pair generation (docs sharing a
-    gram), sizes from exploding the buckets back per doc; ``|A∪B| =
-    |A|+|B|-|A∩B|``.  Jaccard is an exact int/int division —
-    engine-portable.  The static plan still prints one bucket subtree
-    per reader, but AQE's runtime stage reuse collapses them onto one
-    executed exchange (ReusedExchange ×4 in the final adaptive plan) —
-    the gram explode runs once.
-
-    ``max_bucket`` (optional, for lake scale) drops pathologically hot
-    grams from PAIR generation only — a gram shared by 10⁶ docs is
-    boilerplate contributing O(n²) junk pairs; sizes still count it.
-    """
-    buckets = grams.groupBy("gram").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("ids")
-    )
-    sizes = (
-        buckets.select(F.explode("ids").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_grams"))
-    )
-    pair_buckets = buckets.filter(F.size("ids") > 1)
-    if max_bucket is not None:
-        pair_buckets = pair_buckets.filter(F.size("ids") <= max_bucket)
-    pair_expr = F.expr(
-        "flatten(transform(ids, (x, i) ->"
-        " transform(slice(ids, i + 2, size(ids) - i - 1),"
-        " y -> struct(x AS doc_a, y AS doc_b))))"
-    )
-    inter = (
-        pair_buckets.select(F.explode(pair_expr).alias("p"))
-        .groupBy("p.doc_a", "p.doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("n_b"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_inter").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
-    )
-
-
 def containment_pairs(
     grams: DataFrame, threshold: float = 0.8, max_bucket: int | None = None
 ) -> DataFrame:
