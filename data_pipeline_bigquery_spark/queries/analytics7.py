@@ -158,6 +158,156 @@ FROM fact f JOIN dim d
 """
 
 
+# --- time-in-state from SCD2 intervals ---------------------------------------
+
+
+def _status_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal algebra over the SCD2 output: how long does an entity
+    DWELL in each state?  Closed ``[valid_from, valid_to)`` intervals
+    aggregate to per-status interval counts, total days, and mean
+    dwell — the time-in-state report every status-tracking warehouse
+    derives from its Type-2 history (billing, SLA, funnel-stage age).
+
+    Exact: interval lengths are integer day counts (``datediff`` on
+    midnight-aligned timestamps), totals are int64 sums, the mean is
+    ONE IEEE division.  Open (current) intervals are excluded — their
+    dwell is right-censored, and mixing censored spans into a mean is
+    the classic time-in-state reporting bug; they are counted
+    separately as ``n_open`` instead.
+
+    Scale: rides the SCD2 single-exchange plan, then one k-row
+    aggregate."""
+    from data_pipeline_bigquery_spark.queries.coverage3 import _scd2_history
+
+    hist = _scd2_history(spark, sf_dir)
+    return hist.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.when(F.col("valid_to").isNotNull(), 1)).alias("n_closed"),
+        F.count(F.when(F.col("valid_to").isNull(), 1)).alias("n_open"),
+        F.sum(
+            F.when(
+                F.col("valid_to").isNotNull(),
+                F.datediff("valid_to", "valid_from").cast("bigint"),
+            )
+        ).alias("total_days"),
+        (
+            F.sum(
+                F.when(
+                    F.col("valid_to").isNotNull(),
+                    F.datediff("valid_to", "valid_from").cast("bigint"),
+                )
+            ).cast("double")
+            / F.count(F.when(F.col("valid_to").isNotNull(), 1)).cast("double")
+        ).alias("avg_days"),
+    )
+
+
+_DWELL_SQL = """
+WITH w AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+         lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS prev,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders WHERE o_custkey % 10 = 0),
+kept AS (
+  SELECT * FROM w WHERE rn = 1 OR prev IS DISTINCT FROM o_orderstatus),
+hist AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from,
+         lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS valid_to
+  FROM kept)
+SELECT o_orderstatus AS status,
+       CAST(count(CASE WHEN valid_to IS NOT NULL THEN 1 END) AS BIGINT)
+         AS n_closed,
+       CAST(count(CASE WHEN valid_to IS NULL THEN 1 END) AS BIGINT) AS n_open,
+       CAST(sum(CASE WHEN valid_to IS NOT NULL
+                     THEN date_diff('day', valid_from, valid_to) END)
+            AS BIGINT) AS total_days,
+       CAST(sum(CASE WHEN valid_to IS NOT NULL
+                     THEN date_diff('day', valid_from, valid_to) END)
+            AS DOUBLE)
+       / CAST(count(CASE WHEN valid_to IS NOT NULL THEN 1 END) AS DOUBLE)
+         AS avg_days
+FROM hist GROUP BY 1
+"""
+
+
+# --- Wilson confidence bounds ------------------------------------------------
+
+
+def _wilson_conversion_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per hour-of-day purchase-share with a 95% Wilson score interval
+    — the interval practitioners use because the naive Wald CI
+    collapses at extreme rates and small n.  An A/B readout is a
+    comparison of such intervals, so the engine must produce them
+    deterministically: k and n are exact integers, and the Wilson
+    algebra is a FIXED-ORDER chain of IEEE ops (one sqrt) written
+    identically in the oracle — every double is bit-identical across
+    engines, no rounding slop needed in the compare."""
+    ev = load(spark, sf_dir, "events")
+    agg = ev.groupBy(F.hour("ts").alias("hour_of_day")).agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # fixed-order Wilson: z = 1.96, z2 = z*z; everything built from
+    # (k, n) doubles with the same parenthesization as the SQL
+    expr = """
+      struct(
+        CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+        ((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+           + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE))
+         - 1.96 * sqrt(
+             ((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+              * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+              + (1.96 * 1.96) / (4.0 * CAST(n AS DOUBLE))
+             ) / CAST(n AS DOUBLE))
+        ) / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)) AS lo,
+        ((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+           + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE))
+         + 1.96 * sqrt(
+             ((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+              * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+              + (1.96 * 1.96) / (4.0 * CAST(n AS DOUBLE))
+             ) / CAST(n AS DOUBLE))
+        ) / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)) AS hi
+      )
+    """
+    return agg.select(
+        "hour_of_day", "k", "n",
+        F.expr(expr + ".rate").alias("rate"),
+        F.expr(expr + ".lo").alias("wilson_lo"),
+        F.expr(expr + ".hi").alias("wilson_hi"),
+    )
+
+
+_WILSON_SQL = """
+WITH agg AS (
+  SELECT CAST(hour(ts) AS INT) AS hour_of_day,
+         count(CASE WHEN event_type = 'purchase' THEN 1 END) AS k,
+         count(*) AS n
+  FROM events GROUP BY 1)
+SELECT hour_of_day, CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+       CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+       ((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+          + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE))
+        - 1.96 * sqrt(
+            ((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+             * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+             + (1.96 * 1.96) / (4.0 * CAST(n AS DOUBLE))
+            ) / CAST(n AS DOUBLE))
+       ) / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)) AS wilson_lo,
+       ((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+          + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE))
+        + 1.96 * sqrt(
+            ((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+             * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+             + (1.96 * 1.96) / (4.0 * CAST(n AS DOUBLE))
+            ) / CAST(n AS DOUBLE))
+       ) / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)) AS wilson_hi
+FROM agg
+"""
+
+
 # --- position-based multi-touch attribution ----------------------------------
 
 
@@ -454,4 +604,8 @@ QUERIES: dict[str, QuerySpec] = {
     "pii_pseudonymize": QuerySpec(_pii_pseudonymize, _PSEUDO_SQL),
     "kmeans_refine_iterations": QuerySpec(_kmeans_refine, _KMEANS_SQL),
     "session_window_agg": QuerySpec(_session_window_agg, _SESSION_WINDOW_SQL),
+    "status_dwell_time": QuerySpec(_status_dwell_time, _DWELL_SQL),
+    "wilson_conversion_bounds": QuerySpec(
+        _wilson_conversion_bounds, _WILSON_SQL
+    ),
 }

@@ -119,3 +119,33 @@ def test_pseudonymize_is_deterministic_and_collision_free(spark):
     assert n_tokens == n_users  # injective on this domain
     # raw ids never survive into the feed
     assert "user_id" not in out.columns
+
+
+def test_wilson_bounds_bracket_rate(spark):
+    from data_pipeline_bigquery_spark.queries.analytics7 import (
+        _wilson_conversion_bounds,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = _wilson_conversion_bounds(spark, SF_DIR).collect()
+    assert len(rows) == 24
+    for r in rows:
+        assert 0.0 <= r.wilson_lo <= r.rate <= r.wilson_hi <= 1.0
+        # Wilson never collapses to a zero-width interval for 0<k<n
+        if 0 < r.k < r.n:
+            assert r.wilson_hi - r.wilson_lo > 0
+
+
+def test_dwell_excludes_open_intervals(spark):
+    from data_pipeline_bigquery_spark.queries.analytics7 import (
+        _status_dwell_time,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = {r.status: r for r in _status_dwell_time(spark, SF_DIR).collect()}
+    # every tracked customer's history ends in an open interval, so
+    # open intervals must exist and never contribute days
+    assert sum(r.n_open for r in rows.values()) > 0
+    for r in rows.values():
+        if r.n_closed:
+            assert abs(r.avg_days - r.total_days / r.n_closed) < 1e-12
