@@ -395,6 +395,176 @@ FROM c GROUP BY touch_type
 """
 
 
+# --- int8 embedding quantization audit ---------------------------------------
+
+
+def _embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension symmetric int8 quantization of the embedding
+    corpus — the 4× compression step a serving/ANN stack applies
+    before shipping vectors — with the reconstruction-error audit
+    that decides whether int8 is safe for the corpus.
+
+    Two passes, the classic stats-then-encode shape: pass 1 reduces
+    the exploded component stream to per-dim ``max|x|`` (map-side
+    combine makes the shuffle O(tasks × dims)); the 32 scale rows
+    broadcast back; pass 2 encodes ``code = clamp(floor(x/scale +
+    0.5))`` and aggregates the error audit.  Engine-portable: scale
+    is one IEEE division and code is floor of an IEEE chain
+    (identical doubles both engines).  The error audit is made EXACT
+    by quantizing each |err| to integer picounits with another
+    deterministic floor — casting the raw double err² to DECIMAL
+    rounds differently across engines (measured 1-ulp MSE drift), but
+    integer fixed-point sums have no rounding at all; the mean is one
+    final IEEE division."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode("embedding").alias("dim", "xf")
+    ).select("vec_id", "dim", F.col("xf").cast("double").alias("x"))
+    scales = emb.groupBy("dim").agg(
+        (F.max(F.abs(F.col("x"))) / F.lit(127.0)).alias("scale")
+    )
+    coded = emb.join(F.broadcast(scales), "dim").select(
+        "dim",
+        "x",
+        "scale",
+        F.greatest(
+            F.least(
+                F.floor(F.col("x") / F.col("scale") + F.lit(0.5)),
+                F.lit(127),
+            ),
+            F.lit(-127),
+        )
+        .cast("long")
+        .alias("code"),
+    )
+    err = F.abs(F.col("x") - F.col("code").cast("double") * F.col("scale"))
+    err_pico = F.floor(err * F.lit(1e12) + F.lit(0.5)).cast("long")
+    # nano grain for the SQUARED sum: err_nano^2 sums stay below 2^53
+    # up to ~1e9 rows/dim, so the final DECIMAL->DOUBLE cast is exact
+    # on every engine (a pico^2 sum exceeds 2^53 and the cast rounding
+    # then differs by an ulp across engines — measured)
+    err_nano = F.floor(err * F.lit(1e9) + F.lit(0.5)).cast("long")
+    return coded.groupBy("dim").agg(
+        F.any_value("scale").alias("scale"),
+        F.count(F.when(F.abs(F.col("code")) == 127, 1)).alias("n_saturated"),
+        F.max(err_pico).alias("max_abs_err_pico"),
+        (
+            F.sum((err_nano * err_nano).cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mse_nano2"),
+    )
+
+
+_INT8_SQL = """
+WITH ex AS (
+  SELECT vec_id, t.dim - 1 AS dim, CAST(t.x AS DOUBLE) AS x
+  FROM (SELECT vec_id,
+               unnest([{'dim': i, 'x': embedding[i]}
+                       for i in generate_series(1, len(embedding))]) AS t
+        FROM embeddings)),
+sc AS (SELECT dim, max(abs(x)) / 127.0 AS scale FROM ex GROUP BY dim),
+coded AS (
+  SELECT e.dim, e.x, s.scale,
+         CAST(greatest(least(floor(e.x / s.scale + 0.5), 127), -127)
+              AS BIGINT) AS code
+  FROM ex e JOIN sc s USING (dim)),
+errs AS (
+  SELECT dim, scale, code,
+         CAST(floor(abs(x - CAST(code AS DOUBLE) * scale) * 1e12 + 0.5)
+              AS BIGINT) AS err_pico,
+         CAST(floor(abs(x - CAST(code AS DOUBLE) * scale) * 1e9 + 0.5)
+              AS BIGINT) AS err_nano
+  FROM coded)
+SELECT dim, any_value(scale) AS scale,
+       CAST(count(CASE WHEN abs(code) = 127 THEN 1 END) AS BIGINT)
+         AS n_saturated,
+       max(err_pico) AS max_abs_err_pico,
+       CAST(sum(CAST(err_nano * err_nano AS DECIMAL(38,0))) AS DOUBLE)
+       / CAST(count(*) AS DOUBLE) AS mse_nano2
+FROM errs GROUP BY dim
+"""
+
+
+# --- cross-source quantile normalization -------------------------------------
+
+
+def _length_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization across sources — the batch-effect
+    correction a mixed-crawl corpus needs before per-source features
+    are comparable: each (source, text_len) value maps to the GLOBAL
+    length distribution's value at the same within-source quantile.
+
+    Everything runs on the VALUE DOMAIN (distinct lengths), never the
+    corpus: per-source cumulative histograms give max-rank r of m,
+    the integer target rank is ``ceil(r·N/m) = (r·N + m − 1) div m``
+    — pure int64, exact on both engines (decimal division would round
+    at a fixed scale and can cross an integer boundary); int64-safe
+    below ~3·10⁹ docs since r·N ≤ N², route through DECIMAL div
+    beyond.  The mapped value is the smallest global length whose
+    cumulative count reaches the target — a domain×domain range join
+    between two BOUNDED histograms (broadcast, O(|dom|·|gdom|) pairs
+    of domain rows, never corpus rows).  The only windows run at
+    domain grain; the single-partition global cumsum carries
+    distinct-length rows, not docs."""
+    docs = load(spark, sf_dir, "documents").select(
+        "source", F.length("text").alias("text_len")
+    )
+    dom = docs.groupBy("source", "text_len").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    wsrc = Window.partitionBy("source").orderBy("text_len")
+    per_src = dom.withColumn(
+        "r", F.sum("n_docs").over(wsrc)
+    ).withColumn("m", F.sum("n_docs").over(Window.partitionBy("source")))
+    gdom = (
+        docs.groupBy("text_len")
+        .agg(F.count(F.lit(1)).alias("gn"))
+        .withColumn("gcum", F.sum("gn").over(Window.orderBy("text_len")))
+    )
+    n_total = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    with_target = per_src.crossJoin(F.broadcast(n_total)).withColumn(
+        "target_rank", F.expr("(r * n_total + m - 1) div m")
+    )
+    mapped = (
+        with_target.join(
+            F.broadcast(gdom.select("text_len", "gcum").withColumnRenamed(
+                "text_len", "g_len"
+            )),
+            F.col("gcum") >= F.col("target_rank"),
+        )
+        .groupBy("source", "text_len", "n_docs")
+        .agg(F.min("g_len").alias("mapped_len"))
+    )
+    return mapped.select("source", "text_len", "n_docs", "mapped_len")
+
+
+_QNORM_SQL = """
+WITH d AS (SELECT source, strlen(text) AS text_len FROM documents),
+dom AS (SELECT source, text_len, count(*) AS n_docs
+        FROM d GROUP BY 1, 2),
+per_src AS (
+  SELECT source, text_len, n_docs,
+         sum(n_docs) OVER (PARTITION BY source ORDER BY text_len
+                           ROWS UNBOUNDED PRECEDING) AS r,
+         sum(n_docs) OVER (PARTITION BY source) AS m
+  FROM dom),
+gdom AS (
+  SELECT text_len AS g_len, count(*) AS gn,
+         sum(count(*)) OVER (ORDER BY text_len
+                             ROWS UNBOUNDED PRECEDING) AS gcum
+  FROM d GROUP BY text_len),
+t AS (
+  SELECT source, text_len, n_docs,
+         (CAST(r AS BIGINT) * (SELECT count(*) FROM d)
+          + CAST(m AS BIGINT) - 1) // CAST(m AS BIGINT) AS target_rank
+  FROM per_src)
+SELECT t.source, CAST(t.text_len AS BIGINT) AS text_len,
+       CAST(t.n_docs AS BIGINT) AS n_docs,
+       CAST(min(g.g_len) AS BIGINT) AS mapped_len
+FROM t JOIN gdom g ON g.gcum >= t.target_rank
+GROUP BY 1, 2, 3
+"""
+
+
 # --- keyed pseudonymization --------------------------------------------------
 
 _PSEUDO_SALT = "tenant-key-2026"
@@ -607,5 +777,9 @@ QUERIES: dict[str, QuerySpec] = {
     "status_dwell_time": QuerySpec(_status_dwell_time, _DWELL_SQL),
     "wilson_conversion_bounds": QuerySpec(
         _wilson_conversion_bounds, _WILSON_SQL
+    ),
+    "embedding_int8_quantize": QuerySpec(_embedding_int8_quantize, _INT8_SQL),
+    "length_quantile_normalize": QuerySpec(
+        _length_quantile_normalize, _QNORM_SQL
     ),
 }
