@@ -663,6 +663,118 @@ FROM s GROUP BY user_id, sid
 """
 
 
+# --- grouped multivariate OLS ------------------------------------------------
+
+
+def _grouped_ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped MULTIVARIATE regression without MLlib and without
+    per-group collects: per return flag, fit
+    ``price = b0 + b1·quantity + b2·discount`` by solving the 3×3
+    normal equations with Cramer's rule over EXACT integer sufficient
+    statistics — the multi-feature successor of
+    ``events_trend_by_type`` (single-feature OLS).
+
+    Exactness: the fixture's measures are fixed-point stored as
+    doubles (quantity integral, discount/price 2-decimal with ≤1e-9
+    float noise), so ``floor(x·100 + 0.5)`` recovers exact integers
+    deterministically.  Sufficient statistics (n, Σq, Σd, Σq², Σd²,
+    Σqd, Σp, Σpq, Σpd) sum exactly through DECIMAL(38,0) (HUGEINT in
+    the oracle); Cramer determinants are exact products of those
+    (≈1e27 here, inside 38 digits up to ~1e8 rows/group — center the
+    features beyond that); each coefficient is ONE det/det IEEE
+    division rounded to 6 decimals, which absorbs the >2^53
+    DECIMAL→DOUBLE cast's last-ulp variation.
+
+    Scale: one map-side-combined aggregate to k×9 statistics; the
+    3×3 solve is per-group scalar algebra in the projection — no
+    second pass, no matrix library, no driver round-trip."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).alias("q"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5)).alias("d"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).alias("p"),
+    )
+    dec = "decimal(38,0)"
+    s = li.groupBy("flag").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("q").cast(dec)).alias("sq"),
+        F.sum(F.col("d").cast(dec)).alias("sd"),
+        F.sum((F.col("q") * F.col("q")).cast(dec)).alias("sqq"),
+        F.sum((F.col("d") * F.col("d")).cast(dec)).alias("sdd"),
+        F.sum((F.col("q") * F.col("d")).cast(dec)).alias("sqd"),
+        F.sum(F.col("p").cast(dec)).alias("sp"),
+        F.sum((F.col("p") * F.col("q")).cast(dec)).alias("spq"),
+        F.sum((F.col("p") * F.col("d")).cast(dec)).alias("spd"),
+    )
+    det3 = (
+        "({a}*({e}*{i} - {f}*{h}) - {b}*({d}*{i} - {f}*{g})"
+        " + {c}*({d}*{h} - {e}*{g}))"
+    )
+    det = det3.format(a="n", b="sq", c="sd", d="sq", e="sqq", f="sqd",
+                      g="sd", h="sqd", i="sdd")
+    det0 = det3.format(a="sp", b="sq", c="sd", d="spq", e="sqq", f="sqd",
+                       g="spd", h="sqd", i="sdd")
+    det1 = det3.format(a="n", b="sp", c="sd", d="sq", e="spq", f="sqd",
+                       g="sd", h="spd", i="sdd")
+    det2 = det3.format(a="n", b="sq", c="sp", d="sq", e="sqq", f="spq",
+                       g="sd", h="sqd", i="spd")
+    return s.select(
+        "flag",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.expr(
+            f"round(CAST({det0} AS DOUBLE) / CAST({det} AS DOUBLE), 6)"
+        ).alias("b0_cents"),
+        F.expr(
+            f"round(CAST({det1} AS DOUBLE) / CAST({det} AS DOUBLE), 6)"
+        ).alias("b1_cents_per_unit"),
+        F.expr(
+            f"round(CAST({det2} AS DOUBLE) / CAST({det} AS DOUBLE), 6)"
+        ).alias("b2_cents_per_pp"),
+    )
+
+
+def _ols_sql() -> str:
+    det3 = (
+        "({a}*({e}*{i} - {f}*{h}) - {b}*({d}*{i} - {f}*{g})"
+        " + {c}*({d}*{h} - {e}*{g}))"
+    )
+    det = det3.format(a="n", b="sq", c="sd", d="sq", e="sqq", f="sqd",
+                      g="sd", h="sqd", i="sdd")
+    det0 = det3.format(a="sp", b="sq", c="sd", d="spq", e="sqq", f="sqd",
+                       g="spd", h="sqd", i="sdd")
+    det1 = det3.format(a="n", b="sp", c="sd", d="sq", e="spq", f="sqd",
+                       g="sd", h="spd", i="sdd")
+    det2 = det3.format(a="n", b="sq", c="sp", d="sq", e="sqq", f="spq",
+                       g="sd", h="sqd", i="spd")
+    return f"""
+WITH ints AS (
+  SELECT l_returnflag AS flag,
+         CAST(floor(l_quantity + 0.5) AS BIGINT) AS q,
+         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS p
+  FROM lineitem),
+s AS (
+  SELECT flag,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(q) AS HUGEINT) AS sq,
+         CAST(sum(d) AS HUGEINT) AS sd,
+         CAST(sum(q * q) AS HUGEINT) AS sqq,
+         CAST(sum(d * d) AS HUGEINT) AS sdd,
+         CAST(sum(q * d) AS HUGEINT) AS sqd,
+         CAST(sum(p) AS HUGEINT) AS sp,
+         CAST(sum(p * q) AS HUGEINT) AS spq,
+         CAST(sum(p * d) AS HUGEINT) AS spd
+  FROM ints GROUP BY flag)
+SELECT flag, CAST(n AS BIGINT) AS n_rows,
+       round(CAST({det0} AS DOUBLE) / CAST({det} AS DOUBLE), 6) AS b0_cents,
+       round(CAST({det1} AS DOUBLE) / CAST({det} AS DOUBLE), 6)
+         AS b1_cents_per_unit,
+       round(CAST({det2} AS DOUBLE) / CAST({det} AS DOUBLE), 6)
+         AS b2_cents_per_pp
+FROM s
+"""
+
+
 # --- exact-arithmetic Lloyd refinement ---------------------------------------
 
 
@@ -782,4 +894,5 @@ QUERIES: dict[str, QuerySpec] = {
     "length_quantile_normalize": QuerySpec(
         _length_quantile_normalize, _QNORM_SQL
     ),
+    "grouped_ols_price_model": QuerySpec(_grouped_ols_price_model, _ols_sql()),
 }

@@ -149,3 +149,29 @@ def test_dwell_excludes_open_intervals(spark):
     for r in rows.values():
         if r.n_closed:
             assert abs(r.avg_days - r.total_days / r.n_closed) < 1e-12
+
+
+def test_grouped_ols_matches_numpy_lstsq(spark):
+    """Cramer-over-exact-integers must agree with an independent
+    float solver to well past the rounding grain."""
+    import numpy as np
+
+    from data_pipeline_bigquery_spark.queries.analytics7 import (
+        _grouped_ols_price_model,
+    )
+    from tests.conftest import SF_DIR
+
+    got = {r.flag: r for r in _grouped_ols_price_model(spark, SF_DIR).collect()}
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_returnflag", "l_quantity", "l_discount", "l_extendedprice"
+    ).toPandas()
+    for flag, grp in li.groupby("l_returnflag"):
+        q = np.floor(grp.l_quantity + 0.5)
+        d = np.floor(grp.l_discount * 100 + 0.5)
+        p = np.floor(grp.l_extendedprice * 100 + 0.5)
+        X = np.column_stack([np.ones(len(grp)), q, d])
+        beta, *_ = np.linalg.lstsq(X, p, rcond=None)
+        r = got[flag]
+        assert abs(r.b0_cents - beta[0]) < 1e-3 * max(1, abs(beta[0]))
+        assert abs(r.b1_cents_per_unit - beta[1]) < 1e-3 * max(1, abs(beta[1]))
+        assert abs(r.b2_cents_per_pp - beta[2]) < 1e-3 * max(1, abs(beta[2]))
