@@ -89,6 +89,51 @@ FROM documents WHERE doc_id % 4 = 0
 """
 
 
+# --- REST as a first-class Python Data Source --------------------------------
+
+
+def _rest_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The S1 REST scan re-expressed through Spark 4's Python Data
+    Source API (`sources/rest_datasource.py`): the paginated endpoint
+    registers as format ``restoffset`` and the ENGINE plans one input
+    partition per page range — executors pull pages in parallel,
+    each from its own transport, no driver-side page loop at all.
+    The fixture stages the 25-row ``nation`` dim as JSON lines (the
+    bounded-dim collect documented at `queries/coverage.py:35`) and
+    the oracle is the same relation the cursor-paginated S1 scan
+    proves — same answer through a third ingestion mechanism."""
+    import os
+    import tempfile
+
+    from data_pipeline_bigquery_spark.sources.rest_datasource import (
+        RestOffsetDataSource,
+    )
+
+    spark.dataSource.register(RestOffsetDataSource)
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_restds_{tag}.jsonl")
+    with open(path, "w") as f:
+        for r in nation.orderBy("n_nationkey").collect():
+            f.write(
+                '{"n_nationkey": %d, "n_name": "%s", "n_regionkey": %d}\n'
+                % (r.n_nationkey, r.n_name, r.n_regionkey)
+            )
+    return (
+        spark.read.format("restoffset")
+        .schema("n_nationkey long, n_name string, n_regionkey long")
+        .option("path", path)
+        .option("page_size", "7")
+        .option("pages_per_task", "2")
+        .load()
+    )
+
+
+_REST_DS_SQL = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+
+
 # --- point-in-time SCD2 dimension lookup -------------------------------------
 
 
@@ -895,4 +940,5 @@ QUERIES: dict[str, QuerySpec] = {
         _length_quantile_normalize, _QNORM_SQL
     ),
     "grouped_ols_price_model": QuerySpec(_grouped_ols_price_model, _ols_sql()),
+    "rest_datasource_scan": QuerySpec(_rest_datasource_scan, _REST_DS_SQL),
 }

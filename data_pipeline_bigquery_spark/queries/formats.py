@@ -26,8 +26,10 @@ from data_pipeline_bigquery_spark.queries import QuerySpec
 from data_pipeline_bigquery_spark.sources.staging import (
     read_staged_csv,
     read_staged_orc,
+    read_staged_xml,
     write_staged_csv,
     write_staged_orc,
+    write_staged_xml,
 )
 
 _DEC = "decimal(18,2)"
@@ -79,6 +81,17 @@ def _orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _stage_dir(sf_dir, "orc")
     write_staged_orc(load(spark, sf_dir, "customer"), path)
     return _segment_agg(read_staged_orc(spark, path))
+
+
+def _xml_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed XML round-trip through Spark 4's built-in XML source
+    (the formerly-external spark-xml, now core): parquet → one
+    element per row → schema-enforced FAILFAST read → aggregate.
+    Doubles are written in round-trip notation like CSV, so the
+    hash-compared balance total proves losslessness."""
+    path = _stage_dir(sf_dir, "xml")
+    write_staged_xml(load(spark, sf_dir, "customer"), path)
+    return _segment_agg(read_staged_xml(spark, path, _CUSTOMER_SCHEMA))
 
 
 def _sink_seam_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -196,6 +209,7 @@ FROM documents
 QUERIES: dict[str, QuerySpec] = {
     "csv_typed_scan": QuerySpec(_csv_typed_scan, _AGG_SQL),
     "orc_roundtrip_scan": QuerySpec(_orc_roundtrip_scan, _AGG_SQL),
+    "xml_roundtrip_scan": QuerySpec(_xml_roundtrip_scan, _AGG_SQL),
     "sink_seam_merge_roundtrip": QuerySpec(_sink_seam_merge_roundtrip, _sink_seam_sql()),
     "schema_evolution_scan": QuerySpec(_schema_evolution_scan, _SCHEMA_EVO_SQL),
     "malformed_json_quarantine": QuerySpec(

@@ -48,6 +48,31 @@ def read_staged_csv(spark: SparkSession, path: str, schema) -> DataFrame:
     )
 
 
+def write_staged_xml(
+    df: DataFrame, path: str, row_tag: str = "row", mode: str = "overwrite"
+) -> None:
+    """XML sink — Spark 4 ships the (formerly spark-xml) XML source
+    in core.  One element per row under ``row_tag``; still a
+    splittable, partition-parallel write like every other format."""
+    df.write.mode(mode).format("xml").option("rowTag", row_tag).save(path)
+
+
+def read_staged_xml(
+    spark: SparkSession, path: str, schema, row_tag: str = "row"
+) -> DataFrame:
+    """Schema-ENFORCED XML scan (FAILFAST): like the CSV path, the
+    catalog schema is asserted rather than re-inferred per read —
+    inference on XML is a full extra pass over the data at lake
+    scale and can drift types between generations."""
+    return (
+        spark.read.schema(schema)
+        .option("rowTag", row_tag)
+        .option("mode", "FAILFAST")
+        .format("xml")
+        .load(path)
+    )
+
+
 def write_staged_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """ORC sink — the other columnar interchange format Spark carries a
     native vectorized reader/writer for (zlib by default; predicate

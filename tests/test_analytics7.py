@@ -175,3 +175,31 @@ def test_grouped_ols_matches_numpy_lstsq(spark):
         assert abs(r.b0_cents - beta[0]) < 1e-3 * max(1, abs(beta[0]))
         assert abs(r.b1_cents_per_unit - beta[1]) < 1e-3 * max(1, abs(beta[1]))
         assert abs(r.b2_cents_per_pp - beta[2]) < 1e-3 * max(1, abs(beta[2]))
+
+
+def test_rest_datasource_partitions_cover_exactly_once(spark, tmp_path):
+    """The engine-planned page ranges must cover every record exactly
+    once, across many partitions."""
+    import json
+
+    from data_pipeline_bigquery_spark.sources.rest_datasource import (
+        RestOffsetDataSource,
+    )
+
+    spark.dataSource.register(RestOffsetDataSource)
+    path = str(tmp_path / "recs.jsonl")
+    with open(path, "w") as f:
+        for i in range(137):  # deliberately not a multiple of the span
+            f.write(json.dumps({"id": i, "v": f"r{i}"}) + "\n")
+    df = (
+        spark.read.format("restoffset")
+        .schema("id long, v string")
+        .option("path", path)
+        .option("page_size", "10")
+        .option("pages_per_task", "2")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 7  # ceil(137 / 20)
+    rows = df.collect()
+    assert len(rows) == 137
+    assert sorted(r.id for r in rows) == list(range(137))
