@@ -35,6 +35,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 
@@ -85,6 +86,57 @@ class RestOffsetReader(DataSourceReader):
             offset += len(page)
 
 
+class RestPollStreamReader(SimpleDataSourceStreamReader):
+    """Incremental REST poller as a STREAMING source: the offset is the
+    cursor position (record count), each micro-batch reads only records
+    past the committed cursor, and ``readBetweenOffsets`` replays any
+    [start, end) range deterministically — which is what makes recovery
+    exactly-once: after a crash the engine re-asks for the exact same
+    offset range and the poller must (and does) return the exact same
+    records.  This is the reference's cursor-state incremental pull
+    (ST1/ST2: cursor > last_seen) promoted into the engine's own
+    offset-tracking machinery — the checkpoint holds the cursor, not a
+    side table."""
+
+    def __init__(self, schema, options):
+        self.schema_fields = [f.name for f in schema.fields]
+        self.path = options["path"]
+        self.max_per_batch = int(options.get("max_per_batch", 1000))
+
+    def initialOffset(self):
+        return {"cursor": 0}
+
+    def _read_range(self, start: int, end: int | None):
+        rows = []
+        n = start
+        with open(self.path) as f:
+            for i, line in enumerate(f):
+                if i < start:
+                    continue
+                if end is not None and i >= end:
+                    break
+                rows.append(
+                    tuple(json.loads(line).get(c) for c in self.schema_fields)
+                )
+                n = i + 1
+        return rows, n
+
+    def read(self, start):
+        cursor = start["cursor"]
+        rows, new_cursor = self._read_range(
+            cursor, cursor + self.max_per_batch
+        )
+        return iter(rows), {"cursor": new_cursor}
+
+    def readBetweenOffsets(self, start, end):
+        rows, _ = self._read_range(start["cursor"], end["cursor"])
+        return iter(rows)
+
+    def commit(self, end):
+        # a real endpoint would ack/advance server-side state here
+        pass
+
+
 class RestOffsetDataSource(DataSource):
     @classmethod
     def name(cls):
@@ -92,3 +144,6 @@ class RestOffsetDataSource(DataSource):
 
     def reader(self, schema):
         return RestOffsetReader(schema, self.options)
+
+    def simpleStreamReader(self, schema):
+        return RestPollStreamReader(schema, self.options)
