@@ -708,6 +708,71 @@ FROM s GROUP BY user_id, sid
 """
 
 
+# --- exact power-of-two EWMA -------------------------------------------------
+
+
+def _ewma_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, type) exponentially-weighted moving average of event
+    value with α = ½ — the ops-metric smoother — in EXACT integer
+    arithmetic: the 30-term truncated closed form
+    ``s_n = Σ_{i=0..29} v_{n−i}·2^{−(i+1)}`` (dropped tail mass
+    ≤ 2⁻³⁰) scales by 2³⁰ into pure int64 bit-shifts:
+    ``s30 = Σ cents_j << (29 − L + j)`` over the ordered 30-row frame
+    (≤ 5·10¹³, well under 2⁵³), and the one final division by 2³⁰ is
+    an exact exponent adjustment — every engine produces the
+    bit-identical double.  DECIMAL was tried and REJECTED: DuckDB's
+    double→DECIMAL(38,30) cast multiplies by 10³⁰ in floating point
+    and corrupts even exactly-representable values.
+
+    Scale: one exchange on the high-cardinality (user, type) pair;
+    the frame is a constant 30 rows, so state per key is bounded —
+    the same recurrence-as-window discipline as
+    ``clamped_running_balance``."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-29, 0)
+    )
+    frame = F.collect_list("cents").over(w)
+    s30 = F.expr(
+        "aggregate(transform(sequence(1, size(__frame)),"
+        " i -> element_at(__frame, i)"
+        "      * shiftleft(CAST(1 AS BIGINT), 29 - size(__frame) + i)),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    return (
+        ev.withColumn("__frame", frame)
+        .withColumn("ewma_cents", s30.cast("double") / F.lit(1073741824.0))
+        .select("event_id", "user_id", "event_type", "ewma_cents")
+    )
+
+
+_EWMA_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, ts,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+w AS (
+  SELECT event_id, user_id, event_type,
+         list(cents) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id
+                           ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS l
+  FROM ev)
+SELECT event_id, user_id, event_type,
+       CAST(list_sum([l[i] * (CAST(1 AS BIGINT) << (29 - len(l) + i))
+                      for i in generate_series(1, len(l))]) AS DOUBLE)
+       / 1073741824.0 AS ewma_cents
+FROM w
+"""
+
+
 # --- grouped multivariate OLS ------------------------------------------------
 
 
@@ -941,4 +1006,5 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "grouped_ols_price_model": QuerySpec(_grouped_ols_price_model, _ols_sql()),
     "rest_datasource_scan": QuerySpec(_rest_datasource_scan, _REST_DS_SQL),
+    "ewma_event_value": QuerySpec(_ewma_event_value, _EWMA_SQL),
 }

@@ -203,3 +203,31 @@ def test_rest_datasource_partitions_cover_exactly_once(spark, tmp_path):
     rows = df.collect()
     assert len(rows) == 137
     assert sorted(r.id for r in rows) == list(range(137))
+
+
+def test_ewma_matches_sequential_replay(spark):
+    """The windowed closed form must equal a sequential truncated-EWMA
+    replay per (user, type) stream."""
+    from collections import defaultdict, deque
+
+    from data_pipeline_bigquery_spark.queries.analytics7 import (
+        _ewma_event_value,
+    )
+    from tests.conftest import SF_DIR
+
+    got = {r.event_id: r.ewma_cents
+           for r in _ewma_event_value(spark, SF_DIR).collect()}
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    hist = defaultdict(lambda: deque(maxlen=30))
+    for r in ev:
+        cents = int(r.value * 100 + 0.5)
+        key = (r.user_id, r.event_type)
+        hist[key].append(cents)
+        frame = list(hist[key])
+        want = sum(c * 2 ** (29 - len(frame) + i)
+                   for i, c in enumerate(frame, start=1)) / 2**30
+        assert abs(got[r.event_id] - want) < 1e-12, r.event_id
