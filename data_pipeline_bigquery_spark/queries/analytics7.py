@@ -708,6 +708,51 @@ FROM s GROUP BY user_id, sid
 """
 
 
+# --- native sliding-window aggregation ---------------------------------------
+
+
+def _sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native SLIDING ``window()`` aggregate (2-hour windows
+    every 30 minutes — each event belongs to exactly 4 overlapping
+    windows), completing the window-operator family: tumbling
+    (`windowed_event_counts`), session (`session_window_agg`), and now
+    sliding.  The engine replicates each row into its windows inside
+    the aggregation operator; the oracle reproduces the replication
+    explicitly (4 aligned starts per event) — an independent
+    formulation of the same window algebra, epoch-aligned like
+    Spark's windows.
+
+    Scale: one exchange keyed on (window, type); the 4× replication
+    happens map-side before the partial aggregate, so the shuffle
+    carries partial counts, not replicated events."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "2 hours", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+_SLIDING_SQL = """
+WITH starts AS (
+  SELECT event_type,
+         to_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800)
+           - to_seconds(k * 1800) AS window_start
+  FROM events, UNNEST([0, 1, 2, 3]) AS u(k))
+SELECT window_start,
+       window_start + INTERVAL 2 HOUR AS window_end,
+       event_type, CAST(count(*) AS BIGINT) AS n
+FROM starts GROUP BY 1, 2, 3
+"""
+
+
 # --- exact power-of-two EWMA -------------------------------------------------
 
 
@@ -1007,4 +1052,7 @@ QUERIES: dict[str, QuerySpec] = {
     "grouped_ols_price_model": QuerySpec(_grouped_ols_price_model, _ols_sql()),
     "rest_datasource_scan": QuerySpec(_rest_datasource_scan, _REST_DS_SQL),
     "ewma_event_value": QuerySpec(_ewma_event_value, _EWMA_SQL),
+    "sliding_window_counts": QuerySpec(
+        _sliding_window_counts, _SLIDING_SQL
+    ),
 }
