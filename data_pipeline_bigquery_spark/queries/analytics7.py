@@ -708,6 +708,140 @@ FROM s GROUP BY user_id, sid
 """
 
 
+# --- discrete churn hazard ---------------------------------------------------
+
+
+def _churn_hazard_by_tenure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time churn hazard by tenure month: for each tenure
+    month k, ``h_k = churned_at_k / at_risk_at_k`` — the retention
+    curve's derivative, computed from exact integer counts (the
+    life-table form of survival analysis; no product-limit float
+    chains to reconcile across engines).
+
+    Tenure = months between a customer's first and last order
+    (integer year·12+month arithmetic, the cohort_retention
+    convention).  ``at_risk(k) = Σ_{j≥k} ended(j)`` falls out of ONE
+    suffix sum over the tenure-grain histogram — the corpus
+    aggregates to per-customer (first, last) pairs, then to ≤
+    max-tenure rows; the suffix window runs at tenure grain.
+    Permille hazard via integer div keeps the compare exact; the
+    IEEE-division hazard_rate column is derived from the same two
+    int64s."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym"),
+    )
+    span = o.groupBy("o_custkey").agg(
+        (F.max("ym") - F.min("ym")).alias("tenure")
+    )
+    hist = span.groupBy("tenure").agg(F.count(F.lit(1)).alias("ended"))
+    w = Window.orderBy(F.col("tenure").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        hist.withColumn("at_risk", F.sum("ended").over(w))
+        .select(
+            "tenure",
+            "ended",
+            "at_risk",
+            F.expr("ended * 1000 div at_risk").alias("hazard_permille"),
+            (
+                F.col("ended").cast("double")
+                / F.col("at_risk").cast("double")
+            ).alias("hazard_rate"),
+        )
+    )
+
+
+_CHURN_SQL = """
+WITH o AS (
+  SELECT o_custkey, year(o_orderdate) * 12 + month(o_orderdate) AS ym
+  FROM orders),
+span AS (
+  SELECT o_custkey, max(ym) - min(ym) AS tenure FROM o GROUP BY 1),
+hist AS (SELECT tenure, count(*) AS ended FROM span GROUP BY 1)
+SELECT tenure, CAST(ended AS BIGINT) AS ended,
+       CAST(sum(ended) OVER (ORDER BY tenure DESC
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS at_risk,
+       CAST(ended AS BIGINT) * 1000
+         // CAST(sum(ended) OVER (ORDER BY tenure DESC
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS hazard_permille,
+       CAST(ended AS DOUBLE)
+       / CAST(sum(ended) OVER (ORDER BY tenure DESC
+                               ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+         AS hazard_rate
+FROM hist
+"""
+
+
+# --- largest-remainder apportionment -----------------------------------------
+
+_APPORTION_BUDGET = 10_000
+
+
+def _budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment: split an integer
+    budget of {budget} sampling slots across sources exactly
+    proportionally to their doc counts — floors of the exact quotas,
+    then the leftover slots go to the largest fractional remainders
+    (ties → larger source, then name).  The allocation op behind
+    training-mix quotas, budget splits, and seat assignment; done
+    wrong (IEEE quotas, unordered ties) the slots don't sum to the
+    budget and no two engines agree.
+
+    Exact: quota numerators ``n_docs·B`` stay integer; floor and
+    remainder come from integer div/mod; the remainder ranking is an
+    integer sort.  Everything after the source-grain aggregate runs
+    on k rows."""
+    docs = load(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = src.agg(F.sum("n_docs").alias("n_total"))
+    b = F.lit(_APPORTION_BUDGET)
+    quo = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.expr(f"n_docs * {_APPORTION_BUDGET} div n_total").alias("base"),
+        F.expr(f"(n_docs * {_APPORTION_BUDGET}) % n_total").alias("rem"),
+        "n_total",
+    )
+    short = b - F.sum("base").over(Window.partitionBy())
+    w = Window.orderBy(
+        F.col("rem").desc(), F.col("n_docs").desc(), F.col("source")
+    )
+    return (
+        quo.withColumn("shortfall", short)
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            "source",
+            "n_docs",
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("shortfall"), 1).otherwise(0)
+            ).alias("slots"),
+        )
+    )
+
+
+_APPORTION_SQL = f"""
+WITH src AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+quo AS (
+  SELECT source, n_docs,
+         n_docs * {_APPORTION_BUDGET} // (SELECT sum(n_docs) FROM src) AS base,
+         (n_docs * {_APPORTION_BUDGET}) % (SELECT sum(n_docs) FROM src) AS rem
+  FROM src),
+r AS (
+  SELECT source, n_docs, base,
+         {_APPORTION_BUDGET} - sum(base) OVER () AS shortfall,
+         row_number() OVER (ORDER BY rem DESC, n_docs DESC, source) AS rk
+  FROM quo)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(base + CASE WHEN rk <= shortfall THEN 1 ELSE 0 END AS BIGINT)
+         AS slots
+FROM r
+"""
+
+
 # --- native sliding-window aggregation ---------------------------------------
 
 
@@ -1055,4 +1189,6 @@ QUERIES: dict[str, QuerySpec] = {
     "sliding_window_counts": QuerySpec(
         _sliding_window_counts, _SLIDING_SQL
     ),
+    "churn_hazard_by_tenure": QuerySpec(_churn_hazard_by_tenure, _CHURN_SQL),
+    "budget_apportionment": QuerySpec(_budget_apportionment, _APPORTION_SQL),
 }

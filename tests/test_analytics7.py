@@ -231,3 +231,36 @@ def test_ewma_matches_sequential_replay(spark):
         want = sum(c * 2 ** (29 - len(frame) + i)
                    for i, c in enumerate(frame, start=1)) / 2**30
         assert abs(got[r.event_id] - want) < 1e-12, r.event_id
+
+
+def test_apportionment_sums_to_budget_exactly(spark):
+    from data_pipeline_bigquery_spark.queries.analytics7 import (
+        _APPORTION_BUDGET,
+        _budget_apportionment,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = _budget_apportionment(spark, SF_DIR).collect()
+    assert sum(r.slots for r in rows) == _APPORTION_BUDGET
+    # proportionality: every slot count within 1 of the exact quota
+    n_total = sum(r.n_docs for r in rows)
+    for r in rows:
+        exact = r.n_docs * _APPORTION_BUDGET / n_total
+        assert exact - 1 < r.slots < exact + 1
+
+
+def test_churn_hazard_life_table_invariants(spark):
+    from data_pipeline_bigquery_spark.queries.analytics7 import (
+        _churn_hazard_by_tenure,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = sorted(
+        _churn_hazard_by_tenure(spark, SF_DIR).collect(),
+        key=lambda r: r.tenure,
+    )
+    # at_risk is non-increasing in tenure and starts at the cohort size
+    for a, b in zip(rows, rows[1:]):
+        assert a.at_risk >= b.at_risk
+        assert b.at_risk == a.at_risk - a.ended
+    assert rows[-1].hazard_rate == 1.0  # everyone at max tenure ends there
