@@ -708,6 +708,82 @@ FROM s GROUP BY user_id, sid
 """
 
 
+# --- late-arrival restatement audit ------------------------------------------
+
+
+def _late_arriving_restatement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bitemporal reporting op: monthly revenue AS FIRST REPORTED
+    (only records whose transaction time landed inside the reporting
+    month) vs FINAL (all records valid in the month), and the
+    restatement this implies — the "numbers changed after we
+    published" audit every late-arriving-data warehouse needs.
+    Transaction time is synthesized as ``o_orderdate + (o_orderkey %
+    7) days`` (records arrive up to 6 days late, so month-boundary
+    orders restate).
+
+    Exact: revenue sums in DECIMAL(18,2), the restatement share in
+    integer permille of final (div), one IEEE division for the ratio.
+    One scan; both measures are conditional aggregates of the same
+    month-keyed pass — the valid-time month is the grouping key and
+    the transaction-time filter is a predicate, NOT a second join."""
+    o = load(spark, sf_dir, "orders").select(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("ym"),
+        F.expr(
+            "year(o_orderdate + make_interval(0,0,0, CAST(o_orderkey % 7 AS INT))) * 100"
+            " + month(o_orderdate + make_interval(0,0,0, CAST(o_orderkey % 7 AS INT)))"
+        ).alias("recorded_ym"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("rev"),
+    )
+    agg = o.groupBy("ym").agg(
+        F.sum(F.when(F.col("recorded_ym") == F.col("ym"), F.col("rev"))).alias(
+            "first_reported_rev"
+        ),
+        F.sum("rev").alias("final_rev"),
+        F.count(F.when(F.col("recorded_ym") != F.col("ym"), 1)).alias(
+            "n_late"
+        ),
+    )
+    restated = (F.col("final_rev") - F.col("first_reported_rev")).cast(
+        "decimal(18,2)"
+    )
+    return agg.select(
+        "ym",
+        F.col("first_reported_rev").cast("double").alias("first_reported_rev"),
+        F.col("final_rev").cast("double").alias("final_rev"),
+        "n_late",
+        # permille over integer CENTS: DuckDB's // on DECIMAL is NOT
+        # integral division (measured), so both engines divide int64s
+        F.expr(
+            "CAST((CAST(final_rev AS DECIMAL(18,2)) - first_reported_rev)"
+            " * 100 AS BIGINT) * 1000"
+            " div CAST(CAST(final_rev AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("restated_permille"),
+    )
+
+
+_RESTATE_SQL = """
+WITH o AS (
+  SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+         year(o_orderdate + to_days(CAST(o_orderkey % 7 AS INT))) * 100
+           + month(o_orderdate + to_days(CAST(o_orderkey % 7 AS INT)))
+           AS recorded_ym,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS rev
+  FROM orders),
+agg AS (
+  SELECT ym,
+         sum(CASE WHEN recorded_ym = ym THEN rev END) AS first_reported_rev,
+         sum(rev) AS final_rev,
+         count(CASE WHEN recorded_ym <> ym THEN 1 END) AS n_late
+  FROM o GROUP BY 1)
+SELECT ym, CAST(first_reported_rev AS DOUBLE) AS first_reported_rev,
+       CAST(final_rev AS DOUBLE) AS final_rev,
+       CAST(n_late AS BIGINT) AS n_late,
+       CAST((final_rev - first_reported_rev) * 100 AS BIGINT) * 1000
+         // CAST(final_rev * 100 AS BIGINT) AS restated_permille
+FROM agg
+"""
+
+
 # --- discrete churn hazard ---------------------------------------------------
 
 
@@ -1191,4 +1267,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "churn_hazard_by_tenure": QuerySpec(_churn_hazard_by_tenure, _CHURN_SQL),
     "budget_apportionment": QuerySpec(_budget_apportionment, _APPORTION_SQL),
+    "late_arriving_restatement": QuerySpec(
+        _late_arriving_restatement, _RESTATE_SQL
+    ),
 }
