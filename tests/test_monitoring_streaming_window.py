@@ -82,3 +82,55 @@ def test_streaming_windowed_aggregation(spark, tmp_path):
         q.stop()
     assert rows[("click", 0)] == (2, 3.0)
     assert rows[("view", 1)] == (1, 3.0)
+
+
+def test_streaming_session_window_with_watermark(spark, tmp_path):
+    """Native session_window in STREAMING mode (the stateful operator
+    behind session_window_agg's batch twin): gap-merged sessions per
+    user, watermark-bounded state, late-but-in-gap events extend the
+    session."""
+    in_dir = tmp_path / "sess_in"
+    in_dir.mkdir()
+    schema = "id long, ts timestamp, user long"
+    batch1 = [
+        Row(id=1, ts=TS(2024, 1, 1, 0, 0), user=1),
+        Row(id=2, ts=TS(2024, 1, 1, 0, 10), user=1),   # merges (gap 10m < 30m)
+        Row(id=3, ts=TS(2024, 1, 1, 2, 0), user=1),    # new session
+        Row(id=4, ts=TS(2024, 1, 1, 0, 5), user=2),
+    ]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(in_dir))
+
+    stream = spark.readStream.schema(schema).parquet(str(in_dir))
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second batch: an event inside user 1's first session gap
+        # extends/merges that session
+        spark.createDataFrame(
+            [Row(id=5, ts=TS(2024, 1, 1, 0, 25), user=1)], schema
+        ).coalesce(1).write.mode("append").parquet(str(in_dir))
+        q.processAllAvailable()
+        rows = [
+            (r["user"], r["session_window"].start, r["n"])
+            for r in spark.sql("SELECT * FROM sess_out").collect()
+        ]
+    finally:
+        q.stop()
+    by_user = {}
+    for u, start, n in rows:
+        by_user.setdefault(u, []).append((start.hour, start.minute, n))
+    # user 1: one merged 3-event session starting 0:00, one singleton at 2:00
+    assert sorted(by_user[1]) == [(0, 0, 3), (2, 0, 1)]
+    assert by_user[2] == [(0, 5, 1)]
