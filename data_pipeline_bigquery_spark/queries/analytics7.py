@@ -708,6 +708,117 @@ FROM s GROUP BY user_id, sid
 """
 
 
+# --- exact-count stratified sampling -----------------------------------------
+
+_EXSPLIT_BUDGET = 200
+_EXSPLIT_SALT = ":exsplit"
+
+
+def _exact_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-COUNT stratified sampling: draw exactly
+    ``Hamilton(budget, lang)`` documents per language, chosen by a
+    deterministic md5 order — the exact-quota complement of the
+    rate-based ``stratified_sample_lang`` (md5-permille rates drift
+    ±O(√n) off the target; a data recipe that promises "exactly 200
+    docs, proportionally by language" needs quotas, not rates).
+
+    Scale shape: the per-stratum rank is NOT a per-language window
+    (a language is corpus-sized) — it is the two-phase distributed
+    scan (`revenue_gini` pattern) keyed by (lang, md5-prefix bucket):
+    row_number within each of the 256 hash buckets, per-lang prefix
+    offsets over the 256-row bucket histogram broadcast back.  The
+    quota itself is the exact integer Hamilton apportionment
+    (`budget_apportionment` algebra).  The oracle deliberately uses
+    the NAIVE formulation — one row_number per language — so the
+    two-phase scan is checked against an independent definition."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.md5(F.concat(F.col("doc_id").cast("string"),
+                       F.lit(_EXSPLIT_SALT))).alias("h"),
+    )
+    # Hamilton quota per lang
+    per_lang = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    tot = per_lang.agg(F.sum("n_l").alias("n_total"))
+    quo = per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_l",
+        F.expr(f"n_l * {_EXSPLIT_BUDGET} div n_total").alias("base"),
+        F.expr(f"(n_l * {_EXSPLIT_BUDGET}) % n_total").alias("rem"),
+    )
+    w_rem = Window.orderBy(
+        F.col("rem").desc(), F.col("n_l").desc(), F.col("lang")
+    )
+    slots = (
+        quo.withColumn(
+            "shortfall",
+            F.lit(_EXSPLIT_BUDGET) - F.sum("base").over(Window.partitionBy()),
+        )
+        .withColumn("rk", F.row_number().over(w_rem))
+        .select(
+            "lang",
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("shortfall"), 1).otherwise(0)
+            ).alias("slots"),
+        )
+    )
+    # two-phase per-stratum rank on (h, doc_id): bucket by md5 prefix
+    bucketed = docs.withColumn(
+        "b", F.expr("CAST(conv(substring(h, 1, 2), 16, 10) AS INT)")
+    )
+    w_local = Window.partitionBy("lang", "b").orderBy("h", "doc_id")
+    local = bucketed.withColumn("rn", F.row_number().over(w_local))
+    w_off = (
+        Window.partitionBy("lang")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        bucketed.groupBy("lang", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("offset", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)))
+        .select("lang", "b", "offset")
+    )
+    ranked = local.join(F.broadcast(offsets), ["lang", "b"]).withColumn(
+        "stratum_rank", F.col("offset") + F.col("rn")
+    )
+    return (
+        ranked.join(F.broadcast(slots), "lang")
+        .filter(F.col("stratum_rank") <= F.col("slots"))
+        .select("doc_id", "lang", "stratum_rank")
+    )
+
+
+_EXSPLIT_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, lang,
+         md5(CAST(doc_id AS VARCHAR) || '{_EXSPLIT_SALT}') AS h
+  FROM documents),
+per_lang AS (SELECT lang, count(*) AS n_l FROM docs GROUP BY 1),
+quo AS (
+  SELECT lang, n_l,
+         n_l * {_EXSPLIT_BUDGET} // (SELECT sum(n_l) FROM per_lang) AS base,
+         (n_l * {_EXSPLIT_BUDGET}) % (SELECT sum(n_l) FROM per_lang) AS rem
+  FROM per_lang),
+slots AS (
+  SELECT lang,
+         base + CASE WHEN row_number() OVER (ORDER BY rem DESC, n_l DESC,
+                                             lang)
+                       <= {_EXSPLIT_BUDGET} - sum(base) OVER ()
+                     THEN 1 ELSE 0 END AS slots
+  FROM quo),
+ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)
+           AS stratum_rank
+  FROM docs)
+SELECT r.doc_id, r.lang, CAST(r.stratum_rank AS BIGINT) AS stratum_rank
+FROM ranked r JOIN slots s ON r.lang = s.lang
+WHERE r.stratum_rank <= s.slots
+"""
+
+
 # --- late-arrival restatement audit ------------------------------------------
 
 
@@ -1269,5 +1380,8 @@ QUERIES: dict[str, QuerySpec] = {
     "budget_apportionment": QuerySpec(_budget_apportionment, _APPORTION_SQL),
     "late_arriving_restatement": QuerySpec(
         _late_arriving_restatement, _RESTATE_SQL
+    ),
+    "exact_stratified_split": QuerySpec(
+        _exact_stratified_split, _EXSPLIT_SQL
     ),
 }
