@@ -134,3 +134,51 @@ def test_streaming_session_window_with_watermark(spark, tmp_path):
     # user 1: one merged 3-event session starting 0:00, one singleton at 2:00
     assert sorted(by_user[1]) == [(0, 0, 3), (2, 0, 1)]
     assert by_user[2] == [(0, 5, 1)]
+
+
+def test_update_mode_late_event_updates_window_then_expires(spark, tmp_path):
+    """Update-mode watermark semantics, pinned: a late event INSIDE
+    the watermark re-emits its window with the corrected count; an
+    event later than (max_seen - watermark) is dropped."""
+    in_dir = tmp_path / "upd_in"
+    in_dir.mkdir()
+    schema = "id long, ts timestamp, event_type string"
+
+    def _emit(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(in_dir))
+
+    _emit([Row(id=1, ts=TS(2024, 1, 1, 0, 5), event_type="a"),
+           Row(id=2, ts=TS(2024, 1, 1, 3, 0), event_type="a")])
+    stream = spark.readStream.schema(schema).parquet(str(in_dir))
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("upd_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # watermark is now 02:00. An 00:10 event is too late (< wm,
+        # its window [0:00,1:00) closed); an 02:30 event is accepted.
+        _emit([Row(id=3, ts=TS(2024, 1, 1, 0, 10), event_type="a"),
+               Row(id=4, ts=TS(2024, 1, 1, 2, 30), event_type="a")])
+        q.processAllAvailable()
+        rows = [
+            (r["window"].start.hour, r["n"])
+            for r in spark.sql("SELECT * FROM upd_out").collect()
+        ]
+    finally:
+        q.stop()
+    # the memory sink logs every UPDATE emission; hour-0 must have
+    # been emitted exactly once with n=1 (the late id=3 was dropped,
+    # never re-emitted), hour-2 appears with n=1
+    assert rows.count((0, 1)) == 1
+    assert (0, 2) not in rows
+    assert (2, 1) in rows

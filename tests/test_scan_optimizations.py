@@ -85,3 +85,35 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
     assert_dynamic_partition_pruning(joined)
     rows = {r.day_key: r.total for r in joined.collect()}
     assert set(rows) == {0, 1}  # only the two hot partitions survive
+
+
+def test_parquet_aggregate_pushdown_footer_only(spark):
+    """COUNT/MIN/MAX can be answered from parquet FOOTER statistics
+    alone under the DSv2 reader (spark.sql.parquet.aggregatePushdown)
+    — the 100 TB lever for metadata-grade queries: row-group stats,
+    zero data pages.  Pinned here because it silently needs BOTH the
+    v2 source and the flag; under defaults the same query scans data."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    old_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    try:
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_quantity").alias("mn"),
+            F.max("l_quantity").alias("mx"),
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"PushedAggregation: \[([^\]]*)\]", plan)
+        assert m, plan[:500]
+        assert "COUNT(*)" in m.group(1)
+        assert "MIN(l_quantity)" in m.group(1)
+        row = agg.first()
+        assert row.n > 0 and row.mn == 1.0 and row.mx == 50.0
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", old_v1)
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
