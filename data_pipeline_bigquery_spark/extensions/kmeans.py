@@ -43,10 +43,11 @@ from pyspark.sql import functions as F
 QSCALE = 1_000_000
 
 
-def quantize(df: DataFrame, vec_col: str = "embedding") -> F.Column:
-    """float array → exact integer-micro array (engine-portable)."""
+def quantize(vec) -> F.Column:
+    """float array column (Column or name) → exact integer-micro array
+    (engine-portable)."""
     return F.transform(
-        vec_col, lambda x: F.floor(x.cast("double") * QSCALE).cast("long")
+        vec, lambda x: F.floor(x.cast("double") * QSCALE).cast("long")
     )
 
 
@@ -84,7 +85,11 @@ def assign_step(vectors: DataFrame, cents: DataFrame) -> DataFrame:
         ),
         F.lit(0).cast("decimal(38,6)"),
         lambda acc, x: acc + x,
-    ).cast("double") / (F.col("n_c") * F.col("n_c")).cast("double")
+    ).cast("double") / (
+        # square in DOUBLE: an int64 n_c*n_c wraps silently above
+        # ~3e9 members, far inside the documented 9e12 bound
+        F.col("n_c").cast("double") * F.col("n_c").cast("double")
+    )
     w = Window.partitionBy("vec_id").orderBy("dist", "cluster")
     return (
         vectors.crossJoin(F.broadcast(cents))

@@ -644,7 +644,10 @@ def _nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(0).cast("decimal(38,6)"),
         lambda acc, x: acc + x,
-    ).cast("double") / (F.col("n_l") * F.col("n_l")).cast("double")
+    ).cast("double") / (
+        # square in DOUBLE: int64 n_l*n_l wraps above ~3e9 rows/label
+        F.col("n_l").cast("double") * F.col("n_l").cast("double")
+    )
     w = Window.partitionBy("vec_id").orderBy("dist", "c_label")
     return (
         emb.crossJoin(F.broadcast(cents))
@@ -683,7 +686,8 @@ r AS (
   SELECT label, c_label,
          row_number() OVER (PARTITION BY vec_id
                             ORDER BY CAST(num AS DOUBLE)
-                                     / CAST(n_l * n_l AS DOUBLE),
+                                     / (CAST(n_l AS DOUBLE)
+                                        * CAST(n_l AS DOUBLE)),
                                      c_label) AS rn
   FROM dists)
 SELECT label, c_label AS assigned, CAST(count(*) AS BIGINT) AS n

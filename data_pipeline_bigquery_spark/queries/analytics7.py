@@ -364,11 +364,15 @@ def _multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     marketing teams default to.
 
     Exactness policy: the weight is an IEEE double built from exact
-    integer counts (0.2/(n−2) is one correctly-rounded division), the
-    credit ``value × weight`` one correctly-rounded product — both
-    bit-identical on every engine — and the per-type SUM routes
-    through DECIMAL(38,12) so partial-aggregation order cannot change
-    the total (the source_quality_matrix pattern).
+    integer counts (0.2/(n−2) is one correctly-rounded division) and
+    the credit ``value × weight`` one correctly-rounded product —
+    bit-identical on every engine.  Each credit then FLOORS to
+    integer micro-units before summing: a raw double→DECIMAL cast is
+    the cross-engine rounding trap this batch measured twice (int8
+    audit, EWMA), while floor of identical doubles plus int64 sums
+    has no rounding anywhere; the one final /1e6 is a shared IEEE
+    division.  Sub-microcent truncation (≤5e-7 per credit) is the
+    documented quantization grain.
 
     Scale shape: the purchases×touches join is user-keyed; fan-out per
     user is purchases/user × touches/user — bounded by per-user
@@ -403,11 +407,16 @@ def _multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(rn == n, F.lit(0.4))
         .otherwise(F.lit(0.2) / (n - F.lit(2)).cast("double"))
     )
+    credit_micro = F.floor(
+        F.col("p_value") * weight * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
     return (
-        joined.withColumn("credit", (F.col("p_value") * weight).cast("decimal(38,12)"))
+        joined.withColumn("credit_micro", credit_micro)
         .groupBy("touch_type")
         .agg(
-            F.sum("credit").cast("double").alias("attributed_value"),
+            (
+                F.sum("credit_micro").cast("double") / F.lit(1e6)
+            ).alias("attributed_value"),
             F.count(F.lit(1)).alias("n_credits"),
         )
     )
@@ -428,13 +437,14 @@ j AS (
   FROM p JOIN t ON p.p_user = t.t_user AND t.t_ts < p.p_ts),
 c AS (
   SELECT touch_type,
-         CAST(p_value * (CASE WHEN n = 1 THEN 1.0::DOUBLE
-                              WHEN n = 2 THEN 0.5::DOUBLE
-                              WHEN rn = 1 OR rn = n THEN 0.4::DOUBLE
-                              ELSE 0.2::DOUBLE / CAST(n - 2 AS DOUBLE) END)
-              AS DECIMAL(38,12)) AS credit
+         CAST(floor(p_value * (CASE WHEN n = 1 THEN 1.0::DOUBLE
+                                    WHEN n = 2 THEN 0.5::DOUBLE
+                                    WHEN rn = 1 OR rn = n THEN 0.4::DOUBLE
+                                    ELSE 0.2::DOUBLE / CAST(n - 2 AS DOUBLE)
+                               END) * 1e6 + 0.5) AS BIGINT) AS credit_micro
   FROM j)
-SELECT touch_type, CAST(sum(credit) AS DOUBLE) AS attributed_value,
+SELECT touch_type,
+       CAST(sum(credit_micro) AS DOUBLE) / 1e6 AS attributed_value,
        CAST(count(*) AS BIGINT) AS n_credits
 FROM c GROUP BY touch_type
 """
@@ -467,13 +477,17 @@ def _embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     scales = emb.groupBy("dim").agg(
         (F.max(F.abs(F.col("x"))) / F.lit(127.0)).alias("scale")
     )
+    # an all-zero (padded) dimension has scale 0: 0/0 = NaN would give
+    # null codes on Spark and a cast error on DuckDB — divide by a safe
+    # 1.0 instead (codes and errors are exactly 0 either way)
+    divisor = F.when(F.col("scale") == 0, F.lit(1.0)).otherwise(F.col("scale"))
     coded = emb.join(F.broadcast(scales), "dim").select(
         "dim",
         "x",
         "scale",
         F.greatest(
             F.least(
-                F.floor(F.col("x") / F.col("scale") + F.lit(0.5)),
+                F.floor(F.col("x") / divisor + F.lit(0.5)),
                 F.lit(127),
             ),
             F.lit(-127),
@@ -509,7 +523,9 @@ WITH ex AS (
 sc AS (SELECT dim, max(abs(x)) / 127.0 AS scale FROM ex GROUP BY dim),
 coded AS (
   SELECT e.dim, e.x, s.scale,
-         CAST(greatest(least(floor(e.x / s.scale + 0.5), 127), -127)
+         CAST(greatest(least(floor(e.x / (CASE WHEN s.scale = 0 THEN 1.0
+                                          ELSE s.scale END) + 0.5),
+                             127), -127)
               AS BIGINT) AS code
   FROM ex e JOIN sc s USING (dim)),
 errs AS (
@@ -708,6 +724,44 @@ FROM s GROUP BY user_id, sid
 """
 
 
+# --- Hamilton (largest-remainder) apportionment, shared ----------------------
+
+
+def _hamilton_slots(df: DataFrame, key_col: str, n_col: str, budget: int) -> DataFrame:
+    """Exact integer largest-remainder apportionment of ``budget``
+    across the ``key_col`` groups of ``df`` (one row per group with
+    count ``n_col``): floors of the exact quotas, leftover slots to
+    the largest remainders, ties → larger count then key — a total
+    order, so the split is identical on every engine.  Shared by
+    ``budget_apportionment`` and ``exact_stratified_split`` (one copy
+    of the tie/shortfall algebra).  Runs entirely at group grain."""
+    tot = df.agg(F.sum(n_col).alias("__n_total"))
+    quo = df.crossJoin(F.broadcast(tot)).select(
+        key_col,
+        n_col,
+        F.expr(f"{n_col} * {budget} div __n_total").alias("__base"),
+        F.expr(f"({n_col} * {budget}) % __n_total").alias("__rem"),
+    )
+    w = Window.orderBy(
+        F.col("__rem").desc(), F.col(n_col).desc(), F.col(key_col)
+    )
+    return (
+        quo.withColumn(
+            "__shortfall",
+            F.lit(budget) - F.sum("__base").over(Window.partitionBy()),
+        )
+        .withColumn("__rk", F.row_number().over(w))
+        .select(
+            key_col,
+            n_col,
+            (
+                F.col("__base")
+                + F.when(F.col("__rk") <= F.col("__shortfall"), 1).otherwise(0)
+            ).alias("slots"),
+        )
+    )
+
+
 # --- exact-count stratified sampling -----------------------------------------
 
 _EXSPLIT_BUDGET = 200
@@ -737,31 +791,10 @@ def _exact_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat(F.col("doc_id").cast("string"),
                        F.lit(_EXSPLIT_SALT))).alias("h"),
     )
-    # Hamilton quota per lang
+    # Hamilton quota per lang (shared algebra)
     per_lang = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
-    tot = per_lang.agg(F.sum("n_l").alias("n_total"))
-    quo = per_lang.crossJoin(F.broadcast(tot)).select(
-        "lang",
-        "n_l",
-        F.expr(f"n_l * {_EXSPLIT_BUDGET} div n_total").alias("base"),
-        F.expr(f"(n_l * {_EXSPLIT_BUDGET}) % n_total").alias("rem"),
-    )
-    w_rem = Window.orderBy(
-        F.col("rem").desc(), F.col("n_l").desc(), F.col("lang")
-    )
-    slots = (
-        quo.withColumn(
-            "shortfall",
-            F.lit(_EXSPLIT_BUDGET) - F.sum("base").over(Window.partitionBy()),
-        )
-        .withColumn("rk", F.row_number().over(w_rem))
-        .select(
-            "lang",
-            (
-                F.col("base")
-                + F.when(F.col("rk") <= F.col("shortfall"), 1).otherwise(0)
-            ).alias("slots"),
-        )
+    slots = _hamilton_slots(per_lang, "lang", "n_l", _EXSPLIT_BUDGET).select(
+        "lang", "slots"
     )
     # two-phase per-stratum rank on (h, doc_id): bucket by md5 prefix
     bucketed = docs.withColumn(
@@ -983,31 +1016,7 @@ def _budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
     on k rows."""
     docs = load(spark, sf_dir, "documents")
     src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    tot = src.agg(F.sum("n_docs").alias("n_total"))
-    b = F.lit(_APPORTION_BUDGET)
-    quo = src.crossJoin(F.broadcast(tot)).select(
-        "source",
-        "n_docs",
-        F.expr(f"n_docs * {_APPORTION_BUDGET} div n_total").alias("base"),
-        F.expr(f"(n_docs * {_APPORTION_BUDGET}) % n_total").alias("rem"),
-        "n_total",
-    )
-    short = b - F.sum("base").over(Window.partitionBy())
-    w = Window.orderBy(
-        F.col("rem").desc(), F.col("n_docs").desc(), F.col("source")
-    )
-    return (
-        quo.withColumn("shortfall", short)
-        .withColumn("rk", F.row_number().over(w))
-        .select(
-            "source",
-            "n_docs",
-            (
-                F.col("base")
-                + F.when(F.col("rk") <= F.col("shortfall"), 1).otherwise(0)
-            ).alias("slots"),
-        )
-    )
+    return _hamilton_slots(src, "source", "n_docs", _APPORTION_BUDGET)
 
 
 _APPORTION_SQL = f"""
@@ -1324,7 +1333,8 @@ a1 AS (
   FROM (SELECT vec_id, cluster,
                row_number() OVER (PARTITION BY vec_id
                                   ORDER BY CAST(num AS DOUBLE)
-                                           / CAST(n_c * n_c AS DOUBLE),
+                                           / (CAST(n_c AS DOUBLE)
+                                              * CAST(n_c AS DOUBLE)),
                                            cluster) AS rn
         FROM d1)
   WHERE rn = 1),
@@ -1343,7 +1353,8 @@ a2 AS (
   FROM (SELECT vec_id, cluster,
                row_number() OVER (PARTITION BY vec_id
                                   ORDER BY CAST(num AS DOUBLE)
-                                           / CAST(n_c * n_c AS DOUBLE),
+                                           / (CAST(n_c AS DOUBLE)
+                                              * CAST(n_c AS DOUBLE)),
                                            cluster) AS rn
         FROM d2)
   WHERE rn = 1)

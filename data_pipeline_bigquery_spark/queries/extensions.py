@@ -406,15 +406,17 @@ def _minhash_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     The gate is integer arithmetic (hits·100 ≥ n·85): no float
     recall value exists to drift."""
     aug = _augmented_docs(spark, sf_dir, max_doc=150)
-    grams = (
-        char_shingles(aug, "doc_id", "t")
-        .withColumnRenamed("shingle", "gram")
-        .distinct()
-    )
+    # ONE materialized shingle derivation feeds both arms (min is
+    # idempotent over the multiset; the truth arm distincts).  Merely
+    # sharing the lazy subtree would NOT dedupe execution — the two
+    # arms aggregate on different keys, so no exchange reuse applies —
+    # hence the localCheckpoint: the explode runs once, and the corpus
+    # here is capped at 300 docs by construction, so the materialized
+    # stream is bounded.
+    shingles = char_shingles(aug, "doc_id", "t").localCheckpoint(eager=False)
+    grams = shingles.withColumnRenamed("shingle", "gram").distinct()
     truth = ngram_jaccard_pairs(grams, threshold=0.8)
-    lsh = lsh_candidate_pairs(
-        minhash_signatures(char_shingles(aug, "doc_id", "t"))
-    )
+    lsh = lsh_candidate_pairs(minhash_signatures(shingles))
     hits = truth.select("doc_a", "doc_b").join(
         lsh.withColumn("hit", F.lit(1)), ["doc_a", "doc_b"], "left"
     )

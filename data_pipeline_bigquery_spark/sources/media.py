@@ -81,8 +81,10 @@ def media_inventory(df: DataFrame) -> DataFrame:
     content-wide work is one md5 pass."""
     head8 = F.lower(F.hex(F.expr("substring(content, 1, 4)")))
     kind = F.lit("unknown")
-    # longest prefix wins: check 4-byte magics before 2-byte ones
-    for magic, k in sorted(_MAGIC.items(), key=lambda kv: -len(kv[0])):
+    # longest prefix wins: each when() wraps the previous chain, so the
+    # LAST magic added is evaluated first — iterate shortest-first so
+    # the longest magics end up outermost
+    for magic, k in sorted(_MAGIC.items(), key=lambda kv: len(kv[0])):
         kind = F.when(head8.startswith(magic.lower()), F.lit(k)).otherwise(kind)
     return df.select(
         F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),

@@ -103,7 +103,10 @@ def test_multi_touch_weights_sum_to_one_per_purchase(spark):
         .agg(F.sum(F.col("value").cast("decimal(38,12)")))
         .first()[0]
     )
-    assert abs(float(total) - float(attributable)) < 1e-6
+    # credits are rounded to micro-units, so the reconstruction is
+    # exact up to 5e-7 per credit row
+    n_credits = out.agg(F.sum("n_credits")).first()[0]
+    assert abs(float(total) - float(attributable)) < 5e-7 * n_credits + 1e-9
 
 
 def test_pseudonymize_is_deterministic_and_collision_free(spark):
