@@ -38,14 +38,27 @@ def asof_join(
     ts_col: str,
     value_cols: list[str],
     tolerance_s: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Append ``asof_<value_col>`` columns (and ``asof_ts``) to ``left``:
     values from the latest ``right`` row with ``right.ts <= left.ts``
-    for the same ``on`` key, or NULL if none (left-join semantics).
+    (``direction="backward"``) or the EARLIEST right row with
+    ``right.ts >= left.ts`` (``direction="forward"`` — the
+    time-to-next-event alignment), for the same ``on`` key, or NULL if
+    none (left-join semantics).  Both directions are inclusive at
+    equal timestamps, matching pandas ``merge_asof``.
 
-    ``tolerance_s``: max allowed staleness in seconds — older matches
-    are nulled out (pandas ``merge_asof(tolerance=...)``).
+    ``tolerance_s``: max allowed |staleness| in seconds — matches
+    further away are nulled out (pandas ``merge_asof(tolerance=...)``).
+
+    Forward is the mirrored union trick: the per-key window orders by
+    ``(ts, tag DESC)`` so an equal-ts right row sorts AFTER the left
+    row (inside its following frame), and ``first(ignorenulls)`` over
+    ``[current, unbounded following]`` picks the next right value —
+    still one shuffle, no Python.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
     lhs = left.withColumn(_TAG, F.lit(1))
     rhs = (
         right.select(on, ts_col, *value_cols)
@@ -57,21 +70,33 @@ def asof_join(
         rhs = rhs.withColumnRenamed(c, f"__asof_{c}")
     both = lhs.unionByName(rhs, allowMissingColumns=True)
 
-    w = (
-        Window.partitionBy(on)
-        .orderBy(ts_col, _TAG)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    matched_ts = F.last(_RTS, ignorenulls=True).over(w)
+    if direction == "backward":
+        w = (
+            Window.partitionBy(on)
+            .orderBy(ts_col, _TAG)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+        staleness = lambda m: to_epoch_seconds(ts_col) - to_epoch_seconds(m)  # noqa: E731
+    else:
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col(ts_col).asc(), F.col(_TAG).desc())
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+        staleness = lambda m: to_epoch_seconds(m) - to_epoch_seconds(ts_col)  # noqa: E731
+
+    matched_ts = pick(_RTS)
     fresh = (
         F.lit(True)
         if tolerance_s is None
-        else (to_epoch_seconds(ts_col) - to_epoch_seconds(matched_ts) <= tolerance_s)
+        else (staleness(matched_ts) <= tolerance_s)
     )
     out = both.withColumn("asof_ts", F.when(fresh, matched_ts))
     for c in value_cols:
         out = out.withColumn(
             f"asof_{c}",
-            F.when(fresh, F.last(f"__asof_{c}", ignorenulls=True).over(w)),
+            F.when(fresh, pick(f"__asof_{c}")),
         )
     return out.filter(F.col(_TAG) == 1).drop(_TAG, _RTS, *[f"__asof_{c}" for c in value_cols])

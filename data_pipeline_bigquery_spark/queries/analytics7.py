@@ -724,6 +724,65 @@ FROM s GROUP BY user_id, sid
 """
 
 
+# --- forward as-of join ------------------------------------------------------
+
+
+def _asof_forward_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (`operators/asof.py` ``direction="forward"``):
+    for every click, the user's NEXT purchase at or after the click —
+    the time-to-conversion alignment, mirror of
+    ``asof_join_click_purchase``.  Same union-trick plan (one window
+    shuffle, no Python); the frame flips to [current, unbounded
+    following] with ``first(ignorenulls)`` and the equal-ts right row
+    sorts after the left so inclusivity holds.  Right side
+    pre-aggregated per (user, ts) so ties are deterministic; DuckDB's
+    native ``ASOF LEFT JOIN ... ts <= ts`` is the independent oracle."""
+    from data_pipeline_bigquery_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("purchase_value")
+        )
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        ts_col="ts",
+        value_cols=["purchase_value"],
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_ts").alias("next_purchase_ts"),
+        F.col("asof_purchase_value").alias("next_purchase_value"),
+    )
+
+
+_ASOF_FWD_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+purchases AS (
+  SELECT user_id, ts,
+         CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+SELECT c.event_id, c.user_id, c.ts, p.ts AS next_purchase_ts,
+       p.purchase_value AS next_purchase_value
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts <= p.ts
+"""
+
+
 # --- Hamilton (largest-remainder) apportionment, shared ----------------------
 
 
@@ -1394,5 +1453,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "exact_stratified_split": QuerySpec(
         _exact_stratified_split, _EXSPLIT_SQL
+    ),
+    "asof_forward_next_purchase": QuerySpec(
+        _asof_forward_next_purchase, _ASOF_FWD_SQL
     ),
 }

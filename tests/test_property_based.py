@@ -132,6 +132,55 @@ def test_asof_join_matches_pandas(spark, left, right):
     assert len(got) == len(left)
 
 
+@given(left=_left_rows, right=_right_rows)
+@settings(**_SETTINGS)
+def test_asof_forward_matches_pandas(spark, left, right):
+    """direction='forward' mirror: next right row at or after each left
+    ts, per key — vs pandas merge_asof(direction='forward')."""
+    right = list({(k, ts) for k, ts in right})
+    l_df = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(left)], "id long, k long, ts timestamp"
+    )
+    r_df = spark.createDataFrame(
+        [(k, ts, float(k * 1000 + ts.minute)) for k, ts in right],
+        "k long, ts timestamp, v double",
+    )
+    got = {
+        r["id"]: (r["asof_ts"], r["asof_v"])
+        for r in asof_join(
+            l_df, r_df, "k", "ts", ["v"], direction="forward"
+        ).collect()
+    }
+
+    lp = pd.DataFrame(
+        {
+            "id": pd.array(range(len(left)), dtype="int64"),
+            "k": pd.array([k for k, _ in left], dtype="int64"),
+            "ts": pd.to_datetime([t for _, t in left]),
+        }
+    ).sort_values("ts", kind="stable")
+    rp = pd.DataFrame(
+        {
+            "k": pd.array([k for k, _ in right], dtype="int64"),
+            "ts": pd.to_datetime([t for _, t in right]),
+            "v": pd.array(
+                [float(k * 1000 + t.minute) for k, t in right], dtype="float64"
+            ),
+        }
+    ).sort_values("ts", kind="stable")
+    merged = pd.merge_asof(
+        lp, rp, on="ts", by="k", direction="forward", suffixes=("", "_r")
+    )
+    rts_by_kv = {(k, float(k * 1000 + t.minute)): t for k, t in right}
+    for _, row in merged.iterrows():
+        want_v = None if pd.isna(row["v"]) else row["v"]
+        got_ts, got_v = got[row["id"]]
+        assert got_v == want_v, (left, right)
+        want_ts = None if want_v is None else rts_by_kv[(row["k"], want_v)]
+        assert got_ts == want_ts, (left, right)
+    assert len(got) == len(left)
+
+
 # --- connected components vs union-find model --------------------------------
 
 _edges = st.lists(
