@@ -724,6 +724,66 @@ FROM s GROUP BY user_id, sid
 """
 
 
+# --- weighted percentiles ----------------------------------------------------
+
+
+def _weighted_quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED percentiles — the distribution question unweighted
+    quantiles get wrong: "what line-quantity level carries half /
+    ninety percent of the REVENUE?" (revenue-weighted p50/p90 of
+    quantity per return flag).  The exact integer rank rule
+    (`order_gap_percentiles` pattern) generalizes to weights
+    verbatim: cumulative WEIGHT over the value domain, answer =
+    smallest quantity with ``cum_cents·100 ≥ p·total_cents`` — all
+    int64 cents, no float percentile semantics to reconcile.
+
+    Scale: quantity's domain is bounded (1..50), so the per-flag
+    cumulative window runs on ≤50 domain rows regardless of corpus
+    size; revenue aggregates map-side into the domain grain."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("q"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    dom = li.groupBy("flag", "q").agg(F.sum("cents").alias("w"))
+    wc = Window.partitionBy("flag").orderBy("q")
+    cum = dom.withColumn("cw", F.sum("w").over(wc)).withColumn(
+        "tw", F.sum("w").over(Window.partitionBy("flag"))
+    )
+    return cum.groupBy("flag").agg(
+        F.min(F.when(F.col("cw") * 100 >= F.col("tw") * 50, F.col("q"))).alias(
+            "p50_weighted_qty"
+        ),
+        F.min(F.when(F.col("cw") * 100 >= F.col("tw") * 90, F.col("q"))).alias(
+            "p90_weighted_qty"
+        ),
+        (F.max("tw").cast("double") / F.lit(100.0)).alias("total_revenue"),
+    )
+
+
+_WQP_SQL = """
+WITH li AS (
+  SELECT l_returnflag AS flag,
+         CAST(floor(l_quantity + 0.5) AS BIGINT) AS q,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem),
+dom AS (SELECT flag, q, sum(cents) AS w FROM li GROUP BY 1, 2),
+cum AS (
+  SELECT flag, q, w,
+         sum(w) OVER (PARTITION BY flag ORDER BY q
+                      ROWS UNBOUNDED PRECEDING) AS cw,
+         sum(w) OVER (PARTITION BY flag) AS tw
+  FROM dom)
+SELECT flag,
+       min(CASE WHEN cw * 100 >= tw * 50 THEN q END) AS p50_weighted_qty,
+       min(CASE WHEN cw * 100 >= tw * 90 THEN q END) AS p90_weighted_qty,
+       CAST(max(tw) AS DOUBLE) / 100.0 AS total_revenue
+FROM cum GROUP BY flag
+"""
+
+
 # --- forward as-of join ------------------------------------------------------
 
 
@@ -1456,5 +1516,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "asof_forward_next_purchase": QuerySpec(
         _asof_forward_next_purchase, _ASOF_FWD_SQL
+    ),
+    "weighted_quantity_percentiles": QuerySpec(
+        _weighted_quantity_percentiles, _WQP_SQL
     ),
 }

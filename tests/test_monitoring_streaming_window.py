@@ -182,3 +182,46 @@ def test_update_mode_late_event_updates_window_then_expires(spark, tmp_path):
     assert rows.count((0, 1)) == 1
     assert (0, 2) not in rows
     assert (2, 1) in rows
+
+
+def test_append_mode_window_emits_only_after_watermark_passes(spark, tmp_path):
+    """Append-mode watermark semantics, pinned: a window row is
+    emitted ONLY once the watermark passes its end (it is final and
+    will never be retracted); until then the sink stays empty."""
+    in_dir = tmp_path / "app_in"
+    in_dir.mkdir()
+    schema = "id long, ts timestamp, event_type string"
+
+    def _emit(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(in_dir))
+
+    _emit([Row(id=1, ts=TS(2024, 1, 1, 0, 5), event_type="a")])
+    stream = spark.readStream.schema(schema).parquet(str(in_dir))
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("app_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # watermark still inside [0:00, 1:00): nothing may be emitted
+        assert spark.sql("SELECT * FROM app_out").count() == 0
+        # an event at 1:30 pushes the watermark past the window end
+        _emit([Row(id=2, ts=TS(2024, 1, 1, 1, 30), event_type="a")])
+        q.processAllAvailable()
+        rows = [
+            (r["window"].start.hour, r["n"])
+            for r in spark.sql("SELECT * FROM app_out").collect()
+        ]
+    finally:
+        q.stop()
+    # hour-0 window now final with n=1; hour-1 still open, not emitted
+    assert rows == [(0, 1)]
