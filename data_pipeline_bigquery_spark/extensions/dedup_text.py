@@ -202,6 +202,55 @@ def simhash_fingerprint(df: DataFrame, id_col: str, text_col: str, bits: int = 1
     return sums.select("doc_id", fingerprint.alias("simhash"))
 
 
+def simhash_hamming_pairs(
+    fingerprints: DataFrame, max_hamming: int = 2, max_bucket: int = 10_000
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``
+    (over the 16-bit fingerprints of :func:`simhash_fingerprint`),
+    WITHOUT the all-pairs square: the pigeonhole band trick — split 16
+    bits into ``max_hamming + 1`` bands (6/5/5 for the default 2), so
+    any pair within distance 2 agrees EXACTLY on at least one band —
+    then bucket on (band_idx, band_value) exactly like MinHash LSH
+    (one groupBy, in-bucket pair ``transform``, ``max_bucket`` guard)
+    and keep pairs whose full ``bit_count(a XOR b)`` passes.  Spark's
+    ``bit_count``/``^`` are whole-stage codegen; no UDF.
+
+    16-bit fingerprints are deliberately small for oracle parity —
+    production uses 64-bit (4× 16-bit bands for h≤3) with the same
+    shape; precision rises with width, the plan does not change."""
+    fp = fingerprints.select(
+        "doc_id", F.expr("cast(conv(simhash, 2, 10) as long)").alias("v")
+    )
+    banded = fp.select(
+        "doc_id",
+        "v",
+        F.posexplode(
+            F.array(
+                F.expr("v div 1024"),        # top 6 bits
+                F.expr("(v div 32) % 32"),   # middle 5
+                F.expr("v % 32"),            # low 5
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    buckets = (
+        banded.groupBy("band_idx", "band_val")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "v"))).alias("ms"))
+        .filter((F.size("ms") > 1) & (F.size("ms") <= max_bucket))
+    )
+    pairs = F.expr(
+        "flatten(transform(ms, (x, i) ->"
+        " transform(slice(ms, i + 2, size(ms) - i - 1),"
+        " y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b,"
+        "             x.v AS va, y.v AS vb))))"
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b", F.expr("bit_count(p.va ^ p.vb)").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def word_ngrams(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct word n-grams per doc (for Jaccard)."""
     w = f"split(lower({text_col}), ' ')"

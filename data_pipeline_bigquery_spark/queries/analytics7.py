@@ -724,6 +724,80 @@ FROM s GROUP BY user_id, sid
 """
 
 
+# --- sequential surrogate-key assignment -------------------------------------
+
+
+def _dim_key_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential surrogate-key assignment — the OTHER school from the
+    md5 surrogate (C5): new dimension members get contiguous integer
+    keys after the current maximum, stable across reruns because the
+    rank order is the natural key.  ``monotonically_increasing_id``
+    is the folklore trap here (partition-dependent, gaps, not
+    rerun-stable); the correct distributed form is max(existing) +
+    dense rank of the new members.
+
+    Scale: the rank is the TWO-PHASE scan (md5-prefix buckets of the
+    natural key → local row_number → 256-row prefix offsets), never a
+    single-partition window; existing-max is a 1-row broadcast.
+    Fixture split: customers with custkey % 3 != 0 are the existing
+    dim (surrogate = custkey); % 3 == 0 are the arriving members."""
+    cust = load(spark, sf_dir, "customer")
+    existing = cust.filter(F.col("c_custkey") % 3 != 0).select(
+        F.col("c_custkey").alias("natural_key"),
+        F.col("c_custkey").alias("surrogate_key"),
+    )
+    new = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("natural_key")
+    )
+    max_sk = existing.agg(F.max("surrogate_key").alias("mx"))
+    # RANGE buckets on the natural key (not hash buckets — the global
+    # rank order must be the key order, and range buckets preserve it:
+    # every key in bucket b sorts before every key in bucket b+1)
+    rng = new.agg(F.min("natural_key").alias("mn"), F.max("natural_key").alias("kx"))
+    bucketed = new.crossJoin(F.broadcast(rng)).withColumn(
+        "b",
+        F.expr("CAST((natural_key - mn) * 256 div (kx - mn + 1) AS INT)"),
+    ).drop("mn", "kx")
+    w_local = Window.partitionBy("b").orderBy("natural_key")
+    local = bucketed.withColumn("rn", F.row_number().over(w_local))
+    w_off = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        bucketed.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("offset", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)))
+        .select("b", "offset")
+    )
+    assigned = (
+        local.join(F.broadcast(offsets), "b")
+        .crossJoin(F.broadcast(max_sk))
+        .select(
+            "natural_key",
+            (F.col("mx") + F.col("offset") + F.col("rn")).alias(
+                "surrogate_key"
+            ),
+            F.lit(True).alias("is_new"),
+        )
+    )
+    return existing.withColumn("is_new", F.lit(False)).unionByName(assigned)
+
+
+_DIMKEY_SQL = """
+WITH existing AS (
+  SELECT c_custkey AS natural_key, c_custkey AS surrogate_key
+  FROM customer WHERE c_custkey % 3 <> 0),
+new_members AS (
+  SELECT c_custkey AS natural_key FROM customer WHERE c_custkey % 3 = 0),
+assigned AS (
+  SELECT natural_key,
+         (SELECT max(surrogate_key) FROM existing)
+           + row_number() OVER (ORDER BY natural_key) AS surrogate_key
+  FROM new_members)
+SELECT natural_key, surrogate_key, FALSE AS is_new FROM existing
+UNION ALL
+SELECT natural_key, surrogate_key, TRUE AS is_new FROM assigned
+"""
+
+
 # --- weighted percentiles ----------------------------------------------------
 
 
@@ -1520,4 +1594,5 @@ QUERIES: dict[str, QuerySpec] = {
     "weighted_quantity_percentiles": QuerySpec(
         _weighted_quantity_percentiles, _WQP_SQL
     ),
+    "dim_key_assignment": QuerySpec(_dim_key_assignment, _DIMKEY_SQL),
 }

@@ -386,6 +386,44 @@ SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.5
 )
 
 
+def _dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS (hamming ≤ 2) via the pigeonhole band
+    bucketing in `extensions/dedup_text.py::simhash_hamming_pairs` —
+    completes the SimHash family from fingerprints to retrieval.  The
+    oracle is the NAIVE all-pairs hamming filter (DuckDB xor +
+    bit_count over the same fingerprint SQL) — an independent
+    formulation, feasible because the contract corpus is capped at
+    300 docs; the Spark side is the bucketed scale path."""
+    from data_pipeline_bigquery_spark.extensions.dedup_text import (
+        simhash_hamming_pairs,
+    )
+
+    aug = _augmented_docs(spark, sf_dir, max_doc=150)
+    return simhash_hamming_pairs(simhash_fingerprint(aug, "doc_id", "t"))
+
+
+def _simhash_pairs_sql() -> str:
+    inner = _simhash_sql().replace("FROM documents", "FROM aug_docs")
+    return f"""
+WITH base AS (SELECT doc_id, lower(text) AS text FROM documents
+              WHERE doc_id < 150),
+aug_docs AS (SELECT doc_id, text FROM base
+             UNION ALL
+             SELECT doc_id + 1000000, substr(text, 5) FROM base),
+fp AS ({inner}),
+v AS (SELECT doc_id,
+             list_sum([CASE WHEN substr(simhash, i, 1) = '1'
+                            THEN (CAST(1 AS BIGINT) << (16 - i))
+                            ELSE 0 END
+                       for i in generate_series(1, 16)]) AS v
+      FROM fp)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.v, b.v)) AS INT) AS hamming
+FROM v a JOIN v b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.v, b.v)) <= 2
+"""
+
+
 def _minhash_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH recall contract — the text-dedup twin of the ANN
     recall contracts: ground truth is the EXACT Jaccard pair set over
@@ -1187,6 +1225,7 @@ QUERIES: dict[str, QuerySpec] = {
     "minhash_lsh_recall_contract": QuerySpec(
         _minhash_recall_contract, _MINHASH_RECALL_SQL
     ),
+    "dedup_simhash_pairs": QuerySpec(_dedup_simhash_pairs, _simhash_pairs_sql()),
     "dedup_embedding_cosine": QuerySpec(_embedding_neardup, _NEARDUP_SQL),
     "ann_cosine_topk": QuerySpec(_ann_topk, _ANN_SQL),
     "ann_auto_topk": QuerySpec(_ann_auto_topk, _ANN_SQL),

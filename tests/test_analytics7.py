@@ -267,3 +267,48 @@ def test_churn_hazard_life_table_invariants(spark):
         assert a.at_risk >= b.at_risk
         assert b.at_risk == a.at_risk - a.ended
     assert rows[-1].hazard_rate == 1.0  # everyone at max tenure ends there
+
+
+def test_dim_key_assignment_contiguous_and_rerun_stable(spark):
+    from data_pipeline_bigquery_spark.queries.analytics7 import (
+        _dim_key_assignment,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = _dim_key_assignment(spark, SF_DIR).collect()
+    new = sorted(
+        (r.natural_key, r.surrogate_key) for r in rows if r.is_new
+    )
+    existing_max = max(r.surrogate_key for r in rows if not r.is_new)
+    # contiguous block right after the existing max, in key order
+    assert [sk for _, sk in new] == list(
+        range(existing_max + 1, existing_max + 1 + len(new))
+    )
+    # rerun-stable: second run assigns identical keys
+    rows2 = _dim_key_assignment(spark, SF_DIR).collect()
+    assert sorted((r.natural_key, r.surrogate_key) for r in rows2 if r.is_new) == new
+
+
+def test_simhash_pairs_pigeonhole_never_misses(spark):
+    """Constructed fingerprints: h=2 pair found via at least one equal
+    band, h=3 pair excluded even though a band may collide."""
+    from pyspark.sql import Row
+
+    from data_pipeline_bigquery_spark.extensions.dedup_text import (
+        simhash_hamming_pairs,
+    )
+
+    def bits(v):
+        return format(v, "016b")
+
+    fps = spark.createDataFrame(
+        [
+            Row(doc_id=1, simhash=bits(0b1010101010101010)),
+            Row(doc_id=2, simhash=bits(0b1010101010101001)),  # h=2 vs 1
+            Row(doc_id=3, simhash=bits(0b0101101010101010)),  # h=3 vs 1
+        ]
+    )
+    got = {(r.doc_a, r.doc_b): r.hamming
+           for r in simhash_hamming_pairs(fps).collect()}
+    assert got.get((1, 2)) == 2
+    assert (1, 3) not in got
