@@ -724,6 +724,168 @@ FROM s GROUP BY user_id, sid
 """
 
 
+# --- hierarchical ratio-to-parent --------------------------------------------
+
+
+def _hierarchical_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-parent at every level of the region→nation hierarchy:
+    each nation's share of its region and each region's share of the
+    global total, in one result — the drill-down share table every BI
+    hierarchy renders.  Revenue aggregates to nation grain (25 rows)
+    BEFORE any window exists (the `revenue_share_of_region` rule
+    applied recursively), so both share windows run on ≤25 rows;
+    shares are integer permille (exact div of cent sums) plus the
+    IEEE ratio."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("cents")
+        )
+    )
+    w_reg = Window.partitionBy("r_name")
+    w_all = Window.partitionBy()
+    return rev.select(
+        "r_name",
+        "n_name",
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("revenue"),
+        F.expr("cents * 1000").alias("__nc").cast("long").alias("nc"),
+        F.sum("cents").over(w_reg).alias("__rc"),
+        F.sum("cents").over(w_all).alias("__gc"),
+    ).select(
+        "r_name",
+        "n_name",
+        "revenue",
+        F.expr("nc div __rc").alias("share_of_region_permille"),
+        F.expr("(__rc * 1000) div __gc").alias("region_share_of_global_permille"),
+    )
+
+
+_HIER_SQL = """
+WITH rev AS (
+  SELECT r.r_name, n.n_name,
+         sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2)
+SELECT r_name, n_name,
+       CAST(cents AS DOUBLE) / 100.0 AS revenue,
+       (cents * 1000) // sum(cents) OVER (PARTITION BY r_name)
+         AS share_of_region_permille,
+       (sum(cents) OVER (PARTITION BY r_name) * 1000)
+         // sum(cents) OVER () AS region_share_of_global_permille
+FROM rev
+"""
+
+
+# --- Apriori candidate-pruned frequent triples --------------------------------
+
+_TRIPLE_MIN_SUPPORT = 2
+
+
+def _basket_triples_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets with the APRIORI candidate-pruning step —
+    the scale discipline naive triple enumeration lacks: a triple can
+    only be frequent if all three of its pairs are, so candidates come
+    from JOINING the frequent-pair list with itself on the leading
+    item ((a,b)⋈(a,c), b<c) and pruning those whose closing pair (b,c)
+    is infrequent, BEFORE any counting touches the baskets again.
+    At lake scale the frequent-pair relation is orders of magnitude
+    smaller than the raw triple fan-out — that asymmetry is the whole
+    algorithm.  Baskets = orders, items = parts (basket_part_pairs'
+    fixture convention, distinct parts per order).
+
+    Exact: integer support counts; candidate generation and the final
+    count are equi-joins; the within-basket triple explode happens
+    ONLY for surviving candidates (semi-join pushdown)."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.basket") == F.col("b.basket"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("i1"), F.col("b.item").alias("i2")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= _TRIPLE_MIN_SUPPORT)
+    )
+    p1, p2, p3 = pairs.alias("p1"), pairs.alias("p2"), pairs.alias("p3")
+    candidates = (
+        p1.join(
+            p2,
+            (F.col("p1.i1") == F.col("p2.i1"))
+            & (F.col("p1.i2") < F.col("p2.i2")),
+        )
+        .select(
+            F.col("p1.i1").alias("i1"),
+            F.col("p1.i2").alias("i2"),
+            F.col("p2.i2").alias("i3"),
+        )
+        .alias("cand")
+        # apriori prune: the closing pair (i2, i3) must be frequent too
+        .join(
+            p3,
+            (F.col("cand.i2") == F.col("p3.i1"))
+            & (F.col("cand.i3") == F.col("p3.i2")),
+            "left_semi",
+        )
+    )
+    t1, t2, t3 = li.alias("t1"), li.alias("t2"), li.alias("t3")
+    triples_in_baskets = (
+        t1.join(
+            t2,
+            (F.col("t1.basket") == F.col("t2.basket"))
+            & (F.col("t1.item") < F.col("t2.item")),
+        )
+        .join(
+            t3,
+            (F.col("t1.basket") == F.col("t3.basket"))
+            & (F.col("t2.item") < F.col("t3.item")),
+        )
+        .select(
+            F.col("t1.item").alias("i1"),
+            F.col("t2.item").alias("i2"),
+            F.col("t3.item").alias("i3"),
+        )
+        .join(candidates, ["i1", "i2", "i3"], "left_semi")
+    )
+    return (
+        triples_in_baskets.groupBy("i1", "i2", "i3")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= _TRIPLE_MIN_SUPPORT)
+    )
+
+
+_TRIPLES_SQL = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem)
+SELECT a.item AS i1, b.item AS i2, c.item AS i3,
+       CAST(count(*) AS BIGINT) AS support
+FROM li a
+JOIN li b ON a.basket = b.basket AND a.item < b.item
+JOIN li c ON a.basket = c.basket AND b.item < c.item
+GROUP BY 1, 2, 3
+HAVING count(*) >= {_TRIPLE_MIN_SUPPORT}
+"""
+
+
 # --- sequential surrogate-key assignment -------------------------------------
 
 
@@ -1595,4 +1757,10 @@ QUERIES: dict[str, QuerySpec] = {
         _weighted_quantity_percentiles, _WQP_SQL
     ),
     "dim_key_assignment": QuerySpec(_dim_key_assignment, _DIMKEY_SQL),
+    "hierarchical_revenue_share": QuerySpec(
+        _hierarchical_revenue_share, _HIER_SQL
+    ),
+    "basket_triples_apriori": QuerySpec(
+        _basket_triples_apriori, _TRIPLES_SQL
+    ),
 }
