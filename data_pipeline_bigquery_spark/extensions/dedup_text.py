@@ -218,6 +218,12 @@ def simhash_hamming_pairs(
     16-bit fingerprints are deliberately small for oracle parity —
     production uses 64-bit (4× 16-bit bands for h≤3) with the same
     shape; precision rises with width, the plan does not change."""
+    if max_hamming > 2:
+        raise ValueError(
+            "the 3-band (6/5/5) split only guarantees recall for "
+            f"max_hamming <= 2 (pigeonhole); got {max_hamming} — widen "
+            "to max_hamming + 1 bands before raising the threshold"
+        )
     fp = fingerprints.select(
         "doc_id", F.expr("cast(conv(simhash, 2, 10) as long)").alias("v")
     )

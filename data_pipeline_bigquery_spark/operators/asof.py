@@ -28,7 +28,6 @@ from pyspark.sql import functions as F
 from data_pipeline_bigquery_spark.functions.timestamps import to_epoch_seconds
 
 _TAG = "__asof_tag"
-_RTS = "__asof_rts"
 
 
 def asof_join(
@@ -60,14 +59,20 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction}")
     lhs = left.withColumn(_TAG, F.lit(1))
-    rhs = (
-        right.select(on, ts_col, *value_cols)
-        .withColumn(_TAG, F.lit(0))
-        .withColumn(_RTS, F.col(ts_col))
-    )
-    # rename right value cols so they never collide with left's schema
-    for c in value_cols:
-        rhs = rhs.withColumnRenamed(c, f"__asof_{c}")
+    # the whole matched row travels as ONE struct (non-null for every
+    # right row, even when an individual value is NULL): picking the
+    # struct with first/last(ignorenulls) selects ts AND values from
+    # the SAME matched row — per-column picks would skip a NULL value
+    # and take it from a different (further) row, diverging from the
+    # pandas merge_asof contract
+    rhs = right.select(
+        on,
+        ts_col,
+        F.struct(
+            F.col(ts_col).alias("__rts"),
+            *[F.col(c).alias(f"__asof_{c}") for c in value_cols],
+        ).alias("__asof_payload"),
+    ).withColumn(_TAG, F.lit(0))
     both = lhs.unionByName(rhs, allowMissingColumns=True)
 
     if direction == "backward":
@@ -76,7 +81,7 @@ def asof_join(
             .orderBy(ts_col, _TAG)
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+        payload = F.last("__asof_payload", ignorenulls=True).over(w)
         staleness = lambda m: to_epoch_seconds(ts_col) - to_epoch_seconds(m)  # noqa: E731
     else:
         w = (
@@ -84,10 +89,10 @@ def asof_join(
             .orderBy(F.col(ts_col).asc(), F.col(_TAG).desc())
             .rowsBetween(0, Window.unboundedFollowing)
         )
-        pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+        payload = F.first("__asof_payload", ignorenulls=True).over(w)
         staleness = lambda m: to_epoch_seconds(m) - to_epoch_seconds(ts_col)  # noqa: E731
 
-    matched_ts = pick(_RTS)
+    matched_ts = payload["__rts"]
     fresh = (
         F.lit(True)
         if tolerance_s is None
@@ -97,6 +102,6 @@ def asof_join(
     for c in value_cols:
         out = out.withColumn(
             f"asof_{c}",
-            F.when(fresh, pick(f"__asof_{c}")),
+            F.when(fresh, payload[f"__asof_{c}"]),
         )
-    return out.filter(F.col(_TAG) == 1).drop(_TAG, _RTS, *[f"__asof_{c}" for c in value_cols])
+    return out.filter(F.col(_TAG) == 1).drop(_TAG, "__asof_payload")

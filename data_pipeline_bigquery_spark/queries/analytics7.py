@@ -757,7 +757,7 @@ def _hierarchical_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_name",
         "n_name",
         (F.col("cents").cast("double") / F.lit(100.0)).alias("revenue"),
-        F.expr("cents * 1000").alias("__nc").cast("long").alias("nc"),
+        (F.col("cents") * 1000).alias("nc"),
         F.sum("cents").over(w_reg).alias("__rc"),
         F.sum("cents").over(w_all).alias("__gc"),
     ).select(
@@ -794,20 +794,22 @@ _TRIPLE_MIN_SUPPORT = 2
 
 
 def _basket_triples_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frequent 3-itemsets with the APRIORI candidate-pruning step —
-    the scale discipline naive triple enumeration lacks: a triple can
-    only be frequent if all three of its pairs are, so candidates come
-    from JOINING the frequent-pair list with itself on the leading
-    item ((a,b)⋈(a,c), b<c) and pruning those whose closing pair (b,c)
-    is infrequent, BEFORE any counting touches the baskets again.
-    At lake scale the frequent-pair relation is orders of magnitude
-    smaller than the raw triple fan-out — that asymmetry is the whole
-    algorithm.  Baskets = orders, items = parts (basket_part_pairs'
-    fixture convention, distinct parts per order).
+    """Frequent 3-itemsets with the APRIORI pruning discipline —
+    a triple can only be frequent if all three of its pairs are, so
+    the enumeration is pruned BETWEEN the joins: (t1,t2) pairs are
+    semi-joined against the frequent-pair relation before the third
+    basket join ever runs, and the (i2,i3)/(i1,i3) closing pairs right
+    after it — placed there explicitly because a single semi-join on
+    the completed triple would sit above all three joins, where
+    Catalyst cannot push it down, and the plan would pay the full raw
+    triple fan-out the algorithm exists to avoid.  At lake scale the
+    frequent-pair relation is orders of magnitude smaller than that
+    fan-out — that asymmetry is the whole algorithm.  Baskets =
+    orders, items = parts (basket_part_pairs' fixture convention).
 
-    Exact: integer support counts; candidate generation and the final
-    count are equi-joins; the within-basket triple explode happens
-    ONLY for surviving candidates (semi-join pushdown)."""
+    Answer-preserving by monotonicity (any support ≥ s triple has all
+    pairs ≥ s), so the naive-enumeration oracle hash-matches.  Exact
+    integer support counts throughout."""
     li = (
         load(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item"))
@@ -826,45 +828,55 @@ def _basket_triples_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= _TRIPLE_MIN_SUPPORT)
     )
-    p1, p2, p3 = pairs.alias("p1"), pairs.alias("p2"), pairs.alias("p3")
-    candidates = (
-        p1.join(
-            p2,
-            (F.col("p1.i1") == F.col("p2.i1"))
-            & (F.col("p1.i2") < F.col("p2.i2")),
-        )
-        .select(
-            F.col("p1.i1").alias("i1"),
-            F.col("p1.i2").alias("i2"),
-            F.col("p2.i2").alias("i3"),
-        )
-        .alias("cand")
-        # apriori prune: the closing pair (i2, i3) must be frequent too
-        .join(
-            p3,
-            (F.col("cand.i2") == F.col("p3.i1"))
-            & (F.col("cand.i3") == F.col("p3.i2")),
-            "left_semi",
-        )
-    )
+    fpairs = pairs.select("i1", "i2")
     t1, t2, t3 = li.alias("t1"), li.alias("t2"), li.alias("t3")
-    triples_in_baskets = (
+    # prune BETWEEN the joins, not after them: the (t1, t2) pair is
+    # semi-joined against the frequent-pair relation BEFORE the third
+    # basket join, and the (t2, t3) closing pair immediately after it
+    # — a single semi-join on the completed (i1,i2,i3) would sit above
+    # all three joins where Catalyst cannot push it down, paying the
+    # full raw triple fan-out the algorithm exists to avoid
+    t12 = (
         t1.join(
             t2,
             (F.col("t1.basket") == F.col("t2.basket"))
             & (F.col("t1.item") < F.col("t2.item")),
         )
-        .join(
-            t3,
-            (F.col("t1.basket") == F.col("t3.basket"))
-            & (F.col("t2.item") < F.col("t3.item")),
-        )
         .select(
+            F.col("t1.basket").alias("basket"),
             F.col("t1.item").alias("i1"),
             F.col("t2.item").alias("i2"),
-            F.col("t3.item").alias("i3"),
         )
-        .join(candidates, ["i1", "i2", "i3"], "left_semi")
+        .join(
+            fpairs,
+            ["i1", "i2"],
+            "left_semi",
+        )
+        .alias("t12")
+    )
+    triples_in_baskets = (
+        t12.join(
+            t3,
+            (F.col("t12.basket") == F.col("t3.basket"))
+            & (F.col("t12.i2") < F.col("t3.item")),
+        )
+        .select("i1", "i2", F.col("t3.item").alias("i3"))
+        .alias("tri")
+        # closing pair (i2, i3) must be frequent; (i1, i3) too
+        .join(
+            fpairs.select(
+                F.col("i1").alias("i2"), F.col("i2").alias("i3")
+            ),
+            ["i2", "i3"],
+            "left_semi",
+        )
+        .join(
+            fpairs.select(
+                F.col("i1"), F.col("i2").alias("i3")
+            ),
+            ["i1", "i3"],
+            "left_semi",
+        )
     )
     return (
         triples_in_baskets.groupBy("i1", "i2", "i3")

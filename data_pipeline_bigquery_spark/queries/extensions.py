@@ -403,13 +403,15 @@ def _dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_pairs_sql() -> str:
-    inner = _simhash_sql().replace("FROM documents", "FROM aug_docs")
+    # reuse the ONE shared augmentation CTE (`_aug_cte`) — its lowered
+    # text column is `t`, so rewrite the fingerprint SQL's source refs
+    inner = (
+        _simhash_sql()
+        .replace("lower(text)", "t")
+        .replace("FROM documents", "FROM aug")
+    )
     return f"""
-WITH base AS (SELECT doc_id, lower(text) AS text FROM documents
-              WHERE doc_id < 150),
-aug_docs AS (SELECT doc_id, text FROM base
-             UNION ALL
-             SELECT doc_id + 1000000, substr(text, 5) FROM base),
+WITH {_aug_cte(max_doc=150)},
 fp AS ({inner}),
 v AS (SELECT doc_id,
              list_sum([CASE WHEN substr(simhash, i, 1) = '1'

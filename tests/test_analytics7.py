@@ -305,10 +305,51 @@ def test_simhash_pairs_pigeonhole_never_misses(spark):
         [
             Row(doc_id=1, simhash=bits(0b1010101010101010)),
             Row(doc_id=2, simhash=bits(0b1010101010101001)),  # h=2 vs 1
-            Row(doc_id=3, simhash=bits(0b0101101010101010)),  # h=3 vs 1
+            Row(doc_id=3, simhash=bits(0b1010101010101101)),  # h=3 vs 1
         ]
     )
+    assert bin(0b1010101010101010 ^ 0b1010101010101101).count("1") == 3
     got = {(r.doc_a, r.doc_b): r.hamming
            for r in simhash_hamming_pairs(fps).collect()}
     assert got.get((1, 2)) == 2
+    # doc 3 shares two whole bands with doc 1 (it IS bucketed with it)
+    # yet the exact hamming filter must still exclude the h=3 pair
     assert (1, 3) not in got
+
+    # max_hamming above the pigeonhole guarantee must refuse, not
+    # silently lose recall
+    import pytest
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_hamming_pairs(fps, max_hamming=3)
+
+
+def test_asof_null_value_comes_from_matched_row(spark):
+    """A NULL value in the matched right row must surface as NULL with
+    that row's ts — not silently skip to a further row (the pandas
+    merge_asof contract; the payload-struct pick guarantees it)."""
+    from pyspark.sql import Row
+
+    from data_pipeline_bigquery_spark.operators.asof import asof_join
+
+    def ts(h):
+        import datetime
+
+        return datetime.datetime(2024, 1, 1, h)
+
+    left = spark.createDataFrame(
+        [Row(id=1, k=1, ts=ts(5)), Row(id=2, k=1, ts=ts(23))]
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, ts=ts(10), v=None), Row(k=1, ts=ts(20), v=5.0)],
+        "k long, ts timestamp, v double",
+    )
+    fwd = {r.id: (r.asof_ts, r.asof_v)
+           for r in asof_join(left, right, "k", "ts", ["v"],
+                              direction="forward").collect()}
+    assert fwd[1] == (ts(10), None)   # matched row's NULL, not 5.0
+    bwd = {r.id: (r.asof_ts, r.asof_v)
+           for r in asof_join(left, right, "k", "ts", ["v"]).collect()}
+    assert bwd[2] == (ts(20), 5.0)
+    # backward at ts=5: no match at all
+    assert bwd[1] == (None, None)
