@@ -80,6 +80,10 @@ _NEEDS_REEVIDENCE = {
     "ann_ivf_trained_recall_contract",
     "ann_ivf_pq_recall_contract",
     "multimodal_frame_sample",
+    # round-5 session 4: distance normalization fixed (the unnormalized
+    # rational-centroid distance was biased by per-label n²), so the
+    # assignment output changed and pre-fix driver greens are stale
+    "nearest_centroid_confusion",
 }
 _REEVIDENCE_AFTER_ROUND = 4  # green rows in CORRECTNESS_r>NN clear the flag
 
