@@ -203,40 +203,44 @@ def simhash_fingerprint(df: DataFrame, id_col: str, text_col: str, bits: int = 1
 
 
 def simhash_hamming_pairs(
-    fingerprints: DataFrame, max_hamming: int = 2, max_bucket: int = 10_000
+    fingerprints: DataFrame,
+    max_hamming: int = 2,
+    max_bucket: int = 10_000,
+    bits: int = 16,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``
-    (over the 16-bit fingerprints of :func:`simhash_fingerprint`),
-    WITHOUT the all-pairs square: the pigeonhole band trick — split 16
-    bits into ``max_hamming + 1`` bands (6/5/5 for the default 2), so
-    any pair within distance 2 agrees EXACTLY on at least one band —
+    (over the ``bits``-wide fingerprints of
+    :func:`simhash_fingerprint`), WITHOUT the all-pairs square: the
+    pigeonhole band trick — split the ``bits`` into ``max_hamming +
+    1`` bands (6/5/5 for the 16-bit default), so any pair within
+    distance ``max_hamming`` agrees EXACTLY on at least one band —
     then bucket on (band_idx, band_value) exactly like MinHash LSH
     (one groupBy, in-bucket pair ``transform``, ``max_bucket`` guard)
     and keep pairs whose full ``bit_count(a XOR b)`` passes.  Spark's
     ``bit_count``/``^`` are whole-stage codegen; no UDF.
 
-    16-bit fingerprints are deliberately small for oracle parity —
-    production uses 64-bit (4× 16-bit bands for h≤3) with the same
-    shape; precision rises with width, the plan does not change."""
-    if max_hamming > 2:
-        raise ValueError(
-            "the 3-band (6/5/5) split only guarantees recall for "
-            f"max_hamming <= 2 (pigeonhole); got {max_hamming} — widen "
-            "to max_hamming + 1 bands before raising the threshold"
-        )
+    Raising ``max_hamming`` automatically widens to the required band
+    count (the guarantee is structural, never silent recall loss);
+    production precision comes from ``bits=64`` with the same plan."""
+    n_bands = max_hamming + 1
+    if n_bands > bits:
+        raise ValueError(f"need {n_bands} bands but only {bits} bits")
+    base_w, extra = divmod(bits, n_bands)
+    # band widths: first `extra` bands get one extra bit (6/5/5 at
+    # 16 bits / 3 bands), carved most-significant-first by shifts
+    widths = [base_w + (1 if i < extra else 0) for i in range(n_bands)]
+    exprs, used = [], 0
+    for w in widths:
+        shift = bits - used - w
+        exprs.append(F.expr(f"(v div {1 << shift}) % {1 << w}"))
+        used += w
     fp = fingerprints.select(
         "doc_id", F.expr("cast(conv(simhash, 2, 10) as long)").alias("v")
     )
     banded = fp.select(
         "doc_id",
         "v",
-        F.posexplode(
-            F.array(
-                F.expr("v div 1024"),        # top 6 bits
-                F.expr("(v div 32) % 32"),   # middle 5
-                F.expr("v % 32"),            # low 5
-            )
-        ).alias("band_idx", "band_val"),
+        F.posexplode(F.array(*exprs)).alias("band_idx", "band_val"),
     )
     buckets = (
         banded.groupBy("band_idx", "band_val")

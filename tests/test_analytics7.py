@@ -316,12 +316,17 @@ def test_simhash_pairs_pigeonhole_never_misses(spark):
     # yet the exact hamming filter must still exclude the h=3 pair
     assert (1, 3) not in got
 
-    # max_hamming above the pigeonhole guarantee must refuse, not
-    # silently lose recall
+    # raising max_hamming auto-widens to 4 bands: the h=3 pair is now
+    # structurally guaranteed to be found
+    got3 = {(r.doc_a, r.doc_b): r.hamming
+            for r in simhash_hamming_pairs(fps, max_hamming=3).collect()}
+    assert got3.get((1, 3)) == 3
+
+    # more bands than bits is impossible — refuse loudly
     import pytest
 
-    with pytest.raises(ValueError, match="pigeonhole"):
-        simhash_hamming_pairs(fps, max_hamming=3)
+    with pytest.raises(ValueError, match="bands"):
+        simhash_hamming_pairs(fps, max_hamming=16)
 
 
 def test_asof_null_value_comes_from_matched_row(spark):
