@@ -1,0 +1,53 @@
+"""delete_by_keys_rewrite: targeted GDPR-style deletes rewrite ONLY the
+files containing matching rows; untouched files stay byte-identical."""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+
+from pyspark.sql import functions as F
+
+from data_pipeline_bigquery_spark.sources.lake import delete_by_keys_rewrite
+
+
+def _digests(path):
+    return {
+        p.split("/")[-1]: hashlib.md5(open(p, "rb").read()).hexdigest()
+        for p in glob.glob(f"{path}/*.parquet")
+    }
+
+
+def test_delete_rewrites_only_affected_files(spark, tmp_path):
+    base = str(tmp_path / "lake")
+    # 4 files, keys clustered so only file of ids 0-24 is affected
+    spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v")) \
+        .repartitionByRange(4, "k").write.parquet(base)
+    before = _digests(base)
+    assert len(before) == 4
+
+    victims = spark.createDataFrame([(3,), (7,)], "k long")
+    out = delete_by_keys_rewrite(spark, base, "k", victims)
+    assert out == {"files_rewritten": 1, "rows_deleted": 2}
+
+    after = _digests(base)
+    assert len(after) == 4
+    changed = {n for n in before if before[n] != after.get(n, "gone")}
+    unchanged = {n for n in before if before[n] == after.get(n)}
+    assert len(unchanged) == 3  # three files byte-identical
+    df = spark.read.parquet(base)
+    assert df.count() == 98
+    assert df.filter(F.col("k").isin(3, 7)).count() == 0
+    # non-victim rows in the rewritten file survived
+    assert df.filter(F.col("k").isin(0, 1, 2, 4)).count() == 4
+
+
+def test_delete_no_match_is_noop(spark, tmp_path):
+    base = str(tmp_path / "lake2")
+    spark.range(10).select(F.col("id").alias("k")).write.parquet(base)
+    before = _digests(base)
+    out = delete_by_keys_rewrite(
+        spark, base, "k", spark.createDataFrame([(999,)], "k long")
+    )
+    assert out == {"files_rewritten": 0, "rows_deleted": 0}
+    assert _digests(base) == before
