@@ -50,6 +50,23 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                 required=True,
                 help="engagement type (emails/calls/notes/...)",
             )
+    # operational subcommand (no reference counterpart): the lake
+    # maintenance pass — compaction, optional range clustering, and
+    # the targeted GDPR delete — over an existing parquet prefix
+    m = sub.add_parser(
+        "lake_maintenance",
+        help="compact a parquet lake path; optionally sort-cluster and "
+        "hard-delete keys (file-pruned rewrite)",
+    )
+    m.add_argument("--path", required=True, help="parquet lake directory")
+    m.add_argument("--target-mb", type=float, default=512)
+    m.add_argument("--sort-col", default=None, help="range-cluster on this column")
+    m.add_argument(
+        "--delete-keys",
+        default=None,
+        help="parquet file/dir of keys to hard-delete before compaction",
+    )
+    m.add_argument("--key-col", default=None, help="key column for --delete-keys")
     return parser.parse_args(argv)
 
 
@@ -79,8 +96,36 @@ def run_workflow(
     return n, df
 
 
+def run_maintenance(args) -> str:
+    from data_pipeline_bigquery_spark.session import get_spark
+    from data_pipeline_bigquery_spark.sources.lake import (
+        compact_lake,
+        delete_by_keys_rewrite,
+    )
+
+    spark = get_spark()
+    parts = []
+    if args.delete_keys:
+        if not args.key_col:
+            raise SystemExit("--delete-keys requires --key-col")
+        keys = spark.read.parquet(args.delete_keys)
+        res = delete_by_keys_rewrite(spark, args.path, args.key_col, keys)
+        parts.append(
+            f"deleted {res['rows_deleted']} rows "
+            f"({res['files_rewritten']} files rewritten)"
+        )
+    n_files = compact_lake(
+        spark, args.path, target_file_mb=args.target_mb, sort_col=args.sort_col
+    )
+    parts.append(f"compacted to {n_files} files")
+    return "; ".join(parts)
+
+
 def main(argv: list[str] | None = None) -> int:
     args = parse_args(argv)
+    if args.workflow == "lake_maintenance":
+        print(f"lake_maintenance: {run_maintenance(args)}")
+        return 0
     n, _ = run_workflow(
         args.workflow,
         sf_dir=args.sf_dir,

@@ -43,3 +43,23 @@ def test_engagement_requires_type():
         parse_args(["hubspot_engagement_to_bigquery"])
     args = parse_args(["hubspot_engagement_to_bigquery", "--engagement", "calls"])
     assert args.engagement == "calls"
+
+
+def test_cli_lake_maintenance_delete_and_compact(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from data_pipeline_bigquery_spark.__main__ import main
+
+    lake = str(tmp_path / "lake")
+    spark.range(200).select(F.col("id").alias("k"), (F.col("id") % 7).alias("v")) \
+        .repartition(8).write.parquet(lake)
+    keys = str(tmp_path / "keys")
+    spark.createDataFrame([(5,), (6,)], "k long").write.parquet(keys)
+    rc = main([
+        "lake_maintenance", "--path", lake, "--target-mb", "64",
+        "--delete-keys", keys, "--key-col", "k",
+    ])
+    assert rc == 0
+    out = spark.read.parquet(lake)
+    assert out.count() == 198
+    assert out.filter(F.col("k").isin(5, 6)).count() == 0
