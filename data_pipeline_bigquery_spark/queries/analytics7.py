@@ -724,6 +724,104 @@ FROM s GROUP BY user_id, sid
 """
 
 
+# --- vocabulary coverage curve -----------------------------------------------
+
+# the synthetic corpus draws from a ~31-word pool, so the
+# informative checkpoints sit inside it; a web corpus would use
+# (1e3, 32e3, 256e3) with the identical plan
+_VOCAB_CHECKPOINTS = (5, 15, 25)
+
+
+def _vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer-design Zipf curve: what fraction of corpus tokens
+    does a vocabulary of the top-K words cover, at three vocabulary
+    checkpoints — the coverage-vs-vocab-size tradeoff every tokenizer budget
+    decision reads off.  Complements ``vocab_oov_rate`` (per-doc OOV
+    under ONE vocab) with the whole curve.
+
+    Scale shape: token counts reduce to VOCABULARY grain map-side;
+    the global frequency rank uses the two-phase distributed scan
+    (count-range buckets → per-bucket row_number → 256-row prefix
+    offsets) — never a single-partition window over the vocabulary —
+    and each checkpoint's coverage is a conditional sum over ranks,
+    so no cumulative window exists at all.  Ties rank
+    (count desc, token asc): total order, engine-identical."""
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rng = toks.agg(F.min("cnt").alias("mn"), F.max("cnt").alias("mx"))
+    bucketed = toks.crossJoin(F.broadcast(rng)).withColumn(
+        "b",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+            F.expr("CAST((mx - cnt) * 256 div (mx - mn + 1) AS INT)")
+        ),
+    )
+    w_local = Window.partitionBy("b").orderBy(
+        F.col("cnt").desc(), F.col("tok")
+    )
+    local = bucketed.withColumn("rn", F.row_number().over(w_local))
+    w_off = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        bucketed.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("off", F.coalesce(F.sum("c").over(w_off), F.lit(0)))
+        .select("b", "off")
+    )
+    ranked = local.join(F.broadcast(offsets), "b").withColumn(
+        "r", F.col("off") + F.col("rn")
+    )
+    total = F.sum("cnt").over(Window.partitionBy())
+    agg = ranked.withColumn("tot", total).agg(
+        F.any_value("tot").alias("total_tokens"),
+        *[
+            F.sum(F.when(F.col("r") <= k, F.col("cnt")).otherwise(0)).alias(
+                f"cov_{k}"
+            )
+            for k in _VOCAB_CHECKPOINTS
+        ],
+    )
+    rows = [
+        agg.select(
+            F.lit(k).alias("vocab_size"),
+            F.col(f"cov_{k}").alias("tokens_covered"),
+            F.expr(f"cov_{k} * 1000 div total_tokens").alias(
+                "coverage_permille"
+            ),
+        )
+        for k in _VOCAB_CHECKPOINTS
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+_VOCAB_CURVE_SQL = f"""
+WITH toks AS (
+  SELECT t.tok, count(*) AS cnt
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents) t
+  WHERE t.tok <> '' GROUP BY 1),
+ranked AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS r,
+         sum(cnt) OVER () AS total_tokens
+  FROM toks),
+cov AS (
+  SELECT any_value(total_tokens) AS total_tokens,
+         {", ".join(f"sum(CASE WHEN r <= {k} THEN cnt ELSE 0 END) AS cov_{k}"
+                    for k in _VOCAB_CHECKPOINTS)}
+  FROM ranked)
+{" UNION ALL ".join(
+    f"SELECT {k} AS vocab_size, CAST(cov_{k} AS BIGINT) AS tokens_covered, "
+    f"cov_{k} * 1000 // total_tokens AS coverage_permille FROM cov"
+    for k in _VOCAB_CHECKPOINTS)}
+"""
+
+
 # --- hierarchical ratio-to-parent --------------------------------------------
 
 
@@ -1775,4 +1873,5 @@ QUERIES: dict[str, QuerySpec] = {
     "basket_triples_apriori": QuerySpec(
         _basket_triples_apriori, _TRIPLES_SQL
     ),
+    "vocab_coverage_curve": QuerySpec(_vocab_coverage_curve, _VOCAB_CURVE_SQL),
 }
