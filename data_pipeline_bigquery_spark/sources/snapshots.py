@@ -1,0 +1,130 @@
+"""Versioned snapshot store — plain-parquet time travel.
+
+The reference's warehouse keeps exactly one mutable table per entity
+(MERGE in place, `bigquery.py:206-271`): yesterday's state is gone the
+moment today's load lands.  This module keeps EVERY load as an
+immutable snapshot version under one prefix —
+
+    base/v=1/...parquet   base/v=2/...parquet   ...
+
+with a per-version ``_COMMITTED`` marker as the commit protocol: data
+files land first, the marker last, so readers (which only ever look at
+marked versions) can never observe a half-written snapshot — a crash
+mid-write leaves an invisible orphan directory, not corruption.  That
+is the same reader-visibility idea a real table format (Iceberg/Delta)
+gets from its metadata log, reduced to what plain parquet + a
+filesystem rename can guarantee.
+
+On top of the versions:
+- ``read_snapshot(..., version=None)`` → any historical state, or the
+  latest committed one (time travel);
+- ``snapshot_cdc(old, new)`` → the ROW-LEVEL insert/delete/update feed
+  between any two versions (one co-partitioned full-outer join on the
+  pk — the change feed `snapshot_diff_cdc` derives for one fixed pair,
+  generalized to arbitrary version pairs and returned at row grain).
+
+Scale: a snapshot is an ordinary parquet dir (partition/bucket options
+pass through); version listing is O(versions); the CDC join shuffles
+on the pk with AQE sizing.  Retention is the `compact_lake` staged
+pattern: drop old version dirs, markers last.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MARKER = "_COMMITTED"
+
+
+def _fs_and_path(spark: SparkSession, p: str):
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(p)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def list_versions(spark: SparkSession, base: str) -> list[int]:
+    """Committed versions, ascending.  Uncommitted (crashed) version
+    dirs are invisible by construction."""
+    fs, jpath = _fs_and_path(spark, base)
+    if not fs.exists(jpath):
+        return []
+    out = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        m = re.fullmatch(r"v=(\d+)", name)
+        if not m:
+            continue
+        marker = spark._jvm.org.apache.hadoop.fs.Path(
+            st.getPath(), _MARKER
+        )
+        if fs.exists(marker):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def write_snapshot(df: DataFrame, base: str) -> int:
+    """Write the next snapshot version; returns its number.  Data
+    first, marker last — the commit point is the marker creation."""
+    spark = df.sparkSession
+    versions = list_versions(spark, base)
+    v = (versions[-1] if versions else 0) + 1
+    vdir = f"{base}/v={v}"
+    df.write.mode("errorifexists").parquet(vdir)
+    fs, _ = _fs_and_path(spark, base)
+    fs.create(
+        spark._jvm.org.apache.hadoop.fs.Path(f"{vdir}/{_MARKER}")
+    ).close()
+    return v
+
+
+def read_snapshot(
+    spark: SparkSession, base: str, version: int | None = None
+) -> DataFrame:
+    """Time travel: the given committed version, or the latest."""
+    versions = list_versions(spark, base)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots under {base}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise FileNotFoundError(f"version {version} not committed in {base}")
+    return spark.read.parquet(f"{base}/v={version}")
+
+
+def snapshot_cdc(
+    old: DataFrame,
+    new: DataFrame,
+    pk_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Row-level change feed between two snapshots: one full-outer join
+    on the pk; rows classified insert / delete / update (unchanged rows
+    are dropped — the feed carries only changes).  Output: pk columns,
+    ``change_type``, and old_/new_ pairs of the compared columns.
+    Null-safe comparison: NULL→value and value→NULL count as updates."""
+    o = old.select(pk_cols + compare_cols).alias("o")
+    n = new.select(pk_cols + compare_cols).alias("n")
+    cond = None
+    for k in pk_cols:
+        c = F.col(f"o.{k}") == F.col(f"n.{k}")
+        cond = c if cond is None else (cond & c)
+    joined = o.join(n, cond, "full_outer")
+    o_pk, n_pk = F.col(f"o.{pk_cols[0]}"), F.col(f"n.{pk_cols[0]}")
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    change = (
+        F.when(o_pk.isNull(), "insert")
+        .when(n_pk.isNull(), "delete")
+        .when(changed, "update")
+    )
+    out_cols = [
+        F.coalesce(F.col(f"o.{k}"), F.col(f"n.{k}")).alias(k) for k in pk_cols
+    ]
+    out_cols.append(change.alias("change_type"))
+    for c in compare_cols:
+        out_cols.append(F.col(f"o.{c}").alias(f"old_{c}"))
+        out_cols.append(F.col(f"n.{c}").alias(f"new_{c}"))
+    return joined.select(*out_cols).filter(F.col("change_type").isNotNull())
