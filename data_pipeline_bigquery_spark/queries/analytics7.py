@@ -724,6 +724,92 @@ FROM s GROUP BY user_id, sid
 """
 
 
+# --- snapshot-store time travel ----------------------------------------------
+
+
+def _snapshot_time_travel_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level change feed THROUGH the versioned snapshot store
+    (`sources/snapshots.py`): two deterministic order states are
+    committed as snapshot versions (data-first/marker-last protocol),
+    read back BY VERSION (time travel), and diffed with
+    ``snapshot_cdc`` — insert/delete/update rows with old/new values.
+    Complements ``snapshot_diff_cdc`` (same change algebra, but that
+    one aggregates counts from in-plan views; this one exercises the
+    actual store round-trip at row grain).  The fixture states reuse
+    the established splits: v2 deletes every 20th order, bumps every
+    10th price, adds post-1998 orders."""
+    import shutil
+
+    from data_pipeline_bigquery_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_cdc,
+        write_snapshot,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_snap_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_cents"),
+        "o_orderdate",
+    )
+    cut = F.lit("1998-01-01").cast("timestamp")
+    v1 = orders.filter(F.col("o_orderdate") < cut).select(
+        "o_orderkey", "price_cents"
+    )
+    v2 = (
+        orders.filter(F.col("o_orderkey") % 20 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 10 == 0, F.col("price_cents") + 100
+            )
+            .otherwise(F.col("price_cents"))
+            .alias("price_cents"),
+        )
+    )
+    write_snapshot(v1, base)
+    write_snapshot(v2, base)
+    return snapshot_cdc(
+        read_snapshot(spark, base, 1),
+        read_snapshot(spark, base, 2),
+        ["o_orderkey"],
+        ["price_cents"],
+    )
+
+
+_SNAP_CDC_SQL = """
+WITH v1 AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+v2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 0
+              THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) + 100
+              ELSE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END
+           AS price_cents
+  FROM orders WHERE o_orderkey % 20 <> 0)
+SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+            WHEN n.o_orderkey IS NULL THEN 'delete'
+            WHEN o.price_cents IS DISTINCT FROM n.price_cents THEN 'update'
+       END AS change_type,
+       o.price_cents AS old_price_cents,
+       n.price_cents AS new_price_cents
+FROM v1 o FULL OUTER JOIN v2 n ON o.o_orderkey = n.o_orderkey
+WHERE (CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+            WHEN n.o_orderkey IS NULL THEN 'delete'
+            WHEN o.price_cents IS DISTINCT FROM n.price_cents THEN 'update'
+       END) IS NOT NULL
+"""
+
+
 # --- vocabulary coverage curve -----------------------------------------------
 
 # the synthetic corpus draws from a ~31-word pool, so the
@@ -1874,4 +1960,7 @@ QUERIES: dict[str, QuerySpec] = {
         _basket_triples_apriori, _TRIPLES_SQL
     ),
     "vocab_coverage_curve": QuerySpec(_vocab_coverage_curve, _VOCAB_CURVE_SQL),
+    "snapshot_time_travel_cdc": QuerySpec(
+        _snapshot_time_travel_cdc, _SNAP_CDC_SQL
+    ),
 }
