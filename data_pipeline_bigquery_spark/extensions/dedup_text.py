@@ -221,10 +221,19 @@ def simhash_hamming_pairs(
 
     Raising ``max_hamming`` automatically widens to the required band
     count (the guarantee is structural, never silent recall loss);
-    production precision comes from ``bits=64`` with the same plan."""
+    wider fingerprints use the same plan up to 62 bits — beyond that
+    ``conv``'s unsigned decimal overflows a signed long to NULL and
+    every MSB-set doc would silently drop, so the parse must switch
+    to a two-halves form first (guarded below)."""
     n_bands = max_hamming + 1
     if n_bands > bits:
         raise ValueError(f"need {n_bands} bands but only {bits} bits")
+    if bits > 62:
+        raise ValueError(
+            "conv(binary, 2, 10) cast to long goes NULL above 62 bits "
+            "(silent recall loss for MSB-set fingerprints); parse in two "
+            "halves before using wider fingerprints"
+        )
     base_w, extra = divmod(bits, n_bands)
     # band widths: first `extra` bands get one extra bit (6/5/5 at
     # 16 bits / 3 bands), carved most-significant-first by shifts

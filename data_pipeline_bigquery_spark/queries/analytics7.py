@@ -738,17 +738,20 @@ def _snapshot_time_travel_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     actual store round-trip at row grain).  The fixture states reuse
     the established splits: v2 deletes every 20th order, bumps every
     10th price, adds post-1998 orders."""
-    import shutil
-
     from data_pipeline_bigquery_spark.sources.snapshots import (
         read_snapshot,
         snapshot_cdc,
         write_snapshot,
     )
 
+    # pid-scoped dir: concurrent sessions get disjoint stores (a shared
+    # path would let one session rmtree the versions another session's
+    # lazy CDC frame is still reading); within a session the rmtree is
+    # safe because runs are sequential
     base = os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_snap_{os.path.basename(os.path.normpath(sf_dir))}",
+        f"spark_graft_snap_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{os.getpid()}",
     )
     shutil.rmtree(base, ignore_errors=True)
     orders = load(spark, sf_dir, "orders").select(
@@ -860,9 +863,8 @@ def _vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = local.join(F.broadcast(offsets), "b").withColumn(
         "r", F.col("off") + F.col("rn")
     )
-    total = F.sum("cnt").over(Window.partitionBy())
-    agg = ranked.withColumn("tot", total).agg(
-        F.any_value("tot").alias("total_tokens"),
+    agg = ranked.agg(
+        F.sum("cnt").alias("total_tokens"),
         *[
             F.sum(F.when(F.col("r") <= k, F.col("cnt")).otherwise(0)).alias(
                 f"cov_{k}"

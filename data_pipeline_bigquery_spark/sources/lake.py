@@ -17,6 +17,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def fs_and_path(spark: SparkSession, p: str):
+    """Hadoop FileSystem + Path for ``p`` — the ONE portable handle the
+    maintenance ops share (local disk / HDFS / object stores)."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(p)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
 def read_lake_prefix(spark: SparkSession, prefix: str, schema=None) -> DataFrame:
     """S14 parquet_lake_scan: one call, partition discovery included."""
     reader = spark.read
@@ -180,12 +187,9 @@ def compact_lake(
     import math
 
     df = spark.read.parquet(path)
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
 
     def _fs_and_path(p: str):
-        jpath = jvm.org.apache.hadoop.fs.Path(p)
-        return jpath.getFileSystem(hconf), jpath
+        return fs_and_path(spark, p)
 
     def _parquet_files(p: str):
         fs, jpath = _fs_and_path(p)
@@ -230,12 +234,23 @@ def delete_by_keys_rewrite(
     plus a broadcast semi-join against the key set, so the rewrite IO
     is O(affected files), not O(table).  For a handful of subjects in
     a 100 TB lake that is the difference between rewriting gigabytes
-    and rewriting everything.  The affected-file list is a driver
-    collect bounded by file count (same bound as ``merge_partitioned``'s
-    partition enumeration).  Rewritten files land in a sibling
-    ``_delete`` staging dir and replace their originals one by one via
-    the Hadoop FileSystem API (portable to HDFS/object stores);
-    a crash before the swap leaves the live data intact.
+    and rewriting everything.  The affected-file list comes from ONE
+    scan (a per-file hit-count aggregate — the same collect also
+    yields rows_deleted), bounded by file count like
+    ``merge_partitioned``'s partition enumeration.
+
+    Crash-safe swap per file: the rewritten file renames in next to
+    the live one, the live file renames to a ``.old`` backup, the new
+    one renames into place, and only then does the backup go — every
+    rename's boolean result is CHECKED (a false return, e.g. a
+    transient object-store failure, raises with the backup still on
+    disk) and the staging dir is only removed after every swap
+    completed.  At no point is any row's only copy in a directory
+    that later gets unconditionally deleted.
+
+    Hive-partitioned lakes work too: the per-file re-read passes
+    ``basePath`` so partition columns are reconstructed even when
+    ``key_col`` IS a partition column.
 
     Returns ``{"files_rewritten": int, "rows_deleted": int}``.
     """
@@ -243,34 +258,48 @@ def delete_by_keys_rewrite(
     hits = df.join(
         F.broadcast(keys_df.select(F.col(key_col))), key_col, "left_semi"
     )
-    affected = [r["__file"] for r in hits.select("__file").distinct().collect()]
-    if not affected:
+    per_file = hits.groupBy("__file").agg(F.count(F.lit(1)).alias("n")).collect()
+    if not per_file:
         return {"files_rewritten": 0, "rows_deleted": 0}
-    n_deleted = hits.count()
+    affected = [r["__file"] for r in per_file]
+    n_deleted = sum(r["n"] for r in per_file)
 
     jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
 
-    def _fs_and_path(p: str):
-        jpath = jvm.org.apache.hadoop.fs.Path(p)
-        return jpath.getFileSystem(hconf), jpath
+    def _must(ok: bool, what: str):
+        if not ok:
+            raise RuntimeError(f"filesystem {what} failed during delete swap")
 
     tmp = path.rstrip("/") + "_delete"
     for i, f in enumerate(affected):
         kept = (
-            spark.read.parquet(f)
+            spark.read.option("basePath", path)
+            .parquet(f)
             .join(F.broadcast(keys_df.select(F.col(key_col))), key_col, "left_anti")
         )
-        kept.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/{i}")
+        # partition columns were reconstructed via basePath for the
+        # join; they must not be written into the leaf file itself
+        leaf_cols = spark.read.parquet(f).columns
+        kept.select(*leaf_cols).coalesce(1).write.mode("overwrite").parquet(
+            f"{tmp}/{i}"
+        )
     for i, f in enumerate(affected):
-        fs, live = _fs_and_path(f)
-        fs.delete(live, False)
-        # move the single rewritten part file into the live file's place
-        part_fs, part_dir = _fs_and_path(f"{tmp}/{i}")
+        fs, live = fs_and_path(spark, f)
+        new = jvm.org.apache.hadoop.fs.Path(f + ".new")
+        old = jvm.org.apache.hadoop.fs.Path(f + ".old")
+        part_fs, part_dir = fs_and_path(spark, f"{tmp}/{i}")
         it = part_fs.listFiles(part_dir, False)
+        moved = False
         while it.hasNext():
             st = it.next()
             if st.getPath().getName().endswith(".parquet"):
-                part_fs.rename(st.getPath(), live)
-    _fs_and_path(tmp)[0].delete(_fs_and_path(tmp)[1], True)
+                _must(part_fs.rename(st.getPath(), new), "stage rename")
+                moved = True
+        _must(moved, "staged part lookup")
+        _must(fs.rename(live, old), "backup rename")
+        if not fs.rename(new, live):
+            fs.rename(old, live)  # restore before failing
+            raise RuntimeError("swap rename failed; live file restored")
+        _must(fs.delete(old, False), "backup cleanup")
+    fs_and_path(spark, tmp)[0].delete(fs_and_path(spark, tmp)[1], True)
     return {"files_rewritten": len(affected), "rows_deleted": n_deleted}

@@ -36,12 +36,9 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_pipeline_bigquery_spark.sources.lake import fs_and_path as _fs_and_path
+
 _MARKER = "_COMMITTED"
-
-
-def _fs_and_path(spark: SparkSession, p: str):
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(p)
-    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
 
 
 def list_versions(spark: SparkSession, base: str) -> list[int]:
@@ -66,11 +63,19 @@ def list_versions(spark: SparkSession, base: str) -> list[int]:
 
 def write_snapshot(df: DataFrame, base: str) -> int:
     """Write the next snapshot version; returns its number.  Data
-    first, marker last — the commit point is the marker creation."""
+    first, marker last — the commit point is the marker creation.
+
+    An UNCOMMITTED orphan dir at the target version (a writer that
+    crashed between data and marker) is deleted and overwritten: it is
+    invisible to every reader by definition, and refusing it would
+    wedge the store permanently on the first crash."""
     spark = df.sparkSession
     versions = list_versions(spark, base)
     v = (versions[-1] if versions else 0) + 1
     vdir = f"{base}/v={v}"
+    fs0, jdir = _fs_and_path(spark, vdir)
+    if fs0.exists(jdir):
+        fs0.delete(jdir, True)  # crashed, marker-less — reclaim
     df.write.mode("errorifexists").parquet(vdir)
     fs, _ = _fs_and_path(spark, base)
     fs.create(

@@ -35,6 +35,8 @@ def test_delete_rewrites_only_affected_files(spark, tmp_path):
     changed = {n for n in before if before[n] != after.get(n, "gone")}
     unchanged = {n for n in before if before[n] == after.get(n)}
     assert len(unchanged) == 3  # three files byte-identical
+    # exactly one file rewritten IN PLACE (same name, new bytes)
+    assert len(changed) == 1 and changed <= set(before)
     df = spark.read.parquet(base)
     assert df.count() == 98
     assert df.filter(F.col("k").isin(3, 7)).count() == 0
@@ -51,3 +53,23 @@ def test_delete_no_match_is_noop(spark, tmp_path):
     )
     assert out == {"files_rewritten": 0, "rows_deleted": 0}
     assert _digests(base) == before
+
+
+def test_delete_on_hive_partitioned_lake_by_partition_key(spark, tmp_path):
+    """GDPR deletes usually target the per-subject PARTITION column;
+    the per-file rewrite must reconstruct partition columns (basePath)
+    and not write them into the leaf files."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "plake")
+    spark.range(40).select(
+        (F.col("id") % 4).alias("user_id"), F.col("id").alias("v")
+    ).write.partitionBy("user_id").parquet(base)
+    victims = spark.createDataFrame([(2,)], "user_id long")
+    out = delete_by_keys_rewrite(spark, base, "user_id", victims)
+    assert out["rows_deleted"] == 10
+    df = spark.read.parquet(base)
+    assert df.count() == 30
+    assert df.filter(F.col("user_id") == 2).count() == 0
+    # other partitions intact
+    assert df.filter(F.col("user_id") == 1).count() == 10

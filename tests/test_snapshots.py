@@ -35,13 +35,12 @@ def test_versions_time_travel_and_uncommitted_invisible(spark, tmp_path):
     _df(spark, [(9, "x")]).write.parquet(f"{base}/v=3")
     assert list_versions(spark, base) == [1, 2]
     assert {r.k for r in read_snapshot(spark, base).collect()} == {1, 3}
-    # and the next committed write does not collide with the orphan
-    import pytest
-
-    with pytest.raises(Exception):
-        # v3 dir exists (orphan) -> errorifexists refuses rather than
-        # silently merging into a half-written dir
-        write_snapshot(_df(spark, [(4, "d")]), base)
+    # the next committed write RECLAIMS the orphan slot (a marker-less
+    # dir is invisible by definition — refusing it would wedge the
+    # store on the first crash) and the orphan's rows never surface
+    assert write_snapshot(_df(spark, [(4, "d")]), base) == 3
+    assert list_versions(spark, base) == [1, 2, 3]
+    assert {r.k for r in read_snapshot(spark, base, 3).collect()} == {4}
 
 
 def test_snapshot_cdc_row_level(spark, tmp_path):
