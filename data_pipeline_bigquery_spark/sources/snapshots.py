@@ -98,6 +98,26 @@ def read_snapshot(
     return spark.read.parquet(f"{base}/v={version}")
 
 
+def expire_snapshots(
+    spark: SparkSession, base: str, keep_last: int
+) -> list[int]:
+    """Retention: drop all but the newest ``keep_last`` committed
+    versions.  Per version the MARKER goes first, then the data dir —
+    so a crash mid-expiry leaves an invisible orphan (reclaimable),
+    never a readable-but-half-deleted version.  Returns the expired
+    version numbers."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = list_versions(spark, base)
+    doomed = versions[:-keep_last] if len(versions) > keep_last else []
+    jvm = spark._jvm
+    for v in doomed:
+        fs, vdir = _fs_and_path(spark, f"{base}/v={v}")
+        fs.delete(jvm.org.apache.hadoop.fs.Path(vdir, _MARKER), False)
+        fs.delete(vdir, True)
+    return doomed
+
+
 def snapshot_cdc(
     old: DataFrame,
     new: DataFrame,

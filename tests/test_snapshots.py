@@ -71,3 +71,23 @@ def test_snapshot_cdc_row_level(spark, tmp_path):
     )
     got2 = {r.k: r.change_type for r in feed2.collect()}
     assert got2 == {1: "update"}
+
+
+def test_expire_keeps_newest_and_markers_go_first(spark, tmp_path):
+    from data_pipeline_bigquery_spark.sources.snapshots import (
+        expire_snapshots,
+    )
+
+    base = str(tmp_path / "snap3")
+    for i in range(4):
+        write_snapshot(_df(spark, [(i, str(i))]), base)
+    assert expire_snapshots(spark, base, keep_last=2) == [1, 2]
+    assert list_versions(spark, base) == [3, 4]
+    # remaining versions read fine; expired ones refuse cleanly
+    assert {r.k for r in read_snapshot(spark, base, 4).collect()} == {3}
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, base, 1)
+    # version numbering continues past expired history
+    assert write_snapshot(_df(spark, [(9, "z")]), base) == 5
