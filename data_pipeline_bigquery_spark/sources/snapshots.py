@@ -153,3 +153,58 @@ def snapshot_cdc(
         out_cols.append(F.col(f"o.{c}").alias(f"old_{c}"))
         out_cols.append(F.col(f"n.{c}").alias(f"new_{c}"))
     return joined.select(*out_cols).filter(F.col("change_type").isNotNull())
+
+
+def commit_epoch_snapshot(batch_df: DataFrame, base: str, epoch_id: int) -> int | None:
+    """foreachBatch body: commit this micro-batch as the next snapshot
+    version, IDEMPOTENTLY — an at-least-once replay of an epoch whose
+    version is already committed is a no-op (the same guard pattern as
+    `streaming/freq_stream.py`).  The epoch travels as a marker
+    FILENAME (``_EPOCH_<id>``) so the guard is pure existence checks —
+    two traps measured and rejected here: reading file contents
+    through py4j copies the buffer and the mutation never comes back,
+    and a ``name=value`` marker filename makes Spark's file index
+    treat it as partition metadata and the parquet reader chokes on
+    the empty file.  Returns the version written, or None when the
+    epoch was already committed."""
+    spark = batch_df.sparkSession
+    jvm = spark._jvm
+    fs, jbase = _fs_and_path(spark, base)
+    if fs.exists(jbase):
+        for st in fs.listStatus(jbase):
+            if not st.getPath().getName().startswith("v="):
+                continue
+            epoch_marker = jvm.org.apache.hadoop.fs.Path(
+                st.getPath(), f"_EPOCH_{epoch_id}"
+            )
+            committed = jvm.org.apache.hadoop.fs.Path(st.getPath(), _MARKER)
+            if fs.exists(epoch_marker) and fs.exists(committed):
+                return None  # replayed epoch — already committed
+    versions = list_versions(spark, base)
+    v = (versions[-1] if versions else 0) + 1
+    vdir = f"{base}/v={v}"
+    fs0, jdir = _fs_and_path(spark, vdir)
+    if fs0.exists(jdir):
+        fs0.delete(jdir, True)
+    batch_df.write.mode("errorifexists").parquet(vdir)
+    fs.create(
+        jvm.org.apache.hadoop.fs.Path(f"{vdir}/_EPOCH_{epoch_id}")
+    ).close()
+    fs.create(jvm.org.apache.hadoop.fs.Path(f"{vdir}/{_MARKER}")).close()
+    return v
+
+
+def streaming_snapshot_sink(stream_df: DataFrame, base: str, checkpoint: str):
+    """Every micro-batch becomes one committed snapshot version —
+    a streaming source materialized as a TIME-TRAVELABLE history
+    instead of a single mutable table; `snapshot_cdc` then serves the
+    change feed between any two epochs.  Exactly-once at the version
+    level: the engine's checkpoint dedupes epochs and the marker's
+    epoch id makes replays no-ops."""
+    return (
+        stream_df.writeStream.foreachBatch(
+            lambda batch, epoch: commit_epoch_snapshot(batch, base, epoch)
+        )
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -91,3 +91,44 @@ def test_expire_keeps_newest_and_markers_go_first(spark, tmp_path):
         read_snapshot(spark, base, 1)
     # version numbering continues past expired history
     assert write_snapshot(_df(spark, [(9, "z")]), base) == 5
+
+
+def test_streaming_snapshot_sink_versions_per_epoch(spark, tmp_path):
+    import json
+
+    from data_pipeline_bigquery_spark.sources.snapshots import (
+        commit_epoch_snapshot,
+        streaming_snapshot_sink,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    base = str(tmp_path / "store")
+
+    def emit(lo, hi):
+        with open(in_dir / f"{lo}.json", "w") as f:
+            for i in range(lo, hi):
+                f.write(json.dumps({"k": i, "v": f"r{i}"}) + "\n")
+
+    emit(0, 3)
+    stream = spark.readStream.schema("k long, v string").option(
+        "maxFilesPerTrigger", "1"
+    ).json(str(in_dir))
+    q = streaming_snapshot_sink(stream, base, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        emit(3, 5)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    vs = list_versions(spark, base)
+    assert len(vs) == 2
+    union = set()
+    for v in vs:
+        union |= {r.k for r in read_snapshot(spark, base, v).collect()}
+    assert union == set(range(5))
+
+    # at-least-once replay of an already-committed epoch is a no-op
+    replay = spark.createDataFrame([(99, "dup")], "k long, v string")
+    assert commit_epoch_snapshot(replay, base, epoch_id=0) is None
+    assert list_versions(spark, base) == vs
