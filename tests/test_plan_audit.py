@@ -264,3 +264,34 @@ def test_pit_lookup_stays_equi_join(spark, reg):
 def test_multi_touch_user_keyed_equi_join(spark, reg):
     df = _q(reg, spark, "multi_touch_attribution")
     assert_no_cartesian(df)
+
+
+def test_apriori_prunes_below_the_triple_join(spark, reg):
+    # the frequent-pair semi-join must execute BETWEEN the basket
+    # joins (visible as LeftSemi joins in the plan), and no cartesian
+    # may appear anywhere
+    df = _q(reg, spark, "basket_triples_apriori")
+    assert_no_cartesian(df)
+    # join TYPE lives in node args, not node names — read the full plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+
+
+def test_vocab_curve_no_global_window(spark, reg):
+    # totals come from an aggregate, ranks from bucketed windows —
+    # the only single-partition exchange may carry the 256-row bucket
+    # histogram, never the vocabulary
+    df = _q(reg, spark, "vocab_coverage_curve")
+    # the 1-row count-range broadcast replays in both two-phase
+    # branches (local ranks + bucket offsets) → 2 broadcast NL joins
+    assert_no_cartesian(df, allow_broadcast_nl=2)
+    assert count_nodes(df, "CartesianProduct") == 0
+
+
+def test_hierarchy_share_windows_post_aggregate(spark, reg):
+    # both share windows must sit above the 25-row nation aggregate;
+    # dims broadcast so the fact never shuffles pre-agg
+    df = _q(reg, spark, "hierarchical_revenue_share")
+    assert_no_cartesian(df)
+    assert count_nodes(df, "BroadcastHashJoin") >= 3
+    assert count_nodes(df, "SortMergeJoin") == 0
