@@ -68,24 +68,25 @@ _HEAVY_QUERIES = {
 }
 
 
-# Queries whose OUTPUT changed in round 5, making earlier driver rows
-# stale evidence: the three ANN recall contracts now emit the exact
-# top-k pair set (DuckDB-independent oracle) instead of a recall_ok
-# boolean, and frame sampling switched to even-coverage source-indexed
-# frames.  They jump the rotation until a green CORRECTNESS row
-# postdating the change exists.  (The round-4 re-evidence set — NTZ
-# fixes, sketches, multimodal decode — was fully discharged in r04.)
+# Queries whose oracle SQL was fixed in round 6 (DuckDB integer sum()/
+# `//` silently widens to HUGEINT = arrow decimal128(38,0), which the
+# driver's typed hasher rejects against Spark's BIGINT even when every
+# value agrees — 4 driver reds in r05 plus 3 latent never-checked keys
+# found by an arrow-schema sweep of all 239 oracles).  The Spark answers
+# were value-exact all along; the casts landed in round 6 and these keys
+# jump the rotation until a post-fix green driver row exists.  (The
+# round-5 re-evidence set — ANN pair-set contracts, frame sampling,
+# centroid normalization — was fully discharged green in r05.)
 _NEEDS_REEVIDENCE = {
-    "ann_ivf_recall_contract",
-    "ann_ivf_trained_recall_contract",
-    "ann_ivf_pq_recall_contract",
-    "multimodal_frame_sample",
-    # round-5 session 4: distance normalization fixed (the unnormalized
-    # rational-centroid distance was biased by per-label n²), so the
-    # assignment output changed and pre-fix driver greens are stale
-    "nearest_centroid_confusion",
+    "variant_json_field_stats",
+    "q12_priority_by_status",
+    "malformed_json_quarantine",
+    "training_shard_manifest",
+    "bloom_semijoin_prune",
+    "hierarchical_revenue_share",
+    "vocab_coverage_curve",
 }
-_REEVIDENCE_AFTER_ROUND = 4  # green rows in CORRECTNESS_r>NN clear the flag
+_REEVIDENCE_AFTER_ROUND = 5  # green rows in CORRECTNESS_r>NN clear the flag
 
 
 def _tier(name: str) -> int:

@@ -414,11 +414,11 @@ flagged AS (
   SELECT p.k, p.bloom_pass, b.k IS NOT NULL AS is_true
   FROM passk p LEFT JOIN build b ON b.k = p.k)
 SELECT count(*) AS n_probe,
-       sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS n_bloom_pass,
-       sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS n_true_match,
-       sum(CASE WHEN bloom_pass AND NOT is_true THEN 1 ELSE 0 END)
+       CAST(sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
+       CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true_match,
+       CAST(sum(CASE WHEN bloom_pass AND NOT is_true THEN 1 ELSE 0 END) AS BIGINT)
          AS n_false_pos,
-       sum(CASE WHEN is_true AND NOT bloom_pass THEN 1 ELSE 0 END)
+       CAST(sum(CASE WHEN is_true AND NOT bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
          AS n_missed
 FROM flagged
 """

@@ -35,8 +35,13 @@ from data_pipeline_bigquery_spark.sources.media import (
 
 
 def _media_fixture_dir(sf_dir: str) -> str:
+    # pid-scoped like _snapshot_time_travel_cdc's fixture: a concurrent
+    # session's rmtree must not race another session's lazy binaryFile
+    # scan (r5 ADVICE)
     tag = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(tempfile.gettempdir(), f"spark_graft_media_{tag}")
+    return os.path.join(
+        tempfile.gettempdir(), f"spark_graft_media_{tag}_{os.getpid()}"
+    )
 
 
 def _binary_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -114,7 +119,9 @@ def _rest_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey", "n_name", "n_regionkey"
     )
     tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(tempfile.gettempdir(), f"spark_graft_restds_{tag}.jsonl")
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_restds_{tag}_{os.getpid()}.jsonl"
+    )
     with open(path, "w") as f:
         for r in nation.orderBy("n_nationkey").collect():
             f.write(
@@ -910,7 +917,7 @@ cov AS (
   FROM ranked)
 {" UNION ALL ".join(
     f"SELECT {k} AS vocab_size, CAST(cov_{k} AS BIGINT) AS tokens_covered, "
-    f"cov_{k} * 1000 // total_tokens AS coverage_permille FROM cov"
+    f"CAST(cov_{k} * 1000 // total_tokens AS BIGINT) AS coverage_permille FROM cov"
     for k in _VOCAB_CHECKPOINTS)}
 """
 
@@ -971,10 +978,10 @@ WITH rev AS (
   GROUP BY 1, 2)
 SELECT r_name, n_name,
        CAST(cents AS DOUBLE) / 100.0 AS revenue,
-       (cents * 1000) // sum(cents) OVER (PARTITION BY r_name)
-         AS share_of_region_permille,
-       (sum(cents) OVER (PARTITION BY r_name) * 1000)
-         // sum(cents) OVER () AS region_share_of_global_permille
+       CAST((cents * 1000) // sum(cents) OVER (PARTITION BY r_name)
+         AS BIGINT) AS share_of_region_permille,
+       CAST((sum(cents) OVER (PARTITION BY r_name) * 1000)
+         // sum(cents) OVER () AS BIGINT) AS region_share_of_global_permille
 FROM rev
 """
 

@@ -1373,7 +1373,7 @@ def _variant_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _VARIANT_SQL = """
 SELECT event_type,
        count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
        min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
 FROM events GROUP BY event_type ORDER BY event_type

@@ -145,7 +145,7 @@ WITH d AS (
          len(string_split(text, ' ')) AS n_tokens,
          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % {_N_SHARDS} AS shard
   FROM documents)
-SELECT shard, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR))) AS ids_md5
 FROM d GROUP BY shard
 """

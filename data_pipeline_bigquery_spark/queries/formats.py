@@ -200,8 +200,8 @@ def _malformed_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DEAD_LETTER_SQL = """
-SELECT sum(CASE WHEN doc_id % 7 != 0 THEN 1 ELSE 0 END) AS n_ingested,
-       sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS n_quarantined
+SELECT CAST(sum(CASE WHEN doc_id % 7 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ingested,
+       CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined
 FROM documents
 """
 

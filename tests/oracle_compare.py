@@ -14,11 +14,44 @@ from data_pipeline_bigquery_spark.catalog import FIXTURE_TABLES, table_path
 
 
 def duckdb_result(sql: str, sf_dir: str):
+    cols, rows, _schema = duckdb_result_typed(sql, sf_dir)
+    return cols, rows
+
+
+def duckdb_result_typed(sql: str, sf_dir: str):
+    """Run the oracle and return (cols, rows, arrow_schema) from ONE
+    execution — the arrow schema is what the driver's typed hasher sees,
+    so it's what the type-drift guard must inspect."""
     con = duckdb.connect()
     for t in FIXTURE_TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'")
-    cur = con.sql(sql)
-    return [d[0] for d in cur.description], cur.fetchall()
+    tbl = con.sql(sql).fetch_arrow_table()
+    cols = tbl.column_names
+    pyd = tbl.to_pydict()
+    rows = list(zip(*[pyd[c] for c in cols])) if cols else [()] * tbl.num_rows
+    return cols, rows, tbl.schema
+
+
+def oracle_type_drift(spark_df, arrow_schema) -> list[str]:
+    """The driver hashes values WITH their Arrow types; DuckDB's integer
+    sum()/'//' silently widen to HUGEINT (decimal128(38,0)), which
+    hash-mismatches a Spark BIGINT even when every value agrees — the
+    exact bug behind the 4 r05 driver reds.  Flag any oracle column whose
+    Arrow type is decimal while the Spark column is not DecimalType."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    spark_types = {f.name: f.dataType for f in spark_df.schema.fields}
+    problems = []
+    for field in arrow_schema:
+        st = spark_types.get(field.name)
+        if pa.types.is_decimal(field.type) and not isinstance(st, T.DecimalType):
+            problems.append(
+                f"oracle type drift: column {field.name!r} is {field.type} in "
+                f"DuckDB but {st} in Spark — wrap the oracle expression in "
+                f"CAST(... AS BIGINT)"
+            )
+    return problems
 
 
 def _norm(v):
@@ -43,10 +76,11 @@ def compare(spark_df, sql: str, sf_dir: str) -> list[str]:
     problems: list[str] = []
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
-    d_cols, d_rows = duckdb_result(sql, sf_dir)
+    d_cols, d_rows, d_schema = duckdb_result_typed(sql, sf_dir)
     if sorted(s_cols) != sorted(d_cols):
         problems.append(f"columns differ: spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
         return problems
+    problems.extend(oracle_type_drift(spark_df, d_schema))
     if len(s_rows) != len(d_rows):
         problems.append(f"row count differs: spark={len(s_rows)} duckdb={len(d_rows)}")
     sn, dn = normalize(s_cols, s_rows), normalize(d_cols, d_rows)

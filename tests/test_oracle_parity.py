@@ -49,3 +49,26 @@ def test_registry_has_no_cross_module_key_collisions():
             seen[k] = m.__name__
     assert not dups, "\n".join(dups)
     assert len(registry()) == len(seen)
+
+
+def test_type_drift_guard_trips_on_uncast_hugeint(spark):
+    """Regression guard for the r05 driver reds: DuckDB's integer sum()
+    returns HUGEINT (arrow decimal128(38,0)); the driver hashes WITH
+    types, so an uncast sum red-flags even when values agree.  The local
+    compare must catch that class — an intentionally uncast oracle sum
+    against a Spark bigint must report type drift."""
+    from pyspark.sql import functions as F
+
+    from tests.oracle_compare import compare
+
+    df = (
+        spark.read.parquet(f"{SF_DIR}/nation.parquet")
+        .agg(F.sum("n_nationkey").cast("long").alias("s"))
+    )
+    problems = compare(df, "SELECT sum(n_nationkey) AS s FROM nation", SF_DIR)
+    assert any("type drift" in p for p in problems), problems
+    # and the cast version is clean
+    ok = compare(
+        df, "SELECT CAST(sum(n_nationkey) AS BIGINT) AS s FROM nation", SF_DIR
+    )
+    assert not ok, ok
