@@ -218,6 +218,40 @@ def compact_lake(
     return len(_parquet_files(path)[2])
 
 
+def _sweep_stale_swap_files(spark: SparkSession, path: str) -> None:
+    """Reconcile ``.<file>.new`` / ``.<file>.old`` leftovers from a
+    crashed :func:`delete_by_keys_rewrite` swap before touching the
+    table again.  A backup whose live file is MISSING is the only copy
+    of its rows (crash landed between the backup rename and the swap
+    rename) and is restored; a backup whose live file exists is stale
+    (crash after the swap, before cleanup) and is dropped; staged
+    ``.new`` files are always dropped — the rerun recomputes them."""
+    jvm = spark._jvm
+    fs, root = fs_and_path(spark, path)
+    if not fs.exists(root):
+        return
+    news, olds = [], []
+    it = fs.listFiles(root, True)
+    while it.hasNext():
+        p = it.next().getPath()
+        name = p.getName()
+        if name.startswith("."):
+            if name.endswith(".new"):
+                news.append(p)
+            elif name.endswith(".old"):
+                olds.append(p)
+    for p in olds:  # restore before dropping stages: live copies first
+        live = jvm.org.apache.hadoop.fs.Path(
+            p.getParent(), p.getName()[1 : -len(".old")]
+        )
+        if fs.exists(live):
+            fs.delete(p, False)
+        elif not fs.rename(p, live):
+            raise RuntimeError(f"could not restore crashed swap backup {p}")
+    for p in news:
+        fs.delete(p, False)
+
+
 def delete_by_keys_rewrite(
     spark: SparkSession,
     path: str,
@@ -240,13 +274,25 @@ def delete_by_keys_rewrite(
     ``merge_partitioned``'s partition enumeration.
 
     Crash-safe swap per file: the rewritten file renames in next to
-    the live one, the live file renames to a ``.old`` backup, the new
-    one renames into place, and only then does the backup go — every
+    the live one, the live file renames to a backup, the new one
+    renames into place, and only then does the backup go — every
     rename's boolean result is CHECKED (a false return, e.g. a
     transient object-store failure, raises with the backup still on
     disk) and the staging dir is only removed after every swap
     completed.  At no point is any row's only copy in a directory
     that later gets unconditionally deleted.
+
+    Both swap-staging names are DOT-PREFIXED (``.<file>.new`` /
+    ``.<file>.old``) so Spark/Hive parquet readers — which hide
+    ``.``/``_``-prefixed files — never see a half-swapped duplicate,
+    and a crash between renames cannot resurrect deleted keys for a
+    subsequent reader.  On entry the function first reconciles any
+    stale swap files a previous crash left behind (restore a backup
+    whose live file is missing, then drop stale backups/stages), so a
+    rerun converges instead of double-reading.  Writer concurrency is
+    NOT handled: like any in-place parquet rewrite this assumes a
+    single maintenance-window writer (no second concurrent
+    delete/compact on the same directory).
 
     Hive-partitioned lakes work too: the per-file re-read passes
     ``basePath`` so partition columns are reconstructed even when
@@ -254,6 +300,7 @@ def delete_by_keys_rewrite(
 
     Returns ``{"files_rewritten": int, "rows_deleted": int}``.
     """
+    _sweep_stale_swap_files(spark, path)
     df = spark.read.parquet(path).withColumn("__file", F.input_file_name())
     hits = df.join(
         F.broadcast(keys_df.select(F.col(key_col))), key_col, "left_semi"
@@ -285,8 +332,12 @@ def delete_by_keys_rewrite(
         )
     for i, f in enumerate(affected):
         fs, live = fs_and_path(spark, f)
-        new = jvm.org.apache.hadoop.fs.Path(f + ".new")
-        old = jvm.org.apache.hadoop.fs.Path(f + ".old")
+        new = jvm.org.apache.hadoop.fs.Path(
+            live.getParent(), "." + live.getName() + ".new"
+        )
+        old = jvm.org.apache.hadoop.fs.Path(
+            live.getParent(), "." + live.getName() + ".old"
+        )
         part_fs, part_dir = fs_and_path(spark, f"{tmp}/{i}")
         it = part_fs.listFiles(part_dir, False)
         moved = False

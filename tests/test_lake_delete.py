@@ -73,3 +73,49 @@ def test_delete_on_hive_partitioned_lake_by_partition_key(spark, tmp_path):
     assert df.filter(F.col("user_id") == 2).count() == 0
     # other partitions intact
     assert df.filter(F.col("user_id") == 1).count() == 10
+
+
+def test_swap_staging_files_are_hidden_and_swept(spark, tmp_path):
+    """Crash-recovery contract (r5 ADVICE): staging names are
+    dot-prefixed so a concurrent/post-crash reader never sees both
+    copies, and a rerun reconciles leftovers instead of double-reading.
+
+    Simulates the two crash states directly:
+      * stale ``.old`` + live present (crash after swap, before
+        cleanup) -> reader sees exactly the live rows; sweep drops it;
+      * ``.old`` present + live missing (crash between the two
+        renames) -> reader still works (backup hidden) and the next
+        delete run RESTORES the file first, so its rows survive.
+    """
+    import os
+
+    base = str(tmp_path / "crashlake")
+    spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v")) \
+        .repartitionByRange(4, "k").write.parquet(base)
+    files = sorted(glob.glob(f"{base}/part-*.parquet"))
+    assert len(files) == 4
+
+    # state 1: stale backup next to an intact live file
+    f0 = files[0]
+    stale_old = os.path.join(base, "." + os.path.basename(f0) + ".old")
+    with open(f0, "rb") as src, open(stale_old, "wb") as dst:
+        dst.write(src.read())
+    # a dot-prefixed duplicate is invisible: no duplicated rows
+    assert spark.read.parquet(base).count() == 100
+
+    # state 2: live file missing, only the (hidden) backup remains
+    f1 = files[1]
+    hidden_old = os.path.join(base, "." + os.path.basename(f1) + ".old")
+    os.rename(f1, hidden_old)
+    n_f1 = 100 - spark.read.parquet(base).count()  # rows temporarily dark
+    assert n_f1 > 0
+
+    out = delete_by_keys_rewrite(
+        spark, base, "k", spark.createDataFrame([(3,)], "k long")
+    )
+    assert out["rows_deleted"] == 1
+    # sweep restored the dark file and dropped the stale backup
+    assert not glob.glob(f"{base}/.*.old") and not glob.glob(f"{base}/.*.new")
+    df = spark.read.parquet(base)
+    assert df.count() == 99
+    assert df.filter(F.col("k") == 3).count() == 0
