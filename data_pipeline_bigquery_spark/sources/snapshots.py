@@ -7,13 +7,31 @@ immutable snapshot version under one prefix —
 
     base/v=1/...parquet   base/v=2/...parquet   ...
 
-with a per-version ``_COMMITTED`` marker as the commit protocol: data
-files land first, the marker last, so readers (which only ever look at
-marked versions) can never observe a half-written snapshot — a crash
-mid-write leaves an invisible orphan directory, not corruption.  That
-is the same reader-visibility idea a real table format (Iceberg/Delta)
-gets from its metadata log, reduced to what plain parquet + a
-filesystem rename can guarantee.
+with a per-version ``_COMMITTED`` marker as the read protocol: readers
+only ever look at marked versions, so they can never observe a
+half-written snapshot.  The WRITE protocol (round 6) stages data AND
+marker in a hidden ``.tmp-*`` dir and commits with ONE directory
+rename into ``v=N`` — rename-onto-existing fails, so two racing
+writers can't clobber each other (the loser just retries at N+1), a
+crash leaves only an invisible hidden temp, and a marker can never
+land on another writer's data.  That is the same reader-visibility
+idea a real table format (Iceberg/Delta) gets from its metadata log,
+reduced to what plain parquet + an atomic filesystem rename can
+guarantee (atomic on HDFS/local; object stores without atomic dir
+rename need the single-writer caveat below).
+
+Auxiliary base-level files (all ``_``-prefixed, invisible to parquet
+readers; values travel in the FILENAME — py4j content reads are the
+trap documented on ``commit_epoch_snapshot``):
+- ``_LATEST_<v>`` — latest-version pointer, created BEFORE the commit
+  rename so max-pointer >= latest committed always holds; hot
+  latest-reads verify the pointed-at marker and skip the per-version
+  marker probes, falling back to the full listing only when the
+  pointer dangles (crashed writer).
+- ``_EPOCH_HWM_<id>`` — streaming epoch high-water mark, advanced
+  after each epoch commit; replays of epochs at or below it
+  short-circuit even after retention expired their version dirs
+  (one base dir per stream lineage/checkpoint).
 
 On top of the versions:
 - ``read_snapshot(..., version=None)`` → any historical state, or the
@@ -61,39 +79,121 @@ def list_versions(spark: SparkSession, base: str) -> list[int]:
     return sorted(out)
 
 
-def write_snapshot(df: DataFrame, base: str) -> int:
-    """Write the next snapshot version; returns its number.  Data
-    first, marker last — the commit point is the marker creation.
+def _jpath(spark: SparkSession, parent, name: str):
+    return spark._jvm.org.apache.hadoop.fs.Path(parent, name)
 
-    An UNCOMMITTED orphan dir at the target version (a writer that
-    crashed between data and marker) is deleted and overwritten: it is
-    invisible to every reader by definition, and refusing it would
-    wedge the store permanently on the first crash."""
+
+def _tagged_values(spark: SparkSession, base: str, prefix: str) -> list[int]:
+    """Values of filename-encoded base-level tags (``<prefix><int>``)."""
+    fs, jbase = _fs_and_path(spark, base)
+    if not fs.exists(jbase):
+        return []
+    out = []
+    for st in fs.listStatus(jbase):
+        name = st.getPath().getName()
+        if name.startswith(prefix) and name[len(prefix) :].isdigit():
+            out.append(int(name[len(prefix) :]))
+    return sorted(out)
+
+
+def _advance_tag(spark: SparkSession, base: str, prefix: str, value: int):
+    """Create ``<prefix><value>``, then drop smaller tags.  A crash
+    between the two leaves extra tags; readers take the max, so the
+    stragglers are harmless and the next advance sweeps them."""
+    fs, jbase = _fs_and_path(spark, base)
+    target = _jpath(spark, jbase, f"{prefix}{value}")
+    if not fs.exists(target):
+        fs.create(target).close()
+    for old in _tagged_values(spark, base, prefix):
+        if old < value:
+            fs.delete(_jpath(spark, jbase, f"{prefix}{old}"), False)
+
+
+_LATEST_TAG = "_LATEST_"
+_HWM_TAG = "_EPOCH_HWM_"
+
+
+def _commit_next_version(df: DataFrame, base: str, epoch_id: int | None = None) -> int:
+    """The single-rename commit: stage data (+markers) in a hidden temp
+    dir, advance the ``_LATEST_`` pointer, then rename the whole dir
+    into ``v=N``.  No live dir is ever deleted and the marker travels
+    WITH its own data.  Losing a race is detected by OWNERSHIP, not by
+    the rename's return value: Hadoop filesystems rename src INTO an
+    existing destination directory (and still return true), so after
+    every rename the writer checks that its unique ``_WRITER_<uid>``
+    token sits directly under ``v=N`` — if not, it was swallowed as a
+    hidden subdir of the winner's commit, pulls its staging dir back
+    out, and retries at the next version."""
+    import uuid
+
     spark = df.sparkSession
-    versions = list_versions(spark, base)
-    v = (versions[-1] if versions else 0) + 1
-    vdir = f"{base}/v={v}"
-    fs0, jdir = _fs_and_path(spark, vdir)
-    if fs0.exists(jdir):
-        fs0.delete(jdir, True)  # crashed, marker-less — reclaim
-    df.write.mode("errorifexists").parquet(vdir)
-    fs, _ = _fs_and_path(spark, base)
-    fs.create(
-        spark._jvm.org.apache.hadoop.fs.Path(f"{vdir}/{_MARKER}")
-    ).close()
-    return v
+    jvm = spark._jvm
+    uid = uuid.uuid4().hex
+    tmp_name = f".tmp-{uid}"
+    tmp = f"{base}/{tmp_name}"
+    df.write.mode("errorifexists").parquet(tmp)
+    fs, jbase = _fs_and_path(spark, base)
+    if epoch_id is not None:
+        fs.create(jvm.org.apache.hadoop.fs.Path(f"{tmp}/_EPOCH_{epoch_id}")).close()
+    fs.create(jvm.org.apache.hadoop.fs.Path(f"{tmp}/_WRITER_{uid}")).close()
+    fs.create(jvm.org.apache.hadoop.fs.Path(f"{tmp}/{_MARKER}")).close()
+    _, jtmp = _fs_and_path(spark, tmp)
+    while True:
+        versions = list_versions(spark, base)
+        v = (versions[-1] if versions else 0) + 1
+        # marker-less dirs we don't own (legacy orphan or a racing
+        # writer mid-rename): never delete them — skip past
+        while fs.exists(_jpath(spark, jbase, f"v={v}")):
+            v += 1
+        vdir = _jpath(spark, jbase, f"v={v}")
+        _advance_tag(spark, base, _LATEST_TAG, v)  # before the commit rename
+        if fs.rename(jtmp, vdir) and fs.exists(
+            _jpath(spark, vdir, f"_WRITER_{uid}")
+        ):
+            return v
+        # lost the race for v=N.  If the rename "succeeded" by moving
+        # our staging dir INSIDE the winner's v=N, pull it back out;
+        # then recompute and retry at N+1.
+        swallowed = _jpath(spark, vdir, tmp_name)
+        if fs.exists(swallowed):
+            if not fs.rename(swallowed, jtmp):
+                raise RuntimeError(
+                    f"could not recover staging dir {tmp} after losing "
+                    f"the commit race for v={v}"
+                )
+
+
+def write_snapshot(df: DataFrame, base: str) -> int:
+    """Write the next snapshot version; returns its number.  The commit
+    point is one atomic directory rename (see module docstring); a
+    crash leaves only a hidden ``.tmp-*`` dir (swept by
+    :func:`vacuum_snapshots`), never a reader-visible state."""
+    return _commit_next_version(df, base)
 
 
 def read_snapshot(
     spark: SparkSession, base: str, version: int | None = None
 ) -> DataFrame:
-    """Time travel: the given committed version, or the latest."""
-    versions = list_versions(spark, base)
-    if not versions:
-        raise FileNotFoundError(f"no committed snapshots under {base}")
+    """Time travel: the given committed version, or the latest.
+
+    Latest-reads go through the ``_LATEST_`` pointer: one base listing
+    plus one marker probe instead of a marker probe per version — the
+    last O(versions)-RPC walk left in a hot read path.  The pointer is
+    created before the commit rename, so it can only ever point AT or
+    ABOVE the true latest; when it dangles (writer crashed pre-commit)
+    the full marker-verified listing is the fallback — the marker
+    still decides, the pointer only accelerates."""
     if version is None:
-        version = versions[-1]
-    if version not in versions:
+        fs, _ = _fs_and_path(spark, base)
+        for v in reversed(_tagged_values(spark, base, _LATEST_TAG)):
+            marker = _fs_and_path(spark, f"{base}/v={v}/{_MARKER}")[1]
+            if fs.exists(marker):
+                return spark.read.parquet(f"{base}/v={v}")
+        versions = list_versions(spark, base)
+        if not versions:
+            raise FileNotFoundError(f"no committed snapshots under {base}")
+        return spark.read.parquet(f"{base}/v={versions[-1]}")
+    if version not in list_versions(spark, base):
         raise FileNotFoundError(f"version {version} not committed in {base}")
     return spark.read.parquet(f"{base}/v={version}")
 
@@ -115,7 +215,48 @@ def expire_snapshots(
         fs, vdir = _fs_and_path(spark, f"{base}/v={v}")
         fs.delete(jvm.org.apache.hadoop.fs.Path(vdir, _MARKER), False)
         fs.delete(vdir, True)
+    # marker-less orphans strictly below the oldest retained version
+    # can't belong to a live writer (writers only target versions above
+    # the latest committed one) — reclaim them here, where readers
+    # already tolerate churn.  The base-level _EPOCH_HWM_ tag survives
+    # retention by construction, so replays of expired epochs stay
+    # no-ops (see commit_epoch_snapshot).
+    kept = versions[-keep_last:] if versions else []
+    if kept:
+        fs, jbase = _fs_and_path(spark, base)
+        for st in fs.listStatus(jbase):
+            name = st.getPath().getName()
+            m = re.fullmatch(r"v=(\d+)", name)
+            if m and int(m.group(1)) < kept[0] and int(m.group(1)) not in kept:
+                if not fs.exists(_jpath(spark, st.getPath(), _MARKER)):
+                    fs.delete(st.getPath(), True)
     return doomed
+
+
+def vacuum_snapshots(spark: SparkSession, base: str) -> int:
+    """Maintenance sweep: drop hidden ``.tmp-*`` staging dirs left by
+    crashed writers.  MUST run only when no writer is active (a live
+    writer's staged-but-not-yet-renamed temp looks identical to a
+    crashed one) — same maintenance-window contract as
+    ``delete_by_keys_rewrite``.  Returns the number of dirs removed."""
+    fs, jbase = _fs_and_path(spark, base)
+    if not fs.exists(jbase):
+        return 0
+    n = 0
+    for st in fs.listStatus(jbase):
+        name = st.getPath().getName()
+        if name.startswith(".tmp-"):
+            fs.delete(st.getPath(), True)
+            n += 1
+        elif re.fullmatch(r"v=\d+", name):
+            # a writer that crashed while swallowed into a winner's
+            # commit leaves its (hidden, reader-invisible) staging dir
+            # nested one level down
+            for sub in fs.listStatus(st.getPath()):
+                if sub.getPath().getName().startswith(".tmp-"):
+                    fs.delete(sub.getPath(), True)
+                    n += 1
+    return n
 
 
 def snapshot_cdc(
@@ -170,6 +311,12 @@ def commit_epoch_snapshot(batch_df: DataFrame, base: str, epoch_id: int) -> int 
     spark = batch_df.sparkSession
     jvm = spark._jvm
     fs, jbase = _fs_and_path(spark, base)
+    # fast guard that SURVIVES RETENTION: the base-level high-water mark
+    # outlives expired version dirs, so a stream restarted from an old
+    # checkpoint after expire_snapshots still no-ops replayed epochs
+    hwm = _tagged_values(spark, base, _HWM_TAG)
+    if hwm and epoch_id <= hwm[-1]:
+        return None
     if fs.exists(jbase):
         for st in fs.listStatus(jbase):
             if not st.getPath().getName().startswith("v="):
@@ -180,17 +327,10 @@ def commit_epoch_snapshot(batch_df: DataFrame, base: str, epoch_id: int) -> int 
             committed = jvm.org.apache.hadoop.fs.Path(st.getPath(), _MARKER)
             if fs.exists(epoch_marker) and fs.exists(committed):
                 return None  # replayed epoch — already committed
-    versions = list_versions(spark, base)
-    v = (versions[-1] if versions else 0) + 1
-    vdir = f"{base}/v={v}"
-    fs0, jdir = _fs_and_path(spark, vdir)
-    if fs0.exists(jdir):
-        fs0.delete(jdir, True)
-    batch_df.write.mode("errorifexists").parquet(vdir)
-    fs.create(
-        jvm.org.apache.hadoop.fs.Path(f"{vdir}/_EPOCH_{epoch_id}")
-    ).close()
-    fs.create(jvm.org.apache.hadoop.fs.Path(f"{vdir}/{_MARKER}")).close()
+    v = _commit_next_version(batch_df, base, epoch_id=epoch_id)
+    # advance AFTER the commit rename: a crash in between replays the
+    # epoch, and the per-version _EPOCH_ marker scan above catches it
+    _advance_tag(spark, base, _HWM_TAG, epoch_id)
     return v
 
 
