@@ -53,8 +53,13 @@ FROM customer GROUP BY c_mktsegment
 
 
 def _stage_dir(sf_dir: str, fmt: str) -> str:
+    # pid-scoped like the media/REST/snapshot fixtures: a concurrent
+    # session's restage (rmtree+write) must not race another session's
+    # lazy scan of the same staged dir
     tag = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(tempfile.gettempdir(), f"spark_graft_{fmt}_{tag}")
+    return os.path.join(
+        tempfile.gettempdir(), f"spark_graft_{fmt}_{tag}_{os.getpid()}"
+    )
 
 
 def _segment_agg(df: DataFrame) -> DataFrame:
