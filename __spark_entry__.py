@@ -68,25 +68,17 @@ _HEAVY_QUERIES = {
 }
 
 
-# Queries whose oracle SQL was fixed in round 6 (DuckDB integer sum()/
-# `//` silently widens to HUGEINT = arrow decimal128(38,0), which the
-# driver's typed hasher rejects against Spark's BIGINT even when every
-# value agrees — 4 driver reds in r05 plus 3 latent never-checked keys
-# found by an arrow-schema sweep of all 239 oracles).  The Spark answers
-# were value-exact all along; the casts landed in round 6 and these keys
-# jump the rotation until a post-fix green driver row exists.  (The
-# round-5 re-evidence set — ANN pair-set contracts, frame sampling,
-# centroid normalization — was fully discharged green in r05.)
+# Queries whose oracle SQL was fixed since the last driver sweep and
+# that therefore need a fresh post-fix hash-green row; they jump the
+# rotation until one exists.
 _NEEDS_REEVIDENCE = {
-    "variant_json_field_stats",
-    "q12_priority_by_status",
-    "malformed_json_quarantine",
-    "training_shard_manifest",
-    "bloom_semijoin_prune",
-    "hierarchical_revenue_share",
-    "vocab_coverage_curve",
+    # (the round-6 HUGEINT re-evidence set — 7 keys — was fully
+    # discharged green in CORRECTNESS_r06 and has been dropped)
+    # r06 red: oracle used to_timestamp() → TIMESTAMPTZ; rewritten to
+    # naive timestamp arithmetic in round 7 (queries/analytics7.py)
+    "sliding_window_counts",
 }
-_REEVIDENCE_AFTER_ROUND = 5  # green rows in CORRECTNESS_r>NN clear the flag
+_REEVIDENCE_AFTER_ROUND = 6  # green rows in CORRECTNESS_r>NN clear the flag
 
 
 def _tier(name: str) -> int:

@@ -1638,8 +1638,9 @@ def _sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SLIDING_SQL = """
 WITH starts AS (
   SELECT event_type,
-         to_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800)
-           - to_seconds(k * 1800) AS window_start
+         TIMESTAMP '1970-01-01 00:00:00'
+           + to_seconds(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800
+                        - k * 1800) AS window_start
   FROM events, UNNEST([0, 1, 2, 3]) AS u(k))
 SELECT window_start,
        window_start + INTERVAL 2 HOUR AS window_end,

@@ -51,12 +51,33 @@ def oracle_type_drift(spark_df, arrow_schema) -> list[str]:
                 f"DuckDB but {st} in Spark — wrap the oracle expression in "
                 f"CAST(... AS BIGINT)"
             )
+        if pa.types.is_timestamp(field.type) and field.type.tz is not None:
+            # DuckDB's to_timestamp()/now() return TIMESTAMPTZ, which the
+            # driver's typed hasher sees as timestamp[us, tz=...] while every
+            # passing oracle (and Spark's collected result) is tz-naive — the
+            # exact bug behind the sliding_window_counts r06 red.  Rebuild the
+            # expression in naive arithmetic (TIMESTAMP '1970-01-01' +
+            # to_seconds(...)) or CAST(... AS TIMESTAMP) under a pinned UTC
+            # session.
+            problems.append(
+                f"oracle type drift: column {field.name!r} is tz-aware "
+                f"{field.type} in DuckDB but Spark timestamps hash tz-naive — "
+                f"use naive timestamp arithmetic in the oracle"
+            )
     return problems
 
 
 def _norm(v):
     if isinstance(v, Decimal):
-        return float(v)
+        # Compare Decimals EXACTLY (ADVICE r06): float() is lossy above
+        # 2^53 and can false-pass.  The type-drift guard already rejects
+        # Decimal-vs-non-Decimal column pairs, so by the time values are
+        # compared both sides are Decimal; canonicalize the scale so
+        # 1.50 and 1.5 normalize (and str-sort) identically.
+        c = v.normalize()
+        if c.as_tuple().exponent > 0:  # 1E+2 → 100
+            c = c.quantize(Decimal(1))
+        return c
     if isinstance(v, dt.datetime):
         return v.replace(tzinfo=None)
     if isinstance(v, float) and math.isnan(v):

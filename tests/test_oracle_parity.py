@@ -72,3 +72,55 @@ def test_type_drift_guard_trips_on_uncast_hugeint(spark):
         df, "SELECT CAST(sum(n_nationkey) AS BIGINT) AS s FROM nation", SF_DIR
     )
     assert not ok, ok
+
+
+def test_type_drift_guard_trips_on_tz_aware_timestamp(spark):
+    """Regression guard for the r06 driver red (sliding_window_counts):
+    DuckDB's to_timestamp() returns TIMESTAMPTZ (arrow timestamp[us,tz]),
+    which hash-mismatches Spark's tz-naive collected timestamps even when
+    the instants agree.  An oracle built on to_timestamp must trip the
+    guard; the naive-arithmetic rewrite must pass."""
+    from pyspark.sql import functions as F
+
+    from tests.oracle_compare import compare
+
+    df = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .agg(F.min(F.date_trunc("hour", "ts")).alias("h"))
+    )
+    problems = compare(
+        df,
+        "SELECT min(to_timestamp(CAST(floor(epoch(ts)/3600) AS BIGINT)*3600))"
+        " AS h FROM events",
+        SF_DIR,
+    )
+    assert any("tz-aware" in p for p in problems), problems
+    ok = compare(
+        df,
+        "SELECT min(TIMESTAMP '1970-01-01 00:00:00'"
+        " + to_seconds(CAST(floor(epoch(ts)/3600) AS BIGINT)*3600))"
+        " AS h FROM events",
+        SF_DIR,
+    )
+    assert not ok, ok
+
+
+def test_decimal_values_compare_exactly():
+    """ADVICE r06: Decimal→float normalization is lossy above 2^53 and can
+    false-pass value equality.  Two Decimals that differ only beyond float
+    precision must NOT normalize equal; scale variants of the same value
+    must."""
+    from decimal import Decimal
+
+    from tests.oracle_compare import normalize
+
+    big = Decimal(2**60)
+    a = normalize(["v"], [(big,)])
+    b = normalize(["v"], [(big + 1,)])
+    assert a != b
+    assert normalize(["v"], [(Decimal("1.50"),)]) == normalize(
+        ["v"], [(Decimal("1.5"),)]
+    )
+    assert normalize(["v"], [(Decimal("100"),)]) == normalize(
+        ["v"], [(Decimal("1E+2"),)]
+    )
