@@ -111,6 +111,9 @@ def _advance_tag(spark: SparkSession, base: str, prefix: str, value: int):
 
 _LATEST_TAG = "_LATEST_"
 _HWM_TAG = "_EPOCH_HWM_"
+# a commit retry means another writer just committed; 1000 consecutive
+# losses is not contention, it's a stuck filesystem — fail loudly
+_MAX_COMMIT_RETRIES = 1000
 
 
 def _commit_next_version(df: DataFrame, base: str, epoch_id: int | None = None) -> int:
@@ -138,18 +141,42 @@ def _commit_next_version(df: DataFrame, base: str, epoch_id: int | None = None) 
     fs.create(jvm.org.apache.hadoop.fs.Path(f"{tmp}/_WRITER_{uid}")).close()
     fs.create(jvm.org.apache.hadoop.fs.Path(f"{tmp}/{_MARKER}")).close()
     _, jtmp = _fs_and_path(spark, tmp)
-    while True:
+    for _attempt in range(_MAX_COMMIT_RETRIES):
+        # the staging dir must still exist: a concurrent
+        # vacuum_snapshots (maintenance-window violation) or an
+        # object-store fault that removed it would otherwise spin this
+        # loop forever re-listing versions
+        if not fs.exists(jtmp):
+            raise RuntimeError(
+                f"staging dir {tmp} disappeared before commit — was "
+                f"vacuum_snapshots run while this writer was active?"
+            )
         versions = list_versions(spark, base)
-        v = (versions[-1] if versions else 0) + 1
+        # the _LATEST_ pointer is advanced BEFORE every commit rename
+        # and only ever ratchets up, so its max is a version high-water
+        # mark that OUTLIVES expire_snapshots: a writer stalled across
+        # an expiry can never re-target a freed low version number,
+        # which would break time-travel monotonicity (version order ==
+        # commit order).
+        hwm = _tagged_values(spark, base, _LATEST_TAG)
+        v = max(
+            versions[-1] if versions else 0, hwm[-1] if hwm else 0
+        ) + 1
         # marker-less dirs we don't own (legacy orphan or a racing
         # writer mid-rename): never delete them — skip past
         while fs.exists(_jpath(spark, jbase, f"v={v}")):
             v += 1
         vdir = _jpath(spark, jbase, f"v={v}")
         _advance_tag(spark, base, _LATEST_TAG, v)  # before the commit rename
-        if fs.rename(jtmp, vdir) and fs.exists(
-            _jpath(spark, vdir, f"_WRITER_{uid}")
-        ):
+        try:
+            renamed = fs.rename(jtmp, vdir)
+        except Exception:
+            # some filesystems RAISE on a missing src instead of
+            # returning false (local FS does); the jtmp existence check
+            # at the top of the next iteration produces the descriptive
+            # vacuum-race error
+            renamed = False
+        if renamed and fs.exists(_jpath(spark, vdir, f"_WRITER_{uid}")):
             return v
         # lost the race for v=N.  If the rename "succeeded" by moving
         # our staging dir INSIDE the winner's v=N, pull it back out;
@@ -161,6 +188,10 @@ def _commit_next_version(df: DataFrame, base: str, epoch_id: int | None = None) 
                     f"could not recover staging dir {tmp} after losing "
                     f"the commit race for v={v}"
                 )
+    raise RuntimeError(
+        f"gave up committing {tmp} after {_MAX_COMMIT_RETRIES} lost "
+        f"version races under {base} — writer contention is pathological"
+    )
 
 
 def write_snapshot(df: DataFrame, base: str) -> int:
@@ -205,7 +236,14 @@ def expire_snapshots(
     versions.  Per version the MARKER goes first, then the data dir —
     so a crash mid-expiry leaves an invisible orphan (reclaimable),
     never a readable-but-half-deleted version.  Returns the expired
-    version numbers."""
+    version numbers.
+
+    Safe to run alongside live writers: freed version numbers are never
+    reused because ``_commit_next_version`` consults the ratcheting
+    ``_LATEST_`` pointer (a version high-water mark that survives
+    expiry), so a writer stalled across an expiry still commits ABOVE
+    every version that ever existed — time-travel monotonicity holds.
+    Only :func:`vacuum_snapshots` needs a no-active-writer window."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     versions = list_versions(spark, base)

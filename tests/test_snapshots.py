@@ -255,3 +255,58 @@ def test_concurrent_writers_never_lose_a_commit(spark, tmp_path):
     assert seen == set(payloads)
     # latest pointer resolves to a committed version
     assert {r.k for r in read_snapshot(spark, base).collect()} <= seen
+
+
+def test_versions_never_reused_after_expiry(spark, tmp_path):
+    """r06 ADVICE: a writer stalled across an expire_snapshots run must
+    not commit under a version number expiry just freed (that would put
+    the NEWEST data at a LOW version and break time-travel
+    monotonicity).  The ratcheting _LATEST_ pointer acts as a version
+    high-water mark that outlives expiry, so the next commit always
+    lands ABOVE every version that ever existed."""
+    from data_pipeline_bigquery_spark.sources.snapshots import (
+        expire_snapshots,
+    )
+
+    base = str(tmp_path / "snap_hwm")
+    for i in range(4):
+        write_snapshot(_df(spark, [(i, f"p{i}")]), base)
+    assert list_versions(spark, base) == [1, 2, 3, 4]
+    assert expire_snapshots(spark, base, keep_last=1) == [1, 2, 3]
+    # versions 1-3 are freed slots; the stalled writer's commit must
+    # target 5, not 1
+    assert write_snapshot(_df(spark, [(99, "late")]), base) == 5
+    assert list_versions(spark, base) == [4, 5]
+    # latest == highest version == newest data (monotonicity intact)
+    assert {r.k for r in read_snapshot(spark, base).collect()} == {99}
+
+
+def test_commit_raises_when_staging_dir_vanishes(spark, tmp_path):
+    """r06 ADVICE: if the staging dir disappears mid-commit (concurrent
+    vacuum_snapshots or object-store fault), the retry loop must raise
+    a descriptive error instead of spinning forever."""
+    import shutil
+
+    import pytest
+
+    from data_pipeline_bigquery_spark.sources import snapshots as snap
+
+    base = str(tmp_path / "snap_gone")
+    write_snapshot(_df(spark, [(1, "a")]), base)
+
+    # simulate a vacuum racing the writer: hook the once-per-iteration
+    # list_versions call to remove the staging dir after it was written
+    real_list = snap.list_versions
+
+    def vanishing_list(s, b):
+        for name in os.listdir(b):
+            if name.startswith(".tmp-"):
+                shutil.rmtree(os.path.join(b, name), ignore_errors=True)
+        return real_list(s, b)
+
+    snap.list_versions = vanishing_list
+    try:
+        with pytest.raises(RuntimeError, match="staging dir .* disappeared|could not recover"):
+            write_snapshot(_df(spark, [(2, "b")]), base)
+    finally:
+        snap.list_versions = real_list
