@@ -1,0 +1,419 @@
+"""Training-data pipeline batch 3 — feature-engineering and curation
+staples a large-scale training pipeline needs beyond dedup/sampling:
+
+- ``target_encoding_loo``: leave-one-out target encoding, THE classic
+  high-cardinality categorical feature for tabular models.  Per order,
+  the mean target (price cents) of its customer segment EXCLUDING the
+  row itself — the exclusion is what stops the feature from leaking
+  the label.  Scale shape: a 5-row per-segment aggregate broadcast back
+  onto the fact table (NOT a window over giant low-cardinality
+  partitions, which would put whole segments on single tasks).
+- ``negative_sampling``: deterministic contrastive negatives — per
+  user, the event types they never interacted with, ranked by md5 so
+  every re-run (and the oracle) picks the identical negatives.  The
+  candidate space is users × event-type dim (broadcast), minus
+  positives via anti-join — never a shuffle of the fact table.
+- ``cross_val_folds``: md5-bucket k-fold assignment with per-fold
+  volume stats; deterministic folds are what make CV results
+  reproducible across engines and re-runs.
+- ``feature_hashing``: the hashing trick — vocabulary-free feature
+  buckets from md5(word) % 64, with per-bucket token/doc/collision
+  stats.  Per-bucket distinct-word counts make hash-collision load
+  measurable before training eats it silently.
+- ``reservoir_per_group``: fixed-size uniform-without-replacement
+  sample per language via md5 ranking — one window over the group key,
+  no driver-side reservoir state, identical sample every run.
+- ``k_anonymity_audit``: privacy gate — quasi-identifier groups
+  (segment × nation) smaller than k expose their members to
+  re-identification; reports group and at-risk-row counts per segment.
+- ``tokenizer_fertility``: chars-per-token by language — the
+  tokenizer-efficiency metric multilingual corpus work tracks (high
+  fertility = the tokenizer fragments that language).
+- ``knn_label_accuracy``: leave-one-out 1-NN label agreement over the
+  embedding corpus — the standard embedding-quality probe.  Exact
+  brute-force here (it doubles as the exactness oracle); at corpus
+  scale the same argmax routes through the IVF candidate path
+  (`extensions/similarity.py`), which prunes the pair space to probed
+  cells.
+
+Parity discipline: money in integer cents (DECIMAL-free — floor(x*100
++ 0.5) like `ewma_event_value`), shares as integer permille (`div` /
+`//`), md5 for every pseudo-random choice, and dot products rounded to
+9 digits before ranking (the `ann_*_recall_contract` convention).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_bigquery_spark.catalog import load
+from data_pipeline_bigquery_spark.extensions.sampling import hash_bucket
+from data_pipeline_bigquery_spark.queries import QuerySpec
+
+_N_FOLDS = 5
+_N_HASH_BUCKETS = 64
+_K_ANON = 5
+_RESERVOIR_K = 5
+_NEG_K = 2
+
+
+def _target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOO mean segment price per order: (seg_sum − own) / (seg_n − 1).
+
+    The per-segment totals are a 5-row aggregate joined back broadcast;
+    the fact table is scanned once and never shuffles on the
+    low-cardinality segment (a window would hash-partition 100 TB of
+    orders onto 5 tasks)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("seg")
+    )
+    j = o.join(c, o.o_custkey == c.c_custkey).select("o_orderkey", "seg", "cents")
+    seg_stats = j.groupBy("seg").agg(
+        F.sum("cents").alias("seg_cents"), F.count(F.lit(1)).alias("seg_n")
+    )
+    return (
+        j.join(F.broadcast(seg_stats), "seg")
+        .select(
+            "o_orderkey",
+            "seg",
+            (
+                (F.col("seg_cents") - F.col("cents")).cast("double")
+                / (F.col("seg_n") - F.lit(1)).cast("double")
+            ).alias("loo_mean_cents"),
+        )
+    )
+
+
+_TARGET_ENC_SQL = """
+WITH j AS (
+  SELECT o_orderkey, c_mktsegment AS seg,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey),
+s AS (SELECT seg, CAST(sum(cents) AS BIGINT) AS seg_cents,
+             CAST(count(*) AS BIGINT) AS seg_n
+      FROM j GROUP BY seg)
+SELECT o_orderkey, j.seg,
+       CAST(seg_cents - cents AS DOUBLE) / CAST(seg_n - 1 AS DOUBLE)
+         AS loo_mean_cents
+FROM j JOIN s ON j.seg = s.seg
+"""
+
+
+def _negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user, the md5-top-{_NEG_K} event types they never produced.
+
+    Candidates = distinct users × the (tiny, broadcast) type dimension;
+    positives removed with an anti-join; ranking is md5(user:type) so
+    the sample is identical across runs and engines.  Nothing here
+    scales with event volume except the two distincts, both map-side
+    combinable."""
+    ev = load(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    types = ev.select("event_type").distinct()
+    positives = ev.select("user_id", "event_type").distinct()
+    cand = users.join(F.broadcast(types), how="cross").join(
+        positives, ["user_id", "event_type"], "left_anti"
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(
+            F.md5(
+                F.concat_ws(":", F.col("user_id").cast("string"), "event_type")
+            ),
+            "event_type",
+        )
+    )
+    return (
+        cand.withColumn("rk", rk)
+        .filter(F.col("rk") <= _NEG_K)
+        .select("user_id", F.col("event_type").alias("neg_event_type"), "rk")
+    )
+
+
+_NEG_SAMPLING_SQL = f"""
+WITH users AS (SELECT DISTINCT user_id FROM events),
+types AS (SELECT DISTINCT event_type FROM events),
+pos AS (SELECT DISTINCT user_id, event_type FROM events),
+cand AS (
+  SELECT u.user_id, t.event_type FROM users u CROSS JOIN types t
+  WHERE NOT EXISTS (SELECT 1 FROM pos p
+                    WHERE p.user_id = u.user_id
+                      AND p.event_type = t.event_type)),
+ranked AS (
+  SELECT user_id, event_type,
+         CAST(row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY md5(CAST(user_id AS VARCHAR) || ':' || event_type),
+                    event_type) AS INT) AS rk
+  FROM cand)
+SELECT user_id, event_type AS neg_event_type, rk
+FROM ranked WHERE rk <= {_NEG_K}
+"""
+
+
+def _cross_val_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment (md5(doc_id) % k) with per-fold
+    doc, token, and char volumes — the reproducibility receipt a CV
+    harness checks before trusting fold-to-fold comparisons."""
+    docs = load(spark, sf_dir, "documents").select(
+        hash_bucket(F.col("doc_id"), _N_FOLDS).alias("fold"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        "n_chars",
+    )
+    return docs.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+_CV_FOLDS_SQL = f"""
+WITH d AS (
+  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT)
+           % {_N_FOLDS} AS fold,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, n_chars
+  FROM documents)
+SELECT fold, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM d GROUP BY fold
+"""
+
+
+def _feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick buckets: md5(word) % {_N_HASH_BUCKETS}, with token
+    count, distinct-word count (collision load), and doc frequency per
+    bucket.  One explode + one keyed agg; the bucket key bounds the
+    shuffle at any corpus size."""
+    words = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    return (
+        words.withColumn("bucket", hash_bucket(F.col("word"), _N_HASH_BUCKETS))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("word").alias("n_distinct_words"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+_FEATURE_HASHING_SQL = f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+b AS (
+  SELECT doc_id, word,
+         CAST(('0x' || substr(md5(word), 1, 7)) AS BIGINT)
+           % {_N_HASH_BUCKETS} AS bucket
+  FROM w WHERE word <> '')
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT word) AS BIGINT) AS n_distinct_words,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM b GROUP BY bucket
+"""
+
+
+def _reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform-without-replacement {_RESERVOIR_K} docs per language:
+    rank by md5(doc_id) inside the group and keep the top k.  The md5
+    order is a uniform permutation independent of ingest order, so this
+    IS reservoir sampling with the randomness made deterministic; the
+    window pushes down to a per-group top-k (WindowGroupLimit) instead
+    of a full sort."""
+    rk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(
+            F.md5(F.col("doc_id").cast("string")), "doc_id"
+        )
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .select("lang", "doc_id")
+        .withColumn("rk", rk)
+        .filter(F.col("rk") <= _RESERVOIR_K)
+    )
+
+
+_RESERVOIR_SQL = f"""
+WITH ranked AS (
+  SELECT lang, doc_id,
+         CAST(row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk
+  FROM documents)
+SELECT lang, doc_id, rk FROM ranked WHERE rk <= {_RESERVOIR_K}
+"""
+
+
+def _k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity over the quasi-identifier pair (segment, nation):
+    per segment, how many QI groups exist, how many are smaller than
+    k={_K_ANON}, how many customers those small groups expose, and the
+    worst (smallest) group size.  Two keyed aggregates, both map-side
+    combinable — the release gate runs in one pass at any table size."""
+    groups = (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        groups.groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum((F.col("n") < _K_ANON).cast("long")).alias("n_small_groups"),
+            F.sum(
+                F.when(F.col("n") < _K_ANON, F.col("n")).otherwise(F.lit(0))
+            ).alias("n_customers_at_risk"),
+            F.min("n").alias("min_group_size"),
+        )
+    )
+
+
+_K_ANON_SQL = f"""
+WITH g AS (
+  SELECT c_mktsegment AS seg, c_nationkey, CAST(count(*) AS BIGINT) AS n
+  FROM customer GROUP BY 1, 2)
+SELECT seg, CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN n < {_K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_small_groups,
+       CAST(sum(CASE WHEN n < {_K_ANON} THEN n ELSE 0 END) AS BIGINT)
+         AS n_customers_at_risk,
+       min(n) AS min_group_size
+FROM g GROUP BY seg
+"""
+
+
+def _tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chars-per-token by language — the multilingual tokenizer-cost
+    metric (a language with 2× fertility costs 2× the context budget).
+    Whitespace tokens here; the BPE-grain twin is `bpe_pair_stats`."""
+    docs = load(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        "n_chars",
+    )
+    agg = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    return agg.withColumn(
+        "chars_per_token",
+        F.col("total_chars").cast("double") / F.col("total_tokens").cast("double"),
+    )
+
+
+_FERTILITY_SQL = """
+WITH d AS (
+  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         n_chars
+  FROM documents),
+a AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars
+  FROM d GROUP BY lang)
+SELECT lang, n_docs, total_tokens, total_chars,
+       CAST(total_chars AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+         AS chars_per_token
+FROM a
+"""
+
+
+def _knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 1-NN label agreement: for every vector, find its
+    nearest neighbor by dot product (9-digit round + vec_id tie-break,
+    the recall-contract convention) and score label agreement.
+
+    Brute force is intentional — this is the exact probe the IVF path
+    is measured against; at corpus scale the identical argmax runs over
+    IVF-probed candidates (`extensions/similarity.py:513`) so the pair
+    space is nlist-pruned, never all-pairs."""
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+        )
+    )
+    a = emb.select(
+        F.col("vec_id").alias("a_id"), F.col("v").alias("a_v"),
+        F.col("label").alias("a_label"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("b_id"), F.col("v").alias("b_v"),
+        F.col("label").alias("b_label"),
+    )
+    dot = F.aggregate(
+        F.zip_with("a_v", "b_v", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("a_id") != F.col("b_id"))
+        .withColumn("sim", F.round(dot, 9))
+    )
+    nn = (
+        pairs.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("a_id").orderBy(
+                    F.col("sim").desc(), F.col("b_id")
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+    )
+    return nn.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("a_label") == F.col("b_label")).cast("long")).alias(
+            "n_correct"
+        ),
+    ).select(
+        "n",
+        "n_correct",
+        F.expr("n_correct * 1000 div n").alias("accuracy_permille"),
+    )
+
+
+_KNN_ACC_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+           FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS a_id, a.label AS a_label, b.vec_id AS b_id,
+         b.label AS b_label,
+         round(list_dot_product(a.v, b.v), 9) AS sim
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+nn AS (
+  SELECT a_label, b_label,
+         row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS rk
+  FROM pairs),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN a_label = b_label THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_correct
+  FROM nn WHERE rk = 1)
+SELECT n, n_correct, CAST(n_correct * 1000 // n AS BIGINT)
+         AS accuracy_permille
+FROM agg
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "target_encoding_loo": QuerySpec(_target_encoding_loo, _TARGET_ENC_SQL),
+    "negative_sampling": QuerySpec(_negative_sampling, _NEG_SAMPLING_SQL),
+    "cross_val_folds": QuerySpec(_cross_val_folds, _CV_FOLDS_SQL),
+    "feature_hashing": QuerySpec(_feature_hashing, _FEATURE_HASHING_SQL),
+    "reservoir_per_group": QuerySpec(_reservoir_per_group, _RESERVOIR_SQL),
+    "k_anonymity_audit": QuerySpec(_k_anonymity_audit, _K_ANON_SQL),
+    "tokenizer_fertility": QuerySpec(_tokenizer_fertility, _FERTILITY_SQL),
+    "knn_label_accuracy": QuerySpec(_knn_label_accuracy, _KNN_ACC_SQL),
+}
