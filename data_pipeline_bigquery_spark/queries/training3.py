@@ -407,7 +407,69 @@ FROM agg
 """
 
 
+def _embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label ‖v‖² distribution — the embedding-health check run
+    before any cosine-based pipeline (a label whose norms collapse or
+    explode poisons similarity search and k-means alike).  Norms are
+    scaled to integer e9 units (floor(‖v‖²·10⁹ + 0.5)) so the per-label
+    SUM is order-independent integer arithmetic; min/max are
+    order-independent anyway.  One map-side fold per row, one keyed
+    agg — no pair joins, scales linearly."""
+    normsq = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.col("embedding").cast("array<double>"),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    emb = load(spark, sf_dir, "embeddings").select(
+        "label",
+        F.floor(normsq * 1000000000.0 + F.lit(0.5)).cast("long").alias(
+            "normsq_e9"
+        ),
+    )
+    agg = emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("normsq_e9").alias("min_normsq_e9"),
+        F.max("normsq_e9").alias("max_normsq_e9"),
+        F.sum("normsq_e9").alias("sum_e9"),
+    )
+    return agg.select(
+        "label",
+        "n_vecs",
+        "min_normsq_e9",
+        "max_normsq_e9",
+        (
+            F.col("sum_e9").cast("double") / F.col("n_vecs").cast("double")
+            / F.lit(1000000000.0)
+        ).alias("mean_normsq"),
+    )
+
+
+_NORM_AUDIT_SQL = """
+WITH e AS (
+  SELECT label,
+         CAST(floor(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))
+                    * 1000000000.0 + 0.5) AS BIGINT) AS normsq_e9
+  FROM embeddings),
+a AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+         min(normsq_e9) AS min_normsq_e9,
+         max(normsq_e9) AS max_normsq_e9,
+         CAST(sum(normsq_e9) AS BIGINT) AS sum_e9
+  FROM e GROUP BY label)
+SELECT label, n_vecs, min_normsq_e9, max_normsq_e9,
+       CAST(sum_e9 AS DOUBLE) / CAST(n_vecs AS DOUBLE) / 1000000000.0
+         AS mean_normsq
+FROM a
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "embedding_norm_audit": QuerySpec(_embedding_norm_audit, _NORM_AUDIT_SQL),
     "target_encoding_loo": QuerySpec(_target_encoding_loo, _TARGET_ENC_SQL),
     "negative_sampling": QuerySpec(_negative_sampling, _NEG_SAMPLING_SQL),
     "cross_val_folds": QuerySpec(_cross_val_folds, _CV_FOLDS_SQL),

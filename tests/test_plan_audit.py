@@ -295,3 +295,39 @@ def test_hierarchy_share_windows_post_aggregate(spark, reg):
     assert_no_cartesian(df)
     assert count_nodes(df, "BroadcastHashJoin") >= 3
     assert count_nodes(df, "SortMergeJoin") == 0
+
+
+def test_knn_probe_broadcast_pairs_only(spark, reg):
+    """1-NN label probe: the pair space is a broadcast nested-loop of
+    the (bounded) corpus against itself — legitimate at contract scale,
+    and never a CartesianProduct of two shuffled sides."""
+    df = _q(reg, spark, "knn_label_accuracy")
+    assert_no_cartesian(df, allow_broadcast_nl=1)
+    assert count_nodes(df, "CartesianProduct") == 0
+
+
+def test_basket_lift_keyed_joins_only(spark, reg):
+    """Association rules: every join keys on the order or the part —
+    no unkeyed pair blowup beyond the per-basket pair explode."""
+    df = _q(reg, spark, "basket_lift_confidence")
+    assert_no_cartesian(df)
+
+
+def test_bfs_frontier_joins_keyed(spark, reg):
+    """BFS rounds are equi-joins on the frontier node; the visited-set
+    anti-joins stay keyed too."""
+    df = _q(reg, spark, "bfs_hops_copurchase")
+    assert_no_cartesian(df)
+
+
+def test_target_encoding_broadcasts_segment_stats(spark, reg):
+    """LOO target encoding must NOT window over the 5-value segment —
+    the per-segment stats come back as a broadcast join."""
+    df = _q(reg, spark, "target_encoding_loo")
+    assert_no_cartesian(df)
+    from data_pipeline_bigquery_spark.plans.audit import plan_nodes
+
+    assert not any("Window" in n for n in plan_nodes(df)), (
+        "segment stats should be an aggregate + broadcast join, not a "
+        "low-cardinality window"
+    )
