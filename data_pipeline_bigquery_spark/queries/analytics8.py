@@ -616,7 +616,49 @@ FROM z_t
 """
 
 
+def _zscore_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of `streaming/anomaly_stream.py::anomaly_stateful`:
+    every event scored against the running mean/stddev of its type's
+    strictly-prior events; |z| ≥ 3 emitted.  One ordered window per
+    event type — a single key exchange; the streaming form keeps the
+    same (n, Σv, Σv²) accumulator as 24 bytes of state per key."""
+    from data_pipeline_bigquery_spark.streaming.anomaly_stream import (
+        zscore_anomalies,
+    )
+
+    return zscore_anomalies(load(spark, sf_dir, "events"))
+
+
+_ZSCORE_SQL = """
+WITH c AS (
+  SELECT event_id, event_type, ts, value,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+scored AS (
+  SELECT event_id, event_type, ts, value, cents,
+         CAST(count(cents) OVER w AS BIGINT) AS n,
+         CAST(sum(cents) OVER w AS BIGINT) AS s,
+         CAST(sum(cents * cents) OVER w AS BIGINT) AS sq
+  FROM c
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+z AS (
+  SELECT event_id, event_type, ts, value,
+         (CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+           / sqrt(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) AS z
+  FROM scored
+  WHERE n >= 30
+    AND CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)
+        - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+          * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) > 0)
+SELECT event_id, event_type, ts, value, z FROM z WHERE abs(z) >= 3.0
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "zscore_anomaly_events": QuerySpec(_zscore_anomaly_events, _ZSCORE_SQL),
     "zorder_pruning_effectiveness": QuerySpec(
         _zorder_pruning_effectiveness, _zorder_sql()
     ),
