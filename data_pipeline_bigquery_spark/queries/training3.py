@@ -468,8 +468,232 @@ FROM a
 """
 
 
+_BPE_ITERS = 3
+
+
+def _bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATIVE BPE merge training — the real tokenizer-training loop,
+    not just pair statistics (`bpe_pair_stats` is the one-shot census):
+    {_BPE_ITERS} rounds of "count adjacent symbol pairs weighted by
+    word frequency → merge the globally most frequent pair everywhere".
+    Output: one row per round (iteration, the merged pair, its count).
+
+    Distribution shape per round: one pair-explode + one keyed agg over
+    the word-frequency table (vocabulary grain, ≪ corpus — the corpus
+    is read once, up front); the ONLY driver transfer is the single
+    winning pair per round (top-1, `orderBy().limit(1)` — bounded by
+    construction, the `kmeans_refine_iterations` discipline).  Merging
+    is a string `replace` on the symbol sequence — left-to-right greedy,
+    the standard BPE semantics, identical in every engine.
+
+    The oracle unrolls the same {_BPE_ITERS} rounds as chained CTEs with
+    scalar subqueries picking each winner — an independent execution of
+    the same algorithm, so a mis-merge or a tie-break drift on either
+    side mismatches."""
+    vocab = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.concat_ws(" ", F.split("word", "")).alias("seq"), "freq")
+    )
+    pair_expr = F.expr(
+        "transform(sequence(1, size(split(seq, ' ')) - 1),"
+        " i -> concat(element_at(split(seq, ' '), i), ' ',"
+        "             element_at(split(seq, ' '), i + 1)))"
+    )
+    results = []
+    for it in range(1, _BPE_ITERS + 1):
+        counts = (
+            vocab.filter(F.size(F.split("seq", " ")) >= 2)
+            .select(F.explode(pair_expr).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        top = counts.orderBy(F.col("cnt").desc(), "pair").limit(1).collect()[0]
+        results.append((it, top["pair"], int(top["cnt"])))
+        merged = top["pair"].replace(" ", "")
+        vocab = vocab.select(
+            F.replace(F.col("seq"), F.lit(top["pair"]), F.lit(merged)).alias(
+                "seq"
+            ),
+            "freq",
+        )
+    return spark.createDataFrame(
+        results, "iteration int, pair string, cnt long"
+    )
+
+
+def _bpe_merges_sql() -> str:
+    ctes = [
+        """
+v0 AS (
+  SELECT array_to_string(string_split(word, ''), ' ') AS seq,
+         CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+        FROM documents)
+  WHERE len(word) >= 2
+  GROUP BY word)"""
+    ]
+    selects = []
+    for it in range(1, _BPE_ITERS + 1):
+        prev = f"v{it - 1}"
+        ctes.append(
+            f"""
+c{it} AS (
+  SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    SELECT unnest(list_transform(range(1, len(string_split(seq, ' '))),
+                  i -> string_split(seq, ' ')[i] || ' '
+                       || string_split(seq, ' ')[i + 1])) AS pair,
+           freq
+    FROM {prev} WHERE len(string_split(seq, ' ')) >= 2)
+  GROUP BY pair),
+t{it} AS (SELECT pair, cnt FROM c{it} ORDER BY cnt DESC, pair LIMIT 1),
+v{it} AS (
+  SELECT replace(seq, (SELECT pair FROM t{it}),
+                 replace((SELECT pair FROM t{it}), ' ', '')) AS seq, freq
+  FROM {prev})"""
+        )
+        selects.append(
+            f"SELECT {it} AS iteration, pair, cnt FROM t{it}"
+        )
+    return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
+_SPLIT_FRACS = (70, 15, 15)  # train / val / test percent
+_EMBARGO_DAYS = 2
+
+
+def _grouped_split_no_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/val/test split: ALL documents of a source land
+    in the same split (md5 on the GROUP key, not the row key) — the
+    leakage guard for grouped data (near-dup docs cluster within a
+    source; splitting rows independently leaks them across splits).
+    Output is the per-split receipt: group count, doc count, and —
+    the actual contract — the number of groups that span >1 split,
+    provably zero by construction."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    b = hash_bucket(F.col("source"), 100)
+    split = (
+        F.when(b < _SPLIT_FRACS[0], "train")
+        .when(b < _SPLIT_FRACS[0] + _SPLIT_FRACS[1], "val")
+        .otherwise("test")
+    )
+    tagged = docs.withColumn("split", split)
+    spans = (
+        tagged.groupBy("source")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .agg(
+            F.sum((F.col("n_splits") > 1).cast("long")).alias("leaked")
+        )
+    )
+    per_split = tagged.groupBy("split").agg(
+        F.countDistinct("source").alias("n_groups"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return per_split.join(F.broadcast(spans), how="cross").select(
+        "split", "n_groups", "n_docs", F.col("leaked").alias("groups_leaked")
+    )
+
+
+_GROUPED_SPLIT_SQL = f"""
+WITH tagged AS (
+  SELECT doc_id, source,
+         CASE
+           WHEN CAST(('0x' || substr(md5(source), 1, 7)) AS BIGINT) % 100
+                < {_SPLIT_FRACS[0]} THEN 'train'
+           WHEN CAST(('0x' || substr(md5(source), 1, 7)) AS BIGINT) % 100
+                < {_SPLIT_FRACS[0] + _SPLIT_FRACS[1]} THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM documents),
+spans AS (
+  SELECT CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS groups_leaked
+  FROM (SELECT source, count(DISTINCT split) AS n_splits
+        FROM tagged GROUP BY source)),
+per_split AS (
+  SELECT split, CAST(count(DISTINCT source) AS BIGINT) AS n_groups,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM tagged GROUP BY split)
+SELECT split, n_groups, n_docs, groups_leaked
+FROM per_split CROSS JOIN spans
+"""
+
+
+def _temporal_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series split with an embargo gap: train = everything before
+    the cutoff, test = everything after cutoff + {_EMBARGO_DAYS} days,
+    embargo = the gap rows EXCLUDED from both (they leak label-window
+    information across the boundary in forecasting setups).  Cutoff is
+    the 70th-percentile day, derived from day-grain counts so the split
+    is stable under event-level churn.  Output: per-bucket row counts
+    and day spans — the receipt a temporal-CV harness checks."""
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day")
+    )
+    days = ev.groupBy("day").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy().orderBy("day")
+    ranked = days.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n_days", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    cutoff = ranked.filter(
+        F.col("rk") == F.expr("cast((n_days * 70 + 99) div 100 as int)")
+    ).select(F.col("day").alias("cutoff_day"))
+    tagged = ev.join(F.broadcast(cutoff), how="cross").select(
+        F.when(F.col("day") <= F.col("cutoff_day"), "train")
+        .when(
+            F.col("day")
+            > F.col("cutoff_day") + F.expr(f"INTERVAL {_EMBARGO_DAYS} DAYS"),
+            "test",
+        )
+        .otherwise("embargo")
+        .alias("bucket"),
+        "day",
+    )
+    return tagged.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("day").alias("n_days"),
+        F.min("day").alias("first_day"),
+        F.max("day").alias("last_day"),
+    )
+
+
+_TEMPORAL_SPLIT_SQL = f"""
+WITH ev AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events),
+days AS (SELECT day, count(*) AS n FROM ev GROUP BY day),
+ranked AS (
+  SELECT day, row_number() OVER (ORDER BY day) AS rk,
+         count(*) OVER () AS n_days
+  FROM days),
+cutoff AS (
+  SELECT day AS cutoff_day FROM ranked
+  WHERE rk = CAST((n_days * 70 + 99) // 100 AS INT)),
+tagged AS (
+  SELECT CASE
+           WHEN day <= cutoff_day THEN 'train'
+           WHEN day > cutoff_day + INTERVAL {_EMBARGO_DAYS} DAY THEN 'test'
+           ELSE 'embargo'
+         END AS bucket, day
+  FROM ev CROSS JOIN cutoff)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+       min(day) AS first_day, max(day) AS last_day
+FROM tagged GROUP BY bucket
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "embedding_norm_audit": QuerySpec(_embedding_norm_audit, _NORM_AUDIT_SQL),
+    "bpe_train_merges": QuerySpec(_bpe_train_merges, _bpe_merges_sql()),
+    "grouped_split_no_leakage": QuerySpec(
+        _grouped_split_no_leakage, _GROUPED_SPLIT_SQL
+    ),
+    "temporal_split_embargo": QuerySpec(
+        _temporal_split_embargo, _TEMPORAL_SPLIT_SQL
+    ),
     "target_encoding_loo": QuerySpec(_target_encoding_loo, _TARGET_ENC_SQL),
     "negative_sampling": QuerySpec(_negative_sampling, _NEG_SAMPLING_SQL),
     "cross_val_folds": QuerySpec(_cross_val_folds, _CV_FOLDS_SQL),
