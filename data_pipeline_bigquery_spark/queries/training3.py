@@ -108,19 +108,35 @@ FROM j JOIN s ON j.seg = s.seg
 
 
 def _negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per user, the md5-top-{_NEG_K} event types they never produced.
+    """Per user, the md5-top-{_NEG_K} event types they interact with
+    LESS than their own per-type average — the implicit-feedback
+    negative definition (dense logs have no never-touched items; the
+    contrastive negative is the one the user demonstrably under-
+    engages).  Membership is integer-exact (n_t·n_types < total, no
+    float mean) and the ranking is md5(user:type), so the sample is
+    identical across runs and engines.
 
-    Candidates = distinct users × the (tiny, broadcast) type dimension;
-    positives removed with an anti-join; ranking is md5(user:type) so
-    the sample is identical across runs and engines.  Nothing here
-    scales with event volume except the two distincts, both map-side
-    combinable."""
+    Scale shape: one (user, type)-keyed count, a broadcast of the tiny
+    type dimension to materialize absent types as zero-count rows, one
+    user-keyed top-k window — nothing scales beyond the first keyed
+    aggregate."""
     ev = load(spark, sf_dir, "events")
-    users = ev.select("user_id").distinct()
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_t")
+    )
     types = ev.select("event_type").distinct()
-    positives = ev.select("user_id", "event_type").distinct()
-    cand = users.join(F.broadcast(types), how="cross").join(
-        positives, ["user_id", "event_type"], "left_anti"
+    grid = (
+        ev.select("user_id")
+        .distinct()
+        .join(F.broadcast(types), how="cross")
+        .join(counts, ["user_id", "event_type"], "left")
+        .withColumn("n_t", F.coalesce(F.col("n_t"), F.lit(0)))
+    )
+    totals = grid.groupBy("user_id").agg(
+        F.sum("n_t").alias("total"), F.count(F.lit(1)).alias("n_types")
+    )
+    neg = grid.join(totals, "user_id").filter(
+        F.col("n_t") * F.col("n_types") < F.col("total")
     )
     rk = F.row_number().over(
         Window.partitionBy("user_id").orderBy(
@@ -131,28 +147,35 @@ def _negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        cand.withColumn("rk", rk)
+        neg.withColumn("rk", rk)
         .filter(F.col("rk") <= _NEG_K)
         .select("user_id", F.col("event_type").alias("neg_event_type"), "rk")
     )
 
 
 _NEG_SAMPLING_SQL = f"""
-WITH users AS (SELECT DISTINCT user_id FROM events),
+WITH counts AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_t
+  FROM events GROUP BY 1, 2),
 types AS (SELECT DISTINCT event_type FROM events),
-pos AS (SELECT DISTINCT user_id, event_type FROM events),
-cand AS (
-  SELECT u.user_id, t.event_type FROM users u CROSS JOIN types t
-  WHERE NOT EXISTS (SELECT 1 FROM pos p
-                    WHERE p.user_id = u.user_id
-                      AND p.event_type = t.event_type)),
+grid AS (
+  SELECT u.user_id, t.event_type, COALESCE(c.n_t, 0) AS n_t
+  FROM (SELECT DISTINCT user_id FROM events) u
+  CROSS JOIN types t
+  LEFT JOIN counts c
+    ON c.user_id = u.user_id AND c.event_type = t.event_type),
+totals AS (
+  SELECT user_id, CAST(sum(n_t) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS n_types
+  FROM grid GROUP BY user_id),
 ranked AS (
-  SELECT user_id, event_type,
+  SELECT g.user_id, g.event_type,
          CAST(row_number() OVER (
-           PARTITION BY user_id
-           ORDER BY md5(CAST(user_id AS VARCHAR) || ':' || event_type),
-                    event_type) AS INT) AS rk
-  FROM cand)
+           PARTITION BY g.user_id
+           ORDER BY md5(CAST(g.user_id AS VARCHAR) || ':' || g.event_type),
+                    g.event_type) AS INT) AS rk
+  FROM grid g JOIN totals t ON g.user_id = t.user_id
+  WHERE g.n_t * t.n_types < t.total)
 SELECT user_id, event_type AS neg_event_type, rk
 FROM ranked WHERE rk <= {_NEG_K}
 """
