@@ -34,6 +34,10 @@
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -657,8 +661,83 @@ SELECT event_id, event_type, ts, value, z FROM z WHERE abs(z) >= 3.0
 """
 
 
+def _snapshot_format_latest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snapshot store consumed through its REGISTERED FORMAT
+    (`sources/snapshot_datasource.py`): two order states commit as
+    versions (same v1/v2 split as `snapshot_time_travel_cdc`), then
+    ``spark.read.format("snapshotstore")`` resolves the LATEST
+    committed version like `read_snapshot(latest)` — with the emitted
+    ``_version`` stamp aggregated so the oracle can assert both the
+    data AND that the reader picked version 2, not 1.  The streaming
+    twin (each version = one micro-batch, exactly-once across
+    restarts) is e2e-tested in `tests/test_snapshot_datasource.py`."""
+    from data_pipeline_bigquery_spark.sources.snapshot_datasource import (
+        SnapshotDataSource,
+    )
+    from data_pipeline_bigquery_spark.sources.snapshots import write_snapshot
+
+    spark.dataSource.register(SnapshotDataSource)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_snapds_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{os.getpid()}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_cents"),
+        "o_orderdate",
+    )
+    cut = F.lit("1998-01-01").cast("timestamp")
+    v1 = orders.filter(F.col("o_orderdate") < cut).select(
+        "o_orderkey", "price_cents"
+    )
+    v2 = (
+        orders.filter(F.col("o_orderkey") % 20 != 0)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 10 == 0, F.col("price_cents") + 100)
+            .otherwise(F.col("price_cents"))
+            .alias("price_cents"),
+        )
+    )
+    write_snapshot(v1, base)
+    write_snapshot(v2, base)
+    latest = (
+        spark.read.format("snapshotstore")
+        .schema("o_orderkey long, price_cents long, _version long")
+        .option("path", base)
+        .load()
+    )
+    return latest.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("price_cents").alias("total_cents"),
+        F.max("_version").alias("read_version"),
+    )
+
+
+_SNAP_FORMAT_SQL = """
+WITH v2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 0
+              THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) + 100
+              ELSE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END
+           AS price_cents
+  FROM orders WHERE o_orderkey % 20 <> 0)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(price_cents) AS BIGINT) AS total_cents,
+       CAST(2 AS BIGINT) AS read_version
+FROM v2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "zscore_anomaly_events": QuerySpec(_zscore_anomaly_events, _ZSCORE_SQL),
+    "snapshot_format_latest_scan": QuerySpec(
+        _snapshot_format_latest_scan, _SNAP_FORMAT_SQL
+    ),
     "zorder_pruning_effectiveness": QuerySpec(
         _zorder_pruning_effectiveness, _zorder_sql()
     ),
