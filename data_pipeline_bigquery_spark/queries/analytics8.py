@@ -718,6 +718,91 @@ def _snapshot_format_latest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _snapshot_merge_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGE write-path verb driven end-to-end through the store
+    (`sources/snapshots.py::merge_into_snapshot`): v1 = pre-1998 orders,
+    the source batch updates every 10th order (cursor bumped one day)
+    and inserts the post-1998 ones, and the committed v2 is returned at
+    ROW GRAIN so the oracle re-derives the reference MERGE semantics
+    (insert new pks, update only when the cursor differs) independently
+    with a full-outer join.  A late duplicate (same cursor) is planted
+    to prove the no-op path: key%7==0 rows ship unchanged cursors with
+    poisoned prices that must NOT surface."""
+    from data_pipeline_bigquery_spark.sources.snapshots import (
+        merge_into_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_snapmrg_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{os.getpid()}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_cents"),
+        F.col("o_orderdate").alias("cur"),
+    )
+    cut = F.lit("1998-01-01").cast("timestamp")
+    v1 = orders.filter(F.col("cur") < cut)
+    src = (
+        orders.filter(
+            (F.col("o_orderkey") % 10 == 0)
+            | (F.col("o_orderkey") % 7 == 0)
+            | (F.col("cur") >= cut)
+        )
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 10 == 0, F.col("price_cents") + 100)
+            .when(F.col("o_orderkey") % 7 == 0, F.lit(-1))  # poisoned no-op
+            .otherwise(F.col("price_cents"))
+            .alias("price_cents"),
+            F.when(
+                F.col("o_orderkey") % 10 == 0,
+                F.col("cur") + F.expr("INTERVAL 1 DAY"),
+            )
+            .otherwise(F.col("cur"))
+            .alias("cur"),
+        )
+    )
+    write_snapshot(v1, base)
+    merge_into_snapshot(spark, base, src, "o_orderkey", "cur")
+    return read_snapshot(spark, base, 2)
+
+
+_SNAP_MERGE_SQL = """
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+         o_orderdate AS cur
+  FROM orders),
+v1 AS (SELECT * FROM o WHERE cur < TIMESTAMP '1998-01-01'),
+src AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 0 THEN price_cents + 100
+              WHEN o_orderkey % 7 = 0 THEN -1
+              ELSE price_cents END AS price_cents,
+         CASE WHEN o_orderkey % 10 = 0 THEN cur + INTERVAL 1 DAY
+              ELSE cur END AS cur
+  FROM o
+  WHERE o_orderkey % 10 = 0 OR o_orderkey % 7 = 0
+     OR cur >= TIMESTAMP '1998-01-01')
+SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+       CASE WHEN t.o_orderkey IS NULL THEN s.price_cents
+            WHEN s.o_orderkey IS NOT NULL AND t.cur <> s.cur
+              THEN s.price_cents
+            ELSE t.price_cents END AS price_cents,
+       CASE WHEN t.o_orderkey IS NULL THEN s.cur
+            WHEN s.o_orderkey IS NOT NULL AND t.cur <> s.cur THEN s.cur
+            ELSE t.cur END AS cur
+FROM v1 t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
+"""
+
+
 _SNAP_FORMAT_SQL = """
 WITH v2 AS (
   SELECT o_orderkey,
@@ -737,6 +822,9 @@ QUERIES: dict[str, QuerySpec] = {
     "zscore_anomaly_events": QuerySpec(_zscore_anomaly_events, _ZSCORE_SQL),
     "snapshot_format_latest_scan": QuerySpec(
         _snapshot_format_latest_scan, _SNAP_FORMAT_SQL
+    ),
+    "snapshot_merge_version": QuerySpec(
+        _snapshot_merge_version, _SNAP_MERGE_SQL
     ),
     "zorder_pruning_effectiveness": QuerySpec(
         _zorder_pruning_effectiveness, _zorder_sql()

@@ -386,3 +386,56 @@ def streaming_snapshot_sink(stream_df: DataFrame, base: str, checkpoint: str):
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+# --- write-path verbs: every mutation is a NEW committed version -----------
+#
+# The table-format verbs (MERGE / DELETE / COMPACT) compose the existing
+# operators with the rename-CAS commit: nothing is ever mutated in
+# place, so each verb inherits the store's crash-safety, time travel,
+# CDC, and the streaming change feed for free — a failed verb leaves an
+# invisible staging dir, never a torn table; the pre-verb state stays
+# readable AND diffable at its own version number.
+
+
+def merge_into_snapshot(
+    spark: SparkSession,
+    base: str,
+    source: DataFrame,
+    pk: str,
+    cursor_col: str,
+    **merge_kwargs,
+) -> int:
+    """MERGE ``source`` into the latest snapshot (reference K2 semantics
+    via `operators/merge.py`: insert new pks, update only when the
+    cursor differs) and commit the merged state as the next version.
+    One pk-keyed full-outer exchange plus the commit write — the same
+    cost Delta's MERGE pays, with the history kept."""
+    from data_pipeline_bigquery_spark.operators.merge import merge_upsert
+
+    target = read_snapshot(spark, base)
+    return write_snapshot(
+        merge_upsert(target, source, pk, cursor_col, **merge_kwargs), base
+    )
+
+
+def delete_keys_snapshot(
+    spark: SparkSession, base: str, keys: DataFrame, pk: str
+) -> int:
+    """GDPR-style targeted delete: commit a new version WITHOUT the
+    given keys (one anti-join).  History retains the rows until
+    `expire_snapshots` ages those versions out — the two-phase
+    erasure real lakehouse deletes perform (logical now, physical at
+    retention)."""
+    target = read_snapshot(spark, base)
+    remaining = target.join(keys.select(pk).distinct(), pk, "left_anti")
+    return write_snapshot(remaining, base)
+
+
+def compact_snapshot(spark: SparkSession, base: str, n_files: int = 1) -> int:
+    """Rewrite the latest version's rows into ``n_files`` files as a new
+    version — the small-files maintenance verb.  Readers never see an
+    in-between state: they keep resolving the old version until the new
+    marker lands, then switch atomically."""
+    target = read_snapshot(spark, base)
+    return write_snapshot(target.repartition(n_files), base)

@@ -310,3 +310,77 @@ def test_commit_raises_when_staging_dir_vanishes(spark, tmp_path):
             write_snapshot(_df(spark, [(2, "b")]), base)
     finally:
         snap.list_versions = real_list
+
+
+def test_merge_into_snapshot_reference_semantics(spark, tmp_path):
+    """MERGE verb: insert new pks, update only when the cursor differs,
+    keep everything else — committed as a NEW version with the pre-merge
+    state still readable and CDC-able."""
+    from data_pipeline_bigquery_spark.sources.snapshots import (
+        merge_into_snapshot,
+        snapshot_cdc,
+    )
+
+    base = str(tmp_path / "snap_merge")
+    tgt = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10), (3, "c", 10)], "k long, v string, cur long"
+    )
+    assert write_snapshot(tgt, base) == 1
+    src = spark.createDataFrame(
+        [(2, "B", 11),   # cursor differs -> update
+         (3, "XXX", 10),  # same cursor -> no-op (late duplicate)
+         (4, "d", 11)],   # new pk -> insert
+        "k long, v string, cur long",
+    )
+    assert merge_into_snapshot(spark, base, src, "k", "cur") == 2
+    now = {r.k: (r.v, r.cur) for r in read_snapshot(spark, base).collect()}
+    assert now == {1: ("a", 10), 2: ("B", 11), 3: ("c", 10), 4: ("d", 11)}
+    # history intact and row-level diffable
+    before = {r.k: r.v for r in read_snapshot(spark, base, 1).collect()}
+    assert before == {1: "a", 2: "b", 3: "c"}
+    feed = {
+        r.k: r.change_type
+        for r in snapshot_cdc(
+            read_snapshot(spark, base, 1),
+            read_snapshot(spark, base, 2),
+            ["k"],
+            ["v"],
+        ).collect()
+    }
+    assert feed == {2: "update", 4: "insert"}
+
+
+def test_delete_keys_snapshot_two_phase_erasure(spark, tmp_path):
+    """DELETE verb: the new version drops the keys; history keeps them
+    until retention expires those versions (the two-phase erasure)."""
+    from data_pipeline_bigquery_spark.sources.snapshots import (
+        delete_keys_snapshot,
+        expire_snapshots,
+    )
+
+    base = str(tmp_path / "snap_del")
+    write_snapshot(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), base)
+    keys = spark.createDataFrame([(2,)], "k long")
+    assert delete_keys_snapshot(spark, base, keys, "k") == 2
+    assert {r.k for r in read_snapshot(spark, base).collect()} == {1, 3}
+    assert {r.k for r in read_snapshot(spark, base, 1).collect()} == {1, 2, 3}
+    # physical erasure at retention
+    expire_snapshots(spark, base, keep_last=1)
+    assert list_versions(spark, base) == [2]
+
+
+def test_compact_snapshot_rows_identical_fewer_files(spark, tmp_path):
+    import glob
+
+    from data_pipeline_bigquery_spark.sources.snapshots import (
+        compact_snapshot,
+    )
+
+    base = str(tmp_path / "snap_comp")
+    write_snapshot(_df(spark, [(i, f"v{i}") for i in range(100)]).repartition(8), base)
+    assert len(glob.glob(f"{base}/v=1/*.parquet")) == 8
+    assert compact_snapshot(spark, base, n_files=1) == 2
+    assert len(glob.glob(f"{base}/v=2/*.parquet")) == 1
+    a = sorted((r.k, r.v) for r in read_snapshot(spark, base, 1).collect())
+    b = sorted((r.k, r.v) for r in read_snapshot(spark, base, 2).collect())
+    assert a == b
