@@ -67,18 +67,30 @@ def _committed_versions(base: str) -> list[int]:
 def _version_rows(base: str, version: int, fields: list[str]):
     """Rows of one committed version as tuples in declared-field order,
     ``_version`` stamped.  Files read in sorted-name order so any
-    [start, end] replay is byte-deterministic."""
+    [start, end] replay is byte-deterministic.  Hive-partitioned
+    versions work: ``key=value`` path segments under the version dir
+    supply the partition columns the files themselves omit."""
     import pyarrow.parquet as pq
 
+    vdir = os.path.join(base, f"v={version}")
     data_fields = [f for f in fields if f != _VERSION_COL]
     for part in sorted(
-        glob.glob(os.path.join(base, f"v={version}", "*.parquet"))
+        glob.glob(os.path.join(vdir, "**", "*.parquet"), recursive=True)
     ):
-        tbl = pq.read_table(part, columns=data_fields)
-        cols = {name: tbl.column(name).to_pylist() for name in data_fields}
+        part_vals: dict[str, object] = {}
+        for seg in os.path.relpath(os.path.dirname(part), vdir).split(os.sep):
+            if "=" in seg:
+                k, _, v = seg.partition("=")
+                part_vals[k] = int(v) if v.lstrip("-").isdigit() else v
+        file_fields = [f for f in data_fields if f not in part_vals]
+        tbl = pq.read_table(part, columns=file_fields)
+        cols = {name: tbl.column(name).to_pylist() for name in file_fields}
         for i in range(tbl.num_rows):
             yield tuple(
-                version if f == _VERSION_COL else cols[f][i] for f in fields
+                version
+                if f == _VERSION_COL
+                else (part_vals[f] if f in part_vals else cols[f][i])
+                for f in fields
             )
 
 

@@ -116,7 +116,12 @@ _HWM_TAG = "_EPOCH_HWM_"
 _MAX_COMMIT_RETRIES = 1000
 
 
-def _commit_next_version(df: DataFrame, base: str, epoch_id: int | None = None) -> int:
+def _commit_next_version(
+    df: DataFrame,
+    base: str,
+    epoch_id: int | None = None,
+    partition_by: list[str] | None = None,
+) -> int:
     """The single-rename commit: stage data (+markers) in a hidden temp
     dir, advance the ``_LATEST_`` pointer, then rename the whole dir
     into ``v=N``.  No live dir is ever deleted and the marker travels
@@ -134,7 +139,10 @@ def _commit_next_version(df: DataFrame, base: str, epoch_id: int | None = None) 
     uid = uuid.uuid4().hex
     tmp_name = f".tmp-{uid}"
     tmp = f"{base}/{tmp_name}"
-    df.write.mode("errorifexists").parquet(tmp)
+    writer = df.write.mode("errorifexists")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
     fs, jbase = _fs_and_path(spark, base)
     if epoch_id is not None:
         fs.create(jvm.org.apache.hadoop.fs.Path(f"{tmp}/_EPOCH_{epoch_id}")).close()
@@ -194,12 +202,20 @@ def _commit_next_version(df: DataFrame, base: str, epoch_id: int | None = None) 
     )
 
 
-def write_snapshot(df: DataFrame, base: str) -> int:
+def write_snapshot(
+    df: DataFrame, base: str, partition_by: list[str] | None = None
+) -> int:
     """Write the next snapshot version; returns its number.  The commit
     point is one atomic directory rename (see module docstring); a
     crash leaves only a hidden ``.tmp-*`` dir (swept by
-    :func:`vacuum_snapshots`), never a reader-visible state."""
-    return _commit_next_version(df, base)
+    :func:`vacuum_snapshots`), never a reader-visible state.
+
+    ``partition_by`` lays the version out hive-partitioned INSIDE its
+    ``v=N`` dir — at 100 TB this is what makes time-travel reads
+    partition-prunable (a filtered read of one version touches only its
+    matching subdirs) while the rename commit stays a single directory
+    move regardless of partition count."""
+    return _commit_next_version(df, base, partition_by=partition_by)
 
 
 def read_snapshot(
@@ -430,6 +446,16 @@ def delete_keys_snapshot(
     target = read_snapshot(spark, base)
     remaining = target.join(keys.select(pk).distinct(), pk, "left_anti")
     return write_snapshot(remaining, base)
+
+
+def rollback_snapshot(spark: SparkSession, base: str, to_version: int) -> int:
+    """Roll the table back by COMMITTING the old version's rows as the
+    next version — never by deleting history (an Iceberg-style
+    rollback).  The bad intermediate versions stay readable for
+    forensics until retention ages them out, the change feed sees the
+    rollback as one more version, and concurrent readers never observe
+    a gap."""
+    return write_snapshot(read_snapshot(spark, base, to_version), base)
 
 
 def compact_snapshot(spark: SparkSession, base: str, n_files: int = 1) -> int:

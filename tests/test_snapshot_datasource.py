@@ -102,3 +102,25 @@ def test_uncommitted_versions_invisible_to_the_feed(registered, tmp_path):
     )
     assert {r._version for r in got} == {2}
     assert 99 not in {r.k for r in got}
+
+
+def test_stream_reads_partitioned_versions(registered, tmp_path):
+    """Hive-partitioned versions flow through the feed with partition
+    columns reconstructed from the path segments."""
+    spark = registered
+    base = str(tmp_path / "snapds_part")
+    df = spark.createDataFrame(
+        [(1, "a", 2023), (2, "b", 2024)], "k long, v string, year long"
+    )
+    write_snapshot(df, base, partition_by=["year"])
+    got = (
+        spark.read.format("snapshotstore")
+        .schema("k long, v string, year long, _version long")
+        .option("path", base)
+        .load()
+        .collect()
+    )
+    assert {(r.k, r.v, r.year, r._version) for r in got} == {
+        (1, "a", 2023, 1),
+        (2, "b", 2024, 1),
+    }

@@ -384,3 +384,60 @@ def test_compact_snapshot_rows_identical_fewer_files(spark, tmp_path):
     a = sorted((r.k, r.v) for r in read_snapshot(spark, base, 1).collect())
     b = sorted((r.k, r.v) for r in read_snapshot(spark, base, 2).collect())
     assert a == b
+
+
+def test_partitioned_snapshot_prunes_and_rollback(spark, tmp_path):
+    """A version written with partition_by lays out hive subdirs INSIDE
+    v=N: a filtered time-travel read must prune to the matching
+    partition (plan-asserted), and rollback_snapshot restores an old
+    state as a NEW version without deleting history."""
+    from data_pipeline_bigquery_spark.sources.snapshots import (
+        rollback_snapshot,
+    )
+
+    base = str(tmp_path / "snap_part")
+    df = spark.createDataFrame(
+        [(1, "a", 2023), (2, "b", 2023), (3, "c", 2024)],
+        "k long, v string, year int",
+    )
+    assert write_snapshot(df, base, partition_by=["year"]) == 1
+    assert os.path.isdir(f"{base}/v=1/year=2023")
+    got = read_snapshot(spark, base).filter(F.col("year") == 2024)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "year=2024" in plan or "PartitionFilters: [isnotnull(year" in plan
+    assert {r.k for r in got.collect()} == {3}
+
+    # a bad load lands, then rollback: v3 == v1, history intact
+    write_snapshot(
+        spark.createDataFrame([(9, "oops", 2025)], "k long, v string, year int"),
+        base,
+    )
+    assert rollback_snapshot(spark, base, to_version=1) == 3
+    assert {r.k for r in read_snapshot(spark, base).collect()} == {1, 2, 3}
+    assert {r.k for r in read_snapshot(spark, base, 2).collect()} == {9}
+
+
+def test_schema_evolution_across_versions(spark, tmp_path):
+    """v2 adds a column: each version reads back with its OWN schema
+    (plain parquet semantics), and CDC across the change works by
+    comparing the shared columns."""
+    base = str(tmp_path / "snap_schema")
+    write_snapshot(_df(spark, [(1, "a"), (2, "b")]), base)
+    write_snapshot(
+        spark.createDataFrame(
+            [(1, "a", 7), (2, "B", 8)], "k long, v string, extra long"
+        ),
+        base,
+    )
+    assert read_snapshot(spark, base, 1).columns == ["k", "v"]
+    assert read_snapshot(spark, base, 2).columns == ["k", "v", "extra"]
+    feed = {
+        r.k: r.change_type
+        for r in snapshot_cdc(
+            read_snapshot(spark, base, 1),
+            read_snapshot(spark, base, 2),
+            ["k"],
+            ["v"],
+        ).collect()
+    }
+    assert feed == {2: "update"}
