@@ -390,3 +390,180 @@ def test_boilerplate_removal_matches_model(spark, corpus, tmp_path_factory):
         for r in _boilerplate_span_removal(spark, str(tmp)).collect()
     }
     assert got == expected
+
+
+# --- round 7: streaks, BFS, anomaly scoring ---------------------------------
+
+_activity = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),   # user
+        st.integers(min_value=0, max_value=12),  # day number
+    ),
+    max_size=25,
+)
+
+
+def _model_streaks(pairs):
+    """Brute-force longest consecutive-day run per user."""
+    from collections import defaultdict
+
+    days = defaultdict(set)
+    for u, d in pairs:
+        days[u].add(d)
+    out = {}
+    for u, ds in days.items():
+        best = 0
+        for d in ds:
+            if d - 1 not in ds:  # run start
+                n = 1
+                while d + n in ds:
+                    n += 1
+                best = max(best, n)
+        out[u] = (best, len(ds))
+    return out
+
+
+@given(pairs=_activity)
+@settings(**_SETTINGS)
+def test_longest_streak_matches_bruteforce(spark, pairs):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    if not pairs:
+        return
+    rows = [
+        (u, dt.datetime(2024, 1, 1) + dt.timedelta(days=d)) for u, d in pairs
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    # same gaps-and-islands pipeline as the registry key
+    from pyspark.sql import Window
+
+    active = df.select(
+        "user_id",
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"), F.lit("1970-01-01")
+        ).alias("day_no"),
+    ).distinct()
+    grp = F.col("day_no") - F.row_number().over(
+        Window.partitionBy("user_id").orderBy("day_no")
+    )
+    runs = (
+        active.withColumn("grp", grp)
+        .groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    got = {
+        r.user_id: (r.longest, r.n_days)
+        for r in runs.groupBy("user_id")
+        .agg(
+            F.max("run_len").alias("longest"),
+            F.sum("run_len").alias("n_days"),
+        )
+        .collect()
+    }
+    assert got == _model_streaks(pairs)
+
+
+_graph_edges = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7), st.integers(min_value=0, max_value=7)
+    ),
+    max_size=16,
+)
+
+
+def _model_bfs(edges, start, max_hops):
+    adj = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    dist = {start: 0}
+    frontier = {start}
+    for h in range(1, max_hops + 1):
+        frontier = {
+            n for f in frontier for n in adj.get(f, ()) if n not in dist
+        }
+        for n in frontier:
+            dist[n] = h
+    return dist
+
+
+@given(edges=_graph_edges)
+@settings(**_SETTINGS)
+def test_frontier_bfs_matches_python_bfs(spark, edges):
+    from pyspark.sql import functions as F
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    start = min(min(a, b) for a, b in edges)
+    und = list({(a, b) for a, b in edges} | {(b, a) for a, b in edges})
+    e = spark.createDataFrame(und, "src long, dst long")
+    visited = spark.createDataFrame([(start, 0)], "node long, hop int")
+    frontier = visited
+    for h in range(1, 4):
+        reached = (
+            frontier.join(e, frontier.node == e.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(h))
+        )
+        visited = visited.unionByName(reached)
+        frontier = reached
+    got = {r.node: r.hop for r in visited.collect()}
+    assert got == _model_bfs(edges, start, 3)
+
+
+_values = st.lists(
+    st.floats(min_value=0.0, max_value=100.0, allow_nan=False, width=32),
+    min_size=0,
+    max_size=40,
+)
+
+
+def _model_zscore(values, threshold, min_n):
+    import math
+
+    flagged = []
+    n, s, sq = 0, 0, 0
+    for i, v in enumerate(values):
+        c = math.floor(v * 100 + 0.5)
+        if n >= min_n:
+            mean = float(s) / float(n)
+            var = float(sq) / float(n) - mean * mean
+            if var > 0:
+                z = (float(c) - mean) / math.sqrt(var)
+                if abs(z) >= threshold:
+                    flagged.append(i)
+        n, s, sq = n + 1, s + c, sq + c * c
+    return flagged
+
+
+@given(values=_values)
+@settings(**_SETTINGS)
+def test_zscore_anomalies_match_sequential_model(spark, values):
+    """The batch window form must flag EXACTLY the events a sequential
+    integer-accumulator replay flags (same min_n/threshold) — windows
+    see strictly-prior events only, in ts order."""
+    import datetime as dt
+
+    from data_pipeline_bigquery_spark.streaming.anomaly_stream import (
+        zscore_anomalies,
+    )
+
+    rows = [
+        (i, "t", dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i), float(v))
+        for i, v in enumerate(values)
+    ]
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double"
+    )
+    got = sorted(
+        r.event_id for r in zscore_anomalies(df, threshold=2.0, min_n=5).collect()
+    )
+    assert got == _model_zscore(values, 2.0, 5)
