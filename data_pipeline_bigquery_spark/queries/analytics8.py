@@ -818,8 +818,99 @@ FROM v2
 """
 
 
+def _join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What a cost-based optimizer does before picking a join strategy,
+    surfaced as a query: estimate |orders ⋈ lineitem| from 100-bucket
+    key histograms (uniform-within-bucket assumption,
+    est_b = o_cnt·l_cnt / max(ndv_o, ndv_l)) and compare against the
+    exact size Σ_k cnt_o(k)·cnt_l(k) — which equi-joins admit WITHOUT
+    executing the join, from the same per-key counts.  The output is
+    the estimator's scorecard: actual, estimate, error permille.
+
+    Scale: two key-grain aggregates and a 100-row bucket join — the
+    fact tables are never joined; this is strictly cheaper than the
+    join it predicts, which is the point of a planner statistic."""
+    o = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("o_cnt"))
+    )
+    l = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("l_cnt"))
+    )
+    per_key = o.join(l, "k")
+    actual = per_key.agg(
+        F.sum(F.col("o_cnt") * F.col("l_cnt")).alias("actual")
+    )
+    from data_pipeline_bigquery_spark.extensions.sampling import hash_bucket
+
+    buckets = (
+        o.select(hash_bucket(F.col("k"), 100).alias("b"), "o_cnt", "k")
+        .groupBy("b")
+        .agg(
+            F.sum("o_cnt").alias("ob"),
+            F.countDistinct("k").alias("ondv"),
+        )
+        .join(
+            l.select(hash_bucket(F.col("k"), 100).alias("b"), "l_cnt", "k")
+            .groupBy("b")
+            .agg(
+                F.sum("l_cnt").alias("lb"),
+                F.countDistinct("k").alias("lndv"),
+            ),
+            "b",
+        )
+        .select(
+            F.expr("ob * lb div greatest(ondv, lndv)").alias("est_b")
+        )
+        .agg(F.sum("est_b").alias("estimate"))
+    )
+    return actual.join(buckets, how="cross").select(
+        "actual",
+        "estimate",
+        F.expr(
+            "abs(estimate - actual) * 1000 div actual"
+        ).alias("err_permille"),
+    )
+
+
+_JOIN_CARD_SQL = """
+WITH o AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS o_cnt
+           FROM orders GROUP BY 1),
+l AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS l_cnt
+      FROM lineitem GROUP BY 1),
+actual AS (
+  SELECT CAST(sum(o_cnt * l_cnt) AS BIGINT) AS actual
+  FROM o JOIN l ON o.k = l.k),
+ob AS (
+  SELECT CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 7)) AS BIGINT)
+           % 100 AS b,
+         CAST(sum(o_cnt) AS BIGINT) AS ob,
+         CAST(count(DISTINCT k) AS BIGINT) AS ondv
+  FROM o GROUP BY 1),
+lb AS (
+  SELECT CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 7)) AS BIGINT)
+           % 100 AS b,
+         CAST(sum(l_cnt) AS BIGINT) AS lb,
+         CAST(count(DISTINCT k) AS BIGINT) AS lndv
+  FROM l GROUP BY 1),
+est AS (
+  SELECT CAST(sum(ob * lb // greatest(ondv, lndv)) AS BIGINT) AS estimate
+  FROM ob JOIN lb ON ob.b = lb.b)
+SELECT actual, estimate,
+       CAST(abs(estimate - actual) * 1000 // actual AS BIGINT)
+         AS err_permille
+FROM actual CROSS JOIN est
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "zscore_anomaly_events": QuerySpec(_zscore_anomaly_events, _ZSCORE_SQL),
+    "join_cardinality_estimate": QuerySpec(
+        _join_cardinality_estimate, _JOIN_CARD_SQL
+    ),
     "snapshot_format_latest_scan": QuerySpec(
         _snapshot_format_latest_scan, _SNAP_FORMAT_SQL
     ),

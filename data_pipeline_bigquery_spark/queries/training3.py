@@ -708,8 +708,148 @@ FROM tagged GROUP BY bucket
 """
 
 
+def _winsorize_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization receipt per event type: clamp bounds at the exact
+    discrete p05/p95 (rank-based — the value at row_number ⌈q·n⌉, no
+    interpolation, so the bounds are real observed cents), plus how
+    many rows each side clamps and the post-clamp sum.  The standard
+    robust-feature preprocessing step, with the receipt the pipeline
+    logs.  One ordered window per type + one keyed agg."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    w = Window.partitionBy("event_type").orderBy("c")
+    ranked = (
+        ev.withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("event_type")))
+    )
+    bounds = (
+        ranked.filter(
+            (F.col("rk") == F.expr("cast((n * 5 + 99) div 100 as int)"))
+            | (F.col("rk") == F.expr("cast((n * 95 + 99) div 100 as int)"))
+        )
+        .groupBy("event_type")
+        .agg(F.min("c").alias("lo_cents"), F.max("c").alias("hi_cents"))
+    )
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("lo_cents").alias("lo_cents"),
+            F.min("hi_cents").alias("hi_cents"),
+            F.sum((F.col("c") < F.col("lo_cents")).cast("long")).alias(
+                "n_clamped_lo"
+            ),
+            F.sum((F.col("c") > F.col("hi_cents")).cast("long")).alias(
+                "n_clamped_hi"
+            ),
+            F.sum(
+                F.greatest(
+                    F.col("lo_cents"), F.least(F.col("hi_cents"), F.col("c"))
+                )
+            ).alias("sum_cents_winsorized"),
+        )
+    )
+
+
+_WINSORIZE_SQL = """
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events),
+ranked AS (
+  SELECT event_type, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY c) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM ev),
+bounds AS (
+  SELECT event_type, min(c) AS lo_cents, max(c) AS hi_cents
+  FROM ranked
+  WHERE rk = CAST((n * 5 + 99) // 100 AS INT)
+     OR rk = CAST((n * 95 + 99) // 100 AS INT)
+  GROUP BY event_type)
+SELECT ev.event_type, min(lo_cents) AS lo_cents, min(hi_cents) AS hi_cents,
+       CAST(sum(CASE WHEN c < lo_cents THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clamped_lo,
+       CAST(sum(CASE WHEN c > hi_cents THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clamped_hi,
+       CAST(sum(greatest(lo_cents, least(hi_cents, c))) AS BIGINT)
+         AS sum_cents_winsorized
+FROM ev JOIN bounds ON ev.event_type = bounds.event_type
+GROUP BY ev.event_type
+"""
+
+
+def _ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc novelty: the permille of its distinct word 3-grams that
+    occur in NO other document — the memorization/boilerplate audit
+    run before a corpus ships (low novelty = the doc is assembled from
+    corpus-common spans).  One explode + a gram-keyed doc-frequency agg
+    + a doc-keyed rollup; grams shuffle as md5 digests at scale (the
+    `chunk_dedup_ratio` discipline applies verbatim)."""
+    grams = (
+        load(spark, sf_dir, "documents")
+        # guard: sequence(1, 0) generates DESCENDING [1, 0] in Spark —
+        # a <3-word doc must be excluded, not fed an empty-range hack
+        .filter(F.size(F.split("text", " ")) >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(text, ' ')) - 2,"
+                    " 1),"
+                    " i -> concat_ws(' ', element_at(split(text, ' '), i),"
+                    "                element_at(split(text, ' '), i + 1),"
+                    "                element_at(split(text, ' '), i + 2)))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    df_per_gram = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("doc_freq")
+    )
+    return (
+        grams.join(df_per_gram, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("doc_freq") == 1).cast("long")).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.expr("n_novel * 1000 div n_grams").alias("novelty_permille"),
+        )
+    )
+
+
+_NOVELTY_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+                i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS gram
+  FROM w WHERE len(ws) >= 3),
+df AS (SELECT gram, CAST(count(*) AS BIGINT) AS doc_freq
+       FROM grams GROUP BY gram)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN doc_freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST(sum(CASE WHEN doc_freq = 1 THEN 1 ELSE 0 END) * 1000
+            // count(*) AS BIGINT) AS novelty_permille
+FROM grams g JOIN df ON g.gram = df.gram
+GROUP BY g.doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "embedding_norm_audit": QuerySpec(_embedding_norm_audit, _NORM_AUDIT_SQL),
+    "winsorize_report": QuerySpec(_winsorize_report, _WINSORIZE_SQL),
+    "ngram_novelty_score": QuerySpec(_ngram_novelty_score, _NOVELTY_SQL),
     "bpe_train_merges": QuerySpec(_bpe_train_merges, _bpe_merges_sql()),
     "grouped_split_no_leakage": QuerySpec(
         _grouped_split_no_leakage, _GROUPED_SPLIT_SQL
