@@ -67,6 +67,20 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         help="parquet file/dir of keys to hard-delete before compaction",
     )
     m.add_argument("--key-col", default=None, help="key column for --delete-keys")
+    # snapshot-store lifecycle verbs (sources/snapshots.py): every
+    # mutation commits a NEW version, so the CLI is safe to interrupt
+    s = sub.add_parser(
+        "snapshot_maintenance",
+        help="snapshot store verbs: expire/vacuum/compact/rollback/"
+        "delete-keys over a versioned base dir",
+    )
+    s.add_argument("--base", required=True, help="snapshot store base dir")
+    s.add_argument("--keep-last", type=int, default=None, help="expire all but N versions")
+    s.add_argument("--vacuum", action="store_true", help="sweep crashed .tmp-* staging dirs (needs a no-writer window)")
+    s.add_argument("--compact-files", type=int, default=None, help="rewrite latest into N files as a new version")
+    s.add_argument("--rollback-to", type=int, default=None, help="commit version N's state as the new latest")
+    s.add_argument("--delete-keys", default=None, help="parquet file/dir of keys to drop in a new version")
+    s.add_argument("--key-col", default=None, help="key column for --delete-keys")
     return parser.parse_args(argv)
 
 
@@ -121,8 +135,44 @@ def run_maintenance(args) -> str:
     return "; ".join(parts)
 
 
+def run_snapshot_maintenance(args) -> str:
+    from data_pipeline_bigquery_spark.session import get_spark
+    from data_pipeline_bigquery_spark.sources.snapshots import (
+        compact_snapshot,
+        delete_keys_snapshot,
+        expire_snapshots,
+        rollback_snapshot,
+        vacuum_snapshots,
+    )
+
+    spark = get_spark()
+    parts = []
+    if args.delete_keys:
+        if not args.key_col:
+            raise SystemExit("--delete-keys requires --key-col")
+        keys = spark.read.parquet(args.delete_keys)
+        v = delete_keys_snapshot(spark, args.base, keys, args.key_col)
+        parts.append(f"delete committed as v{v}")
+    if args.rollback_to is not None:
+        v = rollback_snapshot(spark, args.base, args.rollback_to)
+        parts.append(f"rolled back to v{args.rollback_to} as v{v}")
+    if args.compact_files is not None:
+        v = compact_snapshot(spark, args.base, n_files=args.compact_files)
+        parts.append(f"compacted as v{v}")
+    if args.keep_last is not None:
+        gone = expire_snapshots(spark, args.base, keep_last=args.keep_last)
+        parts.append(f"expired versions {gone}")
+    if args.vacuum:
+        n = vacuum_snapshots(spark, args.base)
+        parts.append(f"vacuumed {n} staging dirs")
+    return "; ".join(parts) if parts else "nothing to do"
+
+
 def main(argv: list[str] | None = None) -> int:
     args = parse_args(argv)
+    if args.workflow == "snapshot_maintenance":
+        print(f"snapshot_maintenance: {run_snapshot_maintenance(args)}")
+        return 0
     if args.workflow == "lake_maintenance":
         print(f"lake_maintenance: {run_maintenance(args)}")
         return 0

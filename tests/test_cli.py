@@ -63,3 +63,36 @@ def test_cli_lake_maintenance_delete_and_compact(spark, tmp_path):
     out = spark.read.parquet(lake)
     assert out.count() == 198
     assert out.filter(F.col("k").isin(5, 6)).count() == 0
+
+
+def test_cli_snapshot_maintenance_verbs(spark, tmp_path):
+    from data_pipeline_bigquery_spark.__main__ import main
+    from data_pipeline_bigquery_spark.sources.snapshots import (
+        list_versions,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    base = str(tmp_path / "store")
+    write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string"),
+        base,
+    )
+    keys = str(tmp_path / "keys")
+    spark.createDataFrame([(2,)], "k long").write.parquet(keys)
+
+    # delete commits v2; rollback to v1 commits v3; compact commits v4
+    assert main([
+        "snapshot_maintenance", "--base", base,
+        "--delete-keys", keys, "--key-col", "k",
+    ]) == 0
+    assert {r.k for r in read_snapshot(spark, base).collect()} == {1, 3}
+    assert main([
+        "snapshot_maintenance", "--base", base, "--rollback-to", "1",
+    ]) == 0
+    assert {r.k for r in read_snapshot(spark, base).collect()} == {1, 2, 3}
+    assert main([
+        "snapshot_maintenance", "--base", base,
+        "--compact-files", "1", "--keep-last", "2", "--vacuum",
+    ]) == 0
+    assert list_versions(spark, base) == [3, 4]
