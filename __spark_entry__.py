@@ -86,7 +86,8 @@ def _tier(name: str) -> int:
 
 
 def _post_fix_greens() -> dict[str, int]:
-    """Green-count restricted to rounds after the round-5 changes landed.
+    """Green-count restricted to rounds after _REEVIDENCE_AFTER_ROUND
+    (the round whose driver sweep predates the latest oracle fixes).
 
     Same green rule as :func:`_driver_green_counts` (hash when computed,
     rows-only otherwise) so rows-only keys can clear the re-evidence flag

@@ -85,6 +85,13 @@ def _cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The day with the largest |cumulative deviation from the mean|
     of the daily event count — the CUSUM level-shift candidate.
 
+    The running sum is kept INTEGER: cusum_t = Σ_{i≤t} n_i − t·mean
+    with the Σ an exact integer window sum (order-independent) and ONE
+    double multiply/subtract at the end — a windowed sum of doubles
+    would diverge between engines past ~30 rows (DuckDB's window
+    engine sums via segment trees, Spark sequentially; the
+    `anomaly_stream` lesson applies here too).
+
     Scale: events collapse to day grain map-side (one tiny keyed agg);
     the ordered running sum and the global mean both run on the
     day-grain series (30 rows here, ~37k rows for a century), never on
@@ -102,9 +109,12 @@ def _cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").over(w_all).cast("double")
             / F.count(F.lit(1)).over(w_all).cast("double"),
         )
+        .withColumn("cum_n", F.sum("n").over(w_run))
+        .withColumn("t", F.row_number().over(w_run))
         .withColumn(
             "cusum",
-            F.sum(F.col("n").cast("double") - F.col("mean_n")).over(w_run),
+            F.col("cum_n").cast("double")
+            - F.col("t").cast("double") * F.col("mean_n"),
         )
         .withColumn("abs_cusum", F.abs("cusum"))
     )
@@ -127,7 +137,9 @@ m AS (SELECT CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_n
       FROM daily),
 scored AS (
   SELECT day, n,
-         sum(CAST(n AS DOUBLE) - mean_n) OVER (ORDER BY day) AS cusum
+         CAST(CAST(sum(n) OVER (ORDER BY day) AS BIGINT) AS DOUBLE)
+           - CAST(row_number() OVER (ORDER BY day) AS DOUBLE) * mean_n
+           AS cusum
   FROM daily CROSS JOIN m)
 SELECT day, n, cusum FROM scored
 ORDER BY abs(cusum) DESC, day LIMIT 1

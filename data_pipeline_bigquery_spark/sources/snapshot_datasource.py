@@ -50,10 +50,27 @@ _MARKER = "_COMMITTED"
 _VERSION_COL = "_version"
 
 
+def _check_local(base: str) -> str:
+    """This reader walks the store with os/pyarrow primitives (the
+    Python Data Source runs without a JVM handle), so only local paths
+    are supported — fail LOUDLY on a remote scheme rather than reading
+    a populated hdfs://... store back as silently empty.  The remote
+    lift is fsspec/pyarrow.fs injection at exactly this seam."""
+    scheme, sep, rest = base.partition("://")
+    if sep and scheme not in ("file",):
+        raise ValueError(
+            f"snapshotstore format supports local paths only, got scheme "
+            f"{scheme!r} in {base!r} — read remote stores via "
+            f"sources.snapshots.read_snapshot (Hadoop FS) instead"
+        )
+    return rest if sep else base
+
+
 def _committed_versions(base: str) -> list[int]:
     """Committed versions ascending — same protocol as
     `snapshots.list_versions`, expressed with os primitives because the
     Python Data Source runs without a JVM handle."""
+    base = _check_local(base)
     if not os.path.isdir(base):
         return []
     out = []
@@ -64,14 +81,17 @@ def _committed_versions(base: str) -> list[int]:
     return sorted(out)
 
 
-def _version_rows(base: str, version: int, fields: list[str]):
+def _version_rows(base: str, version: int, fields: list[str], types=None):
     """Rows of one committed version as tuples in declared-field order,
     ``_version`` stamped.  Files read in sorted-name order so any
     [start, end] replay is byte-deterministic.  Hive-partitioned
     versions work: ``key=value`` path segments under the version dir
-    supply the partition columns the files themselves omit."""
+    supply the partition columns the files themselves omit — typed by
+    the DECLARED schema (``types``), never guessed from the string (a
+    string column holding '007' must stay '007', not become int 7)."""
     import pyarrow.parquet as pq
 
+    base = _check_local(base)
     vdir = os.path.join(base, f"v={version}")
     data_fields = [f for f in fields if f != _VERSION_COL]
     for part in sorted(
@@ -81,7 +101,7 @@ def _version_rows(base: str, version: int, fields: list[str]):
         for seg in os.path.relpath(os.path.dirname(part), vdir).split(os.sep):
             if "=" in seg:
                 k, _, v = seg.partition("=")
-                part_vals[k] = int(v) if v.lstrip("-").isdigit() else v
+                part_vals[k] = _typed_partition_value(k, v, types)
         file_fields = [f for f in data_fields if f not in part_vals]
         tbl = pq.read_table(part, columns=file_fields)
         cols = {name: tbl.column(name).to_pylist() for name in file_fields}
@@ -92,6 +112,23 @@ def _version_rows(base: str, version: int, fields: list[str]):
                 else (part_vals[f] if f in part_vals else cols[f][i])
                 for f in fields
             )
+
+
+def _typed_partition_value(name: str, raw: str, types):
+    """Convert a hive path value using the declared Spark type."""
+    t = (types or {}).get(name)
+    tn = t.typeName() if t is not None else None
+    if tn in ("long", "integer", "short", "byte", "bigint", "int"):
+        return int(raw)
+    if tn == "double" or tn == "float":
+        return float(raw)
+    if tn == "boolean":
+        return raw.lower() == "true"
+    if tn is None:
+        # field not in the declared schema (it will be dropped from the
+        # output tuple anyway) — keep the raw string
+        return raw
+    return raw
 
 
 class _VersionPartition(InputPartition):
@@ -106,6 +143,7 @@ class SnapshotLatestReader(DataSourceReader):
 
     def __init__(self, schema, options):
         self.fields = [f.name for f in schema.fields]
+        self.types = {f.name: f.dataType for f in schema.fields}
         self.base = options["path"]
 
     def partitions(self):
@@ -117,7 +155,9 @@ class SnapshotLatestReader(DataSourceReader):
     def read(self, partition):
         if partition.version < 0:
             return iter(())
-        return _version_rows(self.base, partition.version, self.fields)
+        return _version_rows(
+            self.base, partition.version, self.fields, self.types
+        )
 
 
 class SnapshotStreamReader(SimpleDataSourceStreamReader):
@@ -127,6 +167,7 @@ class SnapshotStreamReader(SimpleDataSourceStreamReader):
 
     def __init__(self, schema, options):
         self.fields = [f.name for f in schema.fields]
+        self.types = {f.name: f.dataType for f in schema.fields}
         self.base = options["path"]
         self.max_versions = int(options.get("max_versions_per_batch", 10))
 
@@ -143,14 +184,40 @@ class SnapshotStreamReader(SimpleDataSourceStreamReader):
         rows = [
             row
             for v in pending
-            for row in _version_rows(self.base, v, self.fields)
+            for row in _version_rows(self.base, v, self.fields, self.types)
         ]
-        return iter(rows), {"version": pending[-1]}
+        # the offset carries the EXACT planned version list (not just
+        # the high-water scalar): version numbers can legitimately skip
+        # (a crashed writer reserves a number via the _LATEST_ ratchet),
+        # so crash-recovery must replay precisely these versions — and
+        # can detect retention racing the checkpoint (below)
+        return iter(rows), {"version": pending[-1], "versions": pending}
 
     def readBetweenOffsets(self, start, end):
-        for v in _committed_versions(self.base):
-            if start["version"] < v <= end["version"]:
-                yield from _version_rows(self.base, v, self.fields)
+        planned = end.get("versions")
+        if planned is None:  # legacy offset without the planned list
+            planned = [
+                v
+                for v in _committed_versions(self.base)
+                if start["version"] < v <= end["version"]
+            ]
+        # crash-recovery replay of an already-planned batch: every
+        # planned version MUST still exist — if retention expired one
+        # between planning and recovery, the replayed micro-batch would
+        # silently commit EMPTY and its rows would vanish from the
+        # sink.  Fail loudly; the fix is retention >= checkpoint
+        # recovery horizon.
+        have = set(_committed_versions(self.base))
+        missing = [v for v in planned if v not in have]
+        if missing:
+            raise RuntimeError(
+                f"snapshotstore replay gap: planned versions {missing} in "
+                f"({start['version']}, {end['version']}] no longer exist "
+                f"(expired by retention?) — cannot recover this batch "
+                f"exactly-once"
+            )
+        for v in planned:
+            yield from _version_rows(self.base, v, self.fields, self.types)
 
     def commit(self, end):
         pass  # versions are immutable; nothing to ack

@@ -185,6 +185,31 @@ def _commit_next_version(
             # vacuum-race error
             renamed = False
         if renamed and fs.exists(_jpath(spark, vdir, f"_WRITER_{uid}")):
+            # ORDER VALIDATION: a writer stalled between computing v and
+            # landing the rename can commit BELOW a version another
+            # writer (or an expire_snapshots + later commits) already
+            # made visible — breaking commit-order == version-order,
+            # which time travel, CDC, and the change feed's
+            # high-water offset all rely on.  Any higher version
+            # committed BEFORE our rename is visible to this check;
+            # versions committed after ours are correctly ordered after
+            # us.  On staleness: retract (marker first, so the version
+            # un-commits atomically), pull the dir back to staging, and
+            # retry above the new maximum.  The retracted version was
+            # committed-visible for one listing round trip — the
+            # documented transient of best-effort multi-writer mode.
+            newest = list_versions(spark, base)
+            if newest and newest[-1] > v:
+                fs.delete(_jpath(spark, vdir, _MARKER), False)
+                if not fs.rename(vdir, jtmp):
+                    raise RuntimeError(
+                        f"could not retract stale commit v={v} under "
+                        f"{base} (a higher version committed first)"
+                    )
+                fs.create(
+                    jvm.org.apache.hadoop.fs.Path(f"{tmp}/{_MARKER}")
+                ).close()
+                continue
             return v
         # lost the race for v=N.  If the rename "succeeded" by moving
         # our staging dir INSIDE the winner's v=N, pull it back out;

@@ -358,3 +358,64 @@ def test_asof_null_value_comes_from_matched_row(spark):
     assert bwd[2] == (ts(20), 5.0)
     # backward at ts=5: no match at all
     assert bwd[1] == (None, None)
+
+
+def test_cusum_integer_accumulator_exact_on_long_series(spark):
+    """Round-7 review finding: a windowed running sum of DOUBLES
+    diverges between engines past ~30 rows (DuckDB sums via segment
+    trees, Spark sequentially).  The cusum rewrite keeps the running
+    sum INTEGER with one double multiply at the end — this pins both
+    engines to a sequential Python model on a 100-day series, far past
+    the fixture's 30-day span where the old form happened to agree."""
+    import duckdb
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    counts = [(i, 1000 + (i * 37) % 113) for i in range(100)]
+    # python model: exact integer cumsum, one double op per row
+    total = sum(n for _, n in counts)
+    mean = float(total) / float(len(counts))
+    cum, model = 0, []
+    for t, (_, n) in enumerate(counts, start=1):
+        cum += n
+        model.append(float(cum) - float(t) * mean)
+
+    df = spark.createDataFrame(counts, "day int, n long")
+    w_all = Window.partitionBy()
+    w_run = Window.partitionBy().orderBy("day")
+    got = [
+        r.cusum
+        for r in df.withColumn(
+            "mean_n",
+            F.sum("n").over(w_all).cast("double")
+            / F.count(F.lit(1)).over(w_all).cast("double"),
+        )
+        .withColumn("cum_n", F.sum("n").over(w_run))
+        .withColumn("t", F.row_number().over(w_run))
+        .withColumn(
+            "cusum",
+            F.col("cum_n").cast("double")
+            - F.col("t").cast("double") * F.col("mean_n"),
+        )
+        .orderBy("day")
+        .collect()
+    ]
+    assert got == model  # bit-exact, not approx
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d AS SELECT * FROM (VALUES " +
+                ",".join(f"({d},{n})" for d, n in counts) + ") t(day, n)")
+    duck = [
+        r[0]
+        for r in con.execute(
+            """
+            WITH m AS (SELECT CAST(sum(n) AS DOUBLE)/CAST(count(*) AS DOUBLE)
+                       AS mean_n FROM d)
+            SELECT CAST(CAST(sum(n) OVER (ORDER BY day) AS BIGINT) AS DOUBLE)
+                   - CAST(row_number() OVER (ORDER BY day) AS DOUBLE) * mean_n
+            FROM d CROSS JOIN m ORDER BY day
+            """
+        ).fetchall()
+    ]
+    assert duck == model  # bit-exact in DuckDB too

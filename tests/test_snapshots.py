@@ -441,3 +441,50 @@ def test_schema_evolution_across_versions(spark, tmp_path):
         ).collect()
     }
     assert feed == {2: "update"}
+
+
+def test_stalled_writer_cannot_commit_below_newest(spark, tmp_path):
+    """Round-7 review finding: a writer that computed its version from a
+    STALE listing (stalled across other writers' commits, or across an
+    expiry) must not land below the newest committed version — that
+    would break commit-order == version-order, which time travel, CDC,
+    and the change feed's high-water offset rely on.  The post-rename
+    order validation retracts the stale commit and retries above."""
+    from data_pipeline_bigquery_spark.sources import snapshots as snap
+
+    base = str(tmp_path / "snap_stale")
+    write_snapshot(_df(spark, [(1, "a")]), base)  # v1
+    # advance the pointer past a reserved-but-never-committed slot, so
+    # the next real commit lands at v6 (legitimate number skipping)
+    open(f"{base}/_LATEST_5", "w").close()
+    assert write_snapshot(_df(spark, [(6, "f")]), base) == 6
+
+    # stalled writer: its FIRST listing (used to compute v) is stale —
+    # it believes only v1 exists and no pointer is set
+    real_list, real_tags = snap.list_versions, snap._tagged_values
+    calls = {"list": 0, "tags": 0}
+
+    def stale_list(s, b):
+        calls["list"] += 1
+        if calls["list"] == 1:
+            return [1]
+        return real_list(s, b)
+
+    def stale_tags(s, b, prefix):
+        if prefix == snap._LATEST_TAG:
+            calls["tags"] += 1
+            if calls["tags"] == 1:
+                return []
+        return real_tags(s, b, prefix)
+
+    snap.list_versions, snap._tagged_values = stale_list, stale_tags
+    try:
+        v = write_snapshot(_df(spark, [(9, "late")]), base)
+    finally:
+        snap.list_versions, snap._tagged_values = real_list, real_tags
+
+    assert v == 7  # retried ABOVE the newest, not the stale v=2
+    assert list_versions(spark, base) == [1, 6, 7]
+    assert {r.k for r in read_snapshot(spark, base).collect()} == {9}
+    # the retracted stale commit left no residue below v6
+    assert not os.path.exists(f"{base}/v=2")
