@@ -494,6 +494,32 @@ FROM a
 _BPE_ITERS = 3
 
 
+def bpe_merge_pair(seq_col, a: str, b: str):
+    """Greedy symbol-boundary BPE merge: fold the space-split symbol
+    array left to right, replacing the accumulator's tail symbol when
+    (tail, x) == (a, b).  A just-merged symbol equals ``a+b``, not
+    ``a``, so it is never re-consumed — greedy non-overlapping, the
+    standard BPE application.  Boundary-aware by construction: a plain
+    substring replace would merge "b c" INSIDE "ab c" (round-7 review
+    finding).  try_element_at: NULL (no match) on the empty accumulator
+    instead of an ANSI index error."""
+    return F.array_join(
+        F.aggregate(
+            F.split(seq_col, " "),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.try_element_at(acc, F.lit(-1)) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.lit(a + b)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        ),
+        " ",
+    )
+
+
 def _bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ITERATIVE BPE merge training — the real tokenizer-training loop,
     not just pair statistics (`bpe_pair_stats` is the one-shot census):
@@ -505,14 +531,17 @@ def _bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the word-frequency table (vocabulary grain, ≪ corpus — the corpus
     is read once, up front); the ONLY driver transfer is the single
     winning pair per round (top-1, `orderBy().limit(1)` — bounded by
-    construction, the `kmeans_refine_iterations` discipline).  Merging
-    is a string `replace` on the symbol sequence — left-to-right greedy,
-    the standard BPE semantics, identical in every engine.
+    construction, the `kmeans_refine_iterations` discipline).
 
-    The oracle unrolls the same {_BPE_ITERS} rounds as chained CTEs with
-    scalar subqueries picking each winner — an independent execution of
-    the same algorithm, so a mis-merge or a tie-break drift on either
-    side mismatches."""
+    Merging is SYMBOL-BOUNDARY aware (round-7 review finding: a plain
+    substring replace on the space-joined sequence merges "b c" INSIDE
+    "ab c", which is not BPE): a greedy left-to-right fold over the
+    symbol array replaces (a, b) only where both are whole adjacent
+    symbols, never re-consuming a just-merged symbol — the standard BPE
+    application.  The oracle reaches the same result via POSITION
+    algebra (adjacency matches → gaps-and-islands greedy alternation →
+    rebuild), a genuinely independent formulation, so a boundary bug or
+    greedy-overlap bug on either side mismatches."""
     vocab = (
         load(spark, sf_dir, "documents")
         .select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
@@ -536,12 +565,9 @@ def _bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         top = counts.orderBy(F.col("cnt").desc(), "pair").limit(1).collect()[0]
         results.append((it, top["pair"], int(top["cnt"])))
-        merged = top["pair"].replace(" ", "")
+        a, b = top["pair"].split(" ")
         vocab = vocab.select(
-            F.replace(F.col("seq"), F.lit(top["pair"]), F.lit(merged)).alias(
-                "seq"
-            ),
-            "freq",
+            bpe_merge_pair(F.col("seq"), a, b).alias("seq"), "freq"
         )
     return spark.createDataFrame(
         results, "iteration int, pair string, cnt long"
@@ -562,6 +588,10 @@ v0 AS (
     selects = []
     for it in range(1, _BPE_ITERS + 1):
         prev = f"v{it - 1}"
+        # merge application by POSITION ALGEBRA (independent of the
+        # Spark fold): adjacency matches -> greedy alternation inside
+        # each island of consecutive matches (rn odd) -> rebuild,
+        # dropping each selected position's consumed right neighbor
         ctes.append(
             f"""
 c{it} AS (
@@ -573,10 +603,37 @@ c{it} AS (
     FROM {prev} WHERE len(string_split(seq, ' ')) >= 2)
   GROUP BY pair),
 t{it} AS (SELECT pair, cnt FROM c{it} ORDER BY cnt DESC, pair LIMIT 1),
+x{it} AS (
+  SELECT seq, freq, ws, t.i AS i
+  FROM (SELECT seq, freq, string_split(seq, ' ') AS ws FROM {prev}),
+       UNNEST(range(1, len(ws) + 1)) AS t(i)),
+m{it} AS (
+  SELECT seq, freq, ws, i,
+         (i < len(ws)
+          AND ws[i] = string_split((SELECT pair FROM t{it}), ' ')[1]
+          AND ws[i + 1] = string_split((SELECT pair FROM t{it}), ' ')[2])
+           AS mt
+  FROM x{it}),
+sel{it} AS (
+  SELECT seq, i FROM (
+    SELECT seq, i,
+           row_number() OVER (
+             PARTITION BY seq, grp ORDER BY i) AS rn
+    FROM (SELECT seq, i,
+                 i - row_number() OVER (PARTITION BY seq ORDER BY i) AS grp
+          FROM m{it} WHERE mt))
+  WHERE rn % 2 = 1),
 v{it} AS (
-  SELECT replace(seq, (SELECT pair FROM t{it}),
-                 replace((SELECT pair FROM t{it}), ' ', '')) AS seq, freq
-  FROM {prev})"""
+  SELECT string_agg(
+           CASE WHEN s.i IS NOT NULL
+                THEN replace((SELECT pair FROM t{it}), ' ', '')
+                ELSE m.ws[m.i] END, ' ' ORDER BY m.i) AS seq,
+         m.freq AS freq
+  FROM m{it} m
+  LEFT JOIN sel{it} s ON m.seq = s.seq AND m.i = s.i
+  LEFT JOIN sel{it} p ON m.seq = p.seq AND m.i = p.i + 1
+  WHERE p.i IS NULL
+  GROUP BY m.seq, m.freq)"""
         )
         selects.append(
             f"SELECT {it} AS iteration, pair, cnt FROM t{it}"

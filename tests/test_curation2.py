@@ -180,3 +180,80 @@ def test_chi_square_independence_extremes(spark, tmp_path):
     row = _chi_square_lang_source(spark, str(tmp_path)).collect()[0]
     assert row.n_cells == 2
     assert row.chi_square == 40.0  # N*(k-1) for a 2x2 perfect association
+
+
+def test_bpe_merge_pair_symbol_boundaries_and_greedy_overlap(spark):
+    """Round-7 review finding: the merge must respect symbol boundaries
+    (pair (b,c) must NOT fire inside symbol 'ab' followed by 'c') and
+    be greedy non-overlapping (pair (a,a) over five 'a's → 'aa aa a';
+    '(a,b)' over 'a b a b' → 'ab ab', which substring-replace misses)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_bigquery_spark.queries.training3 import bpe_merge_pair
+
+    df = spark.createDataFrame(
+        [("ab c",), ("a b a b",), ("a a a a a",), ("x",), ("b c b",)],
+        "seq string",
+    )
+    got = {
+        r.seq: (r.bc, r.ab, r.aa)
+        for r in df.select(
+            "seq",
+            bpe_merge_pair(F.col("seq"), "b", "c").alias("bc"),
+            bpe_merge_pair(F.col("seq"), "a", "b").alias("ab"),
+            bpe_merge_pair(F.col("seq"), "a", "a").alias("aa"),
+        ).collect()
+    }
+    assert got["ab c"] == ("ab c", "ab c", "ab c")  # no cross-boundary merge
+    assert got["a b a b"] == ("a b a b", "ab ab", "a b a b")
+    assert got["a a a a a"] == ("a a a a a", "a a a a a", "aa aa a")
+    assert got["x"] == ("x", "x", "x")
+    assert got["b c b"] == ("bc b", "b c b", "b c b")
+
+
+def test_bpe_train_matches_reference_python_bpe(spark, tmp_path):
+    """End-to-end: the distributed trainer must produce the exact merge
+    sequence of a classic in-memory BPE trainer (count adjacent symbol
+    pairs weighted by word freq, merge the winner greedily, repeat) on
+    a corpus engineered to hit the cross-boundary trap: after 'a b'
+    merges, ('b','c') pairs survive only where 'b' is still a whole
+    symbol."""
+    from collections import Counter
+
+    from data_pipeline_bigquery_spark.queries import registry
+
+    words = ["ab"] * 12 + ["abc"] * 6 + ["ybc"] * 4 + ["zbc"] * 3
+    docs_dir = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, w, "en", "s", len(w)) for i, w in enumerate(words)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{docs_dir}/documents.parquet")
+    # the other fixture tables aren't read by this key
+    df = registry()["bpe_train_merges"].fn(spark, docs_dir)
+    got = [(r.iteration, r.pair, r.cnt) for r in df.orderBy("iteration").collect()]
+
+    # reference python BPE on word frequencies
+    vocab = {tuple(w): n for w, n in Counter(words).items()}
+    expect = []
+    for it in range(1, 4):
+        counts = Counter()
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += n
+        (a, b), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1])
+        )
+        expect.append((it, f"{a} {b}", cnt))
+        new_vocab = {}
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
+        vocab = new_vocab
+    assert got == expect
