@@ -124,3 +124,73 @@ def test_stream_reads_partitioned_versions(registered, tmp_path):
         (1, "a", 2023, 1),
         (2, "b", 2024, 1),
     }
+
+
+def test_replay_gap_after_retention_raises_not_silent(spark, tmp_path):
+    """Review finding: crash-recovery replay of a planned batch whose
+    version was expired by retention must raise, not commit empty."""
+    import pytest
+    from pyspark.sql.types import StructType
+
+    from data_pipeline_bigquery_spark.sources.snapshot_datasource import (
+        SnapshotStreamReader,
+    )
+    from data_pipeline_bigquery_spark.sources.snapshots import (
+        expire_snapshots,
+    )
+
+    base = str(tmp_path / "snapds_gap")
+    write_snapshot(_df(spark, [(1, "a")]), base)
+    write_snapshot(_df(spark, [(2, "b")]), base)
+    schema = (
+        spark.createDataFrame([], "k long, v string, _version long").schema
+    )
+    assert isinstance(schema, StructType)
+    reader = SnapshotStreamReader(schema, {"path": base})
+    rows, end = reader.read(reader.initialOffset())
+    assert end["versions"] == [1, 2]
+    assert len(list(rows)) == 2
+    # retention expires v1 between planning and crash recovery
+    expire_snapshots(spark, base, keep_last=1)
+    with pytest.raises(RuntimeError, match="replay gap.*\\[1\\]"):
+        list(reader.readBetweenOffsets(reader.initialOffset(), end))
+    # an intact window still replays fine
+    assert (
+        len(list(reader.readBetweenOffsets({"version": 1}, {"version": 2, "versions": [2]})))
+        == 1
+    )
+
+
+def test_string_partition_values_keep_leading_zeros(registered, tmp_path):
+    """Review finding: hive path values must be typed by the DECLARED
+    schema — a string partition column holding '007' must come back as
+    the string '007', not int 7."""
+    spark = registered
+    base = str(tmp_path / "snapds_str")
+    write_snapshot(
+        spark.createDataFrame([(1, "007"), (2, "042")], "k long, code string"),
+        base,
+        partition_by=["code"],
+    )
+    got = (
+        spark.read.format("snapshotstore")
+        .schema("k long, code string, _version long")
+        .option("path", base)
+        .load()
+        .collect()
+    )
+    assert {(r.k, r.code) for r in got} == {(1, "007"), (2, "042")}
+
+
+def test_remote_scheme_rejected_loudly(registered, tmp_path):
+    import pytest
+
+    spark = registered
+    with pytest.raises(Exception, match="local paths only"):
+        (
+            spark.read.format("snapshotstore")
+            .schema(DDL)
+            .option("path", "hdfs://nn/store")
+            .load()
+            .collect()
+        )
