@@ -30,7 +30,7 @@ MODULE_NAMES = (
     "core", "pipelines", "coverage", "coverage2", "coverage3",
     "coverage4", "corpus_ops", "formats", "extensions", "training",
     "curation", "curation2", "sketches", "analytics5", "analytics6",
-    "analytics7", "training3", "analytics8", "analytics9",
+    "analytics7", "training3", "analytics8", "analytics9", "evalops",
 )
 
 
