@@ -74,17 +74,13 @@ def _md5_bucket_sql(expr: str, n: int) -> str:
 # --- ab_test_lift ----------------------------------------------------------
 
 
-def _ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One pass to user grain (converted = any purchase), then a 2-row
-    arm aggregate collapsed to a single summary row.  Scale: the only
-    shuffle is the user-grain groupBy; everything after runs on 2 rows.
-    """
-    events = load(spark, sf_dir, "events")
-    # conversion = a HIGH-VALUE purchase (>= 250), so the rate is
-    # genuinely sub-1 at every fixture scale; an everyone-converts
-    # pooled rate would zero the z denominator (nullif-guarded below
-    # regardless)
-    users = (
+def converted_users(events: DataFrame) -> DataFrame:
+    """User grain with the experiment's conversion definition (a
+    high-value purchase, >= 250) and the md5 arm — the SINGLE source
+    of truth shared by ``ab_test_lift`` and
+    ``evalops.uplift_by_segment`` so the two readouts can never
+    silently decouple."""
+    return (
         events.groupBy("user_id")
         .agg(
             F.max(
@@ -97,6 +93,27 @@ def _ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("arm", hash_bucket(F.col("user_id"), 2))
     )
+
+
+# the oracle twin of converted_users — interpolated into both keys' SQL
+CONVERTED_USERS_CTE = f"""u AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' AND value >= 250
+                  THEN 1 ELSE 0 END) AS converted,
+         {_md5_bucket_sql('user_id', 2)} AS arm
+  FROM events GROUP BY user_id)"""
+
+
+def _ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One pass to user grain (converted = any purchase), then a 2-row
+    arm aggregate collapsed to a single summary row.  Scale: the only
+    shuffle is the user-grain groupBy; everything after runs on 2 rows.
+    """
+    # conversion = a HIGH-VALUE purchase (>= 250), so the rate is
+    # genuinely sub-1 at every fixture scale; an everyone-converts
+    # pooled rate would zero the z denominator (nullif-guarded below
+    # regardless)
+    users = converted_users(load(spark, sf_dir, "events"))
     arms = users.groupBy("arm").agg(
         F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
     )
@@ -142,12 +159,7 @@ def _ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _AB_TEST_SQL = f"""
-WITH u AS (
-  SELECT user_id,
-         max(CASE WHEN event_type = 'purchase' AND value >= 250
-                  THEN 1 ELSE 0 END) AS converted,
-         {_md5_bucket_sql('user_id', 2)} AS arm
-  FROM events GROUP BY user_id),
+WITH {CONVERTED_USERS_CTE},
 a AS (
   SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 END) AS BIGINT) AS n_control,
          CAST(sum(CASE WHEN arm = 0 THEN converted END) AS BIGINT) AS conv_control,
@@ -313,12 +325,24 @@ def _theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = slopes.withColumn("rn", F.row_number().over(w)).withColumn(
         "n_pairs", F.count(F.lit(1)).over(cnt)
     )
+    medians = ranked.filter(
+        F.col("rn") == F.expr("(n_pairs + 1) div 2")
+    ).select("event_type", "n_pairs", F.round(F.col("slope"), 9).alias(
+        "median_slope"
+    ))
+    # single-day types produce ZERO pairs and would silently vanish;
+    # emit them with n_pairs=0 / NULL slope so "undefined trend" is
+    # distinguishable from "type absent" (d is checkpointed — the
+    # extra reference is in-memory rows, not another fact scan)
+    types = d.groupBy("event_type").agg(F.count(F.lit(1)).alias("_nd"))
     return (
-        ranked.filter(F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+        types.join(medians, "event_type", "left")
         .select(
             "event_type",
-            "n_pairs",
-            F.round(F.col("slope"), 9).alias("median_slope"),
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias(
+                "n_pairs"
+            ),
+            "median_slope",
         )
         .orderBy("event_type")
     )
@@ -341,11 +365,16 @@ ranked AS (
          row_number() OVER (PARTITION BY event_type
                             ORDER BY slope, t1, t2) AS rn,
          count(*) OVER (PARTITION BY event_type) AS n_pairs
-  FROM pairs)
-SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
-       round(slope, 9) AS median_slope
-FROM ranked WHERE rn = (n_pairs + 1) // 2
-ORDER BY event_type
+  FROM pairs),
+medians AS (
+  SELECT event_type, n_pairs, round(slope, 9) AS median_slope
+  FROM ranked WHERE rn = (n_pairs + 1) // 2),
+types AS (SELECT event_type FROM d GROUP BY event_type)
+SELECT types.event_type,
+       CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+       median_slope
+FROM types LEFT JOIN medians ON types.event_type = medians.event_type
+ORDER BY types.event_type
 """
 
 
@@ -390,16 +419,25 @@ def _bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the full-sample mean rides along in the SAME aggregate (the
     # unweighted cents sum/count of any one replicate slice IS the
     # full sample), so orders is scanned exactly once
+    sw = F.sum("w").cast("double")
     stats = weighted.groupBy("b").agg(
         (
             F.sum(F.col("w") * F.col("cents")).cast("double")
-            / F.sum("w").cast("double")
+            # nullif: an all-zero-weight replicate (probability
+            # 0.368^n per replicate — real only for toy tables) must
+            # yield NULL, not an ANSI division-by-zero crash
+            / F.when(sw != 0.0, sw)
         ).alias("mean_cents"),
         (F.sum("cents").cast("double") / F.count(F.lit(1)).cast("double")).alias(
             "mean_full"
         ),
     )
-    wr = Window.partitionBy().orderBy("mean_cents", "b")
+    # NULLS LAST explicitly: Spark's default window order is NULLS
+    # FIRST, DuckDB's is NULLS LAST — a NULL replicate mean would
+    # silently shift every rank between engines otherwise
+    wr = Window.partitionBy().orderBy(
+        F.col("mean_cents").asc_nulls_last(), "b"
+    )
     ranked = stats.withColumn("rn", F.row_number().over(wr))
     return ranked.agg(
         F.count(F.lit(1)).alias("b_count"),
@@ -440,13 +478,13 @@ weighted AS (
   SELECT b, cents, {_poisson_case_sql('u')} AS w
   FROM drawn),
 stats AS (
-  SELECT b, CAST(sum(w * cents) AS DOUBLE) / CAST(sum(w) AS DOUBLE)
-              AS mean_cents,
+  SELECT b, CAST(sum(w * cents) AS DOUBLE)
+              / nullif(CAST(sum(w) AS DOUBLE), 0.0) AS mean_cents,
          CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_full
   FROM weighted GROUP BY b),
 ranked AS (
   SELECT mean_cents, mean_full,
-         row_number() OVER (ORDER BY mean_cents, b) AS rn
+         row_number() OVER (ORDER BY mean_cents NULLS LAST, b) AS rn
   FROM stats)
 SELECT CAST(count(*) AS BIGINT) AS b_count,
        round(max(mean_full), 6) AS mean_cents_full,
@@ -470,7 +508,17 @@ def _lang_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-lang audit (before/after/target) — the recipe table a corpus
     build would log."""
     docs = load(spark, sf_dir, "documents")
-    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    # lineage cut on the lang-grain counts (a handful of rows): rates'
+    # DAG is referenced by both the membership filter and the final
+    # audit join, and tmin/tot re-embed the counts — without the cut
+    # Catalyst re-runs the corpus scan+agg ~9 times (the
+    # theil_sen_trend lesson); with it, documents is scanned twice
+    # (counts + membership), the same shape as source_mixture_resample
+    counts = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
     weights = counts.select(
         "lang",
         "n",
@@ -557,12 +605,16 @@ def _autocorr_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson autocorrelation of daily revenue cents at lags 1 and 7.
 
     Scale: events collapse to day grain map-side; the lag windows and
-    the five moment sums run over the calendar-length series (exact
-    BIGINT arithmetic — n·Σxy stays < 2^63 up to ~3e5 days of 1e7-cent
-    days).  The denominators are cast to DOUBLE *before* multiplying
-    (their int64 product would overflow); numerator and both
-    denominators are bit-identical across engines, so the final ratio
-    is too."""
+    the five moment sums run over the calendar-length series in exact
+    BIGINT arithmetic.  int64 envelope: n·Σxy ≈ d²·x̄² must stay under
+    2^63, i.e. ~300 days of 1e7-cent days (or ~30 years of 1e5-cent
+    days) — beyond that, route the moments through DECIMAL(38,0) or
+    rescale cents to whole units.  The variance denominators are cast
+    to DOUBLE *before* multiplying (their int64 product would
+    overflow), and the ratio is nullif-guarded for a constant series
+    (variance 0 → NULL on both engines, not an ANSI-mode crash);
+    numerator and denominators are bit-identical across engines, so
+    the final ratio is too."""
     events = load(spark, sf_dir, "events")
     daily = events.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.sum(
@@ -600,12 +652,15 @@ def _autocorr_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(f"sxx_{y}"),
             F.col(f"syy_{y}"),
         )
+        den = F.sqrt(
+            (n * sxx - sx * sx).cast("double")
+            * (n * syy - sy * sy).cast("double")
+        )
         r = F.round(
             (n * sxy - sx * sy).cast("double")
-            / F.sqrt(
-                (n * sxx - sx * sx).cast("double")
-                * (n * syy - sy * sy).cast("double")
-            ),
+            # nullif: a constant series has zero variance — NULL, not
+            # an ANSI division-by-zero crash (DuckDB nullif mirrors)
+            / F.when(den != 0.0, den),
             9,
         )
         return F.struct(
@@ -638,14 +693,15 @@ m7 AS (
   FROM lagged WHERE y7 IS NOT NULL)
 SELECT CAST(1 AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
        round(CAST(n * sxy - sx * sy AS DOUBLE)
-             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                    * CAST(n * syy - sy * sy AS DOUBLE)), 9) AS autocorr
+             / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                           * CAST(n * syy - sy * sy AS DOUBLE)), 0.0), 9)
+         AS autocorr
 FROM m1
 UNION ALL
 SELECT CAST(7 AS BIGINT), CAST(n AS BIGINT),
        round(CAST(n * sxy - sx * sy AS DOUBLE)
-             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                    * CAST(n * syy - sy * sy AS DOUBLE)), 9)
+             / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                           * CAST(n * syy - sy * sy AS DOUBLE)), 0.0), 9)
 FROM m7
 """
 

@@ -44,10 +44,10 @@ from data_pipeline_bigquery_spark.catalog import load
 from data_pipeline_bigquery_spark.extensions.sampling import hash_bucket
 from data_pipeline_bigquery_spark.queries import QuerySpec
 
-_MD5_ARM = (
-    "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 7)) "
-    "AS BIGINT) % 2"
-)
+from data_pipeline_bigquery_spark.queries.analytics9 import _md5_bucket_sql
+
+# the experiment arm idiom — one definition (analytics9) for all keys
+_MD5_ARM = _md5_bucket_sql("user_id", 2)
 
 
 # --- cuped_adjusted_lift ---------------------------------------------------
@@ -55,9 +55,15 @@ _MD5_ARM = (
 
 def _cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One events scan → user grain (pre/post cents + arm) → ONE
-    12-term moment aggregate → 1-row readout.  n·Σxy stays inside
-    int64 up to ~10k users of ~1e6-cent halves; DuckDB widens to
-    HUGEINT on the same exact values."""
+    12-term moment aggregate → 1-row readout.
+
+    int64 envelope: n·Σxy ≈ n²·x̄² and (Σx)² must stay under 2^63 —
+    that is ~3k users of ~1e6-cent halves (n²x̄² = 9e6·1e12 ≈ 1e19 is
+    already the edge), NOT an unbounded population; past it, rescale
+    cents to whole units or route the moments through DECIMAL(38,0).
+    DuckDB widens to HUGEINT on the same exact values.  All ratios are
+    guarded: zero pre-period variance (θ) and an empty arm produce
+    NULL on both engines instead of an ANSI-mode crash."""
     events = load(spark, sf_dir, "events")
     users = (
         events.select(
@@ -93,13 +99,21 @@ def _cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~t, F.col("y")).otherwise(0)).alias("sy_c"),
         F.sum(F.when(t, F.col("y")).otherwise(0)).alias("sy_t"),
     )
+    var_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
     theta = (
         (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
-            "double"
-        )
+        # nullif: all-post-period data zeroes the pre-period variance
+        / F.when(var_x != 0.0, var_x)
     )
-    mean = lambda s, n: F.col(s).cast("double") / F.col(n).cast("double")
+
+    def mean(s: str, n: str):
+        d = F.col(n).cast("double")
+        # nullif: an arm can be empty on degenerate inputs (the counts
+        # are ELSE-0, so they don't NULL-propagate on their own)
+        return F.col(s).cast("double") / F.when(d != 0.0, d)
+
     lift_raw = mean("sy_t", "n_treatment") - mean("sy_c", "n_control")
     lift_cuped = lift_raw - theta * (
         mean("sx_t", "n_treatment") - mean("sx_c", "n_control")
@@ -137,16 +151,19 @@ m AS (
 SELECT CAST(n_control AS BIGINT) AS n_control,
        CAST(n_treatment AS BIGINT) AS n_treatment,
        round(CAST(n * sxy - sx * sy AS DOUBLE)
-             / CAST(n * sxx - sx * sx AS DOUBLE), 9) AS theta,
-       round(CAST(sy_t AS DOUBLE) / CAST(n_treatment AS DOUBLE)
-             - CAST(sy_c AS DOUBLE) / CAST(n_control AS DOUBLE), 6)
-         AS lift_raw_cents,
-       round((CAST(sy_t AS DOUBLE) / CAST(n_treatment AS DOUBLE)
-              - CAST(sy_c AS DOUBLE) / CAST(n_control AS DOUBLE))
+             / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0.0),
+             9) AS theta,
+       round(CAST(sy_t AS DOUBLE) / nullif(CAST(n_treatment AS DOUBLE), 0.0)
+             - CAST(sy_c AS DOUBLE) / nullif(CAST(n_control AS DOUBLE), 0.0),
+             6) AS lift_raw_cents,
+       round((CAST(sy_t AS DOUBLE) / nullif(CAST(n_treatment AS DOUBLE), 0.0)
+              - CAST(sy_c AS DOUBLE) / nullif(CAST(n_control AS DOUBLE), 0.0))
              - (CAST(n * sxy - sx * sy AS DOUBLE)
-                / CAST(n * sxx - sx * sx AS DOUBLE))
-               * (CAST(sx_t AS DOUBLE) / CAST(n_treatment AS DOUBLE)
-                  - CAST(sx_c AS DOUBLE) / CAST(n_control AS DOUBLE)), 6)
+                / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0.0))
+               * (CAST(sx_t AS DOUBLE)
+                  / nullif(CAST(n_treatment AS DOUBLE), 0.0)
+                  - CAST(sx_c AS DOUBLE)
+                    / nullif(CAST(n_control AS DOUBLE), 0.0)), 6)
          AS lift_cuped_cents
 FROM m
 """
@@ -408,22 +425,15 @@ FROM nr CROSS JOIN h
 def _uplift_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The `ab_test_lift` arms × customer market segment — per-segment
     conversion lift in integer permille points (nullif-guarded: a
-    fixture segment may miss an arm).  User-grain agg, equi-join to
+    fixture segment may miss an arm).  User-grain agg (SHARED with
+    ab_test_lift via `analytics9.converted_users`, so the breakdown
+    can never decouple from the headline readout), equi-join to
     customer, 5-row segment aggregate."""
-    events = load(spark, sf_dir, "events")
-    users = (
-        events.groupBy("user_id")
-        .agg(
-            F.max(
-                F.when(
-                    (F.col("event_type") == "purchase")
-                    & (F.col("value") >= 250),
-                    1,
-                ).otherwise(0)
-            ).alias("converted")
-        )
-        .withColumn("arm", hash_bucket(F.col("user_id"), 2))
+    from data_pipeline_bigquery_spark.queries.analytics9 import (
+        converted_users,
     )
+
+    users = converted_users(load(spark, sf_dir, "events"))
     cust = load(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
@@ -455,13 +465,13 @@ def _uplift_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_mktsegment")
 
 
-_UPLIFT_SQL = f"""
-WITH u AS (
-  SELECT user_id,
-         max(CASE WHEN event_type = 'purchase' AND value >= 250
-                  THEN 1 ELSE 0 END) AS converted,
-         {_MD5_ARM} AS arm
-  FROM events GROUP BY user_id),
+def _uplift_sql() -> str:
+    from data_pipeline_bigquery_spark.queries.analytics9 import (
+        CONVERTED_USERS_CTE,
+    )
+
+    return f"""
+WITH {CONVERTED_USERS_CTE},
 seg AS (
   SELECT c_mktsegment,
          CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
@@ -482,6 +492,7 @@ FROM seg ORDER BY c_mktsegment
 """
 
 
+
 QUERIES: dict[str, QuerySpec] = {
     "cuped_adjusted_lift": QuerySpec(_cuped_adjusted_lift, _CUPED_SQL),
     "forecast_backtest_mae": QuerySpec(
@@ -493,5 +504,5 @@ QUERIES: dict[str, QuerySpec] = {
     "retrieval_eval_precision": QuerySpec(
         _retrieval_eval_precision, _retrieval_sql()
     ),
-    "uplift_by_segment": QuerySpec(_uplift_by_segment, _UPLIFT_SQL),
+    "uplift_by_segment": QuerySpec(_uplift_by_segment, _uplift_sql()),
 }

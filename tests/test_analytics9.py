@@ -202,3 +202,77 @@ def test_l_diversity_histogram_partitions_customers(spark):
     n_cust = load(spark, SF_DIR, "customer").count()
     assert sum(r.n_customers for r in rows) == n_cust
     assert all(1 <= r.l <= 3 for r in rows)
+
+
+# --- review-fix regressions: degenerate inputs must NULL, not crash -------
+
+
+def _write_events(spark, path, rows):
+    from pyspark.sql import functions as SF
+
+    (
+        spark.createDataFrame(
+            rows, "ts timestamp, event_type string, event_id long"
+        )
+        .withColumn("user_id", (SF.col("event_id") % 7).cast("long"))
+        .withColumn("value", SF.lit(10.0))
+        .withColumn("props", SF.lit("{}"))
+        .write.mode("overwrite")
+        .parquet(str(path / "events.parquet"))
+    )
+
+
+def test_theil_sen_single_day_type_emits_null_slope(spark, tmp_path):
+    import datetime as dt
+
+    rows = [(dt.datetime(2024, 3, 1 + t), "multi", t) for t in range(5)]
+    rows += [(dt.datetime(2024, 3, 4), "oneday", 100 + j) for j in range(3)]
+    _write_events(spark, tmp_path, rows)
+    out = {
+        r.event_type: r
+        for r in analytics9.QUERIES["theil_sen_trend"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert out["oneday"].n_pairs == 0
+    assert out["oneday"].median_slope is None
+    assert out["multi"].n_pairs == 10  # 5 days → C(5,2)
+
+
+def test_autocorr_constant_series_is_null_not_crash(spark, tmp_path):
+    import datetime as dt
+
+    # identical daily totals → zero variance → NULL autocorr (both
+    # engines; pre-fix this was an ANSI DIVIDE_BY_ZERO crash)
+    rows = [
+        (dt.datetime(2024, 3, 1 + t, 12), "e", t) for t in range(10)
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = (
+        analytics9.QUERIES["autocorr_daily_revenue"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    )
+    assert {r.lag for r in out} == {1, 7}
+    assert all(r.autocorr is None for r in out)
+
+
+def test_cuped_zero_pre_variance_is_null_not_crash(spark, tmp_path):
+    import datetime as dt
+
+    from data_pipeline_bigquery_spark.queries import evalops
+
+    # every event after day 15 → all pre-period sums are 0 → var(X)=0
+    rows = [
+        (dt.datetime(2024, 3, 20, 12, 0, t % 60), "e", t)
+        for t in range(40)
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = (
+        evalops.QUERIES["cuped_adjusted_lift"]
+        .fn(spark, str(tmp_path))
+        .collect()[0]
+    )
+    assert out.theta is None
+    assert out.lift_cuped_cents is None
+    assert out.lift_raw_cents is not None  # raw lift still defined
