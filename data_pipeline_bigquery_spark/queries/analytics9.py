@@ -605,16 +605,16 @@ def _autocorr_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson autocorrelation of daily revenue cents at lags 1 and 7.
 
     Scale: events collapse to day grain map-side; the lag windows and
-    the five moment sums run over the calendar-length series in exact
-    BIGINT arithmetic.  int64 envelope: n·Σxy ≈ d²·x̄² must stay under
-    2^63, i.e. ~300 days of 1e7-cent days (or ~30 years of 1e5-cent
-    days) — beyond that, route the moments through DECIMAL(38,0) or
-    rescale cents to whole units.  The variance denominators are cast
-    to DOUBLE *before* multiplying (their int64 product would
-    overflow), and the ratio is nullif-guarded for a constant series
-    (variance 0 → NULL on both engines, not an ANSI-mode crash);
-    numerator and denominators are bit-identical across engines, so
-    the final ratio is too."""
+    the moment sums run over the calendar-length series in exact
+    DECIMAL(38,0) arithmetic (int64 moments overflow at just ~300
+    days of 1e7-cent days — a decade-scale stress run caught it;
+    decimal is exact to 1e38 ≈ 1e15 days of 1e11-cent days).  The
+    variance denominators are cast to DOUBLE *before* multiplying
+    (their exact product could exceed even decimal range), and the
+    ratio is nullif-guarded for a constant series (variance 0 → NULL
+    on both engines, not an ANSI-mode crash); numerator and
+    denominators are value-identical across engines, so the final
+    ratio is too."""
     events = load(spark, sf_dir, "events")
     daily = events.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.sum(
@@ -633,9 +633,15 @@ def _autocorr_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def moments(y: str) -> list:
-        yc, xc = F.col(y), F.when(F.col(y).isNotNull(), F.col("x"))
+        # every product and sum runs in DECIMAL(38,0): int64 overflows
+        # at ~300 days of 1e7-cent days (caught by a decade-scale
+        # stress run — ANSI Spark throws where DuckDB's HUGEINT sails
+        # on), decimal is exact to 1e38 on both engines and the series
+        # is day-grain, so the wider arithmetic costs nothing
+        yl, xl = F.col(y), F.when(F.col(y).isNotNull(), F.col("x"))
+        yc, xc = yl.cast("decimal(38,0)"), xl.cast("decimal(38,0)")
         return [
-            F.count(yc).alias(f"n_{y}"),
+            F.count(yl).alias(f"n_{y}"),
             F.sum(xc).alias(f"sx_{y}"),
             F.sum(yc).alias(f"sy_{y}"),
             F.sum(xc * yc).alias(f"sxy_{y}"),

@@ -57,11 +57,11 @@ def _cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One events scan → user grain (pre/post cents + arm) → ONE
     12-term moment aggregate → 1-row readout.
 
-    int64 envelope: n·Σxy ≈ n²·x̄² and (Σx)² must stay under 2^63 —
-    that is ~3k users of ~1e6-cent halves (n²x̄² = 9e6·1e12 ≈ 1e19 is
-    already the edge), NOT an unbounded population; past it, rescale
-    cents to whole units or route the moments through DECIMAL(38,0).
-    DuckDB widens to HUGEINT on the same exact values.  All ratios are
+    The covariance moments run in DECIMAL(38,0): the int64 envelope
+    for n·Σxy is only ~3k users of ~1e6-cent halves, so exact decimal
+    (good to 1e38 ≈ 1e12 users of 1e10-cent halves) is the scale
+    path; DuckDB widens to HUGEINT on the same exact values, and the
+    one double cast at the end is value-identical.  All ratios are
     guarded: zero pre-period variance (θ) and an empty arm produce
     NULL on both engines instead of an ANSI-mode crash."""
     events = load(spark, sf_dir, "events")
@@ -86,12 +86,19 @@ def _cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("arm", hash_bucket(F.col("user_id"), 2))
     )
     t = F.col("arm") == 1
+    # covariance moments in DECIMAL(38,0): the int64 envelope for
+    # n·Σxy is only ~3k users of 1e6-cent halves (a decade-scale
+    # stress run caught the sibling autocorr overflow in practice);
+    # decimal sums are exact to 1e38, partial-aggregate fine, and
+    # match DuckDB's HUGEINT values bit-for-bit after the double cast
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
     m = users.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
         F.sum(F.when(~t, 1).otherwise(0)).alias("n_control"),
         F.sum(F.when(t, 1).otherwise(0)).alias("n_treatment"),
         F.sum(F.when(~t, F.col("x")).otherwise(0)).alias("sx_c"),
