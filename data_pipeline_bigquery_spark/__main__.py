@@ -81,6 +81,27 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     s.add_argument("--rollback-to", type=int, default=None, help="commit version N's state as the new latest")
     s.add_argument("--delete-keys", default=None, help="parquet file/dir of keys to drop in a new version")
     s.add_argument("--key-col", default=None, help="key column for --delete-keys")
+    # data-contract verbs (queries/evalops.py + streaming/
+    # expectations_stream.py): the batch expectation report over the
+    # fixture tables, or the cumulative streaming-ledger rollup
+    q = sub.add_parser(
+        "data_quality",
+        help="run the declarative expectation report (batch) or roll "
+        "up a streaming expectations ledger",
+    )
+    q.add_argument("--sf-dir", default=DEFAULT_SF_DIR, help="input table dir")
+    q.add_argument(
+        "--ledger",
+        default=None,
+        help="streaming expectations ledger dir: print the cumulative "
+        "per-rule rollup instead of the batch report",
+    )
+    q.add_argument("--out", default=None, help="write result parquet here")
+    q.add_argument(
+        "--fail-on-violations",
+        action="store_true",
+        help="exit 1 if any blocking rule has violations (CI gate mode)",
+    )
     return parser.parse_args(argv)
 
 
@@ -168,8 +189,45 @@ def run_snapshot_maintenance(args) -> str:
     return "; ".join(parts) if parts else "nothing to do"
 
 
+def run_data_quality(args) -> tuple[str, int]:
+    """Batch expectation report (or streaming-ledger rollup) to
+    console/parquet; returns (summary, exit_code)."""
+    from data_pipeline_bigquery_spark.session import get_spark
+
+    spark = get_spark()
+    if args.ledger:
+        from data_pipeline_bigquery_spark.streaming.expectations_stream import (
+            ledger_rollup,
+        )
+
+        df = ledger_rollup(spark, args.ledger)
+        blocking_bad = df.filter(
+            (df.blocking == 1) & (df.n_violations > 0)
+        ).count()
+    else:
+        from data_pipeline_bigquery_spark.queries import registry
+
+        df = registry()["data_expectations_report"].fn(spark, args.sf_dir)
+        blocking_bad = df.filter(
+            (df.passed == 0)
+            & (df.rule != "totalprice_below_soft_cap")  # the warn rule
+        ).count()
+    rows = df.collect()
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+    lines = "; ".join(
+        f"{r.rule}={r.n_violations}/{r.n_checked}" for r in rows
+    )
+    code = 1 if (args.fail_on_violations and blocking_bad) else 0
+    return lines, code
+
+
 def main(argv: list[str] | None = None) -> int:
     args = parse_args(argv)
+    if args.workflow == "data_quality":
+        summary, code = run_data_quality(args)
+        print(f"data_quality: {summary}")
+        return code
     if args.workflow == "snapshot_maintenance":
         print(f"snapshot_maintenance: {run_snapshot_maintenance(args)}")
         return 0

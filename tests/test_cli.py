@@ -96,3 +96,34 @@ def test_cli_snapshot_maintenance_verbs(spark, tmp_path):
         "--compact-files", "1", "--keep-last", "2", "--vacuum",
     ]) == 0
     assert list_versions(spark, base) == [3, 4]
+
+
+def test_cli_data_quality_batch_and_ledger(spark, tmp_path, capsys):
+    from data_pipeline_bigquery_spark.__main__ import main
+    from data_pipeline_bigquery_spark.streaming.expectations_stream import (
+        Expectation,
+        process_expectations_batch,
+    )
+
+    # batch report over the fixtures: soft cap fires (warn rule), all
+    # blocking rules pass → exit 0 even in CI-gate mode
+    out = str(tmp_path / "report")
+    assert main([
+        "data_quality", "--sf-dir", "/root/testdata/sf0.001",
+        "--out", out, "--fail-on-violations",
+    ]) == 0
+    rep = {r.rule: r for r in spark.read.parquet(out).collect()}
+    assert rep["totalprice_below_soft_cap"].n_violations > 0
+    assert rep["orderkey_unique"].passed == 1
+
+    # ledger rollup mode: a blocking violation in the ledger trips the
+    # CI gate
+    ledger = str(tmp_path / "ledger")
+    batch = spark.createDataFrame([(1, -5.0)], "id long, price double")
+    process_expectations_batch(
+        batch, 0, (Expectation("price_positive", "price > 0"),), ledger
+    )
+    assert main(["data_quality", "--ledger", ledger]) == 0
+    assert main([
+        "data_quality", "--ledger", ledger, "--fail-on-violations",
+    ]) == 1

@@ -1,0 +1,120 @@
+"""Streaming data-contract monitor (streaming/expectations_stream.py):
+the ledger counts match the rule semantics (NULL = violation),
+blocking rules route rows while warn rules only count, replayed
+epochs are idempotent, and the cumulative rollup sums epochs."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from data_pipeline_bigquery_spark.streaming.expectations_stream import (
+    Expectation,
+    expectations_stream,
+    ledger_rollup,
+    process_expectations_batch,
+)
+
+RULES = (
+    Expectation("price_positive", "price > 0", blocking=True),
+    Expectation("qty_not_null", "qty IS NOT NULL", blocking=True),
+    Expectation("price_soft_cap", "price <= 100", blocking=False),
+)
+
+ROWS = [
+    Row(id=1, price=10.0, qty=1),     # clean
+    Row(id=2, price=-5.0, qty=2),     # blocks: price_positive
+    Row(id=3, price=50.0, qty=None),  # blocks: qty_not_null
+    Row(id=4, price=500.0, qty=4),    # warn only: soft cap
+    Row(id=5, price=None, qty=5),     # blocks: NULL price = violation
+]
+SCHEMA = "id long, price double, qty int"
+
+
+def test_batch_counts_routing_and_null_hostility(spark, tmp_path):
+    batch = spark.createDataFrame(ROWS, SCHEMA)
+    ledger_p = str(tmp_path / "ledger")
+    good_p = str(tmp_path / "good")
+    rej_p = str(tmp_path / "reject")
+    process_expectations_batch(batch, 0, RULES, ledger_p, good_p, rej_p)
+
+    ledger = {r.rule: r for r in spark.read.parquet(ledger_p).collect()}
+    assert all(r.n_checked == 5 for r in ledger.values())
+    assert ledger["price_positive"].n_violations == 2  # -5 and NULL
+    assert ledger["qty_not_null"].n_violations == 1
+    # null-hostile: the NULL price (id=5) violates the cap rule too
+    assert ledger["price_soft_cap"].n_violations == 2
+    assert ledger["price_soft_cap"].blocking == 0
+
+    good_ids = {r.id for r in spark.read.parquet(good_p).collect()}
+    # id=4 violates only the WARN rule → stays in the good sink
+    assert good_ids == {1, 4}
+    rejects = {r.id: r.failed_rules for r in spark.read.parquet(rej_p).collect()}
+    assert set(rejects) == {2, 3, 5}
+    assert rejects[2] == "price_positive"
+    assert rejects[3] == "qty_not_null"
+    assert rejects[5] == "price_positive"
+    # routed frames carry no flag scaffolding
+    assert all(
+        not c.startswith("__ok_")
+        for c in spark.read.parquet(good_p).columns
+    )
+
+
+def test_replayed_epoch_is_idempotent(spark, tmp_path):
+    batch = spark.createDataFrame(ROWS, SCHEMA)
+    ledger_p = str(tmp_path / "ledger")
+    good_p = str(tmp_path / "good")
+    rej_p = str(tmp_path / "reject")
+    for _ in range(2):  # crash replay of epoch 0
+        process_expectations_batch(batch, 0, RULES, ledger_p, good_p, rej_p)
+    assert spark.read.parquet(ledger_p).count() == len(RULES)
+    assert spark.read.parquet(good_p).count() == 2
+    assert spark.read.parquet(rej_p).count() == 3
+
+
+def test_e2e_stream_and_rollup_across_epochs(spark, tmp_path):
+    src = str(tmp_path / "in")
+    ledger_p = str(tmp_path / "ledger")
+    spark.createDataFrame(ROWS, SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q = expectations_stream(
+        spark, stream, RULES, ledger_p,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # second epoch arrives: restart picks up only the new file
+    spark.createDataFrame(
+        [Row(id=6, price=-1.0, qty=6)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q = expectations_stream(
+        spark, stream, RULES, ledger_p,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    roll = {r.rule: r for r in ledger_rollup(spark, ledger_p).collect()}
+    assert roll["price_positive"].n_checked == 6
+    assert roll["price_positive"].n_violations == 3
+    assert roll["price_positive"].n_epochs == 2
+    assert roll["price_soft_cap"].n_violations == 2  # id=4 cap, id=5 NULL
+
+
+def test_monitor_only_mode_and_empty_batch(spark, tmp_path):
+    ledger_p = str(tmp_path / "ledger")
+    batch = spark.createDataFrame(ROWS, SCHEMA)
+    process_expectations_batch(batch, 0, RULES, ledger_p)  # no sinks
+    assert spark.read.parquet(ledger_p).count() == len(RULES)
+    empty = spark.createDataFrame([], SCHEMA)
+    process_expectations_batch(empty, 1, RULES, ledger_p)  # no-op
+    assert {r.epoch for r in spark.read.parquet(ledger_p).collect()} == {0}
