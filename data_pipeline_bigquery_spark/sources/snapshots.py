@@ -121,6 +121,7 @@ def _commit_next_version(
     base: str,
     epoch_id: int | None = None,
     partition_by: list[str] | None = None,
+    audit=None,
 ) -> int:
     """The single-rename commit: stage data (+markers) in a hidden temp
     dir, advance the ``_LATEST_`` pointer, then rename the whole dir
@@ -149,6 +150,17 @@ def _commit_next_version(
     fs.create(jvm.org.apache.hadoop.fs.Path(f"{tmp}/_WRITER_{uid}")).close()
     fs.create(jvm.org.apache.hadoop.fs.Path(f"{tmp}/{_MARKER}")).close()
     _, jtmp = _fs_and_path(spark, tmp)
+    if audit is not None:
+        # write-audit-publish: the audit reads the STAGED files (the
+        # exact bytes a commit would publish — no recompute of df's
+        # plan, no extra copy); a failure deletes the staging dir and
+        # propagates, so no version is ever committed and no .tmp-*
+        # orphan is left for vacuum
+        try:
+            audit(spark.read.parquet(tmp))
+        except BaseException:
+            fs.delete(jtmp, True)
+            raise
     for _attempt in range(_MAX_COMMIT_RETRIES):
         # the staging dir must still exist: a concurrent
         # vacuum_snapshots (maintenance-window violation) or an
@@ -241,6 +253,53 @@ def write_snapshot(
     matching subdirs) while the rename commit stays a single directory
     move regardless of partition count."""
     return _commit_next_version(df, base, partition_by=partition_by)
+
+
+class SnapshotAuditError(RuntimeError):
+    """A blocking expectation failed during write-audit-publish; the
+    staged data was deleted and NO version was committed.  ``failures``
+    holds the failing ``(rule, n_checked, n_violations)`` rows."""
+
+    def __init__(self, failures):
+        self.failures = failures
+        detail = "; ".join(
+            f"{r.rule}={r.n_violations}/{r.n_checked}" for r in failures
+        )
+        super().__init__(f"snapshot audit failed: {detail}")
+
+
+def write_snapshot_audited(
+    df: DataFrame,
+    base: str,
+    rules,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Write-audit-publish (the Iceberg WAP pattern on this store):
+    stage the data, evaluate the declarative expectations against the
+    STAGED files (the exact bytes a commit would publish — no plan
+    recompute, no extra copy), then publish with the usual single
+    rename, or abort.
+
+    ``rules`` is a sequence of
+    :class:`~data_pipeline_bigquery_spark.streaming.expectations_stream.Expectation`;
+    a blocking rule with any violation raises :class:`SnapshotAuditError`,
+    deletes the staging dir, and leaves the store EXACTLY as it was —
+    readers and the change feed never see audited-out data.  Warn
+    rules never block (inspect them via ``evaluate_expectations``
+    before writing if you want a report)."""
+    from data_pipeline_bigquery_spark.streaming.expectations_stream import (
+        evaluate_expectations,
+    )
+
+    def audit(staged: DataFrame) -> None:
+        ledger = evaluate_expectations(staged, rules)
+        failures = ledger.filter(
+            (ledger.blocking == 1) & (ledger.n_violations > 0)
+        ).collect()
+        if failures:
+            raise SnapshotAuditError(failures)
+
+    return _commit_next_version(df, base, partition_by=partition_by, audit=audit)
 
 
 def read_snapshot(

@@ -60,6 +60,49 @@ def _flag(rule: Expectation) -> F.Column:
     ).alias(f"__ok_{rule.name}")
 
 
+def evaluate_expectations(
+    df: DataFrame, rules: tuple[Expectation, ...] | list[Expectation]
+) -> DataFrame:
+    """Score a frame against the rule set: one row per rule with
+    ``(rule, n_checked, n_violations, blocking)`` — ONE aggregate pass
+    over the input.  Shared by the streaming monitor and the snapshot
+    store's write-audit-publish verb."""
+    return _ledger_from_flags(
+        df.select(*[_flag(r) for r in rules]), rules
+    )
+
+
+def _ledger_from_flags(
+    flagged: DataFrame, rules: tuple[Expectation, ...] | list[Expectation]
+) -> DataFrame:
+    counts = flagged.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        *[
+            F.sum(1 - F.col(f"__ok_{r.name}")).alias(f"__v_{r.name}")
+            for r in rules
+        ],
+    )
+    return counts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r.name).alias("rule"),
+                        F.col("n_checked").cast("long").alias("n_checked"),
+                        F.col(f"__v_{r.name}").cast("long").alias(
+                            "n_violations"
+                        ),
+                        F.lit(int(r.blocking)).cast("long").alias(
+                            "blocking"
+                        ),
+                    )
+                    for r in rules
+                ]
+            )
+        ).alias("o")
+    ).select("o.rule", "o.n_checked", "o.n_violations", "o.blocking")
+
+
 def process_expectations_batch(
     batch_df: DataFrame,
     epoch_id: int,
@@ -74,38 +117,11 @@ def process_expectations_batch(
     sinks (monitor-only mode — the ledger still lands)."""
     if batch_df.isEmpty():
         return
-    spark = batch_df.sparkSession
     flagged = batch_df.select("*", *[_flag(r) for r in rules]).persist()
     try:
-        counts = flagged.agg(
-            F.count(F.lit(1)).alias("n_checked"),
-            *[
-                F.sum(1 - F.col(f"__ok_{r.name}")).alias(f"__v_{r.name}")
-                for r in rules
-            ],
+        _write_epoch(
+            _ledger_from_flags(flagged, rules), epoch_id, ledger_path
         )
-        ledger = counts.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(r.name).alias("rule"),
-                            F.col("n_checked").cast("long").alias(
-                                "n_checked"
-                            ),
-                            F.col(f"__v_{r.name}").cast("long").alias(
-                                "n_violations"
-                            ),
-                            F.lit(int(r.blocking)).cast("long").alias(
-                                "blocking"
-                            ),
-                        )
-                        for r in rules
-                    ]
-                )
-            ).alias("o")
-        ).select("o.rule", "o.n_checked", "o.n_violations", "o.blocking")
-        _write_epoch(ledger, epoch_id, ledger_path)
 
         if good_path or reject_path:
             blocking = [

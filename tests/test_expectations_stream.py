@@ -118,3 +118,74 @@ def test_monitor_only_mode_and_empty_batch(spark, tmp_path):
     empty = spark.createDataFrame([], SCHEMA)
     process_expectations_batch(empty, 1, RULES, ledger_p)  # no-op
     assert {r.epoch for r in spark.read.parquet(ledger_p).collect()} == {0}
+
+
+# --- write-audit-publish on the snapshot store ----------------------------
+
+
+def test_wap_publishes_clean_data_and_aborts_dirty(spark, tmp_path):
+    from data_pipeline_bigquery_spark.sources.snapshots import (
+        SnapshotAuditError,
+        list_versions,
+        read_snapshot,
+        write_snapshot_audited,
+    )
+
+    base = str(tmp_path / "store")
+    rules = (
+        Expectation("price_positive", "price > 0", blocking=True),
+        Expectation("price_soft_cap", "price <= 100", blocking=False),
+    )
+    clean = spark.createDataFrame(
+        [(1, 10.0), (2, 500.0)], "id long, price double"
+    )  # 500 trips only the WARN rule → must still publish
+    v = write_snapshot_audited(clean, base, rules)
+    assert v == 1
+    assert read_snapshot(spark, base).count() == 2
+
+    dirty = spark.createDataFrame(
+        [(3, -1.0), (4, 20.0)], "id long, price double"
+    )
+    import pytest
+
+    with pytest.raises(SnapshotAuditError) as exc:
+        write_snapshot_audited(dirty, base, rules)
+    assert exc.value.failures[0].rule == "price_positive"
+    assert exc.value.failures[0].n_violations == 1
+    # the store is EXACTLY as before: no new version, no staging orphan
+    assert list_versions(spark, base) == [1]
+    import os
+
+    assert not any(
+        d.startswith(".tmp-") for d in os.listdir(base)
+    ), "failed audit must delete its staging dir"
+    assert {r.id for r in read_snapshot(spark, base).collect()} == {1, 2}
+
+    # the store keeps working after an abort
+    v = write_snapshot_audited(
+        spark.createDataFrame([(5, 1.0)], "id long, price double"),
+        base,
+        rules,
+    )
+    assert v == 2
+
+
+def test_wap_partitioned_audit_sees_partition_columns(spark, tmp_path):
+    from data_pipeline_bigquery_spark.sources.snapshots import (
+        SnapshotAuditError,
+        write_snapshot_audited,
+    )
+
+    base = str(tmp_path / "store")
+    # the rule references the PARTITION column — the audit must see it
+    # on the staged hive layout
+    rules = (Expectation("lang_known", "lang IN ('en', 'de')"),)
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "xx")], "id long, lang string"
+    )
+    import pytest
+
+    with pytest.raises(SnapshotAuditError):
+        write_snapshot_audited(df, base, rules, partition_by=["lang"])
+    ok = spark.createDataFrame([(1, "en")], "id long, lang string")
+    assert write_snapshot_audited(ok, base, rules, partition_by=["lang"]) == 1
