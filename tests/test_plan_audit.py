@@ -331,3 +331,40 @@ def test_target_encoding_broadcasts_segment_stats(spark, reg):
         "segment stats should be an aggregate + broadcast join, not a "
         "low-cardinality window"
     )
+
+
+def test_bootstrap_single_scan_no_cartesian(spark, reg):
+    df = _q(reg, spark, "bootstrap_ci_revenue")
+    # ONE orders scan: the full-sample mean rides in the per-replicate
+    # aggregate instead of a second pass
+    assert_single_scan(df, "orders")
+    assert_no_cartesian(df)
+
+
+def test_autocorr_single_scan(spark, reg):
+    df = _q(reg, spark, "autocorr_daily_revenue")
+    # both lags from one window pass; a second events scan means the
+    # per-lag branches stopped sharing the day-grain aggregate
+    assert_single_scan(df, "events")
+    assert_no_cartesian(df)
+
+
+def test_theil_sen_checkpoint_cuts_fact_scans(spark, reg):
+    df = _q(reg, spark, "theil_sen_trend")
+    # the day-grain series is localCheckpoint'd BEFORE the O(days^2)
+    # self-join: zero parquet scans in the final plan (the one events
+    # scan happened at checkpoint time; 8 scans in the naive plan)
+    assert_single_scan(df, "events")
+    assert_no_cartesian(df)
+
+
+def test_cuped_single_scan_single_row_out(spark, reg):
+    df = _q(reg, spark, "cuped_adjusted_lift")
+    assert_single_scan(df, "events")
+    assert_no_cartesian(df)
+
+
+def test_forecast_backtest_single_scan(spark, reg):
+    df = _q(reg, spark, "forecast_backtest_mae")
+    assert_single_scan(df, "events")
+    assert_no_cartesian(df)
