@@ -96,6 +96,18 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         help="streaming expectations ledger dir: print the cumulative "
         "per-rule rollup instead of the batch report",
     )
+    q.add_argument(
+        "--path",
+        default=None,
+        help="audit an arbitrary parquet path against --rules instead "
+        "of running the built-in orders report",
+    )
+    q.add_argument(
+        "--rules",
+        default=None,
+        help='JSON file: [{"name": ..., "expr": SQL bool, "blocking": '
+        "true}, ...] — required with --path",
+    )
     q.add_argument("--out", default=None, help="write result parquet here")
     q.add_argument(
         "--fail-on-violations",
@@ -201,6 +213,28 @@ def run_data_quality(args) -> tuple[str, int]:
         )
 
         df = ledger_rollup(spark, args.ledger)
+        blocking_bad = df.filter(
+            (df.blocking == 1) & (df.n_violations > 0)
+        ).count()
+    elif args.path:
+        import json
+
+        from data_pipeline_bigquery_spark.streaming.expectations_stream import (
+            Expectation,
+            evaluate_expectations,
+        )
+
+        if not args.rules:
+            raise SystemExit("--path requires --rules")
+        with open(args.rules) as fh:
+            spec = json.load(fh)
+        rules = [
+            Expectation(
+                r["name"], r["expr"], bool(r.get("blocking", True))
+            )
+            for r in spec
+        ]
+        df = evaluate_expectations(spark.read.parquet(args.path), rules)
         blocking_bad = df.filter(
             (df.blocking == 1) & (df.n_violations > 0)
         ).count()

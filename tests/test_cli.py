@@ -127,3 +127,27 @@ def test_cli_data_quality_batch_and_ledger(spark, tmp_path, capsys):
     assert main([
         "data_quality", "--ledger", ledger, "--fail-on-violations",
     ]) == 1
+
+
+def test_cli_data_quality_rules_file_over_path(spark, tmp_path):
+    import json
+
+    from data_pipeline_bigquery_spark.__main__ import main
+
+    data = str(tmp_path / "data")
+    spark.createDataFrame(
+        [(1, 5.0), (2, -1.0)], "id long, price double"
+    ).write.parquet(data)
+    rules = tmp_path / "rules.json"
+    rules.write_text(json.dumps([
+        {"name": "price_positive", "expr": "price > 0"},
+        {"name": "id_small", "expr": "id < 100", "blocking": False},
+    ]))
+    # a blocking violation exists → gate mode exits 1, plain mode 0
+    assert main([
+        "data_quality", "--path", data, "--rules", str(rules),
+    ]) == 0
+    assert main([
+        "data_quality", "--path", data, "--rules", str(rules),
+        "--fail-on-violations",
+    ]) == 1
