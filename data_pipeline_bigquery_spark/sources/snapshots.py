@@ -504,19 +504,27 @@ def merge_into_snapshot(
     source: DataFrame,
     pk: str,
     cursor_col: str,
+    rules=None,
     **merge_kwargs,
 ) -> int:
     """MERGE ``source`` into the latest snapshot (reference K2 semantics
     via `operators/merge.py`: insert new pks, update only when the
     cursor differs) and commit the merged state as the next version.
     One pk-keyed full-outer exchange plus the commit write — the same
-    cost Delta's MERGE pays, with the history kept."""
+    cost Delta's MERGE pays, with the history kept.
+
+    ``rules`` (a sequence of ``Expectation``) makes the MERGE
+    write-audit-publish: the MERGED state is staged, audited, and only
+    published if every blocking rule passes — a bad source batch can
+    never poison the table (:class:`SnapshotAuditError`, store
+    untouched)."""
     from data_pipeline_bigquery_spark.operators.merge import merge_upsert
 
     target = read_snapshot(spark, base)
-    return write_snapshot(
-        merge_upsert(target, source, pk, cursor_col, **merge_kwargs), base
-    )
+    merged = merge_upsert(target, source, pk, cursor_col, **merge_kwargs)
+    if rules is not None:
+        return write_snapshot_audited(merged, base, rules)
+    return write_snapshot(merged, base)
 
 
 def delete_keys_snapshot(

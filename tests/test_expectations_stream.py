@@ -189,3 +189,52 @@ def test_wap_partitioned_audit_sees_partition_columns(spark, tmp_path):
         write_snapshot_audited(df, base, rules, partition_by=["lang"])
     ok = spark.createDataFrame([(1, "en")], "id long, lang string")
     assert write_snapshot_audited(ok, base, rules, partition_by=["lang"]) == 1
+
+
+def test_audited_merge_blocks_poison_source(spark, tmp_path):
+    """Contract-gated MERGE: a source batch that would corrupt the
+    merged state aborts before any version is committed."""
+    from data_pipeline_bigquery_spark.sources.snapshots import (
+        SnapshotAuditError,
+        list_versions,
+        merge_into_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    base = str(tmp_path / "store")
+    rules = (Expectation("price_positive", "price > 0"),)
+    write_snapshot(
+        spark.createDataFrame(
+            [(1, 10.0, 100), (2, 20.0, 100)], "pk long, price double, cur int"
+        ),
+        base,
+    )
+    # clean merge publishes v2
+    v = merge_into_snapshot(
+        spark,
+        base,
+        spark.createDataFrame([(3, 30.0, 101)], "pk long, price double, cur int"),
+        "pk",
+        "cur",
+        rules=rules,
+    )
+    assert v == 2
+    # poison source: the UPDATED row would violate the contract
+    import pytest
+
+    with pytest.raises(SnapshotAuditError):
+        merge_into_snapshot(
+            spark,
+            base,
+            spark.createDataFrame(
+                [(1, -99.0, 102)], "pk long, price double, cur int"
+            ),
+            "pk",
+            "cur",
+            rules=rules,
+        )
+    assert list_versions(spark, base) == [1, 2]
+    assert {r.price for r in read_snapshot(spark, base).collect()} == {
+        10.0, 20.0, 30.0,
+    }
