@@ -567,3 +567,58 @@ def test_zscore_anomalies_match_sequential_model(spark, values):
         r.event_id for r in zscore_anomalies(df, threshold=2.0, min_n=5).collect()
     )
     assert got == _model_zscore(values, 2.0, 5)
+
+
+# --- expectations evaluator vs a row-at-a-time model ----------------------
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 50),
+            st.one_of(st.none(), st.integers(-100, 100)),
+            st.one_of(st.none(), st.integers(0, 20)),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    threshold=st.integers(-50, 50),
+)
+@settings(**_SETTINGS)
+def test_expectations_match_null_hostile_model(spark, rows, threshold):
+    """evaluate_expectations vs a Python replay of the contract
+    semantics: a row passes iff the predicate is True — None/NULL in
+    any operand is a violation."""
+    from data_pipeline_bigquery_spark.streaming.expectations_stream import (
+        Expectation,
+        evaluate_expectations,
+    )
+
+    rules = (
+        Expectation("price_gt", f"price > {threshold}"),
+        Expectation("qty_not_null", "qty IS NOT NULL"),
+        Expectation("both", f"price > {threshold} AND qty < 15"),
+    )
+
+    def model(price, qty):
+        return {
+            "price_gt": price is not None and price > threshold,
+            "qty_not_null": qty is not None,
+            "both": price is not None
+            and qty is not None
+            and price > threshold
+            and qty < 15,
+        }
+
+    expected = {r.name: 0 for r in rules}
+    for _, price, qty in rows:
+        ok = model(price, qty)
+        for name, passed in ok.items():
+            expected[name] += 0 if passed else 1
+
+    df = spark.createDataFrame(rows, "id long, price long, qty long")
+    got = {
+        r.rule: r.n_violations
+        for r in evaluate_expectations(df, rules).collect()
+    }
+    assert got == expected
