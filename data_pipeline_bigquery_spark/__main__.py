@@ -213,9 +213,6 @@ def run_data_quality(args) -> tuple[str, int]:
         )
 
         df = ledger_rollup(spark, args.ledger)
-        blocking_bad = df.filter(
-            (df.blocking == 1) & (df.n_violations > 0)
-        ).count()
     elif args.path:
         import json
 
@@ -235,18 +232,17 @@ def run_data_quality(args) -> tuple[str, int]:
             for r in spec
         ]
         df = evaluate_expectations(spark.read.parquet(args.path), rules)
-        blocking_bad = df.filter(
-            (df.blocking == 1) & (df.n_violations > 0)
-        ).count()
     else:
         from data_pipeline_bigquery_spark.queries import registry
 
         df = registry()["data_expectations_report"].fn(spark, args.sf_dir)
-        blocking_bad = df.filter(
-            (df.passed == 0)
-            & (df.rule != "totalprice_below_soft_cap")  # the warn rule
-        ).count()
+    # ONE evaluation: every mode's report carries a `blocking` column,
+    # so the CI gate is computed in Python from the collected rows
+    # (no second Spark job, no re-encoding of the warn/blocking split)
     rows = df.collect()
+    blocking_bad = sum(
+        1 for r in rows if r.blocking == 1 and r.n_violations > 0
+    )
     if args.out:
         df.write.mode("overwrite").parquet(args.out)
     lines = "; ".join(

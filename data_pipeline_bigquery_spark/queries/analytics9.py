@@ -607,8 +607,10 @@ def _autocorr_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: events collapse to day grain map-side; the lag windows and
     the moment sums run over the calendar-length series in exact
     DECIMAL(38,0) arithmetic (int64 moments overflow at just ~300
-    days of 1e7-cent days — a decade-scale stress run caught it;
-    decimal is exact to 1e38 ≈ 1e15 days of 1e11-cent days).  The
+    days of 1e7-cent days — a decade-scale stress run caught it).
+    The decimal envelope is set by the downstream PRODUCT n·Σxy ≈
+    (d·x̄)², capped at precision 38: exact while d·x̄ < 1e19, e.g.
+    1e5 days of 1e14-cent ($1T) days — far beyond any workload.  The
     variance denominators are cast to DOUBLE *before* multiplying
     (their exact product could exceed even decimal range), and the
     ratio is nullif-guarded for a constant series (variance 0 → NULL

@@ -58,9 +58,11 @@ def _cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     12-term moment aggregate → 1-row readout.
 
     The covariance moments run in DECIMAL(38,0): the int64 envelope
-    for n·Σxy is only ~3k users of ~1e6-cent halves, so exact decimal
-    (good to 1e38 ≈ 1e12 users of 1e10-cent halves) is the scale
-    path; DuckDB widens to HUGEINT on the same exact values, and the
+    for n·Σxy is only ~3k users of ~1e6-cent halves.  The decimal
+    envelope is set by the downstream product n·Σxy ≈ (n·x̄)², capped
+    at precision 38: exact while n·x̄ < 1e19, e.g. a billion users
+    averaging 1e10 cents ($100M) per half — far beyond any workload;
+    DuckDB widens to HUGEINT on the same exact values, and the
     one double cast at the end is value-identical.  All ratios are
     guarded: zero pre-period variance (θ) and an empty arm produce
     NULL on both engines instead of an ANSI-mode crash."""
@@ -244,15 +246,18 @@ FROM m
 
 # --- data_expectations_report ----------------------------------------------
 
-_EXPECTATION_RULES = (
-    "orderkey_not_null",
-    "orderkey_unique",
-    "totalprice_positive_bounded",
-    "totalprice_below_soft_cap",
-    "orderstatus_in_set",
-    "orderdate_in_range",
-    "custkey_references_customer",
-)
+# rule -> blocking flag; the soft cap is the one warn-level rule (it
+# fires on healthy data by design), and the report CARRIES the flag so
+# consumers (the data_quality CLI gate) never re-encode the split
+_EXPECTATION_RULES = {
+    "orderkey_not_null": 1,
+    "orderkey_unique": 1,
+    "totalprice_positive_bounded": 1,
+    "totalprice_below_soft_cap": 0,
+    "orderstatus_in_set": 1,
+    "orderdate_in_range": 1,
+    "custkey_references_customer": 1,
+}
 
 
 def _data_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -320,12 +325,16 @@ def _data_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(viols[rule] == 0, 1).otherwise(0).cast("long").alias(
                 "passed"
             ),
+            F.lit(blocking).cast("long").alias("blocking"),
         )
-        for rule in _EXPECTATION_RULES
+        for rule, blocking in _EXPECTATION_RULES.items()
     ]
     return (
         m.select(F.explode(F.array(*rows)).alias("o"))
-        .select("o.rule", "o.n_checked", "o.n_violations", "o.passed")
+        .select(
+            "o.rule", "o.n_checked", "o.n_violations", "o.passed",
+            "o.blocking",
+        )
     )
 
 
@@ -348,16 +357,17 @@ m AS (
          sum(CASE WHEN ref_ok IS NULL THEN 1 ELSE 0 END) AS v_ref
   FROM j),
 rules AS (
-  SELECT 'orderkey_not_null' AS rule, n - n_key AS v FROM m
-  UNION ALL SELECT 'orderkey_unique', n_key - n_key_distinct FROM m
-  UNION ALL SELECT 'totalprice_positive_bounded', v_range FROM m
-  UNION ALL SELECT 'totalprice_below_soft_cap', v_cap FROM m
-  UNION ALL SELECT 'orderstatus_in_set', v_set FROM m
-  UNION ALL SELECT 'orderdate_in_range', v_date FROM m
-  UNION ALL SELECT 'custkey_references_customer', v_ref FROM m)
+  SELECT 'orderkey_not_null' AS rule, n - n_key AS v, 1 AS b FROM m
+  UNION ALL SELECT 'orderkey_unique', n_key - n_key_distinct, 1 FROM m
+  UNION ALL SELECT 'totalprice_positive_bounded', v_range, 1 FROM m
+  UNION ALL SELECT 'totalprice_below_soft_cap', v_cap, 0 FROM m
+  UNION ALL SELECT 'orderstatus_in_set', v_set, 1 FROM m
+  UNION ALL SELECT 'orderdate_in_range', v_date, 1 FROM m
+  UNION ALL SELECT 'custkey_references_customer', v_ref, 1 FROM m)
 SELECT rule, CAST(m.n AS BIGINT) AS n_checked,
        CAST(v AS BIGINT) AS n_violations,
-       CAST(CASE WHEN v = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
+       CAST(CASE WHEN v = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed,
+       CAST(b AS BIGINT) AS blocking
 FROM rules CROSS JOIN m
 """
 

@@ -31,10 +31,19 @@ CRM payloads end-to-end) — this is beyond-reference hardening.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
+from functools import reduce
+from operator import and_
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from data_pipeline_bigquery_spark.streaming.epochs import (
+    write_epoch_partitioned,
+)
+
+_NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 
 @dataclass(frozen=True)
@@ -44,12 +53,21 @@ class Expectation:
     ``expr`` is a SQL boolean over the stream's columns; a row passes
     iff it evaluates TRUE (NULL → violation).  ``blocking`` rules
     route failing rows to the reject sink; non-blocking ("warn")
-    rules only count in the ledger.
+    rules only count in the ledger.  Names are identifiers
+    (``[A-Za-z_][A-Za-z0-9_]*``) — they become internal flag columns,
+    and a dot or backtick would be parsed as a struct-field access.
     """
 
     name: str
     expr: str
     blocking: bool = True
+
+    def __post_init__(self):
+        if not _NAME_RE.match(self.name):
+            raise ValueError(
+                f"expectation name {self.name!r} must be an identifier "
+                "([A-Za-z_][A-Za-z0-9_]*)"
+            )
 
 
 def _flag(rule: Expectation) -> F.Column:
@@ -119,34 +137,37 @@ def process_expectations_batch(
         return
     flagged = batch_df.select("*", *[_flag(r) for r in rules]).persist()
     try:
-        _write_epoch(
+        write_epoch_partitioned(
             _ledger_from_flags(flagged, rules), epoch_id, ledger_path
         )
 
         if good_path or reject_path:
-            blocking = [
-                F.col(f"__ok_{r.name}") for r in rules if r.blocking
-            ]
-            ok_all = (
-                F.least(*blocking) == 1 if blocking else F.lit(True)
+            blocking_rules = [r for r in rules if r.blocking]
+            # conjunction via reduce, not F.least: least() requires >= 2
+            # columns and a ONE-blocking-rule contract is perfectly normal
+            ok_all = reduce(
+                and_,
+                [F.col(f"__ok_{r.name}") == 1 for r in blocking_rules],
+                F.lit(True),
             )
             flags = [f"__ok_{r.name}" for r in rules]
             if good_path:
-                _write_epoch(
+                write_epoch_partitioned(
                     flagged.filter(ok_all).drop(*flags), epoch_id, good_path
                 )
-            if reject_path:
+            # all-warn rule sets can't produce rejects — and concat_ws
+            # over zero name columns wouldn't build anyway
+            if reject_path and blocking_rules:
                 failed_names = F.concat_ws(
                     ",",
                     *[
                         F.when(
                             F.col(f"__ok_{r.name}") == 0, F.lit(r.name)
                         )
-                        for r in rules
-                        if r.blocking
+                        for r in blocking_rules
                     ],
                 )
-                _write_epoch(
+                write_epoch_partitioned(
                     flagged.filter(~ok_all)
                     .withColumn("failed_rules", failed_names)
                     .drop(*flags),
@@ -157,20 +178,7 @@ def process_expectations_batch(
         flagged.unpersist()
 
 
-def _write_epoch(df: DataFrame, epoch_id: int, path: str) -> None:
-    if df.isEmpty():
-        return
-    (
-        df.withColumn("epoch", F.lit(epoch_id))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("epoch")
-        .parquet(path)
-    )
-
-
 def expectations_stream(
-    spark: SparkSession,
     stream: DataFrame,
     rules: tuple[Expectation, ...] | list[Expectation],
     ledger_path: str,

@@ -161,17 +161,13 @@ def process_neardup_batch(
         .persist()
     )
     try:
-        # skip zero-pair epochs: a partitioned write of an empty frame
-        # leaves a directory with no schema footer (unreadable); replays
-        # are deterministic, so skip-vs-overwrite cannot diverge.
-        if not out.isEmpty():
-            (
-                out.withColumn("epoch", F.lit(epoch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("epoch")
-                .parquet(log_path)
-            )
+        # the shared epoch-partitioned idempotent write (skips empty
+        # frames — see streaming/epochs.py for the footer rationale)
+        from data_pipeline_bigquery_spark.streaming.epochs import (
+            write_epoch_partitioned,
+        )
+
+        write_epoch_partitioned(out, epoch_id, log_path)
     finally:
         out.unpersist()
     (

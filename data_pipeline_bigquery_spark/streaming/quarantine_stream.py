@@ -40,21 +40,15 @@ def process_quarantine_batch(
     )
     ok = F.col("j").isNotNull() & F.col(f"j.{required_col}").isNotNull()
 
-    def _write(df: DataFrame, path: str) -> None:
-        if not df.isEmpty():
-            (
-                df.withColumn("epoch", F.lit(epoch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("epoch")
-                .parquet(path)
-            )
+    from data_pipeline_bigquery_spark.streaming.epochs import (
+        write_epoch_partitioned,
+    )
 
     good = parsed.filter(ok).select("j.*").persist()
     dead = parsed.filter(~ok).select(F.col("value").alias("raw_line")).persist()
     try:
-        _write(good, good_path)
-        _write(dead, dead_path)
+        write_epoch_partitioned(good, epoch_id, good_path)
+        write_epoch_partitioned(dead, epoch_id, dead_path)
     finally:
         good.unpersist()
         dead.unpersist()

@@ -81,7 +81,7 @@ def test_e2e_stream_and_rollup_across_epochs(spark, tmp_path):
 
     stream = spark.readStream.schema(SCHEMA).parquet(src)
     q = expectations_stream(
-        spark, stream, RULES, ledger_p,
+        stream, RULES, ledger_p,
         checkpoint=str(tmp_path / "ckpt"),
     )
     try:
@@ -95,7 +95,7 @@ def test_e2e_stream_and_rollup_across_epochs(spark, tmp_path):
     ).coalesce(1).write.mode("append").parquet(src)
     stream = spark.readStream.schema(SCHEMA).parquet(src)
     q = expectations_stream(
-        spark, stream, RULES, ledger_p,
+        stream, RULES, ledger_p,
         checkpoint=str(tmp_path / "ckpt"),
     )
     try:
@@ -238,3 +238,38 @@ def test_audited_merge_blocks_poison_source(spark, tmp_path):
     assert {r.price for r in read_snapshot(spark, base).collect()} == {
         10.0, 20.0, 30.0,
     }
+
+
+def test_single_blocking_rule_routes(spark, tmp_path):
+    """Regression: F.least() needs >=2 columns — a one-rule contract
+    must still route (pre-fix this crashed every micro-batch)."""
+    batch = spark.createDataFrame([(1, 5.0), (2, -1.0)], "id long, price double")
+    ledger_p, good_p, rej_p = (
+        str(tmp_path / d) for d in ("ledger", "good", "rej")
+    )
+    one_rule = (Expectation("price_positive", "price > 0"),)
+    process_expectations_batch(batch, 0, one_rule, ledger_p, good_p, rej_p)
+    assert {r.id for r in spark.read.parquet(good_p).collect()} == {1}
+    assert {r.id for r in spark.read.parquet(rej_p).collect()} == {2}
+
+
+def test_all_warn_rules_never_reject(spark, tmp_path):
+    batch = spark.createDataFrame([(1, -1.0)], "id long, price double")
+    ledger_p, good_p, rej_p = (
+        str(tmp_path / d) for d in ("ledger", "good", "rej")
+    )
+    warn_only = (Expectation("soft", "price > 0", blocking=False),)
+    process_expectations_batch(batch, 0, warn_only, ledger_p, good_p, rej_p)
+    assert spark.read.parquet(good_p).count() == 1  # nothing blocks
+    import os
+
+    assert not os.path.exists(rej_p)  # no reject sink ever written
+
+
+def test_rule_name_must_be_identifier():
+    import pytest
+
+    with pytest.raises(ValueError, match="identifier"):
+        Expectation("price.positive", "price > 0")
+    with pytest.raises(ValueError, match="identifier"):
+        Expectation("bad`name", "price > 0")
