@@ -273,3 +273,49 @@ def test_rule_name_must_be_identifier():
         Expectation("price.positive", "price > 0")
     with pytest.raises(ValueError, match="identifier"):
         Expectation("bad`name", "price > 0")
+
+
+def test_monitor_over_snapshot_change_feed(spark, tmp_path):
+    """Composition: the snapshot store's version change feed drives the
+    expectations monitor — every committed version is audited exactly
+    once, and the ledger rollup accumulates across restarts."""
+    from data_pipeline_bigquery_spark.sources.snapshot_datasource import (
+        SnapshotDataSource,
+    )
+    from data_pipeline_bigquery_spark.sources.snapshots import write_snapshot
+
+    spark.dataSource.register(SnapshotDataSource)
+    base = str(tmp_path / "store")
+    ledger_p = str(tmp_path / "ledger")
+    ckpt = str(tmp_path / "ckpt")
+    rules = (Expectation("price_positive", "price > 0"),)
+
+    write_snapshot(
+        spark.createDataFrame([(1, 5.0), (2, -1.0)], "k long, price double"),
+        base,
+    )
+
+    def run():
+        stream = (
+            spark.readStream.format("snapshotstore")
+            .schema("k long, price double, _version long")
+            .option("path", base)
+            .load()
+        )
+        q = expectations_stream(stream, rules, ledger_p, checkpoint=ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run()
+    roll = ledger_rollup(spark, ledger_p).collect()[0]
+    assert (roll.n_checked, roll.n_violations) == (2, 1)
+
+    # a second commit arrives; the restarted monitor audits ONLY it
+    write_snapshot(
+        spark.createDataFrame([(3, 7.0)], "k long, price double"), base
+    )
+    run()
+    roll = ledger_rollup(spark, ledger_p).collect()[0]
+    assert (roll.n_checked, roll.n_violations) == (3, 1)
