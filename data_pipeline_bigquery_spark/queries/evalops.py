@@ -436,6 +436,109 @@ FROM nr CROSS JOIN h
 """
 
 
+# --- score_calibration_bins ------------------------------------------------
+
+
+def _score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the learned quality model: docs bucketed
+    by score decile, each bin's mean score (integer millis) against the
+    rate at which the independent rule-based cascade
+    (`quality_filter_cascade`) passes them — the calibration audit
+    that tells you whether the model's scores MEAN anything before you
+    threshold on them.
+
+    Scale: the score side is the existing hashed-feature pipeline
+    (explode → broadcast weight join → doc agg); the label side is a
+    map-side metrics projection; one doc_id equi-join, then a ≤10-row
+    aggregate.  All outputs integer (millis/permille)."""
+    from data_pipeline_bigquery_spark.extensions.curation import (
+        model_quality_score,
+    )
+    from data_pipeline_bigquery_spark.queries.curation2 import (
+        _MEAN_LEN_MAX,
+        _MEAN_LEN_MIN,
+        _MIN_DISTINCT_PCT,
+        _MIN_WORDS,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    scored = model_quality_score(docs).select("doc_id", "model_score")
+    words = F.split(F.col("text"), " ")
+    metrics = docs.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct"),
+        (F.length("text") - (F.size(words) - 1)).alias("sum_chars"),
+        F.arrays_overlap(
+            words, F.array(F.lit("the"), F.lit("a"))
+        ).alias("has_stop"),
+    )
+    ok = (
+        (F.col("n_words") >= _MIN_WORDS)
+        & (F.col("n_distinct") * 100 >= F.col("n_words") * _MIN_DISTINCT_PCT)
+        & F.col("has_stop")
+        & (F.col("sum_chars") >= _MEAN_LEN_MIN * F.col("n_words"))
+        & (F.col("sum_chars") <= _MEAN_LEN_MAX * F.col("n_words"))
+    )
+    j = scored.join(metrics, "doc_id").select(
+        F.least(
+            F.lit(9).cast("long"),
+            F.floor(F.col("model_score") * 10).cast("long"),
+        ).alias("bin"),
+        F.floor(F.col("model_score") * 1000 + F.lit(0.5))
+        .cast("long")
+        .alias("millis"),
+        ok.cast("int").alias("ok"),
+    )
+    return (
+        j.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("sum(millis) div count(1)").alias("mean_score_millis"),
+            F.expr("sum(ok) * 1000 div count(1)").alias(
+                "cascade_pass_permille"
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
+def _calibration_sql() -> str:
+    from data_pipeline_bigquery_spark.queries.curation2 import (
+        _MEAN_LEN_MAX,
+        _MEAN_LEN_MIN,
+        _MIN_DISTINCT_PCT,
+        _MIN_WORDS,
+        _MODEL_SCORE_SQL,
+    )
+
+    return f"""
+WITH base AS (SELECT * FROM ({_MODEL_SCORE_SQL})),
+m AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct,
+         length(text) - (len(string_split(text, ' ')) - 1) AS sum_chars,
+         list_has_any(string_split(text, ' '), ['the', 'a']) AS has_stop
+  FROM documents),
+j AS (
+  SELECT least(CAST(9 AS BIGINT),
+               CAST(floor(model_score * 10) AS BIGINT)) AS bin,
+         CAST(floor(model_score * 1000 + 0.5) AS BIGINT) AS millis,
+         CASE WHEN n_words >= {_MIN_WORDS}
+                   AND n_distinct * 100 >= n_words * {_MIN_DISTINCT_PCT}
+                   AND has_stop
+                   AND sum_chars >= {_MEAN_LEN_MIN} * n_words
+                   AND sum_chars <= {_MEAN_LEN_MAX} * n_words
+              THEN 1 ELSE 0 END AS ok
+  FROM base JOIN m ON base.doc_id = m.doc_id)
+SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(millis) // count(*) AS BIGINT) AS mean_score_millis,
+       CAST(sum(ok) * 1000 // count(*) AS BIGINT) AS cascade_pass_permille
+FROM j GROUP BY bin ORDER BY bin
+"""
+
+
 # --- uplift_by_segment -----------------------------------------------------
 
 
@@ -522,4 +625,7 @@ QUERIES: dict[str, QuerySpec] = {
         _retrieval_eval_precision, _retrieval_sql()
     ),
     "uplift_by_segment": QuerySpec(_uplift_by_segment, _uplift_sql()),
+    "score_calibration_bins": QuerySpec(
+        _score_calibration_bins, _calibration_sql()
+    ),
 }

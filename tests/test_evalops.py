@@ -96,3 +96,18 @@ def test_uplift_segments_partition_ab_totals(spark):
     assert sum(r.n_treatment for r in seg) == ab.n_treatment
     assert sum(r.conv_control for r in seg) == ab.conv_control
     assert sum(r.conv_treatment for r in seg) == ab.conv_treatment
+
+
+def test_calibration_bins_partition_corpus(spark):
+    rows = _run(spark, "score_calibration_bins")
+    import duckdb
+
+    n_docs = duckdb.sql(
+        f"select count(*) from '{SF_DIR}/documents.parquet'"
+    ).fetchone()[0]
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert 0 <= r.bin <= 9
+        assert 0 <= r.cascade_pass_permille <= 1000
+        # the bin's mean score must sit inside the bin's range (millis)
+        assert r.bin * 100 <= r.mean_score_millis <= (r.bin + 1) * 100
