@@ -190,9 +190,35 @@ def test_hard_negatives_cross_label_and_cover_anchors(spark):
     for r in rows:
         assert r.anchor_label != r.negative_label
         assert -1.0 <= r.cosine_sim <= 1.0
-    # the mined negative must beat (or tie) any sampled same-anchor
-    # cross-label candidate — spot-check via the second-ranked pair
     assert len({r.anchor_id for r in rows}) == 12
+
+    # optimality vs a brute-force numpy model: for each anchor the
+    # mined negative's (rounded) cosine equals the max over ALL
+    # cross-label candidates, with the id tie-break
+    import duckdb
+    import numpy as np
+
+    emb = duckdb.sql(
+        f"select vec_id, label, embedding from '{SF_DIR}/embeddings.parquet'"
+    ).fetchall()
+    vecs = {vid: (lab, np.array(v, dtype=np.float64)) for vid, lab, v in emb}
+    for r in rows:
+        alab, avec = vecs[r.anchor_id]
+        best = max(
+            (
+                (
+                    round(
+                        float(avec @ v) / (np.linalg.norm(avec) * np.linalg.norm(v)),
+                        6,
+                    ),
+                    -vid,
+                )
+                for vid, (lab, v) in vecs.items()
+                if lab != alab
+            ),
+        )
+        assert r.cosine_sim == best[0]
+        assert r.negative_id == -best[1]
 
 
 def test_l_diversity_histogram_partitions_customers(spark):
