@@ -836,8 +836,277 @@ FROM g GROUP BY l ORDER BY l
 """
 
 
+# --- funnel_conversion_lag_percentiles -------------------------------------
+
+
+def _funnel_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p25/50/75 of the signup→first-purchase lag (minutes) plus the
+    conversion rate — the time-to-value readout behind activation
+    dashboards.
+
+    One events scan → user-grain conditional min aggregate (first
+    signup, first purchase AFTER it) → minute-grain cumulative
+    histogram with the integer rank rule ``cum·100 ≥ p·total`` (the
+    `order_gap_percentiles` machinery — minute grain keeps the
+    domain calendar-bounded at any event volume, ~43k values/month)."""
+    events = load(spark, sf_dir, "events")
+    users = events.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).alias("signup_ts"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("any_purchase"),
+    )
+    # min purchase overall can precede signup, so the lag counts only
+    # when ordering holds (NULL otherwise — not converted); integer
+    # minute floor on both engines.  The user-grain frame feeds BOTH
+    # the histogram and the scalar funnel counts — localCheckpoint so
+    # events is scanned once (user grain is the natural persist point
+    # at scale, orders of magnitude smaller than the fact table)
+    lagged = users.select(
+        F.when(
+            F.col("any_purchase") >= F.col("signup_ts"),
+            F.expr(
+                "(unix_timestamp(any_purchase)"
+                " - unix_timestamp(signup_ts)) div 60"
+            ),
+        )
+        .cast("long")
+        .alias("lag_min"),
+        F.col("signup_ts").isNotNull().cast("int").alias("signed_up"),
+    ).localCheckpoint()
+    grain = (
+        lagged.filter(F.col("lag_min").isNotNull() & (F.col("signed_up") == 1))
+        .groupBy("lag_min")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_cum = Window.orderBy("lag_min").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_tot = Window.partitionBy()
+    cum = grain.select(
+        "lag_min",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_tot).alias("total"),
+    )
+
+    def pct(p: int) -> F.Column:
+        return F.min(
+            F.when(
+                F.col("cum") * 100 >= F.lit(p) * F.col("total"),
+                F.col("lag_min"),
+            )
+        )
+
+    signups = lagged.agg(
+        F.sum("signed_up").alias("n_signups"),
+        F.sum(
+            F.when(F.col("lag_min").isNotNull() & (F.col("signed_up") == 1), 1)
+            .otherwise(0)
+        ).alias("n_converted"),
+    )
+    stats = cum.agg(
+        pct(25).alias("p25_lag_min"),
+        pct(50).alias("p50_lag_min"),
+        pct(75).alias("p75_lag_min"),
+    )
+    return (
+        signups.crossJoin(F.broadcast(stats))
+        .select(
+            F.col("n_signups").cast("long").alias("n_signups"),
+            F.col("n_converted").cast("long").alias("n_converted"),
+            F.expr(
+                "n_converted * 1000 div nullif(n_signups, 0)"
+            ).alias("conversion_permille"),
+            F.col("p25_lag_min").cast("long").alias("p25_lag_min"),
+            F.col("p50_lag_min").cast("long").alias("p50_lag_min"),
+            F.col("p75_lag_min").cast("long").alias("p75_lag_min"),
+        )
+    )
+
+
+_FUNNEL_LAG_SQL = """
+WITH u AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS any_purchase
+  FROM events GROUP BY user_id),
+lagged AS (
+  SELECT CASE WHEN any_purchase >= signup_ts
+              THEN CAST(date_diff('second', signup_ts, any_purchase) // 60
+                        AS BIGINT) END AS lag_min,
+         CASE WHEN signup_ts IS NOT NULL THEN 1 ELSE 0 END AS signed_up
+  FROM u),
+grain AS (
+  SELECT lag_min, count(*) AS c FROM lagged
+  WHERE lag_min IS NOT NULL AND signed_up = 1 GROUP BY 1),
+cum AS (
+  SELECT lag_min,
+         sum(c) OVER (ORDER BY lag_min
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER () AS total
+  FROM grain),
+s AS (
+  SELECT CAST(sum(signed_up) AS BIGINT) AS n_signups,
+         CAST(sum(CASE WHEN lag_min IS NOT NULL AND signed_up = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+  FROM lagged),
+p AS (
+  SELECT
+    CAST(min(CASE WHEN cum * 100 >= 25 * total THEN lag_min END) AS BIGINT)
+      AS p25_lag_min,
+    CAST(min(CASE WHEN cum * 100 >= 50 * total THEN lag_min END) AS BIGINT)
+      AS p50_lag_min,
+    CAST(min(CASE WHEN cum * 100 >= 75 * total THEN lag_min END) AS BIGINT)
+      AS p75_lag_min
+  FROM cum)
+SELECT n_signups, n_converted,
+       CAST(n_converted * 1000 // nullif(n_signups, 0) AS BIGINT)
+         AS conversion_permille,
+       p25_lag_min, p50_lag_min, p75_lag_min
+FROM s CROSS JOIN p
+"""
+
+
+# --- iqr_outlier_audit -----------------------------------------------------
+
+
+def _iqr_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier audit per event type: Q1/Q3 from the
+    cents-domain cumulative histogram (exact integer rank rule), the
+    1.5·IQR fences kept integer by working in HALF-cents
+    (lo = 2·Q1 − 3·IQR, hi = 2·Q3 + 3·IQR), and the outlier count
+    summed from the SAME histogram — one fact scan total, everything
+    after runs on the value-domain grain."""
+    events = load(spark, sf_dir, "events")
+    # the value-domain histogram feeds BOTH the quartile windows and
+    # the outlier recount — localCheckpoint so the fact table is
+    # scanned once (the domain grain is the natural persist point)
+    hist = (
+        events.groupBy(
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias(
+                "cents"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "cents",
+        "c",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_tot).alias("total"),
+    )
+
+    def pct(p: int) -> F.Column:
+        return F.min(
+            F.when(
+                F.col("cum") * 100 >= F.lit(p) * F.col("total"),
+                F.col("cents"),
+            )
+        )
+
+    quartiles = cum.groupBy("event_type").agg(
+        F.max("total").alias("n"),
+        pct(25).alias("q1_cents"),
+        pct(75).alias("q3_cents"),
+    )
+    fenced = quartiles.select(
+        "event_type",
+        "n",
+        "q1_cents",
+        "q3_cents",
+        (F.col("q3_cents") - F.col("q1_cents")).alias("iqr_cents"),
+        (
+            2 * F.col("q1_cents")
+            - 3 * (F.col("q3_cents") - F.col("q1_cents"))
+        ).alias("lo_half"),
+        (
+            2 * F.col("q3_cents")
+            + 3 * (F.col("q3_cents") - F.col("q1_cents"))
+        ).alias("hi_half"),
+    )
+    outliers = (
+        hist.join(F.broadcast(fenced), "event_type")
+        .filter(
+            (F.col("cents") * 2 < F.col("lo_half"))
+            | (F.col("cents") * 2 > F.col("hi_half"))
+        )
+        .groupBy("event_type")
+        .agg(F.sum("c").alias("n_outliers"))
+    )
+    return (
+        fenced.join(outliers, "event_type", "left")
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            "q1_cents",
+            "q3_cents",
+            "iqr_cents",
+            F.coalesce(F.col("n_outliers"), F.lit(0))
+            .cast("long")
+            .alias("n_outliers"),
+            F.expr(
+                "coalesce(n_outliers, 0) * 1000 div n"
+            ).alias("outlier_permille"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_IQR_SQL = """
+WITH hist AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         count(*) AS c
+  FROM events GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, cents, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY cents
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER (PARTITION BY event_type) AS total
+  FROM hist),
+q AS (
+  SELECT event_type, CAST(max(total) AS BIGINT) AS n,
+         CAST(min(CASE WHEN cum * 100 >= 25 * total THEN cents END)
+              AS BIGINT) AS q1_cents,
+         CAST(min(CASE WHEN cum * 100 >= 75 * total THEN cents END)
+              AS BIGINT) AS q3_cents
+  FROM cum GROUP BY event_type),
+f AS (
+  SELECT *, q3_cents - q1_cents AS iqr_cents,
+         2 * q1_cents - 3 * (q3_cents - q1_cents) AS lo_half,
+         2 * q3_cents + 3 * (q3_cents - q1_cents) AS hi_half
+  FROM q),
+o AS (
+  SELECT hist.event_type, CAST(sum(c) AS BIGINT) AS n_outliers
+  FROM hist JOIN f ON hist.event_type = f.event_type
+  WHERE cents * 2 < lo_half OR cents * 2 > hi_half
+  GROUP BY hist.event_type)
+SELECT f.event_type, n, q1_cents, q3_cents, iqr_cents,
+       CAST(coalesce(n_outliers, 0) AS BIGINT) AS n_outliers,
+       CAST(coalesce(n_outliers, 0) * 1000 // n AS BIGINT)
+         AS outlier_permille
+FROM f LEFT JOIN o ON f.event_type = o.event_type
+ORDER BY f.event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "ab_test_lift": QuerySpec(_ab_test_lift, _AB_TEST_SQL),
+    "funnel_conversion_lag_percentiles": QuerySpec(
+        _funnel_conversion_lag, _FUNNEL_LAG_SQL
+    ),
+    "iqr_outlier_audit": QuerySpec(_iqr_outlier_audit, _IQR_SQL),
     "diff_in_diff_revenue": QuerySpec(_diff_in_diff_revenue, _DID_SQL),
     "theil_sen_trend": QuerySpec(_theil_sen_trend, _THEIL_SEN_SQL),
     "bootstrap_ci_revenue": QuerySpec(_bootstrap_ci_revenue, _BOOTSTRAP_SQL),

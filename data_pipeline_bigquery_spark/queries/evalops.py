@@ -436,6 +436,81 @@ FROM nr CROSS JOIN h
 """
 
 
+# --- ab_test_power_mde -----------------------------------------------------
+
+
+def _ab_test_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect at the CURRENT arm sizes — the
+    experiment-planning readout (α=0.05 two-sided, 80% power):
+    MDE = (z_α/2 + z_β)·√(p(1−p)·(1/n_c + 1/n_t)) with the pooled
+    baseline rate.  The z constants are frozen literals (1.96, 0.84)
+    so no normal-quantile function is needed; sqrt is IEEE-exact and
+    the counts are exact integers, so both engines emit the same
+    double.  Shares the user-grain arm assignment with
+    ``ab_test_lift`` (`analytics9.converted_users`)."""
+    from data_pipeline_bigquery_spark.queries.analytics9 import (
+        converted_users,
+    )
+
+    users = converted_users(load(spark, sf_dir, "events"))
+    t = F.col("arm") == 1
+    m = users.agg(
+        F.sum(F.when(~t, 1).otherwise(0)).alias("n_control"),
+        F.sum(F.when(t, 1).otherwise(0)).alias("n_treatment"),
+        F.sum("converted").alias("conv_total"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    mde = (
+        "(1.96 + 0.84) * sqrt("
+        " (CAST(conv_total AS DOUBLE) / CAST(n_total AS DOUBLE))"
+        " * (1.0 - CAST(conv_total AS DOUBLE) / CAST(n_total AS DOUBLE))"
+        " * (1.0 / nullif(CAST(n_control AS DOUBLE), 0.0)"
+        "    + 1.0 / nullif(CAST(n_treatment AS DOUBLE), 0.0)))"
+    )
+    return m.select(
+        F.col("n_control").cast("long").alias("n_control"),
+        F.col("n_treatment").cast("long").alias("n_treatment"),
+        F.expr("conv_total * 1000 div n_total").alias(
+            "baseline_rate_permille"
+        ),
+        F.expr(f"round({mde}, 9)").alias("mde_abs"),
+        F.expr(f"CAST(floor({mde} * 1000) AS BIGINT)").alias(
+            "mde_permille"
+        ),
+    )
+
+
+def _power_mde_sql() -> str:
+    from data_pipeline_bigquery_spark.queries.analytics9 import (
+        CONVERTED_USERS_CTE,
+    )
+
+    mde = (
+        "(1.96 + 0.84) * sqrt("
+        " (CAST(conv_total AS DOUBLE) / CAST(n_total AS DOUBLE))"
+        " * (1.0 - CAST(conv_total AS DOUBLE) / CAST(n_total AS DOUBLE))"
+        " * (1.0 / nullif(CAST(n_control AS DOUBLE), 0.0)"
+        "    + 1.0 / nullif(CAST(n_treatment AS DOUBLE), 0.0)))"
+    )
+    return f"""
+WITH {CONVERTED_USERS_CTE},
+m AS (
+  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_control,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_treatment,
+         CAST(sum(converted) AS BIGINT) AS conv_total,
+         CAST(count(*) AS BIGINT) AS n_total
+  FROM u)
+SELECT n_control, n_treatment,
+       CAST(conv_total * 1000 // n_total AS BIGINT)
+         AS baseline_rate_permille,
+       round({mde}, 9) AS mde_abs,
+       CAST(floor({mde} * 1000) AS BIGINT) AS mde_permille
+FROM m
+"""
+
+
 # --- score_calibration_bins ------------------------------------------------
 
 
@@ -628,4 +703,5 @@ QUERIES: dict[str, QuerySpec] = {
     "score_calibration_bins": QuerySpec(
         _score_calibration_bins, _calibration_sql()
     ),
+    "ab_test_power_mde": QuerySpec(_ab_test_power_mde, _power_mde_sql()),
 }

@@ -302,3 +302,42 @@ def test_cuped_zero_pre_variance_is_null_not_crash(spark, tmp_path):
     assert out.theta is None
     assert out.lift_cuped_cents is None
     assert out.lift_raw_cents is not None  # raw lift still defined
+
+
+def test_funnel_lag_percentiles_ordered_and_bounded(spark):
+    r = _run(spark, "funnel_conversion_lag_percentiles",
+             "/root/testdata/sf0.01")[0]
+    assert 0 < r.n_converted <= r.n_signups
+    assert r.conversion_permille == r.n_converted * 1000 // r.n_signups
+    assert 0 <= r.p25_lag_min <= r.p50_lag_min <= r.p75_lag_min
+
+
+def test_iqr_outliers_match_brute_force(spark):
+    import duckdb
+
+    rows = {r.event_type: r for r in _run(spark, "iqr_outlier_audit")}
+    raw = duckdb.sql(
+        f"select event_type, CAST(floor(value*100+0.5) AS BIGINT) c "
+        f"from '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    by_type: dict[str, list[int]] = {}
+    for et, c in raw:
+        by_type.setdefault(et, []).append(c)
+    for et, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        # the rank rule: smallest v with cum*100 >= p*total
+        def q(p):
+            cum = 0
+            from collections import Counter
+
+            for v, c in sorted(Counter(vals).items()):
+                cum += c
+                if cum * 100 >= p * n:
+                    return v
+        q1, q3 = q(25), q(75)
+        iqr = q3 - q1
+        lo, hi = 2 * q1 - 3 * iqr, 2 * q3 + 3 * iqr
+        outliers = sum(1 for v in vals if v * 2 < lo or v * 2 > hi)
+        r = rows[et]
+        assert (r.q1_cents, r.q3_cents, r.n_outliers) == (q1, q3, outliers)
