@@ -368,3 +368,15 @@ def test_forecast_backtest_single_scan(spark, reg):
     df = _q(reg, spark, "forecast_backtest_mae")
     assert_single_scan(df, "events")
     assert_no_cartesian(df)
+
+
+def test_funnel_lag_checkpoint_single_fact_scan(spark, reg):
+    df = _q(reg, spark, "funnel_conversion_lag_percentiles")
+    assert_single_scan(df, "events")
+    assert_no_cartesian(df, allow_broadcast_nl=1)  # 1-row stats broadcast
+
+
+def test_iqr_audit_checkpoint_single_fact_scan(spark, reg):
+    df = _q(reg, spark, "iqr_outlier_audit")
+    assert_single_scan(df, "events")
+    assert_no_cartesian(df)
