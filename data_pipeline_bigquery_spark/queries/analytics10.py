@@ -65,12 +65,9 @@ from data_pipeline_bigquery_spark.catalog import load
 from data_pipeline_bigquery_spark.extensions.sampling import hash_bucket
 from data_pipeline_bigquery_spark.queries import QuerySpec
 
-
-def _md5_bucket_sql(expr: str, n: int) -> str:
-    return (
-        f"CAST(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 7)) "
-        f"AS BIGINT) % {n}"
-    )
+# the ONE oracle-side twin of sampling.hash_bucket — imported, not
+# copied, so the determinism-critical digits can never drift
+from data_pipeline_bigquery_spark.queries.analytics9 import _md5_bucket_sql
 
 
 def _md5_prefix_sql(expr: str) -> str:
@@ -182,6 +179,11 @@ def _mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = events.groupBy(
         "event_type", F.to_date("ts").alias("d")
     ).agg(F.count(F.lit(1)).alias("cnt"))
+    # cut lineage before the four DAG references (pair-join a/b, ties,
+    # base): the day grain is calendar-bounded; without this each
+    # branch re-runs the FULL events scan+agg (same pattern as
+    # theil_sen_trend, analytics9.py)
+    daily = daily.localCheckpoint()
     a, b = daily.alias("a"), daily.alias("b")
     s = (
         a.join(
@@ -213,7 +215,14 @@ def _mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days"))
     n = F.col("n_days")
     var_num = (n * (n - 1) * (2 * n + 5) - F.col("tie_term")).cast("long")
-    joined = base.join(ties, "event_type").join(s, "event_type")
+    # single-day types have ZERO pairs and would vanish from an inner
+    # join with `s` — left-join and coalesce S to 0 so "no evidence"
+    # is distinguishable from "type absent" (theil_sen precedent)
+    joined = (
+        base.join(ties, "event_type")
+        .join(s, "event_type", "left")
+        .withColumn("s_stat", F.coalesce(F.col("s_stat"), F.lit(0)))
+    )
     sigma = F.sqrt(F.col("var_num") / F.lit(18.0))
     guarded = F.when(sigma != 0.0, sigma)
     return (
@@ -253,12 +262,13 @@ ties AS (
   GROUP BY 1),
 base AS (SELECT event_type, count(*) AS n_days FROM daily GROUP BY 1),
 j AS (
-  SELECT base.event_type, n_days, s_stat,
+  SELECT base.event_type, n_days,
+         CAST(coalesce(s_stat, 0) AS BIGINT) AS s_stat,
          CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS BIGINT)
            AS var_num
   FROM base
   JOIN ties USING (event_type)
-  JOIN s USING (event_type))
+  LEFT JOIN s USING (event_type))
 SELECT event_type, n_days, s_stat, var_num,
        CASE WHEN s_stat > 0
               THEN (s_stat - 1) / nullif(sqrt(var_num / 18.0), 0.0)
@@ -273,11 +283,20 @@ FROM j ORDER BY event_type
 
 
 def _order_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (order, part) grain — the co-visitation input."""
+    """Distinct (order, part) grain — the co-visitation input.
+
+    localCheckpoint cuts lineage: the grain feeds the pair self-join,
+    the degree aggregate, and (in the recs key) the history join —
+    Catalyst's attribute dedup on self-joins defeats ReuseExchange, so
+    without the cut each reference re-runs the full lineitem
+    scan+distinct (6-8 fact scans measured).  Materializing the grain
+    once is the distributed-cache tradeoff a co-visitation build makes
+    at any scale."""
     return (
         load(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct()
+        .localCheckpoint()
     )
 
 
@@ -389,6 +408,8 @@ def _covisitation_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(op, "o")
         .select(F.col("o_custkey").alias("cust"), "p")
         .distinct()
+        # referenced twice (score join + owned anti-join) — cut lineage
+        .localCheckpoint()
     )
     w = Window.partitionBy("part").orderBy(
         F.col("cosine").desc(), F.col("cnt").desc(), F.col("neighbor")
@@ -476,6 +497,9 @@ def _seasonal_naive_skill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents"
         )
     )
+    # three aliases of the day grain → cut lineage so the fact table
+    # scans once, not three times (theil_sen pattern)
+    daily = daily.localCheckpoint()
     cur, l1, l7 = daily.alias("cur"), daily.alias("l1"), daily.alias("l7")
     joined = cur.join(
         l1,
@@ -539,20 +563,24 @@ def _bigram_coverage_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coverage of each doc's bigram stream in the corpus top-200
     bigrams, histogrammed by source × coverage decile.
 
-    Scale: one corpus scan builds the exploded bigram stream; the
-    vocabulary is a count groupBy + TakeOrderedAndProject(200) (never
-    a global window); the coverage join broadcasts 200 rows.  Docs
-    with fewer than two tokens carry no bigrams and are excluded.
+    Scale: the corpus parquet scans ONCE — the tokenized doc grain is
+    checkpointed before its three uses (vocabulary count, coverage
+    join, doc-grain denominator), so only in-memory rows re-explode;
+    the vocabulary is a count groupBy + TakeOrderedAndProject(200)
+    (never a global window); the coverage join broadcasts 200 rows;
+    the per-doc denominator comes from the doc grain directly — no
+    distinct over the exploded stream.  Docs with fewer than two
+    tokens carry no bigrams and are excluded.
     """
     docs = (
         load(spark, sf_dir, "documents")
         .select("doc_id", "source", F.split("text", " ").alias("words"))
         .filter(F.size("words") >= 2)
+        .withColumn("n_bg", (F.size("words") - 1).cast("long"))
+        .localCheckpoint()
     )
     bg = docs.select(
         "doc_id",
-        "source",
-        (F.size("words") - 1).cast("long").alias("n_bg"),
         F.explode(
             F.expr(
                 "transform(sequence(1, size(words) - 1), i ->"
@@ -574,8 +602,7 @@ def _bigram_coverage_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("covered"))
     )
     grain = (
-        bg.select("doc_id", "source", "n_bg")
-        .distinct()
+        docs.select("doc_id", "source", "n_bg")
         .join(covered, "doc_id", "left")
         .select(
             "source",
@@ -765,7 +792,14 @@ def _cdc_net_effect_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     compacted = stream.groupBy("k", "month", "pre_existing").agg(
         F.expr("max_by(chg.op, chg.seq)").alias("last_op"),
-        F.expr("max_by(chg.val, chg.seq)").alias("final_cents"),
+        # last-wins over NON-DELETE ops only: Spark's max_by returns
+        # the (NULL) value at the max seq while DuckDB's skips
+        # NULL-value rows — guarding BOTH args keeps the intermediate
+        # engine-identical (probed live on both engines)
+        F.expr(
+            "max_by(CASE WHEN chg.op <> 'D' THEN chg.val END,"
+            " CASE WHEN chg.op <> 'D' THEN chg.seq END)"
+        ).alias("final_cents"),
     )
     net = compacted.withColumn(
         "net_op",
@@ -818,7 +852,8 @@ stream AS (
 compacted AS (
   SELECT k, month, pre_existing,
          max_by(op, seq) AS last_op,
-         max_by(val, seq) AS final_cents
+         max_by(CASE WHEN op <> 'D' THEN val END,
+                CASE WHEN op <> 'D' THEN seq END) AS final_cents
   FROM stream GROUP BY 1, 2, 3),
 net AS (
   SELECT month,

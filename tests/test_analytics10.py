@@ -168,6 +168,21 @@ def test_mann_kendall_matches_model(spark, tmp_path):
     assert out["up"].z > 2 and out["down"].z < -2
 
 
+def test_mann_kendall_single_day_type_not_dropped(spark, tmp_path):
+    # a type observed on ONE day has zero pairs — it must still appear
+    # (n_days=1, S=0) rather than silently vanish from the report
+    rows = [(0, dt.datetime(2024, 6, 1, 9), "lonely", 1.0)] + [
+        (1 + d, dt.datetime(2024, 6, 1 + d, 9), "steady", 1.0)
+        for d in range(4)
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = {r.event_type: r for r in _run(
+        spark, "mann_kendall_trend", str(tmp_path))}
+    assert set(out) == {"lonely", "steady"}
+    assert (out["lonely"].n_days, out["lonely"].s_stat) == (1, 0)
+    assert out["lonely"].var_num == 0 and out["lonely"].z == 0.0
+
+
 def test_mann_kendall_constant_series_null_z(spark, tmp_path):
     rows = [
         (d * 2 + j, dt.datetime(2024, 4, 1 + d, 10), "flat", 1.0)
