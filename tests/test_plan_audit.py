@@ -380,3 +380,42 @@ def test_iqr_audit_checkpoint_single_fact_scan(spark, reg):
     df = _q(reg, spark, "iqr_outlier_audit")
     assert_single_scan(df, "events")
     assert_no_cartesian(df)
+
+
+def test_mann_kendall_checkpoint_single_fact_scan(spark, reg):
+    df = _q(reg, spark, "mann_kendall_trend")
+    # day grain is localCheckpoint'd before its four DAG references
+    # (pair join a/b, tie groups, base counts): 4 events scans naive
+    assert_single_scan(df, "events")
+    assert_no_cartesian(df)
+
+
+def test_seasonal_skill_checkpoint_single_fact_scan(spark, reg):
+    df = _q(reg, spark, "seasonal_naive_skill")
+    assert_single_scan(df, "events")
+    assert_no_cartesian(df)
+
+
+def test_bigram_coverage_checkpoint_single_corpus_scan(spark, reg):
+    df = _q(reg, spark, "bigram_coverage_quality")
+    # tokenized doc grain checkpointed before vocabulary / coverage /
+    # denominator branches (3 corpus scans naive)
+    assert_single_scan(df, "documents")
+    assert_no_cartesian(df)
+
+
+def test_covisitation_checkpoint_single_fact_scan(spark, reg):
+    df = _q(reg, spark, "item_item_covisitation")
+    # (order, part) grain checkpointed before the pair self-join and
+    # both degree joins (6 lineitem scans naive)
+    assert_single_scan(df, "lineitem")
+    assert_no_cartesian(df)
+
+
+def test_covisitation_recs_checkpoint_bounded_scans(spark, reg):
+    df = _q(reg, spark, "covisitation_recs")
+    # op and hist grains are both checkpointed (8 lineitem + 2 orders
+    # scans naive); orders is read once into the hist checkpoint
+    assert_single_scan(df, "lineitem")
+    assert_single_scan(df, "orders")
+    assert_no_cartesian(df)
