@@ -419,3 +419,30 @@ def test_covisitation_recs_checkpoint_bounded_scans(spark, reg):
     assert_single_scan(df, "lineitem")
     assert_single_scan(df, "orders")
     assert_no_cartesian(df)
+
+
+def test_t_closeness_single_scan_broadcast_global(spark, reg):
+    df = _q(reg, spark, "t_closeness_audit")
+    # group table checkpointed; the 1-row global rollup broadcasts back
+    assert_single_scan(df, "customer")
+    assert_no_cartesian(df, allow_broadcast_nl=1)
+
+
+def test_auc_ranksum_single_scan(spark, reg):
+    df = _q(reg, spark, "model_auc_ranksum")
+    # fact → user grain → score-domain histogram → global agg: one scan
+    assert_single_scan(df, "events")
+    assert_no_cartesian(df)
+
+
+def test_pinball_checkpoint_single_fact_scan(spark, reg):
+    df = _q(reg, spark, "quantile_pinball_eval")
+    assert_single_scan(df, "events")
+    assert_no_cartesian(df)
+
+
+def test_rag_chunks_single_scan_no_shuffle_agg(spark, reg):
+    df = _q(reg, spark, "rag_chunk_windows")
+    # map-side explode: one corpus scan, no join, no aggregation
+    assert_single_scan(df, "documents")
+    assert_no_cartesian(df)
