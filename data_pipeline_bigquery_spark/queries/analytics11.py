@@ -137,11 +137,17 @@ def _model_auc_ranksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     events = load(spark, sf_dir, "events")
     users = events.groupBy("user_id").agg(
-        F.sum(
-            F.when(
-                F.col("event_type") != "purchase",
-                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
-            ).otherwise(0)
+        # coalesce: a user whose engagement rows ALL carry NULL value
+        # would otherwise score NULL and sort differently between
+        # engines (Spark NULLS FIRST vs DuckDB NULLS LAST)
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") != "purchase",
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+                ).otherwise(0)
+            ),
+            F.lit(0),
         ).alias("score_cents"),
         F.max(
             F.when(
@@ -181,9 +187,9 @@ def _model_auc_ranksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 _AUC_SQL = """
 WITH users AS (
   SELECT user_id,
-         CAST(sum(CASE WHEN event_type <> 'purchase'
+         CAST(coalesce(sum(CASE WHEN event_type <> 'purchase'
                        THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
-                       ELSE 0 END) AS BIGINT) AS score_cents,
+                       ELSE 0 END), 0) AS BIGINT) AS score_cents,
          max(CASE WHEN event_type = 'purchase' AND value >= 250
                   THEN 1 ELSE 0 END) AS converted
   FROM events GROUP BY 1),
@@ -225,8 +231,13 @@ def _quantile_pinball_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         events.groupBy("event_type", F.to_date("ts").alias("d"))
         .agg(
-            F.sum(
-                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            # coalesce: an all-NULL-value day would rank NULLS FIRST
+            # in Spark, NULLS LAST in DuckDB — pin it to 0 cents
+            F.coalesce(
+                F.sum(
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                ),
+                F.lit(0),
             ).alias("cents")
         )
         .withColumn(
@@ -309,8 +320,8 @@ def _quantile_pinball_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PINBALL_SQL = """
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS d,
-         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
-           AS cents,
+         CAST(coalesce(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)), 0)
+              AS BIGINT) AS cents,
          row_number() OVER (PARTITION BY event_type ORDER BY CAST(ts AS DATE))
            AS rn_d,
          count(*) OVER (PARTITION BY event_type) AS nd
@@ -359,8 +370,13 @@ def _rag_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     One corpus scan; the chunk grid explodes from
     ``sequence(0, n−1, 16)`` (ascending — n ≥ 1 is guaranteed by the
     split) and the tail window relies on the slice clamp both engines
-    share.  At scale this is the map-side ingestion step feeding an
-    embedding/indexing stage — no shuffle at all.
+    share.  A start is emitted only when the PREVIOUS window did not
+    already reach end-of-document (s = 0 or s + stride < n), so no
+    chunk is a strict suffix of its predecessor and the last window
+    still reaches EOD — the grid covers every token exactly once per
+    overlapping layer with no redundant tail.  At scale this is the
+    map-side ingestion step feeding an embedding/indexing stage — no
+    shuffle at all.
     """
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("words")
@@ -372,6 +388,9 @@ def _rag_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.expr(f"sequence(0, size(words) - 1, {_CHUNK_STRIDE})")
         ).alias("start_tok"),
+    ).filter(
+        (F.col("start_tok") == 0)
+        | (F.col("start_tok") + _CHUNK_STRIDE < F.col("n_tokens"))
     )
     return chunks.select(
         "doc_id",
@@ -391,9 +410,11 @@ def _rag_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHUNK_SQL = f"""
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
 grid AS (
-  SELECT doc_id, words, len(words) AS n_tokens,
-         unnest(range(0, len(words), {_CHUNK_STRIDE})) AS start_tok
-  FROM w)
+  SELECT * FROM (
+    SELECT doc_id, words, len(words) AS n_tokens,
+           unnest(range(0, len(words), {_CHUNK_STRIDE})) AS start_tok
+    FROM w)
+  WHERE start_tok = 0 OR start_tok + {_CHUNK_STRIDE} < n_tokens)
 SELECT doc_id,
        CAST(start_tok // {_CHUNK_STRIDE} + 1 AS BIGINT) AS chunk_no,
        CAST(start_tok AS BIGINT) AS start_tok,

@@ -197,14 +197,33 @@ def test_pinball_matches_model(spark, tmp_path):
         assert r.pinball_x10 == loss
 
 
-def test_pinball_p90_penalizes_underforecast_more(spark):
+def test_pinball_quantile_forecasts_monotone(spark):
     out = {(r.event_type, r.q_tenths): r for r in _run(
         spark, "quantile_pinball_eval")}
     # structural: each type has both quantiles, and the P90 forecast
-    # is >= the P50 forecast (order statistics are monotone in q)
+    # is >= the P50 forecast (order statistics are monotone in q);
+    # loss-asymmetry itself is pinned exactly by test_pinball_matches
+    # _model and test_pinball_loss_asymmetry
     types = {t for t, _ in out}
     for t in types:
         assert out[(t, 9)].forecast_cents >= out[(t, 5)].forecast_cents
+
+
+def test_pinball_loss_asymmetry(spark, tmp_path):
+    # train pins both forecasts to 100.00; the single test day
+    # overshoots by 50.00 → q=.9 charges 9×50×100 = 45000,
+    # q=.5 charges 5×50×100 = 25000 (a q/(q-10) sign flip would
+    # instead charge 5000/25000 and fail both)
+    rows = [
+        (d, dt.datetime(2024, 9, 1) + dt.timedelta(days=d), 1, "sale", 100.0)
+        for d in range(3)
+    ] + [(9, dt.datetime(2024, 9, 4), 1, "sale", 150.0)]
+    _write_events(spark, tmp_path, rows)
+    out = {r.q_tenths: r for r in _run(
+        spark, "quantile_pinball_eval", str(tmp_path))}
+    assert out[5].forecast_cents == 10000 and out[9].forecast_cents == 10000
+    assert out[5].pinball_x10 == 5 * 5000
+    assert out[9].pinball_x10 == 9 * 5000
 
 
 # --- rag_chunk_windows -------------------------------------------------------
@@ -212,10 +231,10 @@ def test_pinball_p90_penalizes_underforecast_more(spark):
 
 def test_chunk_grid_matches_reference_chunker(spark, tmp_path):
     texts = {
-        1: " ".join(f"t{i}" for i in range(40)),   # 40 tokens → 3 chunks
-        2: " ".join(f"u{i}" for i in range(32)),   # exactly one window+tail
+        1: " ".join(f"t{i}" for i in range(40)),   # 40 tokens → 2 chunks
+        2: " ".join(f"u{i}" for i in range(32)),   # one window, no tail dup
         3: "single",                                # 1 token → 1 chunk
-        4: " ".join(f"v{i}" for i in range(100)),  # 7 chunks
+        4: " ".join(f"v{i}" for i in range(100)),  # 6 chunks
     }
     spark.createDataFrame(
         [(k, v, "en", "src", len(v)) for k, v in texts.items()],
@@ -229,9 +248,12 @@ def test_chunk_grid_matches_reference_chunker(spark, tmp_path):
         got.setdefault(r.doc_id, []).append(r)
     for doc_id, text in texts.items():
         toks = text.split(" ")
+        # reference chunker: emit while the previous window has not
+        # yet reached end-of-document (no chunk may be a strict
+        # suffix of its predecessor; the last window reaches EOD)
         expect = []
         s = 0
-        while s < len(toks):
+        while s == 0 or s + 16 < len(toks):
             expect.append((s, toks[s : s + 32]))
             s += 16
         chunks = sorted(got[doc_id], key=lambda r: r.chunk_no)
@@ -240,6 +262,12 @@ def test_chunk_grid_matches_reference_chunker(spark, tmp_path):
             assert r.start_tok == start
             assert r.n_tok == len(window)
             assert r.chunk_text == " ".join(window)
-        # stride-aligned reconstruction: every even chunk concatenated
-        # by its first 16 tokens re-covers the doc exactly
+        # full-coverage reconstruction: each chunk's fresh (first-
+        # stride) tokens, plus the final chunk's tail, re-cover the
+        # document exactly
+        rebuilt = []
+        for i, r in enumerate(chunks):
+            window = r.chunk_text.split(" ")
+            rebuilt.extend(window if i == len(chunks) - 1 else window[:16])
+        assert rebuilt == toks
         assert chunks[0].chunk_no == 1
