@@ -47,6 +47,15 @@ def hash_bucket(key: Column | str, n_buckets: int = 100) -> Column:
     return (F.conv(hex7, 16, 10).cast("long") % n_buckets).alias("bucket")
 
 
+def md5_prefix_long(payload: Column) -> Column:
+    """BIGINT from the first 7 hex digits of md5 of an already-built
+    string payload — the row-digest idiom (< 2^28, so per-partition
+    BIGINT sums never overflow).  Same digits as :func:`hash_bucket`
+    without the modulus; oracle twin:
+    ``CAST(('0x' || substr(md5(payload), 1, 7)) AS BIGINT)``."""
+    return F.conv(F.substring(F.md5(payload), 1, 7), 16, 10).cast("long")
+
+
 def assign_split(
     df: DataFrame,
     key: str,

@@ -77,9 +77,13 @@ def _md5_prefix_sql(expr: str) -> str:
 
 
 def _md5_prefix(col):
-    """Spark twin of :func:`_md5_prefix_sql` (same digits as
-    ``sampling.hash_bucket`` without the modulus)."""
-    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
+    """Spark twin of :func:`_md5_prefix_sql` — the shared row-digest
+    helper (also used by the streaming reconciliation monitor)."""
+    from data_pipeline_bigquery_spark.extensions.sampling import (
+        md5_prefix_long,
+    )
+
+    return md5_prefix_long(col)
 
 
 _CENTS = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
