@@ -124,6 +124,33 @@ def minhash_signatures(shingles: DataFrame, num_perm: int = DEFAULT_NUM_PERM) ->
     return with_base.groupBy("doc_id").agg(*aggs)
 
 
+def banded_signatures(
+    signatures: DataFrame,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """(doc_id, band_idx, band_hash) rows from a signature table — the
+    LSH banding step, exposed on its own so a signature MANIFEST can be
+    exported for cross-corpus dedup (join a future corpus's bands
+    against this table instead of re-deduping the union from scratch).
+    """
+    rows_per_band = num_perm // bands
+    band_hashes = [
+        F.expr(
+            "md5(concat_ws('_', "
+            + ", ".join(
+                f"cast(sig_{j} as string)"
+                for j in range(b * rows_per_band, (b + 1) * rows_per_band)
+            )
+            + "))"
+        )
+        for b in range(bands)
+    ]
+    return signatures.select(
+        "doc_id", F.posexplode(F.array(*band_hashes)).alias("band_idx", "band_hash")
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     num_perm: int = DEFAULT_NUM_PERM,
@@ -145,21 +172,7 @@ def lsh_candidate_pairs(
     above the cap are dropped — a bucket that hot is boilerplate, not a
     near-dup cluster, and would contribute O(n²) junk pairs.
     """
-    rows_per_band = num_perm // bands
-    band_hashes = [
-        F.expr(
-            "md5(concat_ws('_', "
-            + ", ".join(
-                f"cast(sig_{j} as string)"
-                for j in range(b * rows_per_band, (b + 1) * rows_per_band)
-            )
-            + "))"
-        )
-        for b in range(bands)
-    ]
-    banded = signatures.select(
-        "doc_id", F.posexplode(F.array(*band_hashes)).alias("band_idx", "band_hash")
-    )
+    banded = banded_signatures(signatures, num_perm, bands)
     buckets = (
         banded.groupBy("band_idx", "band_hash")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))

@@ -583,11 +583,11 @@ WHERE NOT EXISTS (
 _QSCALE = 1_000_000
 
 
-def _nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Label-separability audit over the embedding table: assign every
-    vector to its nearest LABEL CENTROID and cross-tabulate true vs
-    assigned — the confusion matrix that tells you whether labels are
-    linearly separable before you spend GPU time on them.
+def assigned_label_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector nearest-LABEL-CENTROID assignment — (vec_id, label,
+    c_label, dist, rn=1) rows; the shared core of the
+    ``nearest_centroid_confusion`` audit and the
+    ``semantic_diversity_sample`` curation key (analytics12).
 
     Engine-portable float policy: components quantize to integer
     micros (float→double is exact, ×1e6 correctly rounded, floor
@@ -654,13 +654,27 @@ def _nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", "c_label", dist.alias("dist"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
+    )
+
+
+def _nearest_centroid_confusion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The confusion rollup over :func:`assigned_label_cells` (see that
+    helper for the full float policy and plan-shape discussion)."""
+    return (
+        assigned_label_cells(spark, sf_dir)
         .groupBy("label", F.col("c_label").alias("assigned"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
 
 
-_CENTROID_SQL = f"""
-WITH q AS (
+def assigned_cells_ctes() -> str:
+    """CTE chain ending in ``assigned`` — (vec_id, label, c_label,
+    dist) per vector, rn=1 rows only.  Shared by the confusion oracle
+    here and the diversity-sample oracle (analytics12), so the
+    assignment arithmetic can never fork between the two."""
+    return f"""q AS (
   SELECT vec_id, label,
          [CAST(floor(CAST(x AS DOUBLE) * {_QSCALE}) AS BIGINT)
           for x in embedding] AS qv
@@ -683,15 +697,23 @@ dists AS (
   FROM ex e JOIN cent c USING (dim)
   GROUP BY 1, 2, 3),
 r AS (
-  SELECT label, c_label,
+  SELECT vec_id, label, c_label,
+         CAST(num AS DOUBLE)
+           / (CAST(n_l AS DOUBLE) * CAST(n_l AS DOUBLE)) AS dist,
          row_number() OVER (PARTITION BY vec_id
                             ORDER BY CAST(num AS DOUBLE)
                                      / (CAST(n_l AS DOUBLE)
                                         * CAST(n_l AS DOUBLE)),
                                      c_label) AS rn
-  FROM dists)
+  FROM dists),
+assigned AS (
+  SELECT vec_id, label, c_label, dist FROM r WHERE rn = 1)"""
+
+
+_CENTROID_SQL = f"""
+WITH {assigned_cells_ctes()}
 SELECT label, c_label AS assigned, CAST(count(*) AS BIGINT) AS n
-FROM r WHERE rn = 1 GROUP BY 1, 2
+FROM assigned GROUP BY 1, 2
 """
 
 

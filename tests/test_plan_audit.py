@@ -446,3 +446,29 @@ def test_rag_chunks_single_scan_no_shuffle_agg(spark, reg):
     # map-side explode: one corpus scan, no join, no aggregation
     assert_single_scan(df, "documents")
     assert_no_cartesian(df)
+
+
+def test_croston_single_fact_scan(spark, reg):
+    df = _q(reg, spark, "croston_intermittent_forecast")
+    assert_single_scan(df, "events")
+    assert_no_cartesian(df)
+
+
+def test_diversity_sample_broadcast_assignment(spark, reg):
+    df = _q(reg, spark, "semantic_diversity_sample")
+    # the 10-row (centroid, count) side broadcasts; the corpus never
+    # shuffles for assignment (same plan family as the confusion key)
+    assert_no_cartesian(df, allow_broadcast_nl=1)
+
+
+def test_signature_manifest_single_corpus_scan(spark, reg):
+    df = _q(reg, spark, "dedup_signature_manifest")
+    assert_single_scan(df, "documents")
+    assert_no_cartesian(df)
+
+
+def test_source_overlap_checkpoint_single_scan(spark, reg):
+    df = _q(reg, spark, "source_overlap_matrix")
+    # (source, digest) grain checkpointed before totals + pair join
+    assert_single_scan(df, "documents")
+    assert_no_cartesian(df)
