@@ -134,3 +134,18 @@ def assert_dynamic_partition_pruning(df: DataFrame) -> None:
         "no dynamic-pruning subquery in the plan — the fact scan lists "
         "every partition regardless of the dim filter"
     )
+
+
+def assert_lineage_cut(df: DataFrame) -> None:
+    """The plan reads at least one checkpointed RDD (``Scan
+    ExistingRDD``) — i.e. a ``localCheckpoint`` lineage cut is still in
+    place.  Pairs with :func:`assert_single_scan`: the checkpoint
+    truncates the upstream scan out of the audited plan, so
+    ``assert_single_scan`` alone would pass vacuously; asserting the
+    cut keeps the contract honest (removing the checkpoint re-exposes
+    the duplicate scans AND fails this assertion's partner counts)."""
+    plan = formatted_plan(df)
+    assert "ExistingRDD" in plan, (
+        "no checkpointed RDD in plan — the localCheckpoint lineage cut "
+        "this query relies on (to scan the fact table once) is gone"
+    )

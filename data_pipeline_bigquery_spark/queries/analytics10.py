@@ -187,7 +187,7 @@ def _mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # base): the day grain is calendar-bounded; without this each
     # branch re-runs the FULL events scan+agg (same pattern as
     # theil_sen_trend, analytics9.py)
-    daily = daily.localCheckpoint()
+    daily = daily.localCheckpoint(eager=False)
     a, b = daily.alias("a"), daily.alias("b")
     s = (
         a.join(
@@ -300,7 +300,7 @@ def _order_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
 
@@ -413,7 +413,7 @@ def _covisitation_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("cust"), "p")
         .distinct()
         # referenced twice (score join + owned anti-join) — cut lineage
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     w = Window.partitionBy("part").orderBy(
         F.col("cosine").desc(), F.col("cnt").desc(), F.col("neighbor")
@@ -503,7 +503,7 @@ def _seasonal_naive_skill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # three aliases of the day grain → cut lineage so the fact table
     # scans once, not three times (theil_sen pattern)
-    daily = daily.localCheckpoint()
+    daily = daily.localCheckpoint(eager=False)
     cur, l1, l7 = daily.alias("cur"), daily.alias("l1"), daily.alias("l7")
     joined = cur.join(
         l1,
@@ -581,7 +581,7 @@ def _bigram_coverage_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", F.split("text", " ").alias("words"))
         .filter(F.size("words") >= 2)
         .withColumn("n_bg", (F.size("words") - 1).cast("long"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     bg = docs.select(
         "doc_id",

@@ -72,7 +72,7 @@ def _t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         F.sum(F.when(F.col("band") == 0, 1).otherwise(0)).alias("b0"),
         F.sum(F.when(F.col("band") == 1, 1).otherwise(0)).alias("b1"),
-    ).localCheckpoint()  # feeds both the global rollup and the join
+    ).localCheckpoint(eager=False)  # feeds both the global rollup and the join
     glob = groups.groupBy().agg(
         F.sum("n_members").alias("n_total"),
         F.sum("b0").alias("g0"),
@@ -249,7 +249,7 @@ def _quantile_pinball_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "nd", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     train = daily.filter(F.col("rn_d") <= (F.col("nd") + 1) / 2).select(
         "event_type", "d", "cents"

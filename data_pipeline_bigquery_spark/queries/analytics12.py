@@ -41,14 +41,8 @@ from pyspark.sql import functions as F
 
 from data_pipeline_bigquery_spark.catalog import load
 from data_pipeline_bigquery_spark.extensions.dedup_text import (
-    DEFAULT_BANDS,
-    DEFAULT_NUM_PERM,
-    DEFAULT_SHINGLE_K,
-    DEFAULT_SHINGLE_STRIDE,
-    MINHASH_MOD,
     banded_signatures,
     char_shingles,
-    minhash_perm_multiplier,
     minhash_signatures,
 )
 from data_pipeline_bigquery_spark.queries import QuerySpec
@@ -181,10 +175,14 @@ def _semantic_diversity_sample(
     vec_id tie-break) + cell population — one pass over the shared
     assignment (count and argmin from the same cell window)."""
     assigned = assigned_label_cells(spark, sf_dir)
-    w = Window.partitionBy("c_label").orderBy("dist", "vec_id")
+    # rank on the EXACT DECIMAL numerator: within a cell every row
+    # shares n_l, so dist_num orders identically to dist — but without
+    # the double cast whose last ulp differs between engines (a near-
+    # tie under one ulp would otherwise pick different representatives)
+    w = Window.partitionBy("c_label").orderBy("dist_num", "vec_id")
     wc = Window.partitionBy("c_label")
     return (
-        assigned.select("vec_id", "c_label", "dist")
+        assigned.select("vec_id", "c_label", "dist_num")
         .withColumn("rk", F.row_number().over(w))
         .withColumn("n_in_cell", F.count(F.lit(1)).over(wc).cast("long"))
         .filter(F.col("rk") == 1)
@@ -206,9 +204,9 @@ def _semantic_diversity_sample(
 _DIVERSITY_SQL = f"""
 WITH {assigned_cells_ctes()},
 win AS (
-  SELECT c_label, vec_id, dist,
+  SELECT c_label, vec_id,
          row_number() OVER (PARTITION BY c_label
-                            ORDER BY dist, vec_id) AS rk,
+                            ORDER BY dist_num, vec_id) AS rk,
          count(*) OVER (PARTITION BY c_label) AS n_in_cell
   FROM assigned)
 SELECT c_label AS cell, vec_id AS rep_vec_id,
@@ -232,39 +230,17 @@ def _dedup_signature_manifest(
 
 
 def _manifest_sql() -> str:
-    """Oracle from the SAME tuning constants as the Spark path (the
-    string mirrors the proven ``dedup_minhash_lsh`` oracle's shingle →
-    signature → band chain, pointed at raw ``documents``)."""
-    k, stride = DEFAULT_SHINGLE_K, DEFAULT_SHINGLE_STRIDE
-    rows = DEFAULT_NUM_PERM // DEFAULT_BANDS
-    sigs = ",\n               ".join(
-        f"min(({minhash_perm_multiplier(j)} * h + {j}) % {MINHASH_MOD})"
-        f" AS s{j}"
-        for j in range(DEFAULT_NUM_PERM)
+    """Oracle built by the SAME generator as the ``dedup_minhash_lsh``
+    oracle (``extensions.minhash_lng_ctes``), pointed at the raw
+    corpus — one oracle-side implementation of the band arithmetic,
+    matching the one Spark-side implementation."""
+    from data_pipeline_bigquery_spark.queries.extensions import (
+        minhash_lng_ctes,
     )
-    bands = ", ".join(
-        "md5(concat_ws('_', "
-        + ", ".join(f"s{j}" for j in range(b * rows, (b + 1) * rows))
-        + f")) AS b{b}"
-        for b in range(DEFAULT_BANDS)
-    )
-    lng = "\n  UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_idx, b{b} AS band_hash FROM bands"
-        for b in range(DEFAULT_BANDS)
-    )
+
     return f"""
-WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),
-sh AS (SELECT doc_id,
-              CAST(('0x' || substr(md5(substr(t, CAST(i AS INT), {k})), 1, 7))
-                   AS BIGINT) AS h
-       FROM t,
-            UNNEST(range(1, greatest(length(t) - {k - 1}, 1) + 1, {stride}))
-              AS u(i)),
-sig AS (SELECT doc_id,
-               {sigs}
-        FROM sh GROUP BY doc_id),
-bands AS (SELECT doc_id, {bands} FROM sig),
-lng AS ({lng})
+WITH raw AS (SELECT doc_id, lower(text) AS t FROM documents),
+{minhash_lng_ctes("raw")}
 SELECT doc_id, band_idx, band_hash FROM lng ORDER BY doc_id, band_idx
 """
 
@@ -288,7 +264,7 @@ def _source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("source", F.md5("chunk").alias("h"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     totals = ch.groupBy("source").agg(F.count(F.lit(1)).alias("n_chunks"))
     a, b = ch.alias("a"), ch.alias("b")

@@ -633,7 +633,7 @@ def assigned_label_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = cent.join(counts, "label").select(
         F.col("label").alias("c_label"), "c", "n_l"
     )
-    dist = F.aggregate(
+    num = F.aggregate(
         F.zip_with(
             "q",
             "c",
@@ -644,14 +644,25 @@ def assigned_label_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(0).cast("decimal(38,6)"),
         lambda acc, x: acc + x,
-    ).cast("double") / (
+    )
+    dist = num.cast("double") / (
         # square in DOUBLE: int64 n_l*n_l wraps above ~3e9 rows/label
         F.col("n_l").cast("double") * F.col("n_l").cast("double")
     )
     w = Window.partitionBy("vec_id").orderBy("dist", "c_label")
     return (
         emb.crossJoin(F.broadcast(cents))
-        .select("vec_id", "label", "c_label", dist.alias("dist"))
+        .select(
+            "vec_id",
+            "label",
+            "c_label",
+            dist.alias("dist"),
+            # the EXACT pre-division numerator: within one cell n_l is
+            # constant, so ordering by dist_num ≡ ordering by dist but
+            # in exact DECIMAL arithmetic (the diversity sample ranks
+            # on this — the double dist is ulp-divergent cross-engine)
+            num.alias("dist_num"),
+        )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
     )
@@ -697,7 +708,7 @@ dists AS (
   FROM ex e JOIN cent c USING (dim)
   GROUP BY 1, 2, 3),
 r AS (
-  SELECT vec_id, label, c_label,
+  SELECT vec_id, label, c_label, num AS dist_num,
          CAST(num AS DOUBLE)
            / (CAST(n_l AS DOUBLE) * CAST(n_l AS DOUBLE)) AS dist,
          row_number() OVER (PARTITION BY vec_id
@@ -707,7 +718,7 @@ r AS (
                                      c_label) AS rn
   FROM dists),
 assigned AS (
-  SELECT vec_id, label, c_label, dist FROM r WHERE rn = 1)"""
+  SELECT vec_id, label, c_label, dist, dist_num FROM r WHERE rn = 1)"""
 
 
 _CENTROID_SQL = f"""

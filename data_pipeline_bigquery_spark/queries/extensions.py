@@ -113,10 +113,14 @@ def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sigs)
 
 
-def _minhash_ctes() -> str:
-    """CTE chain ending in ``pairs`` — generated from the SAME tuning
-    constants as the Spark path; shared by the pair query and the
-    cluster query's oracle."""
+def minhash_lng_ctes(source: str) -> str:
+    """The shingle → signature → band CTE chain (``sh``/``sig``/
+    ``bands``/``lng``) over ``source``, a CTE/table exposing
+    (doc_id, t) with t already lowercased — generated from the SAME
+    tuning constants as the Spark path.  The ONE oracle-side generator
+    of this arithmetic: the dedup pair/cluster oracles here and the
+    ``dedup_signature_manifest`` oracle (analytics12) all call it, so
+    the banding scheme can never fork between them."""
     from data_pipeline_bigquery_spark.extensions.dedup_text import (
         DEFAULT_BANDS as NB,
         DEFAULT_NUM_PERM as NP,
@@ -139,17 +143,24 @@ def _minhash_ctes() -> str:
     lng = "\n        UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_idx, b{b} AS band_hash FROM bands" for b in range(NB)
     )
-    return (
-        _aug_cte()
-        + f""",
-sh AS (SELECT doc_id,
+    return f"""sh AS (SELECT doc_id,
               CAST(('0x' || substr(md5(substr(t, CAST(i AS INT), {K})), 1, 7)) AS BIGINT) AS h
-       FROM aug, UNNEST(range(1, greatest(length(t) - {K - 1}, 1) + 1, {STRIDE})) AS u(i)),
+       FROM {source}, UNNEST(range(1, greatest(length(t) - {K - 1}, 1) + 1, {STRIDE})) AS u(i)),
 sig AS (SELECT doc_id,
                {sigs}
         FROM sh GROUP BY doc_id),
 bands AS (SELECT doc_id, {bands} FROM sig),
-lng AS ({lng}),
+lng AS ({lng})"""
+
+
+def _minhash_ctes() -> str:
+    """CTE chain ending in ``pairs`` — shared by the pair query and the
+    cluster query's oracle."""
+    return (
+        _aug_cte()
+        + ",\n"
+        + minhash_lng_ctes("aug")
+        + """,
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM lng a JOIN lng b

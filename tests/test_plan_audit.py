@@ -9,6 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from data_pipeline_bigquery_spark.plans.audit import (
+    assert_lineage_cut,
     assert_max_exchanges,
     assert_no_cartesian,
     assert_partition_pruned,
@@ -384,6 +385,7 @@ def test_iqr_audit_checkpoint_single_fact_scan(spark, reg):
 
 def test_mann_kendall_checkpoint_single_fact_scan(spark, reg):
     df = _q(reg, spark, "mann_kendall_trend")
+    assert_lineage_cut(df)
     # day grain is localCheckpoint'd before its four DAG references
     # (pair join a/b, tie groups, base counts): 4 events scans naive
     assert_single_scan(df, "events")
@@ -392,12 +394,14 @@ def test_mann_kendall_checkpoint_single_fact_scan(spark, reg):
 
 def test_seasonal_skill_checkpoint_single_fact_scan(spark, reg):
     df = _q(reg, spark, "seasonal_naive_skill")
+    assert_lineage_cut(df)
     assert_single_scan(df, "events")
     assert_no_cartesian(df)
 
 
 def test_bigram_coverage_checkpoint_single_corpus_scan(spark, reg):
     df = _q(reg, spark, "bigram_coverage_quality")
+    assert_lineage_cut(df)
     # tokenized doc grain checkpointed before vocabulary / coverage /
     # denominator branches (3 corpus scans naive)
     assert_single_scan(df, "documents")
@@ -406,6 +410,7 @@ def test_bigram_coverage_checkpoint_single_corpus_scan(spark, reg):
 
 def test_covisitation_checkpoint_single_fact_scan(spark, reg):
     df = _q(reg, spark, "item_item_covisitation")
+    assert_lineage_cut(df)
     # (order, part) grain checkpointed before the pair self-join and
     # both degree joins (6 lineitem scans naive)
     assert_single_scan(df, "lineitem")
@@ -414,6 +419,7 @@ def test_covisitation_checkpoint_single_fact_scan(spark, reg):
 
 def test_covisitation_recs_checkpoint_bounded_scans(spark, reg):
     df = _q(reg, spark, "covisitation_recs")
+    assert_lineage_cut(df)
     # op and hist grains are both checkpointed (8 lineitem + 2 orders
     # scans naive); orders is read once into the hist checkpoint
     assert_single_scan(df, "lineitem")
@@ -423,6 +429,7 @@ def test_covisitation_recs_checkpoint_bounded_scans(spark, reg):
 
 def test_t_closeness_single_scan_broadcast_global(spark, reg):
     df = _q(reg, spark, "t_closeness_audit")
+    assert_lineage_cut(df)
     # group table checkpointed; the 1-row global rollup broadcasts back
     assert_single_scan(df, "customer")
     assert_no_cartesian(df, allow_broadcast_nl=1)
@@ -437,6 +444,7 @@ def test_auc_ranksum_single_scan(spark, reg):
 
 def test_pinball_checkpoint_single_fact_scan(spark, reg):
     df = _q(reg, spark, "quantile_pinball_eval")
+    assert_lineage_cut(df)
     assert_single_scan(df, "events")
     assert_no_cartesian(df)
 
@@ -469,6 +477,7 @@ def test_signature_manifest_single_corpus_scan(spark, reg):
 
 def test_source_overlap_checkpoint_single_scan(spark, reg):
     df = _q(reg, spark, "source_overlap_matrix")
+    assert_lineage_cut(df)
     # (source, digest) grain checkpointed before totals + pair join
     assert_single_scan(df, "documents")
     assert_no_cartesian(df)
