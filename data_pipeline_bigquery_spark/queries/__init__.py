@@ -31,7 +31,7 @@ MODULE_NAMES = (
     "coverage4", "corpus_ops", "formats", "extensions", "training",
     "curation", "curation2", "sketches", "analytics5", "analytics6",
     "analytics7", "training3", "analytics8", "analytics9", "evalops",
-    "analytics10", "analytics11", "analytics12",
+    "analytics10", "analytics11", "analytics12", "analytics13",
 )
 
 

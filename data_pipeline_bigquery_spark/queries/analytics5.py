@@ -583,6 +583,50 @@ WHERE NOT EXISTS (
 _QSCALE = 1_000_000
 
 
+def quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, q) with components quantized to integer micros
+    — the engine-portable embedding representation (see
+    :func:`assigned_label_cells` for the float policy)."""
+    return load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * _QSCALE).cast("long"),
+        ).alias("q"),
+    )
+
+
+def label_centroids(emb: DataFrame) -> DataFrame:
+    """(c_label, c, n_l) rational label centroids: per-dim component
+    SUMS (array c, dim-ordered) plus the member count — never a float
+    mean.  Shared by the assignment (below), the diversity sample
+    (analytics12), and the own-label outlier audit (analytics13).
+
+    ONE corpus pass: the member count rides the same (label, dim)
+    aggregation as the sums (every vector contributes each dim exactly
+    once, so the per-dim row count IS n_l — the same construction the
+    oracle's ``cent`` CTE uses); a separate count branch would scan
+    the embedding table a second time.  The label-count-sized result
+    is lazily checkpointed so every consumer join reads the tiny
+    materialized table instead of re-deriving it."""
+    return (
+        emb.select("label", F.posexplode("q").alias("dim", "qi"))
+        .groupBy("label", "dim")
+        .agg(F.sum("qi").alias("s"), F.count(F.lit(1)).alias("n_dim"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "s"))),
+                lambda t: t.s,
+            ).alias("c"),
+            F.max("n_dim").alias("n_l"),
+        )
+        .select(F.col("label").alias("c_label"), "c", "n_l")
+        .localCheckpoint(eager=False)
+    )
+
+
 def assigned_label_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector nearest-LABEL-CENTROID assignment — (vec_id, label,
     c_label, dist, rn=1) rows; the shared core of the
@@ -609,30 +653,8 @@ def assigned_label_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     10×10 confusion aggregate exchanges.  The oracle recomputes
     distances via an explicit dim-join — an independent formulation of
     the same exact arithmetic."""
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "label",
-        F.transform(
-            "embedding",
-            lambda x: F.floor(x.cast("double") * _QSCALE).cast("long"),
-        ).alias("q"),
-    )
-    cent = (
-        emb.select("label", F.posexplode("q").alias("dim", "qi"))
-        .groupBy("label", "dim")
-        .agg(F.sum("qi").alias("s"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "s"))),
-                lambda t: t.s,
-            ).alias("c")
-        )
-    )
-    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_l"))
-    cents = cent.join(counts, "label").select(
-        F.col("label").alias("c_label"), "c", "n_l"
-    )
+    emb = quantized_embeddings(spark, sf_dir)
+    cents = label_centroids(emb)
     num = F.aggregate(
         F.zip_with(
             "q",
@@ -680,11 +702,13 @@ def _nearest_centroid_confusion(
     )
 
 
-def assigned_cells_ctes() -> str:
-    """CTE chain ending in ``assigned`` — (vec_id, label, c_label,
-    dist) per vector, rn=1 rows only.  Shared by the confusion oracle
-    here and the diversity-sample oracle (analytics12), so the
-    assignment arithmetic can never fork between the two."""
+def centroid_ctes() -> str:
+    """CTE chain ending in ``cent`` — the quantized vectors (``q``),
+    their exploded dims (``ex``), and the per-label rational centroids
+    (``cent``: component sums + counts, never float means).  The ONE
+    oracle-side source of the centroid arithmetic, shared by the
+    assignment chain below and the own-label outlier audit
+    (analytics13)."""
     return f"""q AS (
   SELECT vec_id, label,
          [CAST(floor(CAST(x AS DOUBLE) * {_QSCALE}) AS BIGINT)
@@ -698,7 +722,15 @@ ex AS (
         FROM q)),
 cent AS (
   SELECT label AS c_label, dim, sum(qi) AS s, count(*) AS n_l
-  FROM ex GROUP BY 1, 2),
+  FROM ex GROUP BY 1, 2)"""
+
+
+def assigned_cells_ctes() -> str:
+    """CTE chain ending in ``assigned`` — (vec_id, label, c_label,
+    dist) per vector, rn=1 rows only.  Shared by the confusion oracle
+    here and the diversity-sample oracle (analytics12), so the
+    assignment arithmetic can never fork between the two."""
+    return f"""{centroid_ctes()},
 dists AS (
   SELECT e.vec_id, e.label, c.c_label,
          sum(CAST(CAST(e.qi * c.n_l - c.s AS DOUBLE)

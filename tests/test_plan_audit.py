@@ -481,3 +481,22 @@ def test_source_overlap_checkpoint_single_scan(spark, reg):
     # (source, digest) grain checkpointed before totals + pair join
     assert_single_scan(df, "documents")
     assert_no_cartesian(df)
+
+
+def test_incremental_dedup_band_keyed_join(spark, reg):
+    df = _q(reg, spark, "incremental_dedup_against_manifest")
+    # candidate generation is keyed on (band_idx, band_hash) — never a
+    # cartesian pairing of new docs × corpus
+    assert_no_cartesian(df)
+
+
+def test_embedding_outlier_broadcast_centroids(spark, reg):
+    df = _q(reg, spark, "embedding_outlier_audit")
+    assert_single_scan(df, "embeddings")
+    assert_no_cartesian(df)
+
+
+def test_lang_confusion_single_scan(spark, reg):
+    df = _q(reg, spark, "lang_id_confusion")
+    assert_single_scan(df, "documents")
+    assert_no_cartesian(df)
