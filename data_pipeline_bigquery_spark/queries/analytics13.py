@@ -11,11 +11,14 @@ outlier curation, and classifier evaluation:
   scale: new data dedups against a persisted artifact instead of
   re-shingling the union.
 - ``embedding_outlier_audit``: per-label curation — each vector's
-  exact squared distance NUMERATOR to its OWN label centroid
-  (``analytics5.label_centroids``; n_l is constant within a label so
-  the DECIMAL numerator orders exactly — oracle-parity rule 12), flag
-  the top 5% (strict order statistic), report per label the member
-  count, outlier count, and the worst offender — the mislabeled /
+  squared distance NUMERATOR to its OWN label centroid
+  (``analytics5.centroid_dist_num``; n_l is constant within a label
+  so the numerator orders the same as the normalized distance, and
+  the value is ENGINE-IDENTICAL: correctly-rounded doubles from
+  identical exact int64 inputs, folded order-exactly through DECIMAL
+  — not exact integers, the squares pass 2⁵³), flag the top 5%
+  (strict order statistic), report per label the member count,
+  outlier count, and the worst offender — the mislabeled /
   corrupted-embedding sweep before training.
 - ``lang_id_confusion``: evaluation of the marker-word language
   classifier (``text_lang_id``) against the labeled ``lang`` column —
@@ -43,6 +46,7 @@ from data_pipeline_bigquery_spark.extensions.text_analysis import lang_id
 from data_pipeline_bigquery_spark.queries import QuerySpec
 from data_pipeline_bigquery_spark.queries.analytics5 import (
     centroid_ctes,
+    centroid_dist_num,
     label_centroids,
     quantized_embeddings,
 )
@@ -61,7 +65,15 @@ def _incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebuilt in-plan); the join is keyed on (band_idx, band_hash), so
     candidate generation is band-bucketed, never all-pairs.
     """
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # contract: base ids live below the offset — both engines filter
+    # identically, so the id spaces can never collide at any corpus
+    # size (ids ≥ the offset would otherwise be misclassified as
+    # incoming docs by the oracle's split)
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < _NEW_ID_OFFSET)
+    )
     manifest = banded_signatures(
         minhash_signatures(char_shingles(docs, "doc_id", "text"))
     ).select(
@@ -110,9 +122,10 @@ def _incremental_sql() -> str:
     return f"""
 WITH unioned AS (
   SELECT doc_id, lower(text) AS t FROM documents
+  WHERE doc_id < {_NEW_ID_OFFSET}
   UNION ALL
   SELECT doc_id + {_NEW_ID_OFFSET}, lower(substr(text, 5))
-  FROM documents WHERE doc_id % 5 = 0),
+  FROM documents WHERE doc_id % 5 = 0 AND doc_id < {_NEW_ID_OFFSET}),
 {minhash_lng_ctes("unioned")},
 matches AS (
   SELECT n.doc_id AS new_doc_id,
@@ -124,7 +137,7 @@ matches AS (
   GROUP BY 1),
 grain AS (
   SELECT doc_id + {_NEW_ID_OFFSET} AS new_doc_id
-  FROM documents WHERE doc_id % 5 = 0)
+  FROM documents WHERE doc_id % 5 = 0 AND doc_id < {_NEW_ID_OFFSET})
 SELECT grain.new_doc_id,
        CAST(coalesce(n_candidates, 0) AS BIGINT) AS n_candidates,
        best_match,
@@ -139,26 +152,17 @@ ORDER BY new_doc_id
 
 def _embedding_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label top-5% distance outliers against the OWN-label
-    centroid, ranked on the exact DECIMAL numerator (n_l is constant
-    within a label, so no division is needed to order).
+    centroid, ranked on the engine-identical DECIMAL numerator (n_l is
+    constant within a label, so no division is needed to order; the
+    squared terms are correctly-rounded doubles — identical on both
+    engines — not exact integers).
 
     Scale: the ~label-count centroid rows broadcast into an equi-join
     on the label; ranking is a label-partitioned window.
     """
     emb = quantized_embeddings(spark, sf_dir)
     cents = label_centroids(emb).withColumnRenamed("c_label", "label")
-    num = F.aggregate(
-        F.zip_with(
-            "q",
-            "c",
-            lambda qi, s: (
-                (qi * F.col("n_l") - s).cast("double")
-                * (qi * F.col("n_l") - s).cast("double")
-            ).cast("decimal(38,6)"),
-        ),
-        F.lit(0).cast("decimal(38,6)"),
-        lambda acc, x: acc + x,
-    )
+    num = centroid_dist_num()
     scored = emb.join(F.broadcast(cents), "label").select(
         "label", "vec_id", num.alias("dist_num")
     )

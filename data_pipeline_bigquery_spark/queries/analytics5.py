@@ -627,6 +627,29 @@ def label_centroids(emb: DataFrame) -> DataFrame:
     )
 
 
+def centroid_dist_num():
+    """The squared-distance NUMERATOR Column ``Σ_d (q_d·n_l − S_d)²``
+    over columns ``q`` (quantized vector), ``c`` (centroid sums), and
+    ``n_l`` — int64 diffs squared in double (correctly rounded,
+    engine-identical) folded through DECIMAL(38,6) (order-exact).  The
+    ONE Spark-side source of the distance arithmetic, shared by the
+    assignment below and the own-label outlier audit (analytics13) —
+    the same no-fork rule as :func:`centroid_ctes` on the oracle side.
+    """
+    return F.aggregate(
+        F.zip_with(
+            "q",
+            "c",
+            lambda qi, s: (
+                (qi * F.col("n_l") - s).cast("double")
+                * (qi * F.col("n_l") - s).cast("double")
+            ).cast("decimal(38,6)"),
+        ),
+        F.lit(0).cast("decimal(38,6)"),
+        lambda acc, x: acc + x,
+    )
+
+
 def assigned_label_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector nearest-LABEL-CENTROID assignment — (vec_id, label,
     c_label, dist, rn=1) rows; the shared core of the
@@ -655,18 +678,7 @@ def assigned_label_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same exact arithmetic."""
     emb = quantized_embeddings(spark, sf_dir)
     cents = label_centroids(emb)
-    num = F.aggregate(
-        F.zip_with(
-            "q",
-            "c",
-            lambda qi, s: (
-                (qi * F.col("n_l") - s).cast("double")
-                * (qi * F.col("n_l") - s).cast("double")
-            ).cast("decimal(38,6)"),
-        ),
-        F.lit(0).cast("decimal(38,6)"),
-        lambda acc, x: acc + x,
-    )
+    num = centroid_dist_num()
     dist = num.cast("double") / (
         # square in DOUBLE: int64 n_l*n_l wraps above ~3e9 rows/label
         F.col("n_l").cast("double") * F.col("n_l").cast("double")

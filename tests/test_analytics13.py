@@ -48,24 +48,24 @@ def test_incremental_dedup_finds_mutated_copies(spark):
             assert r.n_candidates >= 1 and r.best_match is not None
 
 
-def test_incremental_dedup_unique_batch_all_clean(spark, tmp_path):
-    # base corpus and an incoming batch with NO shared shingles at all
-    # → every verdict false (the manifest join finds nothing)
-    base = [(i, f"base document number {i} " + "x y z " * 20, "en", "s", 10)
-            for i in range(1, 8)]
+def test_incremental_dedup_clean_batch_verdict_false(spark, tmp_path):
+    # the synthesized incoming doc is substr(text, 5) of doc 5 — a
+    # SUFFIX, so its shingles are a subset of the original's UNLESS the
+    # text is shorter than shingle_k + 4.  Make doc 5 a short unique
+    # string: its single whole-text shingle differs from the suffix's,
+    # signatures diverge, and the verdict must be CLEAN (is_dup false).
+    base = [(i, f"long base document number {i} " + "x y z " * 20,
+             "en", "s", 10) for i in (1, 2, 3, 4, 6, 7)]
+    base.append((5, "abcdefghij", "en", "s", 10))  # 10 chars < k+4
     spark.createDataFrame(
         base,
         "doc_id long, text string, lang string, source string, n_chars long",
     ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
     out = _run(spark, "incremental_dedup_against_manifest", str(tmp_path))
-    # new docs are head-mutations of doc 5 — still near-dups here, so
-    # instead check the verdict structure holds on this tiny corpus
-    assert all(
-        (r.is_dup and r.n_candidates >= 1) or
-        (not r.is_dup and r.n_candidates == 0)
-        for r in out
-    )
     assert len(out) == 1  # only doc_id 5 is % 5 == 0
+    r = out[0]
+    assert not r.is_dup
+    assert r.n_candidates == 0 and r.best_match is None
 
 
 # --- embedding_outlier_audit --------------------------------------------------

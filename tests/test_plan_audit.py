@@ -492,8 +492,14 @@ def test_incremental_dedup_band_keyed_join(spark, reg):
 
 def test_embedding_outlier_broadcast_centroids(spark, reg):
     df = _q(reg, spark, "embedding_outlier_audit")
+    # the centroid side is checkpointed (its scan happens in the
+    # checkpoint job), so pair the single-scan pin with the cut...
     assert_single_scan(df, "embeddings")
+    assert_lineage_cut(df)
     assert_no_cartesian(df)
+    # ...and hold the name to its promise: the tiny centroid table
+    # joins as a broadcast, never a shuffle
+    assert count_nodes(df, "BroadcastHashJoin") >= 1
 
 
 def test_lang_confusion_single_scan(spark, reg):
