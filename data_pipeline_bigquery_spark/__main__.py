@@ -114,6 +114,26 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         action="store_true",
         help="exit 1 if any blocking rule has violations (CI gate mode)",
     )
+    # plan-shape report (plans/audit.py as a CLI): the "would this
+    # survive a 100× scale-up" readout for any registry query —
+    # scans per table, exchange count, join strategies, cartesians
+    a = sub.add_parser(
+        "plan_audit",
+        help="print the physical plan-shape summary (scans, exchanges, "
+        "join strategies, cartesians) for registry queries",
+    )
+    a.add_argument(
+        "--keys",
+        required=True,
+        help="comma-separated registry keys (see queries.registry())",
+    )
+    a.add_argument("--sf-dir", default=DEFAULT_SF_DIR, help="input table dir")
+    a.add_argument(
+        "--fail-on-cartesian",
+        action="store_true",
+        help="exit 1 if any audited plan contains a CartesianProduct "
+        "(CI gate mode)",
+    )
     return parser.parse_args(argv)
 
 
@@ -252,8 +272,61 @@ def run_data_quality(args) -> tuple[str, int]:
     return lines, code
 
 
+def run_plan_audit(args) -> tuple[str, int]:
+    """Plan-shape summary per key; returns (report, exit_code)."""
+    from data_pipeline_bigquery_spark.plans.audit import (
+        formatted_plan,
+        plan_nodes,
+    )
+    from data_pipeline_bigquery_spark.queries import registry
+    from data_pipeline_bigquery_spark.session import get_spark
+
+    spark = get_spark()
+    reg = registry()
+    lines, any_cartesian = [], False
+    for key in [k.strip() for k in args.keys.split(",") if k.strip()]:
+        if key not in reg:
+            raise SystemExit(f"unknown registry key: {key}")
+        df = reg[key].fn(spark, args.sf_dir)
+        nodes = plan_nodes(df)
+        plan = formatted_plan(df)
+        scans = {}
+        for line in plan.splitlines():
+            if "Location:" in line and ".parquet" in line:
+                table = line.rstrip("]").rsplit("/", 1)[-1]
+                scans[table] = scans.get(table, 0) + 1
+        counts = {
+            n: nodes.count(n)
+            for n in (
+                "Exchange",
+                "BroadcastHashJoin",
+                "SortMergeJoin",
+                "CartesianProduct",
+                "BroadcastNestedLoopJoin",
+                "Window",
+                "WindowGroupLimit",
+            )
+            if nodes.count(n)
+        }
+        cut = "ExistingRDD" in plan
+        any_cartesian |= counts.get("CartesianProduct", 0) > 0
+        scan_s = ", ".join(f"{t}×{c}" for t, c in sorted(scans.items()))
+        node_s = ", ".join(f"{k}={v}" for k, v in sorted(counts.items()))
+        lines.append(
+            f"{key}: scans[{scan_s or 'checkpointed only'}]"
+            f" {node_s or 'no joins/exchanges'}"
+            f"{'; lineage-cut' if cut else ''}"
+        )
+    code = 1 if (args.fail_on_cartesian and any_cartesian) else 0
+    return "\n".join(lines), code
+
+
 def main(argv: list[str] | None = None) -> int:
     args = parse_args(argv)
+    if args.workflow == "plan_audit":
+        report, code = run_plan_audit(args)
+        print(report)
+        return code
     if args.workflow == "data_quality":
         summary, code = run_data_quality(args)
         print(f"data_quality: {summary}")

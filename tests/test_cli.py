@@ -151,3 +151,22 @@ def test_cli_data_quality_rules_file_over_path(spark, tmp_path):
         "data_quality", "--path", data, "--rules", str(rules),
         "--fail-on-violations",
     ]) == 1
+
+
+def test_cli_plan_audit_reports_and_gates(spark, capsys):
+    from data_pipeline_bigquery_spark.__main__ import main
+
+    assert main([
+        "plan_audit",
+        "--keys", "join_agg_revenue_by_nation,mann_kendall_trend",
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--fail-on-cartesian",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "join_agg_revenue_by_nation" in out
+    assert "BroadcastHashJoin" in out
+    assert "lineage-cut" in out  # the checkpointed key reports its cut
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(["plan_audit", "--keys", "no_such_key"])
