@@ -39,6 +39,42 @@ _MEAN_LEN_MIN, _MEAN_LEN_MAX = 2, 12  # mean word length band
 _N_SHARDS = 8
 
 
+def cascade_metrics(docs: DataFrame) -> DataFrame:
+    """Per-doc cascade inputs (n_words, n_distinct, sum_chars,
+    has_stop) from one array pass — the ONE Spark-side source of the
+    cascade arithmetic, shared with the learning-curve key
+    (analytics14).  ``docs`` must carry doc_id, words, text."""
+    return docs.select(
+        "doc_id",
+        F.size("words").alias("n_words"),
+        F.size(F.array_distinct("words")).alias("n_distinct"),
+        # sum of word lengths == chars minus separators
+        (F.length("text") - (F.size("words") - 1)).alias("sum_chars"),
+        F.arrays_overlap(
+            "words", F.array(F.lit("the"), F.lit("a"))
+        ).alias("has_stop"),
+    )
+
+
+def cascade_reason():
+    """The first-failure attribution Column over cascade metrics."""
+    return (
+        F.when(F.col("n_words") < _MIN_WORDS, "min_words")
+        .when(
+            F.col("n_distinct") * 100
+            < F.col("n_words") * _MIN_DISTINCT_PCT,
+            "repetition",
+        )
+        .when(~F.col("has_stop"), "stopword")
+        .when(
+            (F.col("sum_chars") < _MEAN_LEN_MIN * F.col("n_words"))
+            | (F.col("sum_chars") > _MEAN_LEN_MAX * F.col("n_words")),
+            "word_length",
+        )
+        .otherwise("pass")
+    )
+
+
 def _quality_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-rule drop accounting for a 4-rule C4-style cascade.
 
@@ -59,49 +95,36 @@ def _quality_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.col("text"), " ").alias("words"), F.col("text")
     )
-    metrics = docs.select(
-        "doc_id",
-        F.size("words").alias("n_words"),
-        F.size(F.array_distinct("words")).alias("n_distinct"),
-        # sum of word lengths == chars minus separators
-        (F.length("text") - (F.size("words") - 1)).alias("sum_chars"),
-        F.arrays_overlap("words", F.array(F.lit("the"), F.lit("a"))).alias("has_stop"),
-    )
-    reason = (
-        F.when(F.col("n_words") < _MIN_WORDS, "min_words")
-        .when(F.col("n_distinct") * 100 < F.col("n_words") * _MIN_DISTINCT_PCT, "repetition")
-        .when(~F.col("has_stop"), "stopword")
-        .when(
-            (F.col("sum_chars") < _MEAN_LEN_MIN * F.col("n_words"))
-            | (F.col("sum_chars") > _MEAN_LEN_MAX * F.col("n_words")),
-            "word_length",
-        )
-        .otherwise("pass")
-    )
     return (
-        metrics.select(reason.alias("rule"))
+        cascade_metrics(docs)
+        .select(cascade_reason().alias("rule"))
         .groupBy("rule")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
 
 
-_CASCADE_SQL = f"""
-WITH m AS (
-  SELECT doc_id,
+# the oracle twins of cascade_metrics / cascade_reason — interpolated
+# into this key's SQL and the learning-curve oracle (analytics14)
+CASCADE_METRICS_SQL = """SELECT doc_id,
          len(string_split(text, ' ')) AS n_words,
          len(list_distinct(string_split(text, ' '))) AS n_distinct,
          length(text) - (len(string_split(text, ' ')) - 1) AS sum_chars,
          list_has_any(string_split(text, ' '), ['the', 'a']) AS has_stop
-  FROM documents),
-r AS (
-  SELECT CASE
+  FROM documents"""
+
+CASCADE_REASON_SQL = f"""CASE
            WHEN n_words < {_MIN_WORDS} THEN 'min_words'
            WHEN n_distinct * 100 < n_words * {_MIN_DISTINCT_PCT} THEN 'repetition'
            WHEN NOT has_stop THEN 'stopword'
            WHEN sum_chars < {_MEAN_LEN_MIN} * n_words
              OR sum_chars > {_MEAN_LEN_MAX} * n_words THEN 'word_length'
            ELSE 'pass'
-         END AS rule
+         END"""
+
+_CASCADE_SQL = f"""
+WITH m AS ({CASCADE_METRICS_SQL}),
+r AS (
+  SELECT {CASCADE_REASON_SQL} AS rule
   FROM m)
 SELECT rule, count(*) AS n_docs FROM r GROUP BY rule
 """
