@@ -43,6 +43,7 @@ from data_pipeline_bigquery_spark.queries import QuerySpec
 from data_pipeline_bigquery_spark.queries.curation2 import (
     CASCADE_METRICS_SQL,
     CASCADE_REASON_SQL,
+    cascade_docs,
     cascade_metrics,
     cascade_reason,
 )
@@ -64,8 +65,14 @@ def _dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One gram-bucket exchange produces every pair's exact
     (n_inter, n_a, n_b); the 5-threshold explode runs over the
-    candidate-pair set (already bucket-capped at lake scale), so the
-    sweep costs the same single pass as one threshold.
+    candidate-pair rows only, and BOTH output columns come from ONE
+    doc-exploded aggregate (n_pairs = rows/2 exactly, since each
+    qualifying pair contributes its two ordered endpoints) — no second
+    pass over the gram pipeline.  The contract corpus runs uncapped
+    like its siblings (`dedup_ngram_jaccard`, `dedup_containment`);
+    at lake scale pass ``max_bucket`` to `_gram_pair_stats` to drop
+    pathologically hot grams from pair generation.  Thresholds that
+    flag nothing still report zeros (the curve has no holes).
     """
     aug = _augmented_docs(spark, sf_dir, max_doc=150)
     stats = _gram_pair_stats(word_ngrams(aug, "doc_id", "t"))
@@ -76,28 +83,38 @@ def _dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(n_inter * 1000 div (n_a + n_b - n_inter) AS BIGINT)"
         ).alias("jac_permille"),
     )
-    swept = jac.select(
-        "doc_a",
-        "doc_b",
-        "jac_permille",
-        F.explode(
-            F.array(*[F.lit(t) for t in _THRESHOLDS])
-        ).alias("threshold_permille"),
-    ).filter(F.col("jac_permille") >= F.col("threshold_permille"))
-    pairs = swept.groupBy("threshold_permille").agg(
-        F.count(F.lit(1)).alias("n_pairs")
-    )
-    docs = (
-        swept.select(
-            "threshold_permille",
+    swept = (
+        jac.select(
+            "jac_permille",
             F.explode(F.array("doc_a", "doc_b")).alias("doc_id"),
         )
-        .groupBy("threshold_permille")
-        .agg(F.countDistinct("doc_id").alias("n_docs_flagged"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(*[F.lit(t) for t in _THRESHOLDS])
+            ).alias("threshold_permille"),
+            "jac_permille",
+        )
+        .filter(F.col("jac_permille") >= F.col("threshold_permille"))
+    )
+    agg = swept.groupBy("threshold_permille").agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_pairs"),
+        F.countDistinct("doc_id").alias("n_docs_flagged"),
+    )
+    grid = spark.createDataFrame(
+        [(t,) for t in _THRESHOLDS], "threshold_permille int"
     )
     return (
-        pairs.join(docs, "threshold_permille")
-        .select("threshold_permille", "n_pairs", "n_docs_flagged")
+        grid.join(agg, "threshold_permille", "left")
+        .select(
+            "threshold_permille",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias(
+                "n_pairs"
+            ),
+            F.coalesce(F.col("n_docs_flagged"), F.lit(0))
+            .cast("long")
+            .alias("n_docs_flagged"),
+        )
         .orderBy("threshold_permille")
     )
 
@@ -115,20 +132,21 @@ jac AS (
   JOIN sizes sa ON sa.doc_id = doc_a
   JOIN sizes sb ON sb.doc_id = doc_b),
 swept AS (
-  SELECT doc_a, doc_b, jac_permille, threshold_permille
-  FROM jac CROSS JOIN (
+  SELECT threshold_permille, doc_id, jac_permille
+  FROM (SELECT jac_permille, unnest([doc_a, doc_b]) AS doc_id FROM jac)
+  CROSS JOIN (
     SELECT unnest({list(_THRESHOLDS)}) AS threshold_permille)
   WHERE jac_permille >= threshold_permille),
-p AS (
-  SELECT threshold_permille, count(*) AS n_pairs
+agg AS (
+  SELECT threshold_permille,
+         CAST(count(*) // 2 AS BIGINT) AS n_pairs,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_flagged
   FROM swept GROUP BY 1),
-d AS (
-  SELECT threshold_permille, count(DISTINCT doc_id) AS n_docs_flagged
-  FROM (SELECT threshold_permille, unnest([doc_a, doc_b]) AS doc_id
-        FROM swept)
-  GROUP BY 1)
-SELECT threshold_permille, n_pairs, n_docs_flagged
-FROM p JOIN d USING (threshold_permille)
+grid AS (SELECT unnest({list(_THRESHOLDS)}) AS threshold_permille)
+SELECT grid.threshold_permille,
+       CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(coalesce(n_docs_flagged, 0) AS BIGINT) AS n_docs_flagged
+FROM grid LEFT JOIN agg USING (threshold_permille)
 ORDER BY threshold_permille
 """
 )
@@ -142,13 +160,11 @@ def _learning_curve_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One corpus scan computes per-doc metrics + bucket; the 10-size
     explode multiplies only the tiny metric rows; each aggregate row
-    is one (size, count, pass) triple.
+    is one (size, count, pass) triple.  Empty sample sizes still
+    report zeros (no holes in the curve).
     """
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.col("text"), " ").alias("words"), F.col("text")
-    )
     scored = (
-        cascade_metrics(docs)
+        cascade_metrics(cascade_docs(spark, sf_dir))
         .withColumn("bucket", hash_bucket(F.col("doc_id"), 1000))
         .select(
             "bucket",
@@ -162,11 +178,23 @@ def _learning_curve_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.lit(k * 100) for k in range(1, 11)])
         ).alias("sample_permille"),
     ).filter(F.col("bucket") < F.col("sample_permille"))
+    agg = swept.groupBy("sample_permille").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("passed").cast("long").alias("n_pass"),
+    )
+    grid = spark.createDataFrame(
+        [(k * 100,) for k in range(1, 11)], "sample_permille int"
+    )
     return (
-        swept.groupBy("sample_permille")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("passed").cast("long").alias("n_pass"),
+        grid.join(agg, "sample_permille", "left")
+        .select(
+            "sample_permille",
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias(
+                "n_docs"
+            ),
+            F.coalesce(F.col("n_pass"), F.lit(0)).cast("long").alias(
+                "n_pass"
+            ),
         )
         .select(
             "sample_permille",
@@ -196,10 +224,16 @@ swept AS (
 agg AS (
   SELECT sample_permille, count(*) AS n_docs,
          CAST(sum(passed) AS BIGINT) AS n_pass
-  FROM swept GROUP BY 1)
-SELECT sample_permille, n_docs, n_pass,
-       CAST(n_pass * 1000 // nullif(n_docs, 0) AS BIGINT) AS pass_permille
-FROM agg ORDER BY sample_permille
+  FROM swept GROUP BY 1),
+grid AS (
+  SELECT unnest({[k * 100 for k in range(1, 11)]}) AS sample_permille)
+SELECT grid.sample_permille,
+       CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs,
+       CAST(coalesce(n_pass, 0) AS BIGINT) AS n_pass,
+       CAST(coalesce(n_pass, 0) * 1000 // nullif(coalesce(n_docs, 0), 0)
+            AS BIGINT) AS pass_permille
+FROM grid LEFT JOIN agg USING (sample_permille)
+ORDER BY sample_permille
 """
 
 
@@ -207,7 +241,7 @@ FROM agg ORDER BY sample_permille
 
 
 def _rare_category_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{_TOP_K} brands kept, tail collapsed to 'OTHER'."""
+    """Top-K (15) brands kept, tail collapsed to 'OTHER'."""
     counts = (
         load(spark, sf_dir, "part")
         .groupBy("p_brand")

@@ -39,6 +39,15 @@ _MEAN_LEN_MIN, _MEAN_LEN_MAX = 2, 12  # mean word length band
 _N_SHARDS = 8
 
 
+def cascade_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cascade's input grain — doc_id, words (space split), text —
+    so the tokenization too has exactly one definition across the
+    cascade key and the learning-curve key (analytics14)."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("words"), F.col("text")
+    )
+
+
 def cascade_metrics(docs: DataFrame) -> DataFrame:
     """Per-doc cascade inputs (n_words, n_distinct, sum_chars,
     has_stop) from one array pass — the ONE Spark-side source of the
@@ -92,11 +101,8 @@ def _quality_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain for attribution, one tiny groupBy.  At 100 TB the output is
     five rows — the shuffle carries per-partition partial counts only.
     """
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.col("text"), " ").alias("words"), F.col("text")
-    )
     return (
-        cascade_metrics(docs)
+        cascade_metrics(cascade_docs(spark, sf_dir))
         .select(cascade_reason().alias("rule"))
         .groupBy("rule")
         .agg(F.count(F.lit(1)).alias("n_docs"))

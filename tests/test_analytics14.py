@@ -23,8 +23,8 @@ def _run(spark, key, sf=SF_DIR):
 def test_sweep_matches_brute_force_jaccard(spark):
     import duckdb
 
-    # replay: the augmented contract corpus (base + head-mutated copy
-    # of every 5th doc, ids < 150), word 3-grams, exact pair Jaccard
+    # replay: the augmented contract corpus (EVERY base doc ids < 150
+    # plus its head-mutated copy), word 3-grams, exact pair Jaccard
     docs = duckdb.sql(
         f"SELECT doc_id, lower(text) FROM '{SF_DIR}/documents.parquet'"
         f" WHERE doc_id < 150"
@@ -52,12 +52,10 @@ def test_sweep_matches_brute_force_jaccard(spark):
                     counts[t][1].update((a, b))
     out = {r.threshold_permille: r for r in _run(
         spark, "dedup_threshold_sweep")}
+    assert sorted(out) == sorted(counts)  # no holes: zeros reported
     for t, (n_pairs, flagged) in counts.items():
-        if n_pairs == 0:
-            assert t not in out
-        else:
-            assert out[t].n_pairs == n_pairs
-            assert out[t].n_docs_flagged == len(flagged)
+        assert out[t].n_pairs == n_pairs
+        assert out[t].n_docs_flagged == len(flagged)
     # cumulative: higher thresholds can only flag fewer pairs
     ts = sorted(out)
     for lo, hi in zip(ts, ts[1:]):

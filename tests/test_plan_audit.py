@@ -508,16 +508,17 @@ def test_lang_confusion_single_scan(spark, reg):
     assert_no_cartesian(df)
 
 
-def test_threshold_sweep_no_cartesian_beyond_literal(spark, reg):
+def test_threshold_sweep_no_cartesian(spark, reg):
     df = _q(reg, spark, "dedup_threshold_sweep")
-    # the only unkeyed join is the 5-literal threshold explode side
-    assert_no_cartesian(df, allow_broadcast_nl=1)
+    # the 5-threshold explode is a Generate node, not a join — no
+    # nested-loop slack needed
+    assert_no_cartesian(df)
 
 
 def test_learning_curve_single_scan(spark, reg):
     df = _q(reg, spark, "learning_curve_quality")
     assert_single_scan(df, "documents")
-    assert_no_cartesian(df, allow_broadcast_nl=1)
+    assert_no_cartesian(df)
 
 
 def test_rare_collapse_single_scan(spark, reg):
