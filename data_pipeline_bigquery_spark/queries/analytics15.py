@@ -1,0 +1,256 @@
+"""Analytics batch 15 — corpus growth law and sketch calibration:
+
+- ``heaps_law_vocab_growth``: Heaps'-law curve — vocabulary size vs
+  corpus size across the NESTED md5 document samples (10%…100%, the
+  same nesting as ``learning_curve_quality``): per sample, document
+  count, token count, distinct-token count, and vocabulary density in
+  permille.  Sub-linear vocab growth is the expected law; a LINEAR
+  curve means unbounded id-like tokens are flooding the vocabulary —
+  the tokenizer-budget alarm.
+- ``minhash_estimate_calibration``: sketch-accuracy audit — for every
+  LSH candidate pair, the MinHash ESTIMATE of Jaccard (matching
+  signature components out of 16) against the EXACT char-shingle-set
+  Jaccard (integer permille), histogrammed by match count.  The
+  calibration table that tells you what a "14/16 match" actually
+  means before you trust the sketch at lake scale.  Reuses the ONE
+  signature/banding implementation (``dedup_text``) and the ONE
+  oracle generator (``extensions._minhash_ctes``).
+
+Reference parity: the reference pipeline (main.py:13-54) has no
+corpus-statistics layer — scale-out extensions in the same spirit as
+batches 5-14.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_bigquery_spark.catalog import load
+from data_pipeline_bigquery_spark.extensions.dedup_text import (
+    DEFAULT_NUM_PERM,
+    _gram_pair_stats,
+    char_shingles,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from data_pipeline_bigquery_spark.extensions.sampling import hash_bucket
+from data_pipeline_bigquery_spark.queries import QuerySpec
+from data_pipeline_bigquery_spark.queries.analytics9 import _md5_bucket_sql
+
+
+# --- heaps_law_vocab_growth --------------------------------------------------
+
+
+def _heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-sample vocabulary curve: one token-stream scan, a
+    10-size explode, and per-size (docs, tokens, vocab) aggregates."""
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        hash_bucket(F.col("doc_id"), 1000).alias("bucket"),
+        F.explode(F.split("text", " ")).alias("token"),
+    )
+    swept = toks.select(
+        "doc_id",
+        "token",
+        F.explode(
+            F.array(*[F.lit(k * 100) for k in range(1, 11)])
+        ).alias("sample_permille"),
+        "bucket",
+    ).filter(F.col("bucket") < F.col("sample_permille"))
+    agg = swept.groupBy("sample_permille").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("token").alias("vocab_size"),
+    )
+    grid = spark.createDataFrame(
+        [(k * 100,) for k in range(1, 11)], "sample_permille int"
+    )
+    return (
+        grid.join(agg, "sample_permille", "left")
+        .select(
+            "sample_permille",
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias(
+                "n_docs"
+            ),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias(
+                "n_tokens"
+            ),
+            F.coalesce(F.col("vocab_size"), F.lit(0)).cast("long").alias(
+                "vocab_size"
+            ),
+        )
+        .withColumn(
+            "vocab_permille",
+            F.expr(
+                "CAST(vocab_size * 1000 div nullif(n_tokens, 0) AS BIGINT)"
+            ),
+        )
+        .orderBy("sample_permille")
+    )
+
+
+_HEAPS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         {_md5_bucket_sql('doc_id', 1000)} AS bucket,
+         unnest(string_split(text, ' ')) AS token
+  FROM documents),
+swept AS (
+  SELECT doc_id, token, sample_permille
+  FROM toks CROSS JOIN (
+    SELECT unnest({[k * 100 for k in range(1, 11)]}) AS sample_permille)
+  WHERE bucket < sample_permille),
+agg AS (
+  SELECT sample_permille,
+         count(DISTINCT doc_id) AS n_docs,
+         count(*) AS n_tokens,
+         count(DISTINCT token) AS vocab_size
+  FROM swept GROUP BY 1),
+grid AS (
+  SELECT unnest({[k * 100 for k in range(1, 11)]}) AS sample_permille)
+SELECT grid.sample_permille,
+       CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs,
+       CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(vocab_size, 0) AS BIGINT) AS vocab_size,
+       CAST(coalesce(vocab_size, 0) * 1000
+            // nullif(coalesce(n_tokens, 0), 0) AS BIGINT)
+         AS vocab_permille
+FROM grid LEFT JOIN agg USING (sample_permille)
+ORDER BY sample_permille
+"""
+
+
+# --- minhash_estimate_calibration --------------------------------------------
+
+
+def _minhash_estimate_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Estimated-vs-exact Jaccard per LSH candidate pair.
+
+    One signature build feeds BOTH the candidate pairs and the
+    component-match estimate; the exact side reuses the gram-bucket
+    stats over the DISTINCT char-shingle sets (the very sets MinHash
+    sketches).  Output is (match count → pair count + exact-Jaccard
+    mass), ~17 rows regardless of corpus size.
+    """
+    from data_pipeline_bigquery_spark.queries.extensions import (
+        _augmented_docs,
+    )
+
+    aug = _augmented_docs(spark, sf_dir)
+    shingles = char_shingles(aug, "doc_id", "t")
+    # cut lineage: signatures feed the pair generation AND both sides
+    # of the estimate join
+    sigs = minhash_signatures(shingles).localCheckpoint(eager=False)
+    pairs = lsh_candidate_pairs(sigs)
+    est = sum(
+        F.when(
+            F.col(f"a.sig_{j}") == F.col(f"b.sig_{j}"), 1
+        ).otherwise(0)
+        for j in range(DEFAULT_NUM_PERM)
+    )
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    estimated = (
+        pairs.join(a, pairs.doc_a == F.col("a.doc_id"))
+        .join(b, pairs.doc_b == F.col("b.doc_id"))
+        .select("doc_a", "doc_b", est.alias("est_matches"))
+    )
+    exact = _gram_pair_stats(
+        shingles.withColumnRenamed("shingle", "gram").distinct()
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.expr(
+            "CAST(n_inter * 1000 div (n_a + n_b - n_inter) AS BIGINT)"
+        ).alias("exact_permille"),
+    )
+    joined = estimated.join(exact, ["doc_a", "doc_b"], "left").select(
+        "est_matches",
+        F.coalesce(F.col("exact_permille"), F.lit(0)).alias(
+            "exact_permille"
+        ),
+    )
+    return (
+        joined.groupBy("est_matches")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("exact_permille").cast("long").alias(
+                "sum_exact_permille"
+            ),
+        )
+        .withColumn(
+            "mean_exact_permille",
+            F.expr(
+                "CAST(sum_exact_permille div nullif(n_pairs, 0) AS BIGINT)"
+            ),
+        )
+        .orderBy("est_matches")
+    )
+
+
+def _calibration_sql() -> str:
+    from data_pipeline_bigquery_spark.queries.extensions import (
+        _minhash_ctes,
+    )
+
+    from data_pipeline_bigquery_spark.extensions.dedup_text import (
+        DEFAULT_SHINGLE_K as K,
+        DEFAULT_SHINGLE_STRIDE as STRIDE,
+    )
+
+    est = " + ".join(
+        f"(CASE WHEN a.s{j} = b.s{j} THEN 1 ELSE 0 END)"
+        for j in range(DEFAULT_NUM_PERM)
+    )
+    return (
+        "WITH "
+        + _minhash_ctes()
+        + f""",
+estimated AS (
+  SELECT p.doc_a, p.doc_b, {est} AS est_matches
+  FROM pairs p
+  JOIN sig a ON p.doc_a = a.doc_id
+  JOIN sig b ON p.doc_b = b.doc_id),
+csh AS (
+  SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), {K}) AS g
+  FROM aug,
+       UNNEST(range(1, greatest(length(t) - {K - 1}, 1) + 1, {STRIDE}))
+         AS u(i)),
+csizes AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY 1),
+cinter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_inter
+  FROM csh x JOIN csh y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2),
+exact AS (
+  SELECT doc_a, doc_b,
+         CAST(n_inter * 1000 // (sa.n + sb.n - n_inter) AS BIGINT)
+           AS exact_permille
+  FROM cinter
+  JOIN csizes sa ON sa.doc_id = doc_a
+  JOIN csizes sb ON sb.doc_id = doc_b),
+joined AS (
+  SELECT est_matches, coalesce(exact_permille, 0) AS exact_permille
+  FROM estimated LEFT JOIN exact USING (doc_a, doc_b)),
+agg AS (
+  SELECT est_matches, count(*) AS n_pairs,
+         CAST(sum(exact_permille) AS BIGINT) AS sum_exact_permille
+  FROM joined GROUP BY 1)
+SELECT est_matches, n_pairs, sum_exact_permille,
+       CAST(sum_exact_permille // nullif(n_pairs, 0) AS BIGINT)
+         AS mean_exact_permille
+FROM agg ORDER BY est_matches
+"""
+    )
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "heaps_law_vocab_growth": QuerySpec(
+        _heaps_law_vocab_growth, _HEAPS_SQL
+    ),
+    "minhash_estimate_calibration": QuerySpec(
+        _minhash_estimate_calibration, _calibration_sql()
+    ),
+}

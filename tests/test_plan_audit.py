@@ -525,3 +525,16 @@ def test_rare_collapse_single_scan(spark, reg):
     df = _q(reg, spark, "rare_category_collapse")
     assert_single_scan(df, "part")
     assert_no_cartesian(df)
+
+
+def test_heaps_single_corpus_scan(spark, reg):
+    df = _q(reg, spark, "heaps_law_vocab_growth")
+    assert_single_scan(df, "documents")
+    assert_no_cartesian(df)
+
+
+def test_minhash_calibration_checkpointed_signatures(spark, reg):
+    df = _q(reg, spark, "minhash_estimate_calibration")
+    # signatures checkpointed before the 3 references (pairs, a, b)
+    assert_lineage_cut(df)
+    assert_no_cartesian(df)
