@@ -53,6 +53,10 @@ def spread_small_input(df: DataFrame) -> DataFrame:
 # the text by non-multiple-of-stride chars disjoints the shingle sets).
 DEFAULT_NUM_PERM = 16
 DEFAULT_BANDS = 2
+# the degenerate-bucket cap shared by the Spark pair generators AND the
+# oracle-side pair CTEs (queries/extensions._minhash_ctes) — ONE
+# constant so the two sides can never disagree on what gets dropped
+DEFAULT_MAX_BUCKET = 10_000
 DEFAULT_SHINGLE_K = 12
 DEFAULT_SHINGLE_STRIDE = 1
 
@@ -155,7 +159,7 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     num_perm: int = DEFAULT_NUM_PERM,
     bands: int = DEFAULT_BANDS,
-    max_bucket: int = 10_000,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Band the signature and bucket docs by band hash: docs agreeing on
     ALL rows of any band become candidate pairs (doc_a < doc_b).
@@ -218,7 +222,7 @@ def simhash_fingerprint(df: DataFrame, id_col: str, text_col: str, bits: int = 1
 def simhash_hamming_pairs(
     fingerprints: DataFrame,
     max_hamming: int = 2,
-    max_bucket: int = 10_000,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
     bits: int = 16,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``

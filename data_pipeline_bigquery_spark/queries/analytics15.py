@@ -43,42 +43,58 @@ from data_pipeline_bigquery_spark.queries.analytics9 import _md5_bucket_sql
 
 
 def _heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nested-sample vocabulary curve: one token-stream scan, a
-    10-size explode, and per-size (docs, tokens, vocab) aggregates."""
+    """Nested-sample vocabulary curve WITHOUT replaying the stream per
+    size: because the samples nest, every curve point is a CUMULATIVE
+    sum over per-decile histograms — token occurrences and distinct
+    docs histogram by their own decile (each doc lives in exactly
+    one), and a token joins the vocabulary at the decile of its FIRST
+    appearance (min bucket).  One token-keyed exchange + one 10-row
+    histogram instead of a 10× stream explode; the cumulative windows
+    run over the 10-row decile domain.
+    """
     toks = load(spark, sf_dir, "documents").select(
         "doc_id",
         hash_bucket(F.col("doc_id"), 1000).alias("bucket"),
         F.explode(F.split("text", " ")).alias("token"),
+    ).localCheckpoint(eager=False)  # feeds the histogram AND the vocab agg
+    per_decile = toks.groupBy(
+        F.expr("bucket div 100").alias("decile")
+    ).agg(
+        F.count(F.lit(1)).alias("occ"),
+        F.countDistinct("doc_id").alias("docs"),
     )
-    swept = toks.select(
-        "doc_id",
-        "token",
-        F.explode(
-            F.array(*[F.lit(k * 100) for k in range(1, 11)])
-        ).alias("sample_permille"),
-        "bucket",
-    ).filter(F.col("bucket") < F.col("sample_permille"))
-    agg = swept.groupBy("sample_permille").agg(
-        F.countDistinct("doc_id").alias("n_docs"),
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.countDistinct("token").alias("vocab_size"),
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.min("bucket").alias("min_bucket"))
+        .groupBy(F.expr("min_bucket div 100").alias("decile"))
+        .agg(F.count(F.lit(1)).alias("new_vocab"))
     )
     grid = spark.createDataFrame(
-        [(k * 100,) for k in range(1, 11)], "sample_permille int"
+        [(d,) for d in range(10)], "decile long"
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    filled = (
+        grid.join(per_decile, "decile", "left")
+        .join(vocab, "decile", "left")
+        .select(
+            "decile",
+            F.coalesce(F.col("occ"), F.lit(0)).alias("occ"),
+            F.coalesce(F.col("docs"), F.lit(0)).alias("docs"),
+            F.coalesce(F.col("new_vocab"), F.lit(0)).alias("new_vocab"),
+        )
     )
     return (
-        grid.join(agg, "sample_permille", "left")
-        .select(
-            "sample_permille",
-            F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias(
-                "n_docs"
+        filled.select(
+            ((F.col("decile") + 1) * 100).cast("int").alias(
+                "sample_permille"
             ),
-            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias(
-                "n_tokens"
-            ),
-            F.coalesce(F.col("vocab_size"), F.lit(0)).cast("long").alias(
-                "vocab_size"
-            ),
+            F.sum("docs").over(w).cast("long").alias("n_docs"),
+            F.sum("occ").over(w).cast("long").alias("n_tokens"),
+            F.sum("new_vocab").over(w).cast("long").alias("vocab_size"),
         )
         .withColumn(
             "vocab_permille",
@@ -96,28 +112,36 @@ WITH toks AS (
          {_md5_bucket_sql('doc_id', 1000)} AS bucket,
          unnest(string_split(text, ' ')) AS token
   FROM documents),
-swept AS (
-  SELECT doc_id, token, sample_permille
-  FROM toks CROSS JOIN (
-    SELECT unnest({[k * 100 for k in range(1, 11)]}) AS sample_permille)
-  WHERE bucket < sample_permille),
-agg AS (
-  SELECT sample_permille,
-         count(DISTINCT doc_id) AS n_docs,
-         count(*) AS n_tokens,
-         count(DISTINCT token) AS vocab_size
-  FROM swept GROUP BY 1),
-grid AS (
-  SELECT unnest({[k * 100 for k in range(1, 11)]}) AS sample_permille)
-SELECT grid.sample_permille,
-       CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs,
-       CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
-       CAST(coalesce(vocab_size, 0) AS BIGINT) AS vocab_size,
-       CAST(coalesce(vocab_size, 0) * 1000
-            // nullif(coalesce(n_tokens, 0), 0) AS BIGINT)
+per_decile AS (
+  SELECT bucket // 100 AS decile,
+         count(*) AS occ,
+         count(DISTINCT doc_id) AS docs
+  FROM toks GROUP BY 1),
+vocab AS (
+  SELECT min_bucket // 100 AS decile, count(*) AS new_vocab
+  FROM (SELECT token, min(bucket) AS min_bucket FROM toks GROUP BY 1)
+  GROUP BY 1),
+grid AS (SELECT unnest(range(0, 10)) AS decile),
+filled AS (
+  SELECT grid.decile,
+         coalesce(occ, 0) AS occ,
+         coalesce(docs, 0) AS docs,
+         coalesce(new_vocab, 0) AS new_vocab
+  FROM grid
+  LEFT JOIN per_decile USING (decile)
+  LEFT JOIN vocab USING (decile)),
+cum AS (
+  SELECT CAST((decile + 1) * 100 AS INTEGER) AS sample_permille,
+         CAST(sum(docs) OVER w AS BIGINT) AS n_docs,
+         CAST(sum(occ) OVER w AS BIGINT) AS n_tokens,
+         CAST(sum(new_vocab) OVER w AS BIGINT) AS vocab_size
+  FROM filled
+  WINDOW w AS (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT sample_permille, n_docs, n_tokens, vocab_size,
+       CAST(vocab_size * 1000 // nullif(n_tokens, 0) AS BIGINT)
          AS vocab_permille
-FROM grid LEFT JOIN agg USING (sample_permille)
-ORDER BY sample_permille
+FROM cum ORDER BY sample_permille
 """
 
 
@@ -145,11 +169,14 @@ def _minhash_estimate_calibration(
     # of the estimate join
     sigs = minhash_signatures(shingles).localCheckpoint(eager=False)
     pairs = lsh_candidate_pairs(sigs)
-    est = sum(
-        F.when(
-            F.col(f"a.sig_{j}") == F.col(f"b.sig_{j}"), 1
-        ).otherwise(0)
-        for j in range(DEFAULT_NUM_PERM)
+    # ONE parsed SQL string, not 16 when-Columns — per dedup_text's
+    # measured note, primitive-built Columns cost ~6 py4j round-trips
+    # each at plan-build time
+    est = F.expr(
+        " + ".join(
+            f"(CASE WHEN a.sig_{j} = b.sig_{j} THEN 1 ELSE 0 END)"
+            for j in range(DEFAULT_NUM_PERM)
+        )
     )
     a = sigs.alias("a")
     b = sigs.alias("b")

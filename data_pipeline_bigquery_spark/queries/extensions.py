@@ -155,16 +155,30 @@ lng AS ({lng})"""
 
 def _minhash_ctes() -> str:
     """CTE chain ending in ``pairs`` — shared by the pair query and the
-    cluster query's oracle."""
+    cluster query's oracle.  Mirrors the Spark side's degenerate-bucket
+    cap (``dedup_text.DEFAULT_MAX_BUCKET``): a bucket hotter than the
+    cap is boilerplate, and BOTH engines must drop it or parity breaks
+    the day a fixture grows one."""
+    from data_pipeline_bigquery_spark.extensions.dedup_text import (
+        DEFAULT_MAX_BUCKET,
+    )
+
     return (
         _aug_cte()
         + ",\n"
         + minhash_lng_ctes("aug")
-        + """,
+        + f""",
+bucket_sizes AS (
+  SELECT band_idx, band_hash, count(*) AS n_in_bucket
+  FROM lng GROUP BY 1, 2),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM lng a JOIN lng b
-    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
+  FROM lng a
+  JOIN lng b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+  JOIN bucket_sizes s
+    ON a.band_idx = s.band_idx AND a.band_hash = s.band_hash
+  WHERE s.n_in_bucket <= {DEFAULT_MAX_BUCKET})
 """
     )
 

@@ -529,7 +529,9 @@ def test_rare_collapse_single_scan(spark, reg):
 
 def test_heaps_single_corpus_scan(spark, reg):
     df = _q(reg, spark, "heaps_law_vocab_growth")
+    # the token stream is checkpointed before its two aggregates
     assert_single_scan(df, "documents")
+    assert_lineage_cut(df)
     assert_no_cartesian(df)
 
 
