@@ -1,0 +1,125 @@
+"""Streaming Croston monitor: the final per-key emission converges to
+the batch key's row regardless of batch boundaries, replays of already-
+folded days are no-ops, and the >30-demand truncation matches."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from data_pipeline_bigquery_spark.queries import analytics12
+from data_pipeline_bigquery_spark.streaming.croston_stream import (
+    croston_stateful,
+    shift_sum,
+)
+
+SCHEMA = "user_id long, day_epoch long, cents long"
+
+
+def _run_stream(spark, in_dir, name, one_file_per_batch=True):
+    reader = spark.readStream.schema(SCHEMA)
+    if one_file_per_batch:
+        reader = reader.option("maxFilesPerTrigger", 1)
+    q = (
+        croston_stateful(reader.parquet(str(in_dir)))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}").collect()
+
+
+def _latest(rows):
+    out = {}
+    for r in rows:
+        if r.user_id not in out or r.n_demands > out[r.user_id].n_demands:
+            out[r.user_id] = r
+    return out
+
+
+def test_stream_converges_to_batch_key(spark, tmp_path):
+    # the SAME purchase history the batch key reads, split over two
+    # files → two micro-batches with a mid-history boundary
+    demands = {
+        1: [(0, 1000), (3, 2000), (4, 500), (10, 4000)],
+        2: [(5, 700)],
+    }
+    events, eid = [], 0
+    for uid, ds in demands.items():
+        for day, cents in ds:
+            events.append((
+                eid, dt.datetime(2024, 1, 1 + day, 9), uid,
+                "purchase", cents / 100.0,
+            ))
+            eid += 1
+    spark.createDataFrame(
+        events,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    ).withColumn("props", F.lit("{}")).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    batch = {r.user_id: r for r in analytics12.QUERIES[
+        "croston_intermittent_forecast"].fn(spark, str(tmp_path)).collect()}
+
+    in_dir = tmp_path / "feed"
+    epoch0 = dt.date(2024, 1, 1).toordinal()
+    rows = [
+        (uid, epoch0 + day, cents)
+        for uid, ds in demands.items()
+        for day, cents in ds
+    ]
+    spark.createDataFrame(rows[:3], SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(in_dir))
+    spark.createDataFrame(rows[3:], SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(in_dir))
+    got = _latest(_run_stream(spark, in_dir, "croston_conv"))
+    assert set(got) == set(batch)
+    for uid, b in batch.items():
+        g = got[uid]
+        assert (g.n_demands, g.z30, g.p30) == (b.n_demands, b.z30, b.p30)
+        if b.croston_rate is None:
+            assert g.croston_rate is None
+        else:
+            assert g.croston_rate == b.croston_rate
+
+
+def test_replayed_days_are_noops(spark, tmp_path):
+    in_dir = tmp_path / "feed"
+    rows = [(7, 100, 500), (7, 102, 700)]
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(in_dir))
+    # re-deliver the SAME days (at-least-once), plus one genuinely new
+    spark.createDataFrame(
+        rows + [(7, 105, 900)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(str(in_dir))
+    got = _latest(_run_stream(spark, in_dir, "croston_replay"))
+    r = got[7]
+    assert r.n_demands == 3
+    assert r.z30 == shift_sum([500, 700, 900])
+    assert r.p30 == shift_sum([2, 3])
+
+
+def test_truncation_window_matches_batch_form(spark, tmp_path):
+    in_dir = tmp_path / "feed"
+    rows = [(9, 200 + 2 * i, 300) for i in range(40)]  # 40 demands
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(in_dir))
+    got = _latest(_run_stream(spark, in_dir, "croston_trunc",
+                              one_file_per_batch=False))
+    r = got[9]
+    assert r.n_demands == 40
+    # saturated constant window: Σ 2^(i-1) = 2^30 − 1
+    assert r.z30 == 300 * ((1 << 30) - 1)
+    assert r.p30 == 2 * ((1 << 30) - 1)
+    assert r.croston_rate == 150.0
