@@ -7,8 +7,11 @@ demand sizes (integer cents), the last ≤30 inter-demand gaps (days),
 and the last demand date.  On every batch that brings a key new
 demand days, it emits the refreshed forecast row — the identical
 (n_demands, z30, p30, croston_rate) the batch key would compute over
-the same history, so the stream CONVERGES to the batch readout at any
-batch boundary (test-asserted).
+the same history.  For a per-key DAY-ORDERED feed (the watermark
+contract) the stream converges to the batch readout wherever the
+micro-batch boundaries fall (test-asserted); replays and late
+out-of-order days are discarded deterministically (first-wins), and a
+batch that advances nothing emits nothing.
 
 State is bounded by construction: ≤30+30 int64s + a date + a count
 per key, independent of stream volume — the
@@ -57,25 +60,39 @@ def _croston_fn(
         state.remove()
         return
     rows = pd.concat(list(pdfs), ignore_index=True)
-    # one demand per (key, day): the caller aggregates to the day
-    # grain, but a replayed/merged feed may still carry duplicates —
-    # last value per day wins, in day order (idempotent re-delivery)
+    # FEED CONTRACT (the standard watermark discipline): one demand
+    # per (key, day), delivered in day order per key.  The fold is
+    # FIRST-WINS everywhere — within a batch (drop_duplicates
+    # keep='first') exactly as across batches (the last_day watermark
+    # discards day <= last_day) — so identical feed content produces
+    # identical state wherever the micro-batch boundary falls.  A
+    # genuinely late EARLIER day cannot be folded into bounded state
+    # (the gap sequence before the watermark is gone); it is discarded
+    # like a replay, and a disordered feed therefore diverges from the
+    # batch key — route late data through the batch readout, as with
+    # every watermark-bounded operator here.
     rows = rows.sort_values("day_epoch", kind="mergesort").drop_duplicates(
-        "day_epoch", keep="last"
+        "day_epoch", keep="first"
     )
     sizes, gaps, last_day, n = (
         state.get if state.exists else ([], [], None, 0)
     )
     sizes, gaps = list(sizes), list(gaps)
+    advanced = False
     for _, r in rows.iterrows():
         day, cents = int(r["day_epoch"]), int(r["cents"])
+        if cents <= 0:
+            continue  # the batch twin drops non-positive demand days
         if last_day is not None and day <= last_day:
-            continue  # replay of an already-folded day: no-op
+            continue  # at/behind the watermark: replay or late — no-op
         if last_day is not None:
             gaps.append(day - last_day)
         sizes.append(cents)
         last_day, n = day, n + 1
+        advanced = True
         sizes, gaps = sizes[-_WINDOW:], gaps[-_WINDOW:]
+    if not advanced:
+        return  # pure-replay batch: no state change, no duplicate emit
     state.update((sizes, gaps, last_day, n))
     z30 = shift_sum(sizes)
     p30 = shift_sum(gaps)

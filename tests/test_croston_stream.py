@@ -123,3 +123,48 @@ def test_truncation_window_matches_batch_form(spark, tmp_path):
     assert r.z30 == 300 * ((1 << 30) - 1)
     assert r.p30 == 2 * ((1 << 30) - 1)
     assert r.croston_rate == 150.0
+
+
+def test_zero_cents_days_and_pure_replays_ignored(spark, tmp_path):
+    in_dir = tmp_path / "feed"
+    rows = [(3, 50, 400), (3, 52, 0), (3, 55, 600)]  # zero-demand day
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(in_dir))
+    got = _run_stream(spark, in_dir, "croston_zero",
+                      one_file_per_batch=False)
+    r = _latest(got)[3]
+    # the zero day neither counts nor breaks the gap (batch-twin rule)
+    assert r.n_demands == 2
+    assert r.z30 == shift_sum([400, 600])
+    assert r.p30 == shift_sum([5])
+    # a pure-replay batch emits NOTHING for the key
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(in_dir))
+    got2 = _run_stream(spark, in_dir, "croston_zero2",
+                       one_file_per_batch=True)
+    # fresh query replays the whole feed: batch1 folds, batch2 is all
+    # replays → exactly ONE emission for the key
+    assert len([r for r in got2 if r.user_id == 3]) == 1
+
+
+def test_same_day_first_wins_regardless_of_boundary(spark, tmp_path):
+    # the same content split differently must land in the same state
+    rows = [(4, 80, 100), (4, 80, 999), (4, 83, 300)]
+    one = tmp_path / "one"
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(one))
+    split = tmp_path / "split"
+    spark.createDataFrame(rows[:1], SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(split))
+    spark.createDataFrame(rows[1:], SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(split))
+    a = _latest(_run_stream(spark, one, "croston_one",
+                            one_file_per_batch=False))[4]
+    b = _latest(_run_stream(spark, split, "croston_split"))[4]
+    assert (a.n_demands, a.z30, a.p30) == (b.n_demands, b.z30, b.p30)
+    assert a.z30 == shift_sum([100, 300])  # first value for day 80 won
