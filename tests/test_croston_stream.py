@@ -168,3 +168,22 @@ def test_same_day_first_wins_regardless_of_boundary(spark, tmp_path):
     b = _latest(_run_stream(spark, split, "croston_split"))[4]
     assert (a.n_demands, a.z30, a.p30) == (b.n_demands, b.z30, b.p30)
     assert a.z30 == shift_sum([100, 300])  # first value for day 80 won
+
+
+def test_shift_sum_int64_envelope_boundary(spark, tmp_path):
+    # envelope: z30 <= max_cents * (2^30 - 1); max_cents = 2^33 keeps
+    # the saturated sum under 2^63 - 1 (ANSI Spark THROWS on overflow,
+    # so crossing the envelope is loud, not wrong).  ~$86M/day per key
+    # is the documented ceiling before rescaling units.
+    big = 1 << 33
+    assert shift_sum([big] * 30) == big * ((1 << 30) - 1)
+    assert shift_sum([big] * 30) < (1 << 63) - 1
+    # and the Spark side computes the identical boundary value
+    rows = [(11, 300 + i, big) for i in range(30)]
+    in_dir = tmp_path / "feed"
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(in_dir))
+    r = _latest(_run_stream(spark, in_dir, "croston_envelope",
+                            one_file_per_batch=False))[11]
+    assert r.z30 == big * ((1 << 30) - 1)
