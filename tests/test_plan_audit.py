@@ -540,3 +540,17 @@ def test_minhash_calibration_checkpointed_signatures(spark, reg):
     # signatures checkpointed before the 3 references (pairs, a, b)
     assert_lineage_cut(df)
     assert_no_cartesian(df)
+
+
+def test_cycle_percentiles_value_domain_windows(spark, reg):
+    df = _q(reg, spark, "order_cycle_time_percentiles")
+    assert_single_scan(df, "lineitem")
+    assert_single_scan(df, "orders")
+    assert_no_cartesian(df)
+
+
+def test_vocab_overlap_checkpointed_top_sets(spark, reg):
+    df = _q(reg, spark, "vocabulary_overlap_between_langs")
+    assert_single_scan(df, "documents")
+    assert_lineage_cut(df)
+    assert_no_cartesian(df)
