@@ -9,7 +9,7 @@ diagnostics:
   machinery shared with ``order_gap_percentiles``, windows bounded by
   distinct cycle-day values, never row counts.
 - ``vocabulary_overlap_between_langs``: for every language pair, how
-  many of each language's top-{_VOCAB_TOP} tokens are shared, as a
+  many of each language's top-200 tokens are shared, as a
   permille of the smaller top set — the multilingual-corpus
   diagnostic that separates script-sharing languages (heavy overlap →
   shared subword budget) from disjoint ones before tokenizer
@@ -28,6 +28,10 @@ from pyspark.sql import functions as F
 
 from data_pipeline_bigquery_spark.catalog import load
 from data_pipeline_bigquery_spark.queries import QuerySpec
+from data_pipeline_bigquery_spark.queries.quantile_util import (
+    cumulative_value_histogram,
+    rank_rule_pct,
+)
 
 _VOCAB_TOP = 200
 
@@ -58,34 +62,16 @@ def _order_cycle_time_percentiles(
     grain = cycles.groupBy("o_orderpriority", "days").agg(
         F.count(F.lit(1)).alias("c")
     )
-    w_cum = (
-        Window.partitionBy("o_orderpriority")
-        .orderBy("days")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    cum = cumulative_value_histogram(
+        grain, "days", partition_cols=("o_orderpriority",)
     )
-    w_tot = Window.partitionBy("o_orderpriority")
-    cum = grain.select(
-        "o_orderpriority",
-        "days",
-        F.sum("c").over(w_cum).alias("cum"),
-        F.sum("c").over(w_tot).alias("total"),
-    )
-
-    def pct(p: int):
-        return F.min(
-            F.when(
-                F.col("cum") * 100 >= F.lit(p) * F.col("total"),
-                F.col("days"),
-            )
-        )
-
     return (
         cum.groupBy("o_orderpriority")
         .agg(
             F.max("total").cast("long").alias("n_orders"),
-            pct(25).alias("p25_cycle_days"),
-            pct(50).alias("p50_cycle_days"),
-            pct(75).alias("p75_cycle_days"),
+            rank_rule_pct(25, "days").alias("p25_cycle_days"),
+            rank_rule_pct(50, "days").alias("p50_cycle_days"),
+            rank_rule_pct(75, "days").alias("p75_cycle_days"),
         )
         .orderBy("o_orderpriority")
     )
@@ -130,7 +116,8 @@ def _vocabulary_overlap_between_langs(
 
     One token-stream aggregate to (lang, token) counts; the rank
     window partitions by language over its token domain; the pair
-    join carries only the ≤{_VOCAB_TOP}-row top sets.
+    join carries only the small per-language top sets; every
+    language pair appears (zero overlaps report 0).
     """
     counts = (
         load(spark, sf_dir, "documents")
@@ -162,33 +149,29 @@ def _vocabulary_overlap_between_langs(
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+    # scaffold of EVERY language pair (sizes is language-count rows),
+    # so disjoint top sets report 0 instead of vanishing — 'zero
+    # overlap' and 'language absent' must stay distinguishable
+    sa = sizes.select(
+        F.col("lang").alias("lang_a"), F.col("n_top").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("lang").alias("lang_b"), F.col("n_top").alias("n_b")
+    )
+    all_pairs = sa.join(sb, F.col("lang_a") < F.col("lang_b"))
     return (
-        shared.join(
-            F.broadcast(
-                sizes.select(
-                    F.col("lang").alias("lang_a"),
-                    F.col("n_top").alias("n_a"),
-                )
-            ),
-            "lang_a",
-        )
-        .join(
-            F.broadcast(
-                sizes.select(
-                    F.col("lang").alias("lang_b"),
-                    F.col("n_top").alias("n_b"),
-                )
-            ),
-            "lang_b",
-        )
+        all_pairs.join(shared, ["lang_a", "lang_b"], "left")
         .select(
             "lang_a",
             "lang_b",
-            "n_shared",
+            F.coalesce(F.col("n_shared"), F.lit(0))
+            .cast("long")
+            .alias("n_shared"),
             "n_a",
             "n_b",
             F.expr(
-                "CAST(n_shared * 1000 div least(n_a, n_b) AS BIGINT)"
+                "CAST(coalesce(n_shared, 0) * 1000 div least(n_a, n_b)"
+                " AS BIGINT)"
             ).alias("overlap_permille"),
         )
         .orderBy("lang_a", "lang_b")
@@ -213,12 +196,14 @@ shared AS (
   SELECT a.lang AS lang_a, b.lang AS lang_b, count(*) AS n_shared
   FROM top a JOIN top b ON a.token = b.token AND a.lang < b.lang
   GROUP BY 1, 2)
-SELECT lang_a, lang_b, n_shared, sa.n_top AS n_a, sb.n_top AS n_b,
-       CAST(n_shared * 1000 // least(sa.n_top, sb.n_top) AS BIGINT)
-         AS overlap_permille
-FROM shared
-JOIN sizes sa ON shared.lang_a = sa.lang
-JOIN sizes sb ON shared.lang_b = sb.lang
+SELECT sa.lang AS lang_a, sb.lang AS lang_b,
+       CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared,
+       sa.n_top AS n_a, sb.n_top AS n_b,
+       CAST(coalesce(n_shared, 0) * 1000 // least(sa.n_top, sb.n_top)
+            AS BIGINT) AS overlap_permille
+FROM sizes sa
+JOIN sizes sb ON sa.lang < sb.lang
+LEFT JOIN shared ON shared.lang_a = sa.lang AND shared.lang_b = sb.lang
 ORDER BY lang_a, lang_b
 """
 

@@ -2242,25 +2242,18 @@ def _order_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("gap").isNotNull())
     )
-    grain = gaps.groupBy("gap").agg(F.count(F.lit(1)).alias("c"))
-    w_cum = Window.orderBy("gap").rowsBetween(Window.unboundedPreceding, 0)
-    w_tot = Window.partitionBy()
-    cum = grain.select(
-        "gap",
-        F.sum("c").over(w_cum).alias("cum"),
-        F.sum("c").over(w_tot).alias("total"),
+    from data_pipeline_bigquery_spark.queries.quantile_util import (
+        cumulative_value_histogram,
+        rank_rule_pct,
     )
 
-    def pct(p: int) -> F.Column:
-        return F.min(
-            F.when(F.col("cum") * 100 >= F.lit(p) * F.col("total"), F.col("gap"))
-        )
-
+    grain = gaps.groupBy("gap").agg(F.count(F.lit(1)).alias("c"))
+    cum = cumulative_value_histogram(grain, "gap")
     return cum.agg(
         F.max("total").alias("n_gaps"),
-        pct(25).alias("p25_gap_days"),
-        pct(50).alias("p50_gap_days"),
-        pct(75).alias("p75_gap_days"),
+        rank_rule_pct(25, "gap").alias("p25_gap_days"),
+        rank_rule_pct(50, "gap").alias("p50_gap_days"),
+        rank_rule_pct(75, "gap").alias("p75_gap_days"),
     )
 
 

@@ -881,23 +881,15 @@ def _funnel_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lag_min")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    w_cum = Window.orderBy("lag_min").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    w_tot = Window.partitionBy()
-    cum = grain.select(
-        "lag_min",
-        F.sum("c").over(w_cum).alias("cum"),
-        F.sum("c").over(w_tot).alias("total"),
+    from data_pipeline_bigquery_spark.queries.quantile_util import (
+        cumulative_value_histogram,
+        rank_rule_pct,
     )
 
+    cum = cumulative_value_histogram(grain, "lag_min")
+
     def pct(p: int) -> F.Column:
-        return F.min(
-            F.when(
-                F.col("cum") * 100 >= F.lit(p) * F.col("total"),
-                F.col("lag_min"),
-            )
-        )
+        return rank_rule_pct(p, "lag_min")
 
     signups = lagged.agg(
         F.sum("signed_up").alias("n_signups"),
@@ -993,27 +985,17 @@ def _iqr_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint()
     )
-    w_cum = (
-        Window.partitionBy("event_type")
-        .orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    from data_pipeline_bigquery_spark.queries.quantile_util import (
+        cumulative_value_histogram,
+        rank_rule_pct,
     )
-    w_tot = Window.partitionBy("event_type")
-    cum = hist.select(
-        "event_type",
-        "cents",
-        "c",
-        F.sum("c").over(w_cum).alias("cum"),
-        F.sum("c").over(w_tot).alias("total"),
+
+    cum = cumulative_value_histogram(
+        hist, "cents", partition_cols=("event_type",)
     )
 
     def pct(p: int) -> F.Column:
-        return F.min(
-            F.when(
-                F.col("cum") * 100 >= F.lit(p) * F.col("total"),
-                F.col("cents"),
-            )
-        )
+        return rank_rule_pct(p, "cents")
 
     quartiles = cum.groupBy("event_type").agg(
         F.max("total").alias("n"),

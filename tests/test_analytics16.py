@@ -55,8 +55,9 @@ def test_vocab_overlap_matches_counter_replay(spark):
     counts = defaultdict(Counter)
     for lang, text in docs:
         counts[lang].update(text.split(" "))
+    top_k = analytics16._VOCAB_TOP
     tops = {
-        lang: set(sorted(c, key=lambda t: (-c[t], t))[:200])
+        lang: set(sorted(c, key=lambda t: (-c[t], t))[:top_k])
         for lang, c in counts.items()
     }
     langs = sorted(tops)
@@ -64,11 +65,11 @@ def test_vocab_overlap_matches_counter_replay(spark):
     for i, a in enumerate(langs):
         for b in langs[i + 1:]:
             shared = len(tops[a] & tops[b])
-            if shared:
-                expect[(a, b)] = (
-                    shared, len(tops[a]), len(tops[b]),
-                    shared * 1000 // min(len(tops[a]), len(tops[b])),
-                )
+            # EVERY pair appears, zero-overlap included
+            expect[(a, b)] = (
+                shared, len(tops[a]), len(tops[b]),
+                shared * 1000 // min(len(tops[a]), len(tops[b])),
+            )
     got = {(r.lang_a, r.lang_b): (
         r.n_shared, r.n_a, r.n_b, r.overlap_permille)
         for r in _run(spark, "vocabulary_overlap_between_langs")}
