@@ -187,3 +187,48 @@ def test_shift_sum_int64_envelope_boundary(spark, tmp_path):
     r = _latest(_run_stream(spark, in_dir, "croston_envelope",
                             one_file_per_batch=False))[11]
     assert r.z30 == big * ((1 << 30) - 1)
+
+
+def test_restart_resume_carries_state(spark, tmp_path):
+    """Stop after the first demand days, deliver more, restart from
+    the same checkpoint: the resumed query must continue the SAME
+    gap/size history (a state-losing resume would restart n_demands
+    and gaps from scratch)."""
+    in_dir, out_dir, ckpt = (
+        tmp_path / "cr_in",
+        tmp_path / "cr_out",
+        tmp_path / "cr_ckpt",
+    )
+
+    def run_once():
+        stream = spark.readStream.schema(SCHEMA).parquet(str(in_dir))
+
+        def sink(batch, _epoch):
+            if batch.count():
+                batch.write.mode("append").parquet(str(out_dir))
+
+        q = (
+            croston_stateful(stream)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(ckpt))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    spark.createDataFrame(
+        [(21, 400, 1000), (21, 403, 2000)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(str(in_dir))
+    run_once()
+    spark.createDataFrame(
+        [(21, 407, 3000)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(str(in_dir))
+    run_once()
+    rows = spark.read.parquet(str(out_dir)).collect()
+    final = max(rows, key=lambda r: r.n_demands)
+    assert final.n_demands == 3
+    # gaps [3, 4] prove the pre-restart history survived the resume
+    assert final.p30 == shift_sum([3, 4])
+    assert final.z30 == shift_sum([1000, 2000, 3000])

@@ -622,3 +622,39 @@ def test_expectations_match_null_hostile_model(spark, rows, threshold):
         for r in evaluate_expectations(df, rules).collect()
     }
     assert got == expected
+
+
+# --- value-domain rank-rule percentiles vs numpy ----------------------------
+
+_values = st.lists(
+    st.integers(min_value=-50, max_value=50), min_size=1, max_size=40
+)
+
+
+@given(vals=_values)
+@settings(**_SETTINGS)
+def test_rank_rule_pct_matches_numpy_inverted_cdf(spark, vals):
+    """The shared quantile_util machinery (now backing four registry
+    keys) IS numpy's 'inverted_cdf' percentile: smallest value whose
+    cumulative count reaches p% of the total."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from data_pipeline_bigquery_spark.queries.quantile_util import (
+        cumulative_value_histogram,
+        rank_rule_pct,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    grain = df.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    cum = cumulative_value_histogram(grain, "v")
+    row = cum.agg(
+        rank_rule_pct(25, "v").alias("p25"),
+        rank_rule_pct(50, "v").alias("p50"),
+        rank_rule_pct(75, "v").alias("p75"),
+        rank_rule_pct(100, "v").alias("p100"),
+    ).collect()[0]
+    for p, got in ((25, row.p25), (50, row.p50), (75, row.p75),
+                   (100, row.p100)):
+        want = int(np.percentile(vals, p, method="inverted_cdf"))
+        assert got == want, (p, vals, got, want)
