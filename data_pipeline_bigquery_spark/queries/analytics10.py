@@ -305,12 +305,27 @@ def _order_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _covisitation_scored(op: DataFrame) -> DataFrame:
-    """Symmetric cosine-scored co-visitation edges (part, neighbor)."""
+    """Symmetric cosine-scored co-visitation edges (part, neighbor).
+
+    Pair generation is the in-bucket transform (groupBy the order,
+    emit sorted in-basket pairs from the collected array) — ONE
+    order-keyed exchange instead of a self-join, the same discipline
+    as the LSH/gram bucket pipelines; basket sizes bound the blowup
+    (≤ c·(c−1)/2 per order).
+    """
     deg = op.groupBy("p").agg(F.count(F.lit(1)).alias("deg"))
-    a, b = op.alias("a"), op.alias("b")
+    baskets = op.groupBy("o").agg(
+        F.sort_array(F.collect_list("p")).alias("ps")
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ps, (x, i) ->"
+        " transform(slice(ps, i + 2, size(ps) - i - 1),"
+        " y -> struct(x AS p1, y AS p2))))"
+    )
     pairs = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        baskets.filter(F.size("ps") > 1)
+        .select(F.explode(pair_expr).alias("pr"))
+        .groupBy(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     sym = pairs.select(
