@@ -9,7 +9,7 @@ diagnostics:
   machinery shared with ``order_gap_percentiles``, windows bounded by
   distinct cycle-day values, never row counts.
 - ``vocabulary_overlap_between_langs``: for every language pair, how
-  many of each language's top-200 tokens are shared, as a
+  many of each language's top-`_VOCAB_TOP` (200) tokens are shared, as a
   permille of the smaller top set — the multilingual-corpus
   diagnostic that separates script-sharing languages (heavy overlap →
   shared subword budget) from disjoint ones before tokenizer

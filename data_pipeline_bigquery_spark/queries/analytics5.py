@@ -58,6 +58,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_bigquery_spark.catalog import load
+from data_pipeline_bigquery_spark.queries.quantile_util import (
+    cumulative_value_histogram,
+    rank_rule_pct,
+)
 from data_pipeline_bigquery_spark.functions.timestamps import to_epoch_seconds
 from data_pipeline_bigquery_spark.queries import QuerySpec
 
@@ -1358,31 +1362,18 @@ def _histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").alias("cnt")
     ).select(F.lit(0).alias("mon"), "b", "mn", "mx", "cnt")
     hist = monthly.unionByName(overall)
-    w_cum = (
-        Window.partitionBy("mon")
-        .orderBy("b")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    w_tot = Window.partitionBy("mon")
-    cum = hist.select(
-        "mon",
+    cum = cumulative_value_histogram(
+        hist,
         "b",
-        "mn",
-        "mx",
-        F.sum("cnt").over(w_cum).alias("cum"),
-        F.sum("cnt").over(w_tot).alias("total"),
+        partition_cols=("mon",),
+        count_col="cnt",
+        carry_cols=("mn", "mx"),
     )
     edge = F.expr(f"mn + ((b + 1) * (mx - mn + 1)) div {_HIST_BUCKETS}")
-
-    def q_edge(pct: int) -> F.Column:
-        return F.min(
-            F.when(F.col("cum") * 100 >= F.lit(pct) * F.col("total"), edge)
-        )
-
     return cum.groupBy("mon").agg(
         F.max("total").alias("n"),
-        q_edge(50).alias("p50_edge_cents"),
-        q_edge(95).alias("p95_edge_cents"),
+        rank_rule_pct(50, edge).alias("p50_edge_cents"),
+        rank_rule_pct(95, edge).alias("p95_edge_cents"),
     )
 
 
@@ -2242,11 +2233,6 @@ def _order_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("gap").isNotNull())
     )
-    from data_pipeline_bigquery_spark.queries.quantile_util import (
-        cumulative_value_histogram,
-        rank_rule_pct,
-    )
-
     grain = gaps.groupBy("gap").agg(F.count(F.lit(1)).alias("c"))
     cum = cumulative_value_histogram(grain, "gap")
     return cum.agg(

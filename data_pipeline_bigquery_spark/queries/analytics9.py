@@ -52,6 +52,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_bigquery_spark.catalog import load
+from data_pipeline_bigquery_spark.queries.quantile_util import (
+    cumulative_value_histogram,
+    rank_rule_pct,
+)
 from data_pipeline_bigquery_spark.extensions.sampling import hash_bucket
 from data_pipeline_bigquery_spark.queries import QuerySpec
 
@@ -881,16 +885,7 @@ def _funnel_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lag_min")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    from data_pipeline_bigquery_spark.queries.quantile_util import (
-        cumulative_value_histogram,
-        rank_rule_pct,
-    )
-
     cum = cumulative_value_histogram(grain, "lag_min")
-
-    def pct(p: int) -> F.Column:
-        return rank_rule_pct(p, "lag_min")
-
     signups = lagged.agg(
         F.sum("signed_up").alias("n_signups"),
         F.sum(
@@ -899,9 +894,9 @@ def _funnel_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_converted"),
     )
     stats = cum.agg(
-        pct(25).alias("p25_lag_min"),
-        pct(50).alias("p50_lag_min"),
-        pct(75).alias("p75_lag_min"),
+        rank_rule_pct(25, "lag_min").alias("p25_lag_min"),
+        rank_rule_pct(50, "lag_min").alias("p50_lag_min"),
+        rank_rule_pct(75, "lag_min").alias("p75_lag_min"),
     )
     return (
         signups.crossJoin(F.broadcast(stats))
@@ -985,22 +980,13 @@ def _iqr_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint()
     )
-    from data_pipeline_bigquery_spark.queries.quantile_util import (
-        cumulative_value_histogram,
-        rank_rule_pct,
-    )
-
     cum = cumulative_value_histogram(
         hist, "cents", partition_cols=("event_type",)
     )
-
-    def pct(p: int) -> F.Column:
-        return rank_rule_pct(p, "cents")
-
     quartiles = cum.groupBy("event_type").agg(
         F.max("total").alias("n"),
-        pct(25).alias("q1_cents"),
-        pct(75).alias("q3_cents"),
+        rank_rule_pct(25, "cents").alias("q1_cents"),
+        rank_rule_pct(75, "cents").alias("q3_cents"),
     )
     fenced = quartiles.select(
         "event_type",

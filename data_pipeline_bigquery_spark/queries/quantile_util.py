@@ -29,9 +29,11 @@ def cumulative_value_histogram(
     value_col: str,
     partition_cols: tuple[str, ...] = (),
     count_col: str = "c",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Add ``cum`` (running count in value order) and ``total`` to a
-    (partition…, value, count) grain."""
+    (partition…, value, count) grain; ``carry_cols`` ride along
+    untouched (e.g. a bucket grid's min/max range columns)."""
     w_cum = (
         Window.partitionBy(*partition_cols)
         .orderBy(value_col)
@@ -42,16 +44,17 @@ def cumulative_value_histogram(
         *partition_cols,
         value_col,
         count_col,
+        *carry_cols,
         F.sum(count_col).over(w_cum).alias("cum"),
         F.sum(count_col).over(w_tot).alias("total"),
     )
 
 
-def rank_rule_pct(p: int, value_col: str) -> Column:
-    """Aggregate: the smallest value with ``cum·100 ≥ p·total``."""
+def rank_rule_pct(p: int, value: Column | str) -> Column:
+    """Aggregate: the smallest value/expression with
+    ``cum·100 ≥ p·total``.  ``value`` may be a column name or a
+    derived Column (e.g. a histogram bucket's upper edge)."""
+    v = F.col(value) if isinstance(value, str) else value
     return F.min(
-        F.when(
-            F.col("cum") * 100 >= F.lit(p) * F.col("total"),
-            F.col(value_col),
-        )
+        F.when(F.col("cum") * 100 >= F.lit(p) * F.col("total"), v)
     )
