@@ -71,12 +71,10 @@ _HEAVY_QUERIES = {
 # Queries whose oracle SQL was fixed since the last driver sweep and
 # that therefore need a fresh post-fix hash-green row; they jump the
 # rotation until one exists.
-_NEEDS_REEVIDENCE = {
-    # (the round-6 HUGEINT re-evidence set — 7 keys — was fully
-    # discharged green in CORRECTNESS_r06 and has been dropped)
-    # r06 red: oracle used to_timestamp() → TIMESTAMPTZ; rewritten to
-    # naive timestamp arithmetic in round 7 (queries/analytics7.py)
-    "sliding_window_counts",
+_NEEDS_REEVIDENCE: set[str] = {
+    # (the round-6 HUGEINT re-evidence set and the round-7
+    # sliding_window_counts TIMESTAMPTZ fix were all discharged green —
+    # CORRECTNESS_r06 / CORRECTNESS_r07 — and have been dropped)
 }
 _REEVIDENCE_AFTER_ROUND = 6  # green rows in CORRECTNESS_r>NN clear the flag
 
