@@ -264,7 +264,12 @@ def run_data_quality(args) -> tuple[str, int]:
         1 for r in rows if r.blocking == 1 and r.n_violations > 0
     )
     if args.out:
-        df.write.mode("overwrite").parquet(args.out)
+        # the expectation scan already ran for the gate above — write
+        # the COLLECTED report rows (rules-grain, tiny) instead of
+        # re-executing the full joined aggregate via df.write
+        spark.createDataFrame(rows, df.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(args.out)
     lines = "; ".join(
         f"{r.rule}={r.n_violations}/{r.n_checked}" for r in rows
     )

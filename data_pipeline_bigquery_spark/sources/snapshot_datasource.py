@@ -15,13 +15,20 @@ reader stamps it, so consumers can window/diff by version.
 
 Offset protocol: the streaming offset is the highest version already
 emitted.  Versions are IMMUTABLE once committed (rename-CAS protocol,
-`sources/snapshots.py`) and version numbers are monotone (the
-``_LATEST_`` high-water mark survives retention), which is exactly what
-makes ``readBetweenOffsets`` deterministic and recovery exactly-once:
-after a crash the engine re-asks for the same (start, end] version
-range and gets byte-identical rows.  Only marker-verified versions are
-visible — a mid-commit writer's staging dir is invisible by protocol,
-so the feed can never observe a torn version.
+`sources/snapshots.py` — order validation happens BEFORE the commit
+rename, so a version that became visible is never retracted) and
+version numbers are monotone (the ``_LATEST_`` high-water mark survives
+retention), which is what makes ``readBetweenOffsets`` deterministic
+and recovery exactly-once **for a single writer** (or writers that
+never stall mid-commit): after a crash the engine re-asks for the same
+(start, end] version range and gets byte-identical rows.  Only
+marker-verified versions are visible — a mid-commit writer's staging
+dir is invisible by protocol, so the feed can never observe a torn
+version.  Best-effort multi-writer caveat: a writer stalled between
+its pre-rename listing and its rename can publish version N *after*
+N+1 became visible; a poll that already advanced past N will then skip
+it.  Run concurrent writers only if the sink tolerates that transient,
+or serialize writers per base path.
 
 Scale notes: this reader is the ``SimpleDataSourceStreamReader`` form
 (driver reads, then the engine distributes) — right for version-grain
@@ -114,21 +121,52 @@ def _version_rows(base: str, version: int, fields: list[str], types=None):
             )
 
 
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
 def _typed_partition_value(name: str, raw: str, types):
-    """Convert a hive path value using the declared Spark type."""
+    """Convert a hive path value using the declared Spark type.
+
+    Handles every partitionable scalar the store's writers can emit
+    (ADVICE r07): integral / float / boolean / date / timestamp /
+    decimal / string, plus the hive NULL sentinel (a NULL partition
+    value is written as ``__HIVE_DEFAULT_PARTITION__``, which must come
+    back as None, not crash int()).  An unhandled declared type raises
+    a descriptive error instead of leaking a raw string into a typed
+    column (which fails later, inscrutably, in row conversion)."""
+    import datetime as _dt
+    import decimal as _decimal
+    import urllib.parse
+
+    if raw == _HIVE_NULL:
+        return None
+    raw = urllib.parse.unquote(raw)  # hive escapes ':' ' ' etc. in values
     t = (types or {}).get(name)
     tn = t.typeName() if t is not None else None
-    if tn in ("long", "integer", "short", "byte", "bigint", "int"):
-        return int(raw)
-    if tn == "double" or tn == "float":
-        return float(raw)
-    if tn == "boolean":
-        return raw.lower() == "true"
     if tn is None:
         # field not in the declared schema (it will be dropped from the
         # output tuple anyway) — keep the raw string
         return raw
-    return raw
+    if tn in ("long", "integer", "short", "byte", "bigint", "int"):
+        return int(raw)
+    if tn in ("double", "float"):
+        return float(raw)
+    if tn == "boolean":
+        return raw.lower() == "true"
+    if tn == "date":
+        return _dt.date.fromisoformat(raw)
+    if tn in ("timestamp", "timestamp_ntz"):
+        return _dt.datetime.fromisoformat(raw)
+    if tn == "decimal":
+        return _decimal.Decimal(raw)
+    if tn == "string":
+        return raw
+    raise ValueError(
+        f"snapshotstore: unsupported partition-column type {tn!r} for "
+        f"hive path segment {name}={raw!r} — partition by an "
+        f"integral/float/boolean/date/timestamp/decimal/string column, "
+        f"or read via sources.snapshots.read_snapshot instead"
+    )
 
 
 class _VersionPartition(InputPartition):

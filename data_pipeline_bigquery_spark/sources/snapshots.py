@@ -111,9 +111,12 @@ def _advance_tag(spark: SparkSession, base: str, prefix: str, value: int):
 
 _LATEST_TAG = "_LATEST_"
 _HWM_TAG = "_EPOCH_HWM_"
-# a commit retry means another writer just committed; 1000 consecutive
-# losses is not contention, it's a stuck filesystem — fail loudly
-_MAX_COMMIT_RETRIES = 1000
+# a commit retry means another writer just committed; 100 consecutive
+# losses is not contention, it's a stuck filesystem — fail loudly.
+# Retries back off (bounded) so pathological contention degrades into
+# a slow loud failure, not a directory-listing storm.
+_MAX_COMMIT_RETRIES = 100
+_RETRY_BACKOFF_CAP_S = 0.5
 
 
 def _commit_next_version(
@@ -161,7 +164,14 @@ def _commit_next_version(
         except BaseException:
             fs.delete(jtmp, True)
             raise
+    import time
+
     for _attempt in range(_MAX_COMMIT_RETRIES):
+        if _attempt:
+            # bounded exponential backoff between lost races: each retry
+            # costs directory listings, so contention must not turn into
+            # a listing storm before the loud failure below
+            time.sleep(min(0.01 * (2 ** min(_attempt, 6)), _RETRY_BACKOFF_CAP_S))
         # the staging dir must still exist: a concurrent
         # vacuum_snapshots (maintenance-window violation) or an
         # object-store fault that removed it would otherwise spin this
@@ -188,6 +198,24 @@ def _commit_next_version(
             v += 1
         vdir = _jpath(spark, jbase, f"v={v}")
         _advance_tag(spark, base, _LATEST_TAG, v)  # before the commit rename
+        # ORDER VALIDATION, checked BEFORE the version becomes visible: a
+        # writer stalled between computing v and landing the rename must
+        # not commit BELOW a version another writer (or an
+        # expire_snapshots + later commits) already made visible — that
+        # would break commit-order == version-order, which time travel,
+        # CDC, and the change feed's high-water offset all rely on.
+        # Re-listing HERE (after _advance_tag, immediately before the
+        # rename) means a stale writer retargets WITHOUT ever publishing:
+        # the old post-rename retract could yank a version readers had
+        # already seen — and mis-fire on a version that committed just
+        # AFTER our rename (benign ordering), breaking the stream
+        # reader's replay contract (ADVICE r07).  A commit landing in
+        # the one-RPC window between this listing and our rename is the
+        # documented transient of best-effort multi-writer mode; the
+        # _LATEST_ ratchet keeps even that commit's NUMBER above ours.
+        pre = list_versions(spark, base)
+        if pre and pre[-1] >= v:
+            continue  # stale — recompute above the new maximum
         try:
             renamed = fs.rename(jtmp, vdir)
         except Exception:
@@ -197,31 +225,9 @@ def _commit_next_version(
             # vacuum-race error
             renamed = False
         if renamed and fs.exists(_jpath(spark, vdir, f"_WRITER_{uid}")):
-            # ORDER VALIDATION: a writer stalled between computing v and
-            # landing the rename can commit BELOW a version another
-            # writer (or an expire_snapshots + later commits) already
-            # made visible — breaking commit-order == version-order,
-            # which time travel, CDC, and the change feed's
-            # high-water offset all rely on.  Any higher version
-            # committed BEFORE our rename is visible to this check;
-            # versions committed after ours are correctly ordered after
-            # us.  On staleness: retract (marker first, so the version
-            # un-commits atomically), pull the dir back to staging, and
-            # retry above the new maximum.  The retracted version was
-            # committed-visible for one listing round trip — the
-            # documented transient of best-effort multi-writer mode.
-            newest = list_versions(spark, base)
-            if newest and newest[-1] > v:
-                fs.delete(_jpath(spark, vdir, _MARKER), False)
-                if not fs.rename(vdir, jtmp):
-                    raise RuntimeError(
-                        f"could not retract stale commit v={v} under "
-                        f"{base} (a higher version committed first)"
-                    )
-                fs.create(
-                    jvm.org.apache.hadoop.fs.Path(f"{tmp}/{_MARKER}")
-                ).close()
-                continue
+            # once the ownership token confirms the rename, v is final:
+            # nothing committed at or above v before the pre-rename
+            # listing, and anything after it is ordered above us
             return v
         # lost the race for v=N.  If the rename "succeeded" by moving
         # our staging dir INSIDE the winner's v=N, pull it back out;

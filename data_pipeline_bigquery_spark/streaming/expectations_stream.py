@@ -203,9 +203,28 @@ def expectations_stream(
 def ledger_rollup(spark: SparkSession, ledger_path: str) -> DataFrame:
     """Cumulative per-rule totals over every epoch written so far —
     the dashboard query (a tiny keyed agg over the ledger, which is
-    rules × epochs rows, never data-proportional)."""
+    rules × epochs rows, never data-proportional).
+
+    A just-started monitor that hasn't committed an epoch yet is a
+    NORMAL state (ADVICE r07): it returns an empty ledger-shaped frame
+    instead of leaking a raw PATH_NOT_FOUND AnalysisException."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        ledger = spark.read.parquet(ledger_path)
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+            raise
+        # schema mirrors _ledger_from_flags (+ the discovered epoch
+        # partition column) so the rollup's output types are identical
+        # whether or not an epoch exists yet
+        ledger = spark.createDataFrame(
+            [],
+            "rule STRING, n_checked BIGINT, n_violations BIGINT, "
+            "blocking BIGINT, epoch INT",
+        )
     return (
-        spark.read.parquet(ledger_path)
+        ledger
         .groupBy("rule")
         .agg(
             F.sum("n_checked").alias("n_checked"),

@@ -319,3 +319,16 @@ def test_monitor_over_snapshot_change_feed(spark, tmp_path):
     run()
     roll = ledger_rollup(spark, ledger_p).collect()[0]
     assert (roll.n_checked, roll.n_violations) == (3, 1)
+
+
+def test_ledger_rollup_before_first_epoch_is_empty_not_error(spark, tmp_path):
+    """ADVICE r07: a just-started monitor with no epoch written yet is a
+    normal state — the rollup returns an empty ledger-shaped frame, not
+    a raw PATH_NOT_FOUND AnalysisException."""
+    from data_pipeline_bigquery_spark.streaming.expectations_stream import (
+        ledger_rollup,
+    )
+
+    out = ledger_rollup(spark, str(tmp_path / "never_written_ledger"))
+    assert out.collect() == []
+    assert out.columns == ["rule", "n_checked", "n_violations", "blocking", "n_epochs"]

@@ -194,3 +194,67 @@ def test_remote_scheme_rejected_loudly(registered, tmp_path):
             .load()
             .collect()
         )
+
+
+def test_date_timestamp_decimal_partition_values_typed(registered, tmp_path):
+    """ADVICE r07: partitioning a version by date/timestamp/decimal (the
+    natural lake layouts) must reconstruct TYPED partition values from
+    the hive path segments, not leak raw strings into typed columns."""
+    import datetime as dt
+    from decimal import Decimal
+
+    spark = registered
+    base = str(tmp_path / "snapds_dt")
+    df = spark.createDataFrame(
+        [
+            (1, dt.date(2024, 1, 2), dt.datetime(2024, 1, 2, 3, 4, 5), Decimal("1.25")),
+            (2, dt.date(2024, 1, 3), dt.datetime(2024, 1, 3, 6, 7, 8), Decimal("2.50")),
+        ],
+        "k long, d date, ts timestamp, amt decimal(10,2)",
+    )
+    write_snapshot(df, base, partition_by=["d", "ts", "amt"])
+    got = (
+        spark.read.format("snapshotstore")
+        .schema("k long, d date, ts timestamp, amt decimal(10,2), _version long")
+        .option("path", base)
+        .load()
+        .collect()
+    )
+    assert {(r.k, r.d, r.ts, r.amt) for r in got} == {
+        (1, dt.date(2024, 1, 2), dt.datetime(2024, 1, 2, 3, 4, 5), Decimal("1.25")),
+        (2, dt.date(2024, 1, 3), dt.datetime(2024, 1, 3, 6, 7, 8), Decimal("2.50")),
+    }
+
+
+def test_hive_null_partition_sentinel_maps_to_none(registered, tmp_path):
+    """A NULL partition value lands as __HIVE_DEFAULT_PARTITION__ on the
+    path; the reader must map it back to None, not crash int()."""
+    spark = registered
+    base = str(tmp_path / "snapds_null")
+    df = spark.createDataFrame(
+        [(1, "a", 2023), (2, "b", None)], "k long, v string, year int"
+    )
+    write_snapshot(df, base, partition_by=["year"])
+    got = (
+        spark.read.format("snapshotstore")
+        .schema("k long, v string, year int, _version long")
+        .option("path", base)
+        .load()
+        .collect()
+    )
+    assert {(r.k, r.year) for r in got} == {(1, 2023), (2, None)}
+
+
+def test_unsupported_partition_type_raises_descriptively():
+    """An unhandled declared partition type must raise a descriptive
+    error, not silently hand a raw string to row conversion."""
+    from pyspark.sql import types as T
+
+    from data_pipeline_bigquery_spark.sources.snapshot_datasource import (
+        _typed_partition_value,
+    )
+
+    with pytest.raises(ValueError, match="unsupported partition-column type"):
+        _typed_partition_value(
+            "m", "keyA->1", {"m": T.MapType(T.StringType(), T.LongType())}
+        )

@@ -448,8 +448,12 @@ def test_stalled_writer_cannot_commit_below_newest(spark, tmp_path):
     STALE listing (stalled across other writers' commits, or across an
     expiry) must not land below the newest committed version — that
     would break commit-order == version-order, which time travel, CDC,
-    and the change feed's high-water offset rely on.  The post-rename
-    order validation retracts the stale commit and retries above."""
+    and the change feed's high-water offset rely on.  The PRE-rename
+    order validation (ADVICE r08: re-list after _advance_tag, before the
+    rename) retargets the stale writer WITHOUT ever publishing the low
+    version — a committed version can never be observed and then
+    vanish, which the snapshotstore stream reader's replay contract
+    depends on."""
     from data_pipeline_bigquery_spark.sources import snapshots as snap
 
     base = str(tmp_path / "snap_stale")
