@@ -128,6 +128,57 @@ def minhash_signatures(shingles: DataFrame, num_perm: int = DEFAULT_NUM_PERM) ->
     return with_base.groupBy("doc_id").agg(*aggs)
 
 
+def minhash_signatures_from_docs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = DEFAULT_NUM_PERM,
+    k: int = DEFAULT_SHINGLE_K,
+    stride: int = DEFAULT_SHINGLE_STRIDE,
+) -> DataFrame:
+    """Fused ``char_shingles`` → ``minhash_signatures``: the shingle
+    stream never materializes as ROWS.  Each doc computes its base-hash
+    array in one projection and takes ``array_min`` of each permutation
+    — bit-identical signatures (same shingle expression, same affine
+    arithmetic, min over the same multiset) with ZERO explode and ZERO
+    signature shuffle (each doc is already one row).
+
+    At 100 TB this removes the ~300×-row amplification between the scan
+    and the first aggregate: the explode path shuffles nothing either
+    (map-side partial min), but it pays explode row overhead plus a
+    16-agg hash aggregate per shingle; here the whole signature is one
+    codegen'd expression over a per-doc long array (peak memory = one
+    doc's shingle count × 8 bytes per task, the same order the hash
+    aggregate held).  The two-``select`` split keeps the md5 base array
+    computed ONCE: CollapseProject refuses to inline a non-cheap
+    producer referenced ``num_perm`` times (plan-asserted in
+    tests/test_minhash_recall.py).
+
+    NULL-text docs survive with all-NULL signatures on BOTH paths
+    (``greatest`` ignores its NULL operand, so even a NULL text yields
+    one NULL shingle; ``min`` and ``array_min`` both skip NULLs to the
+    same result) — the two forms are row-for-row interchangeable,
+    pinned by tests/test_minhash_recall.py."""
+    t = f"lower({text_col})"
+    base_arr = (
+        f"transform(sequence(1, greatest(length({t}) - {k - 1}, 1), {stride}),"
+        f" i -> cast(conv(substring(md5(substring({t}, i, {k})), 1, 7), 16, 10)"
+        f" as long))"
+    )
+    sigs = [
+        F.expr(
+            f"array_min(transform(__base, h ->"
+            f" ({minhash_perm_multiplier(j)} * h + {j}) % {MINHASH_MOD})) AS sig_{j}"
+        )
+        for j in range(num_perm)
+    ]
+    return (
+        spread_small_input(df)
+        .select(F.col(id_col).alias("doc_id"), F.expr(f"{base_arr} AS __base"))
+        .select("doc_id", *sigs)
+    )
+
+
 def banded_signatures(
     signatures: DataFrame,
     num_perm: int = DEFAULT_NUM_PERM,

@@ -42,8 +42,7 @@ from pyspark.sql import functions as F
 from data_pipeline_bigquery_spark.catalog import load
 from data_pipeline_bigquery_spark.extensions.dedup_text import (
     banded_signatures,
-    char_shingles,
-    minhash_signatures,
+    minhash_signatures_from_docs,
 )
 from data_pipeline_bigquery_spark.queries import QuerySpec
 from data_pipeline_bigquery_spark.queries.analytics5 import (
@@ -225,7 +224,7 @@ def _dedup_signature_manifest(
     persistable artifact cross-corpus incremental dedup joins against.
     One shingle scan, one signature groupBy, map-side banding."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    sigs = minhash_signatures(char_shingles(docs, "doc_id", "text"))
+    sigs = minhash_signatures_from_docs(docs, "doc_id", "text")
     return banded_signatures(sigs).orderBy("doc_id", "band_idx")
 
 

@@ -39,8 +39,7 @@ from pyspark.sql import functions as F
 from data_pipeline_bigquery_spark.catalog import load
 from data_pipeline_bigquery_spark.extensions.dedup_text import (
     banded_signatures,
-    char_shingles,
-    minhash_signatures,
+    minhash_signatures_from_docs,
 )
 from data_pipeline_bigquery_spark.extensions.text_analysis import lang_id
 from data_pipeline_bigquery_spark.queries import QuerySpec
@@ -75,7 +74,7 @@ def _incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < _NEW_ID_OFFSET)
     )
     manifest = banded_signatures(
-        minhash_signatures(char_shingles(docs, "doc_id", "text"))
+        minhash_signatures_from_docs(docs, "doc_id", "text")
     ).select(
         F.col("doc_id").alias("base_doc_id"), "band_idx", "band_hash"
     )
@@ -84,7 +83,7 @@ def _incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("substr(text, 5)").alias("text"),
     )
     new_bands = banded_signatures(
-        minhash_signatures(char_shingles(new_docs, "doc_id", "text"))
+        minhash_signatures_from_docs(new_docs, "doc_id", "text")
     ).select(F.col("doc_id").alias("new_doc_id"), "band_idx", "band_hash")
     matches = (
         new_bands.join(manifest, ["band_idx", "band_hash"])

@@ -28,11 +28,11 @@ from pyspark.sql import functions as F
 
 from data_pipeline_bigquery_spark.catalog import load
 from data_pipeline_bigquery_spark.extensions.dedup_text import (
+    char_shingles,
     DEFAULT_NUM_PERM,
     _gram_pair_stats,
-    char_shingles,
     lsh_candidate_pairs,
-    minhash_signatures,
+    minhash_signatures_from_docs,
 )
 from data_pipeline_bigquery_spark.extensions.sampling import hash_bucket
 from data_pipeline_bigquery_spark.queries import QuerySpec
@@ -164,10 +164,14 @@ def _minhash_estimate_calibration(
     )
 
     aug = _augmented_docs(spark, sf_dir)
+    # the exact-Jaccard side needs the shingle ROWS; the signature side
+    # uses the fused per-doc array form (no explode, no groupBy)
     shingles = char_shingles(aug, "doc_id", "t")
     # cut lineage: signatures feed the pair generation AND both sides
     # of the estimate join
-    sigs = minhash_signatures(shingles).localCheckpoint(eager=False)
+    sigs = minhash_signatures_from_docs(aug, "doc_id", "t").localCheckpoint(
+        eager=False
+    )
     pairs = lsh_candidate_pairs(sigs)
     # ONE parsed SQL string, not 16 when-Columns — per dedup_text's
     # measured note, primitive-built Columns cost ~6 py4j round-trips

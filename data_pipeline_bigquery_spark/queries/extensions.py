@@ -18,6 +18,7 @@ from data_pipeline_bigquery_spark.extensions.dedup_text import (
     exact_dedup,
     lsh_candidate_pairs,
     minhash_signatures,
+    minhash_signatures_from_docs,
     ngram_jaccard_pairs,
     simhash_fingerprint,
     word_ngrams,
@@ -108,8 +109,7 @@ FROM unioned GROUP BY md5(text)
 
 def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug = _augmented_docs(spark, sf_dir)
-    shingles = char_shingles(aug, "doc_id", "t")
-    sigs = minhash_signatures(shingles)
+    sigs = minhash_signatures_from_docs(aug, "doc_id", "t")
     return lsh_candidate_pairs(sigs)
 
 

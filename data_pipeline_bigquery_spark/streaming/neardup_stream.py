@@ -35,8 +35,7 @@ from pyspark.sql import functions as F
 from data_pipeline_bigquery_spark.extensions.dedup_text import (
     DEFAULT_BANDS,
     DEFAULT_NUM_PERM,
-    char_shingles,
-    minhash_signatures,
+    minhash_signatures_from_docs,
 )
 
 
@@ -50,7 +49,7 @@ def band_hashes(
     """(doc_id, band_idx, band_hash) for a document set — the unit the
     band index stores.  Same md5-portable signature math as the batch
     LSH, factored so stream and batch produce identical hashes."""
-    sigs = minhash_signatures(char_shingles(docs, id_col, text_col), num_perm)
+    sigs = minhash_signatures_from_docs(docs, id_col, text_col, num_perm)
     rows_per_band = num_perm // bands
     exprs = [
         F.md5(
