@@ -32,7 +32,7 @@ MODULE_NAMES = (
     "curation", "curation2", "sketches", "analytics5", "analytics6",
     "analytics7", "training3", "analytics8", "analytics9", "evalops",
     "analytics10", "analytics11", "analytics12", "analytics13",
-    "analytics14", "analytics15", "analytics16",
+    "analytics14", "analytics15", "analytics16", "analytics17",
 )
 
 

@@ -70,13 +70,13 @@ def _shift_sum(arr: str) -> str:
     )
 
 
-def _croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user Croston demand-rate forecast from purchase days.
-
-    One exchange to the (user, day) purchase grain, one groupBy to the
-    user grain; the per-user series is calendar-bounded so the arrays
-    are small and the whole computation is whole-stage codegen.
-    """
+def demand_day_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered (day, cents) purchase arrays — the ONE exact
+    demand-series preparation (floor-cents daily aggregate, zero days
+    dropped, ordered collect) shared by ``croston_intermittent_forecast``
+    and ``ewma_trend_forecast`` (analytics17); its oracle twin is
+    :func:`demand_day_ctes`.  One exchange to the (user, day) grain,
+    one groupBy to the user grain; arrays are calendar-bounded."""
     events = load(spark, sf_dir, "events")
     daily = (
         events.filter(F.col("event_type") == "purchase")
@@ -91,9 +91,34 @@ def _croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cents") > 0)
     )
-    per_user = daily.groupBy("user_id").agg(
+    return daily.groupBy("user_id").agg(
         F.array_sort(F.collect_list(F.struct("d", "cents"))).alias("arr")
     )
+
+
+def demand_day_ctes() -> str:
+    """The ``daily``/``per_user`` CTE pair (cents + dates lists per
+    user) — DuckDB twin of :func:`demand_day_arrays`."""
+    return """daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         CAST(coalesce(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)), 0)
+              AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2 HAVING cents > 0),
+per_user AS (
+  SELECT user_id,
+         list(cents ORDER BY d) AS sizes,
+         list(d ORDER BY d) AS dates
+  FROM daily GROUP BY 1)"""
+
+
+def _croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Croston demand-rate forecast from purchase days.
+
+    Series preparation is the shared :func:`demand_day_arrays`; the
+    whole computation is whole-stage codegen.
+    """
+    per_user = demand_day_arrays(spark, sf_dir)
     prepared = per_user.select(
         "user_id",
         F.size("arr").cast("long").alias("n_demands"),
@@ -125,26 +150,21 @@ def _croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
-def _croston_sql() -> str:
-    def shift_sum(arr: str) -> str:
-        return (
-            f"CAST(list_sum([{arr}[i]"
-            f" * (CAST(1 AS BIGINT) << (29 - len({arr}) + i))"
-            f" for i in generate_series(1, len({arr}))]) AS BIGINT)"
-        )
+def shift_sum_sql(arr: str) -> str:
+    """DuckDB twin of :func:`_shift_sum` — the ONE oracle-side
+    generator of the exact dyadic-EWMA arithmetic (callers: the
+    Croston oracle here and ``ewma_trend_forecast``'s in
+    analytics17)."""
+    return (
+        f"CAST(list_sum([{arr}[i]"
+        f" * (CAST(1 AS BIGINT) << (29 - len({arr}) + i))"
+        f" for i in generate_series(1, len({arr}))]) AS BIGINT)"
+    )
 
+
+def _croston_sql() -> str:
     return f"""
-WITH daily AS (
-  SELECT user_id, CAST(ts AS DATE) AS d,
-         CAST(coalesce(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)), 0)
-              AS BIGINT) AS cents
-  FROM events WHERE event_type = 'purchase'
-  GROUP BY 1, 2 HAVING cents > 0),
-per_user AS (
-  SELECT user_id,
-         list(cents ORDER BY d) AS sizes,
-         list(d ORDER BY d) AS dates
-  FROM daily GROUP BY 1),
+WITH {demand_day_ctes()},
 prepared AS (
   SELECT user_id,
          CAST(len(sizes) AS BIGINT) AS n_demands,
@@ -156,9 +176,9 @@ prepared AS (
          END AS p_arr
   FROM per_user)
 SELECT user_id, n_demands,
-       {shift_sum("z_arr")} AS z30,
-       {shift_sum("p_arr")} AS p30,
-       CAST({shift_sum("z_arr")} AS DOUBLE) / {shift_sum("p_arr")}
+       {shift_sum_sql("z_arr")} AS z30,
+       {shift_sum_sql("p_arr")} AS p30,
+       CAST({shift_sum_sql("z_arr")} AS DOUBLE) / {shift_sum_sql("p_arr")}
          AS croston_rate
 FROM prepared ORDER BY user_id
 """
