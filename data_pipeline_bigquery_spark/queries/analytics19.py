@@ -196,7 +196,9 @@ def _retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from data_pipeline_bigquery_spark.queries.analytics5 import _bm25_scored
 
-    scored = _bm25_scored(spark, sf_dir)
+    # the scored arm feeds BOTH the top-10 and the corpus-wide relevant
+    # count → lineage cut (rule 14), or each reference re-scans the docs
+    scored = _bm25_scored(spark, sf_dir).localCheckpoint(eager=False)
     rel = (
         (F.col("tf1") > 0).cast("int")
         + (F.col("tf2") > 0).cast("int")
@@ -426,6 +428,8 @@ def _seasonal_decompose_additive(
             F.floor(F.sum("cents").over(w7) * 1000.0 / 7.0).cast("long"),
         ).alias("trend_mc"),
     ).withColumn("det_mc", F.col("cents") * 1000 - F.col("trend_mc"))
+    # t feeds the weekday aggregate AND the final readout → lineage cut
+    t = t.localCheckpoint(eager=False)
     seas = t.groupBy("wd").agg(
         # rule 9: guard the count — an all-edge weekday would make this
         # NULL/0, which ANSI Spark throws on while DuckDB returns NULL

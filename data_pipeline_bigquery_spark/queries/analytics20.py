@@ -183,7 +183,13 @@ def _source_similarity_bhattacharyya(
         .groupBy("source", "token")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    totals = tok.groupBy("source").agg(F.sum("c").alias("n_tok"))
+    # totals feeds the enrichment join AND the all-pairs scaffold →
+    # lineage cut, or the scaffold re-runs the token scan (rule 14)
+    totals = (
+        tok.groupBy("source")
+        .agg(F.sum("c").alias("n_tok"))
+        .localCheckpoint(eager=False)
+    )
     enriched = tok.join(F.broadcast(totals), "source").localCheckpoint(
         eager=False
     )
@@ -437,6 +443,8 @@ def _natural_breaks_segmentation(
             F.lit(0),
         ).alias("spend_cents")
     )
+    # spend feeds the gap ranking AND the band assignment → lineage cut
+    spend = spend.localCheckpoint(eager=False)
     w = Window.orderBy("spend_cents", "o_custkey")
     gaps = spend.withColumn(
         "gap", F.col("spend_cents") - F.lag("spend_cents").over(w)

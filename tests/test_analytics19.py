@@ -143,6 +143,13 @@ def test_seasonal_decompose_is_additive_and_edges_are_null(spark):
     )
 
 
+def test_batch19_lineage_cuts_are_real(spark):
+    from data_pipeline_bigquery_spark.plans.audit import assert_lineage_cut
+
+    for key in ("retrieval_eval_ndcg", "seasonal_decompose_additive"):
+        assert_lineage_cut(analytics19.QUERIES[key].fn(spark, SF_DIR))
+
+
 def test_demand_pattern_quadrants_match_float_recompute(spark):
     rows = _run(spark, "demand_pattern_classification")
     assert rows

@@ -148,6 +148,17 @@ def test_natural_breaks_partition_customers_into_ordered_bands(spark):
     assert {r.band: r.n_customers for r in rows} == dict(expect)
 
 
+def test_batch20_lineage_cuts_are_real(spark):
+    from data_pipeline_bigquery_spark.plans.audit import assert_lineage_cut
+
+    for key in (
+        "source_similarity_bhattacharyya",
+        "natural_breaks_segmentation",
+        "simpsons_paradox_audit",
+    ):
+        assert_lineage_cut(analytics20.QUERIES[key].fn(spark, SF_DIR))
+
+
 def test_chapman_estimate_matches_duckdb_recompute(spark):
     (r,) = _run(spark, "capture_recapture_dup_estimate")
     con = duckdb.connect()
