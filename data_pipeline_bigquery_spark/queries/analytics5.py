@@ -1118,6 +1118,11 @@ def _graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def triangle_stats(e: DataFrame) -> DataFrame:
     """Degree-ordered triangle census over an undirected edge list
     (columns ``a < b``, deduplicated).  See `_graph_triangle_stats`."""
+    # e feeds both degree arms, the orientation join and the edge
+    # count; ed feeds both wedge sides plus the closing join —
+    # lineage cuts (rule 14), or the similarity self-join behind e
+    # re-runs up to 18× (measured before the cut)
+    e = e.localCheckpoint(eager=False)
     deg = (
         e.select(F.col("a").alias("v"))
         .unionAll(e.select(F.col("b").alias("v")))
@@ -1150,6 +1155,7 @@ def triangle_stats(e: DataFrame) -> DataFrame:
             .alias("o")
         )
         .select("o.src", "o.dst", "o.d_dst")
+        .localCheckpoint(eager=False)
     )
     x, y = ed.alias("x"), ed.alias("y")
     # canonical wedge order = the orientation order itself, so the
@@ -1232,12 +1238,23 @@ def pagerank_integer(edges: DataFrame, iters: int = _PR_ITERS) -> DataFrame:
     as two hash exchanges: join rank onto the directed edge list keyed
     on src, re-aggregate keyed on dst.  Iteration count is fixed and
     small (the graph-diameter argument as pointer jumping)."""
-    directed = edges.select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    ).unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    # directed feeds degrees + rank-join + node domain, and ed/nodes
+    # are re-referenced every iteration — lineage cuts (rule 14), or
+    # each Pregel step re-derives the whole edge list from the source
+    directed = (
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(
+            edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        .localCheckpoint(eager=False)
+    )
     out = directed.groupBy("src").agg(F.count(F.lit(1)).alias("out_d"))
-    ed = directed.join(out, "src")
-    nodes = directed.select(F.col("src").alias("v")).distinct()
+    ed = directed.join(out, "src").localCheckpoint(eager=False)
+    nodes = (
+        directed.select(F.col("src").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     n_nodes = nodes.agg(F.count(F.lit(1)).alias("n"))
     p = nodes.crossJoin(F.broadcast(n_nodes)).select(
         "v", F.expr(f"{_PR_SCALE} div n").alias("p"), "n"
@@ -1263,6 +1280,8 @@ def pagerank_integer(edges: DataFrame, iters: int = _PR_ITERS) -> DataFrame:
                 ).alias("p"),
                 "n",
             )
+            # each iteration's rank feeds the next — cut per round
+            .localCheckpoint(eager=False)
         )
     return p.select("v", "p")
 

@@ -271,12 +271,16 @@ def _bfs_hops_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle reaches the same closure with a recursive CTE — an
     independent algorithm, so a frontier bug (e.g. revisiting nodes
     with a longer path) cannot cancel out."""
-    inc = _basket_edges(spark, sf_dir)
+    # inc feeds both edge sides plus the hub pick, and edges is
+    # re-joined every BFS round — lineage cuts (rule 14), or the plan
+    # re-scans lineitem ~3× per hop (measured ×45 before the cut)
+    inc = _basket_edges(spark, sf_dir).localCheckpoint(eager=False)
     a = inc.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
     b = inc.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
     edges = (
         a.join(b, "ok").filter(F.col("src") != F.col("dst"))
         .select("src", "dst").distinct()
+        .localCheckpoint(eager=False)
     )
     hub = (
         inc.groupBy("l_partkey")
@@ -294,6 +298,9 @@ def _bfs_hops_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("hop", F.lit(h))
+            # each frontier feeds the next round's join, its anti-join,
+            # and the final union — cut, or subtrees stack per hop
+            .localCheckpoint(eager=False)
         )
         visited = visited.unionByName(reached)
         frontier = reached
