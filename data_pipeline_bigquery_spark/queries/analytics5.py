@@ -1956,10 +1956,15 @@ def _ranked_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     r): the two-phase scan — range-bucket on spend, row_number within
     each bucket, 256-row prefix offsets broadcast back.  Shared by the
     Gini and Lorenz operators."""
+    # per_cust feeds the range probe + bucketing, bucketed feeds the
+    # local ranks + offsets, and callers reference the result 2-4× —
+    # lineage cuts (rule 14), or orders re-scans 8× (measured at the
+    # lorenz key before the cut)
     per_cust = (
         load(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x"))
+        .localCheckpoint(eager=False)
     )
     rng = per_cust.agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
     nb = F.lit(_GINI_BUCKETS)
@@ -1973,8 +1978,10 @@ def _ranked_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int"),
         )
     )
-    bucketed = per_cust.crossJoin(F.broadcast(rng)).select(
-        "o_custkey", "x", b.alias("b")
+    bucketed = (
+        per_cust.crossJoin(F.broadcast(rng))
+        .select("o_custkey", "x", b.alias("b"))
+        .localCheckpoint(eager=False)
     )
     w_local = Window.partitionBy("b").orderBy("x", "o_custkey")
     local = bucketed.withColumn("rn", F.row_number().over(w_local))
@@ -2027,7 +2034,7 @@ def _lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     decile assignment is floor-div integer math on the rank, the
     cumulative window runs on 10 decile rows, and the share is one
     IEEE division of exact decimal sums."""
-    ranked = _ranked_spend(spark, sf_dir)
+    ranked = _ranked_spend(spark, sf_dir).localCheckpoint(eager=False)
     n = ranked.agg(
         F.max("r").alias("n"), F.sum("x").alias("total")
     )
@@ -2490,6 +2497,9 @@ def _customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("mon"),
         )
         .withColumn("mon_band", F.expr("mon div 10000"))
+        # rfm feeds three boundary histograms plus the scoring pass —
+        # lineage cut (rule 14), or orders re-scans 8× (measured)
+        .localCheckpoint(eager=False)
     )
 
     def boundaries(col: str):

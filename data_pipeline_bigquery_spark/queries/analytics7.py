@@ -1008,10 +1008,13 @@ def _basket_triples_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
     Answer-preserving by monotonicity (any support ≥ s triple has all
     pairs ≥ s), so the naive-enumeration oracle hash-matches.  Exact
     integer support counts throughout."""
+    # li feeds five join arms and fpairs three semi-joins — lineage
+    # cuts (rule 14), or lineitem re-scans 9× (measured pre-cut)
     li = (
         load(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     a, b = li.alias("a"), li.alias("b")
     pairs = (
@@ -1026,7 +1029,7 @@ def _basket_triples_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= _TRIPLE_MIN_SUPPORT)
     )
-    fpairs = pairs.select("i1", "i2")
+    fpairs = pairs.select("i1", "i2").localCheckpoint(eager=False)
     t1, t2, t3 = li.alias("t1"), li.alias("t2"), li.alias("t3")
     # prune BETWEEN the joins, not after them: the (t1, t2) pair is
     # semi-joined against the frequent-pair relation BEFORE the third
@@ -1114,22 +1117,36 @@ def _dim_key_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fixture split: customers with custkey % 3 != 0 are the existing
     dim (surrogate = custkey); % 3 == 0 are the arriving members."""
     cust = load(spark, sf_dir, "customer")
-    existing = cust.filter(F.col("c_custkey") % 3 != 0).select(
-        F.col("c_custkey").alias("natural_key"),
-        F.col("c_custkey").alias("surrogate_key"),
+    # existing feeds max-sk + the final union, new feeds the range
+    # probe + bucketing, bucketed feeds ranks + offsets — lineage cuts
+    # (rule 14), or customer re-scans 6× (measured pre-cut)
+    existing = (
+        cust.filter(F.col("c_custkey") % 3 != 0)
+        .select(
+            F.col("c_custkey").alias("natural_key"),
+            F.col("c_custkey").alias("surrogate_key"),
+        )
+        .localCheckpoint(eager=False)
     )
-    new = cust.filter(F.col("c_custkey") % 3 == 0).select(
-        F.col("c_custkey").alias("natural_key")
+    new = (
+        cust.filter(F.col("c_custkey") % 3 == 0)
+        .select(F.col("c_custkey").alias("natural_key"))
+        .localCheckpoint(eager=False)
     )
     max_sk = existing.agg(F.max("surrogate_key").alias("mx"))
     # RANGE buckets on the natural key (not hash buckets — the global
     # rank order must be the key order, and range buckets preserve it:
     # every key in bucket b sorts before every key in bucket b+1)
     rng = new.agg(F.min("natural_key").alias("mn"), F.max("natural_key").alias("kx"))
-    bucketed = new.crossJoin(F.broadcast(rng)).withColumn(
-        "b",
-        F.expr("CAST((natural_key - mn) * 256 div (kx - mn + 1) AS INT)"),
-    ).drop("mn", "kx")
+    bucketed = (
+        new.crossJoin(F.broadcast(rng))
+        .withColumn(
+            "b",
+            F.expr("CAST((natural_key - mn) * 256 div (kx - mn + 1) AS INT)"),
+        )
+        .drop("mn", "kx")
+        .localCheckpoint(eager=False)
+    )
     w_local = Window.partitionBy("b").orderBy("natural_key")
     local = bucketed.withColumn("rn", F.row_number().over(w_local))
     w_off = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)

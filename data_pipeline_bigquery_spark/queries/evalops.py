@@ -385,7 +385,9 @@ def _retrieval_eval_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost profile is the search query's."""
     from data_pipeline_bigquery_spark.queries.analytics5 import _bm25_scored
 
-    scored = _bm25_scored(spark, sf_dir)
+    # the scored arm feeds BOTH the top-10 and the corpus-wide
+    # relevant count → lineage cut (rule 14), or documents re-scans 4×
+    scored = _bm25_scored(spark, sf_dir).localCheckpoint(eager=False)
     rel = (
         (F.col("tf1") > 0).cast("int")
         + (F.col("tf2") > 0).cast("int")
