@@ -59,9 +59,14 @@ _DELTA_S2 = (
     " / nullif(CAST(n_users AS DOUBLE) - 1.0, 0.0), 0.0)"
 )
 _DELTA_SE = (
-    f"(sqrt({_DELTA_S2} / CAST(n_users AS DOUBLE))"
+    # the n>1 CASE is load-bearing: without it a single-user arm's
+    # NULL s² is swallowed by greatest() — BOTH engines' greatest
+    # ignores NULL operands (rule 17) — and the arm reports se = 0.0,
+    # i.e. false perfect certainty (caught by the edge-regime test)
+    f"(CASE WHEN n_users > 1 THEN"
+    f" sqrt({_DELTA_S2} / CAST(n_users AS DOUBLE))"
     " / nullif(CAST(sum_x_events AS DOUBLE) / CAST(n_users AS DOUBLE),"
-    " 0.0))"
+    " 0.0) END)"
 )
 
 
