@@ -212,10 +212,13 @@ def _event_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     one IEEE division.  The within-user self-join fans out to at most
     k·(k−1)/2 rows per user (k = type cardinality, 5 here), so output
     is O(users) regardless of event volume."""
+    # ut feeds both pair arms, the type counts and the user total —
+    # lineage cut (rule 14), or events re-scans 5× (measured pre-cut)
     ut = (
         load(spark, sf_dir, "events")
         .select("user_id", "event_type")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     a = ut.select("user_id", F.col("event_type").alias("type_a"))
     b = ut.select("user_id", F.col("event_type").alias("type_b"))

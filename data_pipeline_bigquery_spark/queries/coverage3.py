@@ -1107,10 +1107,14 @@ def _funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     constraint ('after') lives in the join predicate, so no per-user
     event sorting or collect is ever needed."""
     ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    # each stage frame feeds the NEXT stage's join AND its own count —
+    # lineage cuts (rule 14) halve the type-pruned scans (6 → 3); the
+    # per-stage scans themselves stay, they are the pushdown plan
     s = (
         ev.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .localCheckpoint(eager=False)
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -1118,6 +1122,7 @@ def _funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .localCheckpoint(eager=False)
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")

@@ -121,16 +121,24 @@ def _negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     user-keyed top-k window — nothing scales beyond the first keyed
     aggregate."""
     ev = load(spark, sf_dir, "events")
-    counts = ev.groupBy("user_id", "event_type").agg(
-        F.count(F.lit(1)).alias("n_t")
+    # ONE events scan: the type dimension and user domain both derive
+    # from the (user, type) count frame (identical sets — a type or
+    # user exists iff it has a count row), and the grid feeds both the
+    # totals and the negative filter — lineage cuts (rule 14); the
+    # pre-cut plan re-scanned events 6×
+    counts = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_t"))
+        .localCheckpoint(eager=False)
     )
-    types = ev.select("event_type").distinct()
+    types = counts.select("event_type").distinct()
     grid = (
-        ev.select("user_id")
+        counts.select("user_id")
         .distinct()
         .join(F.broadcast(types), how="cross")
         .join(counts, ["user_id", "event_type"], "left")
         .withColumn("n_t", F.coalesce(F.col("n_t"), F.lit(0)))
+        .localCheckpoint(eager=False)
     )
     totals = grid.groupBy("user_id").agg(
         F.sum("n_t").alias("total"), F.count(F.lit(1)).alias("n_types")
