@@ -546,8 +546,13 @@ def _segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents"),
         (F.col("o_orderdate") >= _MIGRATION_CUTOFF).cast("int").alias("half"),
     )
-    per_cust = orders.groupBy("half", "o_custkey").agg(
-        F.sum("cents").alias("cents")
+    # per_cust feeds the histogram grain AND the classification, and
+    # classified feeds both half arms — lineage cuts (rule 14); the
+    # pre-cut plan re-scanned orders 4×
+    per_cust = (
+        orders.groupBy("half", "o_custkey")
+        .agg(F.sum("cents").alias("cents"))
+        .localCheckpoint(eager=False)
     )
     grain = per_cust.groupBy("half", "cents").agg(
         F.count(F.lit(1)).alias("c")
@@ -558,14 +563,18 @@ def _segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_rule_pct(50, "cents").alias("p50"),
         rank_rule_pct(75, "cents").alias("p75"),
     )
-    classified = per_cust.join(F.broadcast(thresholds), "half").select(
-        "half",
-        "o_custkey",
-        F.when(F.col("cents") <= F.col("p25"), "Q1")
-        .when(F.col("cents") <= F.col("p50"), "Q2")
-        .when(F.col("cents") <= F.col("p75"), "Q3")
-        .otherwise("Q4")
-        .alias("cls"),
+    classified = (
+        per_cust.join(F.broadcast(thresholds), "half")
+        .select(
+            "half",
+            "o_custkey",
+            F.when(F.col("cents") <= F.col("p25"), "Q1")
+            .when(F.col("cents") <= F.col("p50"), "Q2")
+            .when(F.col("cents") <= F.col("p75"), "Q3")
+            .otherwise("Q4")
+            .alias("cls"),
+        )
+        .localCheckpoint(eager=False)
     )
     h1 = classified.filter(F.col("half") == 0).select(
         "o_custkey", F.col("cls").alias("from_segment")

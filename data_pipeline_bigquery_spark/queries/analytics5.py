@@ -1377,8 +1377,14 @@ def _histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mn",
         "mx",
     )
-    monthly = bucketed.groupBy("mon", "b", "mn", "mx").agg(
-        F.count(F.lit(1)).alias("cnt")
+    # the stored-histogram frame feeds the overall rollup AND the
+    # per-month union — lineage cut (rule 14); the two narrow li scans
+    # (range probe + bucketing) stay: checkpointing a raw fact scan
+    # would cost more than the re-read
+    monthly = (
+        bucketed.groupBy("mon", "b", "mn", "mx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
     )
     overall = monthly.groupBy("b", "mn", "mx").agg(
         F.sum("cnt").alias("cnt")

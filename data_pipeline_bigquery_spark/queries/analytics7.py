@@ -842,19 +842,26 @@ def _vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     and each checkpoint's coverage is a conditional sum over ranks,
     so no cumulative window exists at all.  Ties rank
     (count desc, token asc): total order, engine-identical."""
+    # toks feeds the range probe + bucketing, bucketed feeds ranks +
+    # offsets — lineage cuts (rule 14); pre-cut: documents ×4
     toks = (
         load(spark, sf_dir, "documents")
         .select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
         .filter(F.col("tok") != "")
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
     )
     rng = toks.agg(F.min("cnt").alias("mn"), F.max("cnt").alias("mx"))
-    bucketed = toks.crossJoin(F.broadcast(rng)).withColumn(
-        "b",
-        F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
-            F.expr("CAST((mx - cnt) * 256 div (mx - mn + 1) AS INT)")
-        ),
+    bucketed = (
+        toks.crossJoin(F.broadcast(rng))
+        .withColumn(
+            "b",
+            F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+                F.expr("CAST((mx - cnt) * 256 div (mx - mn + 1) AS INT)")
+            ),
+        )
+        .localCheckpoint(eager=False)
     )
     w_local = Window.partitionBy("b").orderBy(
         F.col("cnt").desc(), F.col("tok")
@@ -1367,11 +1374,20 @@ def _exact_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`budget_apportionment` algebra).  The oracle deliberately uses
     the NAIVE formulation — one row_number per language — so the
     two-phase scan is checked against an independent definition."""
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id",
-        "lang",
-        F.md5(F.concat(F.col("doc_id").cast("string"),
-                       F.lit(_EXSPLIT_SALT))).alias("h"),
+    # docs feeds the quota probe + bucketing, bucketed feeds ranks +
+    # offsets — lineage cuts (rule 14); pre-cut: documents ×4
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit(_EXSPLIT_SALT)
+                )
+            ).alias("h"),
+        )
+        .localCheckpoint(eager=False)
     )
     # Hamilton quota per lang (shared algebra)
     per_lang = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
@@ -1381,7 +1397,7 @@ def _exact_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two-phase per-stratum rank on (h, doc_id): bucket by md5 prefix
     bucketed = docs.withColumn(
         "b", F.expr("CAST(conv(substring(h, 1, 2), 16, 10) AS INT)")
-    )
+    ).localCheckpoint(eager=False)
     w_local = Window.partitionBy("lang", "b").orderBy("h", "doc_id")
     local = bucketed.withColumn("rn", F.row_number().over(w_local))
     w_off = (

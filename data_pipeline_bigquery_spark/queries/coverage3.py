@@ -1054,16 +1054,22 @@ def _anomaly_days_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolating percentile on integer counts is engine-portable
     (the (a+b)/2 midpoint of ints is exact in doubles)."""
     ev = load(spark, sf_dir, "events")
+    # daily feeds the median probe + deviations, dev feeds the MAD
+    # probe + the readout — lineage cuts (rule 14); the pre-cut plan
+    # re-scanned events 4×
     daily = (
         ev.select("event_type", F.to_date("ts").alias("day"))
         .groupBy("event_type", "day")
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
     )
     med = daily.groupBy("event_type").agg(
         F.expr("percentile(n, 0.5)").alias("med_n")
     )
-    dev = daily.join(F.broadcast(med), "event_type").withColumn(
-        "abs_dev", F.abs(F.col("n") - F.col("med_n"))
+    dev = (
+        daily.join(F.broadcast(med), "event_type")
+        .withColumn("abs_dev", F.abs(F.col("n") - F.col("med_n")))
+        .localCheckpoint(eager=False)
     )
     mad = dev.groupBy("event_type").agg(
         F.expr("percentile(abs_dev, 0.5)").alias("mad_n")

@@ -289,7 +289,14 @@ def _chi_square_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     # ONE corpus pass: marginals and the total derive from the tiny
     # contingency aggregate, not from re-scanning documents
-    cells = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    cells = (
+        docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("o"))
+        # the cut makes the docstring true in the PLAN too: marginals,
+        # total and the cell readout all reuse one materialized
+        # contingency frame instead of four document scans (rule 14)
+        .localCheckpoint(eager=False)
+    )
     rows = cells.groupBy("lang").agg(F.sum("o").alias("r"))
     cols = cells.groupBy("source").agg(F.sum("o").alias("c"))
     n = cells.agg(F.sum("o").alias("n"))

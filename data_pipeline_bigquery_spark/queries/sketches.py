@@ -268,9 +268,16 @@ def _hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle recomputes exact intersections and unions from the raw
     pairs and asserts ``within_bound`` TRUE."""
     events = load(spark, sf_dir, "events")
-    per_type = events.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sk"),
-        F.countDistinct("user_id").alias("n_users"),
+    # per_type feeds both pair arms and the distinct user-type frame
+    # feeds both sides of the exact-overlap join — lineage cuts
+    # (rule 14); the pre-cut plan re-scanned events 4×
+    per_type = (
+        events.groupBy("event_type")
+        .agg(
+            F.hll_sketch_agg("user_id").alias("sk"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .localCheckpoint(eager=False)
     )
     a = per_type.select(
         F.col("event_type").alias("type_a"),
@@ -287,14 +294,14 @@ def _hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.hll_sketch_estimate("sk_b")
         - F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
     )
-    exact_inter = (
+    ut = (
         events.select("user_id", "event_type")
         .distinct()
-        .alias("x")
-        .join(
-            events.select("user_id", "event_type").distinct().alias("y"),
-            "user_id",
-        )
+        .localCheckpoint(eager=False)
+    )
+    exact_inter = (
+        ut.alias("x")
+        .join(ut.alias("y"), "user_id")
         .filter(F.col("x.event_type") < F.col("y.event_type"))
         .groupBy(
             F.col("x.event_type").alias("type_a"),
