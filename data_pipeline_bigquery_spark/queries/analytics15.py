@@ -163,7 +163,9 @@ def _minhash_estimate_calibration(
         _augmented_docs,
     )
 
-    aug = _augmented_docs(spark, sf_dir)
+    # aug feeds the shingle rows AND the fused signature build —
+    # lineage cut (rule 14) on the constructed corpus
+    aug = _augmented_docs(spark, sf_dir).localCheckpoint(eager=False)
     # the exact-Jaccard side needs the shingle ROWS; the signature side
     # uses the fused per-doc array form (no explode, no groupBy)
     shingles = char_shingles(aug, "doc_id", "t")

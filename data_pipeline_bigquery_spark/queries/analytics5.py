@@ -511,6 +511,10 @@ def _pareto_skyline_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (spend, orders) points are mutually non-dominating and all kept.
     The oracle is the NAIVE O(n²) NOT EXISTS — a genuinely independent
     formulation."""
+    # per_cust feeds the level reduction AND the final membership
+    # join; levels feeds the range probe + bucketing; lv feeds the
+    # local and bucket-max windows — lineage cuts (rule 14); the
+    # pre-cut plan re-scanned orders 5×
     per_cust = (
         load(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -518,24 +522,33 @@ def _pareto_skyline_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"),
             F.count(F.lit(1)).alias("n_orders"),
         )
+        .localCheckpoint(eager=False)
     )
-    levels = per_cust.groupBy("spend").agg(F.max("n_orders").alias("maxn"))
+    levels = (
+        per_cust.groupBy("spend")
+        .agg(F.max("n_orders").alias("maxn"))
+        .localCheckpoint(eager=False)
+    )
     rng = levels.agg(
         F.min("spend").alias("smin"), F.max("spend").alias("smax")
     )
     nb = F.lit(_SKYLINE_BUCKETS)
-    lv = levels.crossJoin(F.broadcast(rng)).withColumn(
-        "b",
-        F.when(F.col("smax") == F.col("smin"), F.lit(0)).otherwise(
-            F.least(
-                nb - 1,
-                F.floor(
-                    (F.col("spend") - F.col("smin")).cast("double")
-                    * nb
-                    / (F.col("smax") - F.col("smin")).cast("double")
-                ).cast("int"),
-            )
-        ),
+    lv = (
+        levels.crossJoin(F.broadcast(rng))
+        .withColumn(
+            "b",
+            F.when(F.col("smax") == F.col("smin"), F.lit(0)).otherwise(
+                F.least(
+                    nb - 1,
+                    F.floor(
+                        (F.col("spend") - F.col("smin")).cast("double")
+                        * nb
+                        / (F.col("smax") - F.col("smin")).cast("double")
+                    ).cast("int"),
+                )
+            ),
+        )
+        .localCheckpoint(eager=False)
     )
     w_local = (
         Window.partitionBy("b")
@@ -2401,10 +2414,13 @@ def _basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines·(lines−1)/2 pairs per order — bounded by basket size, never
     O(catalog²); lift = one IEEE division of exact int64 products;
     top-20 is a TakeOrderedAndProject."""
+    # li feeds both pair arms, the item counts and the basket total —
+    # lineage cut (rule 14); the pre-cut plan re-scanned lineitem 5×
     li = (
         load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
     b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))

@@ -200,7 +200,9 @@ def _basket_lift_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bounded by basket size, the `basket_part_pairs` discipline);
     item counts join back broadcast-sized relative to pairs.  Top 20
     by lift with full deterministic tie-break."""
-    inc = _basket_edges(spark, sf_dir)
+    # inc feeds both pair arms, the item counts and the basket total —
+    # lineage cut (rule 14); the pre-cut plan re-scanned lineitem 4×
+    inc = _basket_edges(spark, sf_dir).localCheckpoint(eager=False)
     a = inc.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
     b = inc.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
     pairs = (
