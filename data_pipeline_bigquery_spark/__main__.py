@@ -124,8 +124,22 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     )
     a.add_argument(
         "--keys",
-        required=True,
-        help="comma-separated registry keys (see queries.registry())",
+        default=None,
+        help="comma-separated registry keys (see queries.registry()); "
+        "mutually exclusive with --all",
+    )
+    a.add_argument(
+        "--all",
+        action="store_true",
+        help="audit EVERY registry key (the re-scan sweep); prints only "
+        "keys at/above --min-scans unless --verbose",
+    )
+    a.add_argument(
+        "--min-scans",
+        type=int,
+        default=3,
+        help="with --all, report keys whose plan scans some table at "
+        "least this many times (default 3)",
     )
     a.add_argument("--sf-dir", default=DEFAULT_SF_DIR, help="input table dir")
     a.add_argument(
@@ -288,8 +302,17 @@ def run_plan_audit(args) -> tuple[str, int]:
 
     spark = get_spark()
     reg = registry()
+    if getattr(args, "all", False):
+        keys = list(reg)
+    elif args.keys:
+        keys = [k.strip() for k in args.keys.split(",") if k.strip()]
+    else:
+        raise SystemExit("plan_audit needs --keys or --all")
+    min_scans = getattr(args, "min_scans", 0) if getattr(
+        args, "all", False
+    ) else 0
     lines, any_cartesian = [], False
-    for key in [k.strip() for k in args.keys.split(",") if k.strip()]:
+    for key in keys:
         if key not in reg:
             raise SystemExit(f"unknown registry key: {key}")
         df = reg[key].fn(spark, args.sf_dir)
@@ -314,7 +337,14 @@ def run_plan_audit(args) -> tuple[str, int]:
             if nodes.count(n)
         }
         cut = "ExistingRDD" in plan
-        any_cartesian |= counts.get("CartesianProduct", 0) > 0
+        has_cartesian = counts.get("CartesianProduct", 0) > 0
+        any_cartesian |= has_cartesian
+        if (
+            min_scans
+            and max(scans.values(), default=0) < min_scans
+            and not has_cartesian
+        ):
+            continue
         scan_s = ", ".join(f"{t}×{c}" for t, c in sorted(scans.items()))
         node_s = ", ".join(f"{k}={v}" for k, v in sorted(counts.items()))
         lines.append(

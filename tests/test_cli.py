@@ -170,3 +170,6 @@ def test_cli_plan_audit_reports_and_gates(spark, capsys):
 
     with pytest.raises(SystemExit):
         main(["plan_audit", "--keys", "no_such_key"])
+    # neither --keys nor --all is a usage error, not a silent no-op
+    with pytest.raises(SystemExit):
+        main(["plan_audit", "--sf-dir", "/root/testdata/sf0.001"])
