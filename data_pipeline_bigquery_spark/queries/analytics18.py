@@ -220,7 +220,11 @@ def _contribution_bounding_curve(
     ranked = orders.withColumn("rk", F.row_number().over(w))
     aggs = [
         F.count(F.lit(1)).alias("n_total"),
-        F.sum("cents").alias("total_cents"),
+        # coalesce: an empty input reports total 0 like every cap row
+        # (kept_cents already coalesces), not a stray NULL
+        F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias(
+            "total_cents"
+        ),
     ]
     for c in _CAPS:
         aggs.append(
@@ -266,13 +270,14 @@ SELECT 'cap_{c:02d}' AS cap_label,
        CAST(count(*) FILTER (WHERE rk <= {c}) AS BIGINT) AS n_kept_orders,
        CAST(coalesce(sum(cents) FILTER (WHERE rk <= {c}), 0) AS BIGINT)
          AS kept_cents,
-       CAST(sum(cents) AS BIGINT) AS total_cents
+       CAST(coalesce(sum(cents), 0) AS BIGINT) AS total_cents
 FROM ranked"""
         )
     arms.append(
         """
 SELECT 'unbounded', CAST(count(*) AS BIGINT),
-       CAST(sum(cents) AS BIGINT), CAST(sum(cents) AS BIGINT)
+       CAST(coalesce(sum(cents), 0) AS BIGINT),
+       CAST(coalesce(sum(cents), 0) AS BIGINT)
 FROM ranked"""
     )
     union = " UNION ALL ".join(arms)
