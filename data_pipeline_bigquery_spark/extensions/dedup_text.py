@@ -339,12 +339,24 @@ def simhash_hamming_pairs(
 
 
 def word_ngrams(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-grams per doc (for Jaccard)."""
+    """Distinct word n-grams per doc (for Jaccard).
+
+    ``try_element_at``, NOT ``element_at``: a doc with fewer than n
+    words indexes past its token array, which ANSI element_at THROWS
+    on while the DuckDB oracle's list slice clamps — try_element_at's
+    NULL is skipped by concat_ws, emitting the same clamped partial
+    gram as the oracle (caught by the degenerate-window sweep; the
+    fixtures never produce a <n-word doc, real corpora always do)."""
     w = f"split(lower({text_col}), ' ')"
-    parts = ", ".join(f"element_at({w}, i + {d})" for d in range(n))
+    parts = ", ".join(f"try_element_at({w}, i + {d})" for d in range(n))
     expr = f"transform(sequence(1, greatest(size({w}) - {n - 1}, 1)), i -> concat_ws(' ', {parts}))"
     return (
         spread_small_input(df)
+        # NULL text → NO grams, mirroring the oracle (its range() over a
+        # NULL length yields no rows) — without this, concat_ws turns
+        # the all-NULL gram into '' and every NULL-text doc becomes a
+        # mutual duplicate of every empty-text doc on one engine only
+        .filter(F.col(text_col).isNotNull())
         .select(F.col(id_col).alias("doc_id"), F.explode(F.expr(expr)).alias("gram"))
         .distinct()
     )
@@ -356,6 +368,11 @@ def _gram_pair_stats(grams: DataFrame, max_bucket: int | None = None) -> DataFra
     in-bucket pair generation, per-doc set sizes from exploding the
     same buckets, ``max_bucket`` capping pathologically hot grams on
     the PAIR side only (sizes still count them)."""
+    # NULL grams (a NULL-text doc's shingle) never intersect in the
+    # oracle's equi-join (NULL != NULL), but a groupBy would bucket
+    # them TOGETHER here — drop them so both engines agree that NULL
+    # text shares nothing (degenerate-window sweep catch)
+    grams = grams.filter(F.col("gram").isNotNull())
     buckets = grams.groupBy("gram").agg(
         F.sort_array(F.collect_list("doc_id")).alias("ids")
     )

@@ -220,7 +220,13 @@ def _retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dcg_e9")
     )
-    nrel = scored.agg(F.sum(rel).alias("n_relevant"))
+    # coalesce: a corpus where NO doc matches any query term leaves
+    # scored EMPTY — an uncoalesced sum is NULL there, and
+    # least(NULL, 10) silently skips the NULL (rule 17) and grants the
+    # FULL IDCG (caught by the degenerate-window sweep)
+    nrel = scored.agg(
+        F.coalesce(F.sum(rel), F.lit(0)).alias("n_relevant")
+    )
     prefix = F.array(*[F.lit(p) for p in _NDCG_PREFIX])
     return (
         nrel.crossJoin(F.broadcast(dcg))

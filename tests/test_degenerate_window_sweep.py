@@ -1,0 +1,89 @@
+"""Degenerate-fixture sweep over the CURRENT driver window: every
+zero-green registry key (the exact set the next driver sweep will
+hash) runs against a jointly-degenerate dir — five orders across two
+customers with a duplicate date, eight events where one user never
+purchases, and the NULL/empty-text document corpus — and must
+hash-match its oracle there.  The fixture sweep exercises the happy
+path; this one walks the guard branches (empty arms, single-element
+groups, dangling foreign keys, NULL text) on BOTH engines at once."""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import json
+import os
+
+import pytest
+
+from tests.test_analytics19_20_edges import _edge_dir, _events, _orders, _parity
+from tests.test_null_text_corpus_edges import _degenerate_docs
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _zero_green_window(limit=50):
+    """The keys the next driver sweep will pick: fewest past greens
+    first, mirroring ``__spark_entry__._ordered_registry``."""
+    import __spark_entry__ as entry
+
+    counts: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
+        with open(path) as fh:
+            data = json.load(fh)
+        for key, row in data.items():
+            if not isinstance(row, dict) or row.get("err"):
+                continue
+            green = row.get("hash_match")
+            if green is None:
+                green = row.get("rows_match")
+            if green:
+                counts[key] = counts.get(key, 0) + 1
+    ordered = list(entry.queries())
+    return [k for k in ordered if counts.get(k, 0) == 0][:limit]
+
+
+_WINDOW = _zero_green_window()
+
+
+@pytest.fixture(scope="module")
+def degenerate_dir(tmp_path_factory):
+    d0 = dt.datetime(2024, 1, 5, 9)
+    orders = _orders(
+        [
+            (1, 1, 100.0, d0),
+            (2, 1, 250.0, d0),  # duplicate (custkey, date)
+            (3, 1, 80.0, d0 + dt.timedelta(days=40)),
+            (4, 2, 999.99, d0 + dt.timedelta(days=2)),
+            (5, 2, 999.99, d0 + dt.timedelta(days=400)),
+        ]
+    )
+    events = _events(
+        [
+            (0, d0, 1, "purchase", 300.0),
+            (1, d0, 1, "view", 2.0),
+            (2, d0 + dt.timedelta(days=1), 1, "purchase", 12.5),
+            (3, d0 + dt.timedelta(days=1), 1, "click", 1.0),
+            (4, d0, 2, "view", 5.0),  # user 2 never purchases
+            (5, d0 + dt.timedelta(days=9), 2, "error", 7.0),
+            (6, d0 + dt.timedelta(days=9), 2, "signup", 0.5),
+            (7, d0 + dt.timedelta(days=9, hours=1), 2, "click", 1.0),
+        ]
+    )
+    return _edge_dir(
+        tmp_path_factory.mktemp("window_degenerate"),
+        orders=orders,
+        events=events,
+        documents=_degenerate_docs(),
+    )
+
+
+@pytest.mark.parametrize("key", _WINDOW)
+def test_window_key_on_degenerate_fixtures(spark, degenerate_dir, key):
+    from data_pipeline_bigquery_spark.queries import registry
+
+    spec = registry()[key]
+    if spec.oracle is None:  # pragma: no cover - all keys are oracled
+        spec.fn(spark, degenerate_dir).count()
+        return
+    _parity(spark, spec, degenerate_dir)
