@@ -61,13 +61,20 @@ def repetition_stats(
     repeat themselves; prose doesn't.  Total and distinct gram counts
     come from one explode + one agg keyed on doc_id.
     """
+    # try_element_at + NULL-text filter: a <n-word doc indexes past its
+    # token array (ANSI element_at THROWS where the oracle's list slice
+    # clamps to a partial gram), and a NULL-text doc must yield NO
+    # grams (the oracle's range(NULL) emits no rows) — the same two
+    # degenerate-corpus traps fixed in dedup_text.word_ngrams
     w = f"split(lower({text_col}), ' ')"
-    parts = ", ".join(f"element_at({w}, i + {d})" for d in range(n))
+    parts = ", ".join(f"try_element_at({w}, i + {d})" for d in range(n))
     expr = (
         f"transform(sequence(1, greatest(size({w}) - {n - 1}, 1)),"
         f" i -> concat_ws(' ', {parts}))"
     )
-    grams = df.select(F.col(id_col).alias("doc_id"), F.explode(F.expr(expr)).alias("gram"))
+    grams = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"), F.explode(F.expr(expr)).alias("gram")
+    )
     return grams.groupBy("doc_id").agg(
         F.count("*").alias("total_grams"),
         F.countDistinct("gram").alias("distinct_grams"),

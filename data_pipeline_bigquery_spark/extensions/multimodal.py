@@ -54,10 +54,16 @@ def ppm_payload(text_col: str, width: int, height: int) -> Column:
     ASCII when the text is ASCII — which lets the DuckDB oracle rebuild
     the identical byte stream with VARCHAR functions and hash-verify
     the python decode kernels end to end (see the multimodal oracle SQL
-    in ``queries/extensions.py``)."""
+    in ``queries/extensions.py``).
+
+    NULL text rasters as an ALL-PAD payload (coalesce to '') — here
+    and in :func:`video_payload`/:func:`wav_payload` — so a NULL-text
+    doc still carries a total, decodable payload instead of a NULL the
+    python kernels crash on; the oracles pad coalesce(text, '')
+    identically (degenerate-corpus sweep catch)."""
     n = width * height * 3
     header = F.lit(f"P6\n{width} {height}\n255\n".encode())
-    body = F.expr(f"rpad(substr(encode(`{text_col}`, 'UTF-8'), 1, {n}), {n}, X'20')")
+    body = F.expr(f"rpad(substr(encode(coalesce(`{text_col}`, ''), 'UTF-8'), 1, {n}), {n}, X'20')")
     return F.concat(header, body)
 
 
@@ -85,7 +91,7 @@ def video_payload(text_col: str, width: int, height: int, n_frames: int) -> Colu
         start = 1 + i * FRAME_BYTE_STRIDE
         parts.append(header)
         parts.append(
-            F.expr(f"rpad(substr(encode(`{text_col}`, 'UTF-8'), {start}, {n}), {n}, X'20')")
+            F.expr(f"rpad(substr(encode(coalesce(`{text_col}`, ''), 'UTF-8'), {start}, {n}), {n}, X'20')")
         )
     return F.concat(*parts)
 
@@ -223,7 +229,7 @@ def wav_payload(
 
     header = F.lit(wav_header(n_samples, rate))
     body = F.expr(
-        f"rpad(substr(encode(`{text_col}`, 'UTF-8'), 1, {n_samples}), {n_samples}, X'20')"
+        f"rpad(substr(encode(coalesce(`{text_col}`, ''), 'UTF-8'), 1, {n_samples}), {n_samples}, X'20')"
     )
     return F.concat(header, body)
 

@@ -58,8 +58,15 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     stop_count = F.size(F.filter(words, lambda w: F.array_contains(stop, w)))
     alpha_len = F.length(F.regexp_replace(t, "[^a-z]", ""))
     text_len = F.length(t)
-    stop_ratio = stop_count.cast("double") / word_count.cast("double")
-    alpha_ratio = alpha_len.cast("double") / text_len.cast("double")
+    # rule 9: '' text has length 0 — ANSI Spark throws on the division
+    # where the oracle returns NULL (degenerate-corpus sweep catch);
+    # word_count can't be 0 (split('') is ['']) but gets the same guard
+    stop_ratio = stop_count.cast("double") / F.when(
+        word_count != 0, word_count.cast("double")
+    )
+    alpha_ratio = alpha_len.cast("double") / F.when(
+        text_len != 0, text_len.cast("double")
+    )
     return df.select(
         F.col(id_col).alias("doc_id"),
         text_len.cast("long").alias("text_len"),
@@ -110,7 +117,12 @@ def doc_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     canon = F.concat_ws(" ", F.array_sort(F.array_distinct(words)))
     return df.select(
         F.col(id_col).alias("doc_id"),
-        F.md5(canon).alias("fingerprint"),
+        # NULL text fingerprints NULL — concat_ws would silently turn
+        # the NULL word array into '' and stamp NULL docs with the
+        # empty-string digest (degenerate-corpus sweep catch)
+        F.when(F.col(text_col).isNotNull(), F.md5(canon)).alias(
+            "fingerprint"
+        ),
         F.size(F.array_distinct(words)).cast("long").alias("vocab_size"),
     )
 

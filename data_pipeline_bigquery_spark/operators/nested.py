@@ -56,5 +56,14 @@ def serialize_row_json(df: DataFrame, columns: list[str], out_col: str = "raw") 
     """N3 to_json_serialize: whole-row audit JSON
     (``create_dict`` + ``json.dumps``, deal_log_pipeline.py:22-34,93-96)
     ≙ ``to_json(struct(...))`` — no UDF, no python dict materialization.
+
+    ``ignoreNullFields=false``: the reference's ``json.dumps`` (and the
+    DuckDB oracle's struct_pack→to_json) serialize a NULL field as
+    ``"field":null``, but Spark's default silently DROPS the key —
+    an audit log that omits the very fields that were null
+    (degenerate-corpus sweep catch).
     """
-    return df.withColumn(out_col, F.to_json(F.struct(*columns)))
+    return df.withColumn(
+        out_col,
+        F.to_json(F.struct(*columns), {"ignoreNullFields": "false"}),
+    )

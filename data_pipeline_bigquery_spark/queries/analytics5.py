@@ -2855,11 +2855,15 @@ def _event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("s").cast("decimal(38,0)") * F.col("s")
     )
     r = F.sqrt(nq_s2.cast("double"))
+    den = r + F.col("s").cast("double")
     return agg.select(
         "event_type",
         "n",
+        # rule 9: a type whose gaps are ALL zero seconds has σ = μ = 0
+        # — ANSI throws on the 0/0 where the oracle returns NULL
+        # (degenerate-corpus sweep catch)
         F.round(
-            (r - F.col("s").cast("double")) / (r + F.col("s").cast("double")),
+            (r - F.col("s").cast("double")) / F.when(den != 0.0, den),
             6,
         ).alias("burstiness"),
     )

@@ -69,9 +69,11 @@ def _binary_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").cast("string"),
             F.when(F.col("doc_id") % 4 == 0, ".txt").otherwise(".dat"),
         ).alias("file_name"),
+        # coalesce: a NULL-text doc still stages a (header-only) file —
+        # a NULL payload would crash the executor-side writer
         F.encode(
             F.concat(F.lit("DOC "), F.col("doc_id").cast("string"),
-                     F.lit("\n"), F.col("text")),
+                     F.lit("\n"), F.coalesce(F.col("text"), F.lit(""))),
             "UTF-8",
         ).alias("payload"),
     )
@@ -88,8 +90,9 @@ def _binary_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BINARY_FILE_SQL = """
 SELECT doc_id,
-       CAST(strlen('DOC ' || doc_id || chr(10) || text) AS BIGINT) AS n_bytes,
-       md5('DOC ' || doc_id || chr(10) || text) AS digest
+       CAST(strlen('DOC ' || doc_id || chr(10) || coalesce(text, ''))
+            AS BIGINT) AS n_bytes,
+       md5('DOC ' || doc_id || chr(10) || coalesce(text, '')) AS digest
 FROM documents WHERE doc_id % 4 = 0
 """
 
@@ -573,8 +576,14 @@ def _length_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     of domain rows, never corpus rows).  The only windows run at
     domain grain; the single-partition global cumsum carries
     distinct-length rows, not docs."""
-    docs = load(spark, sf_dir, "documents").select(
-        "source", F.length("text").alias("text_len")
+    # NULL text has no length: excluded on BOTH engines — otherwise the
+    # NULL text_len rows enter the rank windows, where Spark orders
+    # NULLS FIRST and DuckDB NULLS LAST (rule 11; degenerate-corpus
+    # sweep catch)
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("source", F.length("text").alias("text_len"))
     )
     dom = docs.groupBy("source", "text_len").agg(
         F.count(F.lit(1)).alias("n_docs")
@@ -606,7 +615,8 @@ def _length_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _QNORM_SQL = """
-WITH d AS (SELECT source, strlen(text) AS text_len FROM documents),
+WITH d AS (SELECT source, strlen(text) AS text_len FROM documents
+           WHERE text IS NOT NULL),
 dom AS (SELECT source, text_len, count(*) AS n_docs
         FROM d GROUP BY 1, 2),
 per_src AS (

@@ -313,7 +313,12 @@ def _regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _REGEX_SQL = r"""
-SELECT doc_id, coalesce(regexp_extract(text, '(\w+) (merge|join) (\w+)', 3), '') AS join_rhs
+-- NULL text extracts NULL (matching Spark's regexp_extract); the
+-- coalesce-to-'' applies only to the no-match case on real strings
+SELECT doc_id,
+       CASE WHEN text IS NULL THEN NULL
+            ELSE coalesce(regexp_extract(text, '(\w+) (merge|join) (\w+)', 3), '')
+       END AS join_rhs
 FROM documents
 """
 

@@ -79,7 +79,7 @@ _REPETITION_SQL = """
 WITH planted AS (
   SELECT doc_id,
          CASE WHEN doc_id % 13 = 0 THEN text || ' ' || text ELSE text END AS text
-  FROM documents),
+  FROM documents WHERE text IS NOT NULL),
 w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM planted),
 grams AS (
   SELECT doc_id,

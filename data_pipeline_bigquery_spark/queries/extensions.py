@@ -843,11 +843,15 @@ def _rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ROLLING_HASH_SQL = """
+-- NULL text hashes NULL (Spark's aggregate over a NULL sequence);
+-- without the CASE, list_prepend folds the seed alone and stamps
+-- NULL docs with hash 0
 SELECT doc_id,
+       CASE WHEN text IS NULL THEN NULL ELSE
        list_reduce(list_prepend(CAST(0 AS BIGINT),
                    list_transform(range(1, length(lower(text)) + 1),
                                   i -> CAST(ord(substr(lower(text), i, 1)) AS BIGINT))),
-                   (acc, c) -> (acc * 31 + c) % 2147483647) AS rolling_hash,
+                   (acc, c) -> (acc * 31 + c) % 2147483647) END AS rolling_hash,
        CAST(length(lower(text)) AS BIGINT) AS n_chars
 FROM documents
 """
@@ -884,7 +888,8 @@ def _corpus_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CORPUS_NGRAMS_SQL = """
-WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words
+           FROM documents WHERE text IS NOT NULL),
 grams AS (
   SELECT DISTINCT doc_id,
          array_to_string(words[CAST(i AS INT):CAST(i AS INT) + 2], ' ') AS gram
@@ -1023,7 +1028,7 @@ def _ppm_gather_sql(in_w: int, in_h: int, out_w: int, out_h: int) -> str:
     # binder recursion depth (128)
     gather = "concat(" + ", ".join(parts) + ")"
     return (
-        f"WITH base AS (SELECT doc_id, substr(text || repeat(' ', {n}), 1, {n}) AS r"
+        f"WITH base AS (SELECT doc_id, substr(coalesce(text, '') || repeat(' ', {n}), 1, {n}) AS r"
         " FROM documents)\n"
         f"SELECT doc_id, CAST({out_w} AS INT) AS width, CAST({out_h} AS INT) AS height,"
         f" CAST({13 + out_w * out_h * 3} AS INT) AS resized_bytes,"
@@ -1044,7 +1049,7 @@ def _mm_feat_sql(w: int, h: int, dim: int) -> str:
     chunk = n // dim
     return f"""
 WITH base AS (
-  SELECT doc_id, substr(text || repeat(' ', {n}), 1, {n}) AS r FROM documents),
+  SELECT doc_id, substr(coalesce(text, '') || repeat(' ', {n}), 1, {n}) AS r FROM documents),
 bytes AS (
   SELECT doc_id, CAST((i - 1) // {chunk} AS INT) AS chunk, ord(substr(r, CAST(i AS INT), 1)) AS v
   FROM base, generate_series(1, {n}) AS s(i)),
@@ -1077,7 +1082,7 @@ def _mm_frames_sql(w: int, h: int, n_stored: int, n_sample: int) -> str:
     picks_sql = ", ".join(str(p) for p in picks)
     return f"""
 WITH f AS (SELECT unnest([{picks_sql}]) AS frame_idx),
-base AS (SELECT doc_id, text || repeat(' ', {pad}) AS padded FROM documents)
+base AS (SELECT doc_id, coalesce(text, '') || repeat(' ', {pad}) AS padded FROM documents)
 SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
        CAST({frame_bytes} AS INT) AS frame_bytes,
        md5('P6' || chr(10) || '{w} {h}' || chr(10) || '255' || chr(10)
@@ -1117,7 +1122,7 @@ def _mm_audio_sql(n: int, rate: int, window: int) -> str:
     n_win = (n + window - 1) // window  # ceil: a partial tail window IS a window (the kernel matches)
     return f"""
 WITH base AS (
-  SELECT doc_id, substr(text || repeat(' ', {n}), 1, {n}) AS body FROM documents),
+  SELECT doc_id, substr(coalesce(text, '') || repeat(' ', {n}), 1, {n}) AS body FROM documents),
 s AS (
   SELECT doc_id, CAST(i - 1 AS INT) AS i, ord(substr(body, CAST(i AS INT), 1)) AS v
   FROM base, generate_series(1, {n}) AS g(i)),
@@ -1203,7 +1208,7 @@ def _mm_dhash_sql(w: int, h: int) -> str:
     dhash = "lower(" + " || ".join(byte_exprs) + ")"
     return f"""
 WITH base AS (
-  SELECT doc_id, substr(text || repeat(' ', {n}), 1, {n}) AS t FROM documents),
+  SELECT doc_id, substr(coalesce(text, '') || repeat(' ', {n}), 1, {n}) AS t FROM documents),
 h AS (SELECT doc_id, {dhash} AS dhash FROM base)
 SELECT dhash, count(*) AS n_docs, min(doc_id) AS canonical_id
 FROM h GROUP BY dhash

@@ -87,3 +87,54 @@ def test_window_key_on_degenerate_fixtures(spark, degenerate_dir, key):
         spec.fn(spark, degenerate_dir).count()
         return
     _parity(spark, spec, degenerate_dir)
+
+
+# keys OUTSIDE the rotation window where the first full-registry
+# degenerate run found (and fixed) real defects — pinned so the
+# NULL-text / short-doc / zero-variance regressions cannot return
+_FIXED_REGRESSIONS = [
+    "binary_file_scan",
+    "corpus_ngram_stats",
+    "dedup_keep_best_quality",
+    "event_burstiness",
+    "length_quantile_normalize",
+    "multimodal_audio_features",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_perceptual_dedup",
+    "multimodal_resize",
+    "pipeline_change_log",
+    "regex_extract",
+    "repetition_filter",
+    "source_quality_matrix",
+    "text_fingerprint",
+    "text_quality_score",
+    "text_rolling_hash",
+    "to_json_serialize",
+]
+
+
+@pytest.mark.parametrize("key", _FIXED_REGRESSIONS)
+def test_fixed_regression_on_degenerate_fixtures(spark, degenerate_dir, key):
+    from data_pipeline_bigquery_spark.queries import registry
+
+    _parity(spark, registry()[key], degenerate_dir)
+
+
+def test_recall_contract_gate_trips_honestly_on_tiny_corpus(
+    spark, degenerate_dir
+):
+    """The LSH recall contract is a MEASUREMENT, not a semantics key:
+    on this 6-doc corpus the four j≈0.88 cross pairs ride ONE band
+    collision trial (sig(3)=sig(4), sig(copy3)=sig(copy4)), so the
+    ~0.89 per-pair candidate probability can miss all four at once
+    and recall drops below the 0.85 gate — the contract must then
+    EMPTY its output (the driver-visible red), never emit a partial
+    pair set.  Its statistical guarantee lives at corpus scale (0.948
+    measured at sf0.01 — the fixture parity sweep)."""
+    from data_pipeline_bigquery_spark.queries import registry
+
+    out = registry()["minhash_lsh_recall_contract"].fn(
+        spark, degenerate_dir
+    )
+    assert out.count() == 0
