@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from data_pipeline_bigquery_spark.extensions.similarity import (
     _dot,
+    _nz,
     assign_cells,
     train_ivf_centroids,
     with_double_embedding,
@@ -210,7 +211,7 @@ def ivf_pq_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
     qc = F.broadcast(centroids).crossJoin(q)
-    csim = _dot(F.col("q_vec"), F.col("centroid")) / (
+    csim = _dot(F.col("q_vec"), F.col("centroid")) / _nz(
         F.sqrt(_dot(F.col("q_vec"), F.col("q_vec")))
         * F.sqrt(_dot(F.col("centroid"), F.col("centroid")))
     )
@@ -243,7 +244,7 @@ def ivf_pq_topk(
     shortlist = cand.withColumn("rn", F.row_number().over(ws)).filter(
         F.col("rn") <= rerank * k
     )
-    sim = _dot(F.col("q_vec"), F.col("vec")) / (
+    sim = _dot(F.col("q_vec"), F.col("vec")) / _nz(
         F.sqrt(_dot(F.col("q_vec"), F.col("q_vec")))
         * F.sqrt(_dot(F.col("vec"), F.col("vec")))
     )

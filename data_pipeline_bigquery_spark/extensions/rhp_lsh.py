@@ -167,7 +167,12 @@ def rhp_topk(
         "band",
         "band_val",
     )
-    sim = _dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))
+    # rule 9: zero-norm vectors -> NULL cosine on both engines
+    from data_pipeline_bigquery_spark.extensions.similarity import _nz
+
+    sim = _dot(F.col("q_vec"), F.col("c_vec")) / _nz(
+        F.col("q_norm") * F.col("c_norm")
+    )
     scored = (
         cb.join(qb, ["band", "band_val"])
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -31,6 +31,14 @@ def with_double_embedding(df: DataFrame, col: str = "embedding") -> DataFrame:
     return spread_small_input(df).withColumn(col, F.col(col).cast("array<double>"))
 
 
+def _nz(den):
+    """Rule-9 denominator guard: a zero-norm (all-zero) vector makes the
+    cosine NULL on BOTH engines — DuckDB's x/0 is NULL while ANSI Spark
+    would throw — and NULL similarities rank NULLS-LAST identically
+    under every desc ordering here (degenerate-embeddings sweep catch)."""
+    return F.when(den != 0.0, den)
+
+
 def cosine_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -57,7 +65,7 @@ def cosine_topk(
         F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("c_norm"),
     )
     pairs = F.broadcast(q).join(c, F.col("query_id") != F.col("neighbor_id"))
-    sim = _dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))
+    sim = _dot(F.col("q_vec"), F.col("c_vec")) / _nz(F.col("q_norm") * F.col("c_norm"))
     scored = pairs.select(
         "query_id", "neighbor_id", F.round(sim, 6).alias("cosine_sim")
     )
@@ -198,7 +206,7 @@ def cosine_neardup_pairs(
         joined = a.join(b, on=[F.col("a.bucket") == F.col("b.bucket")]).filter(cond)
     else:
         joined = a.join(b, cond)
-    sim = _dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.norm") * F.col("b.norm"))
+    sim = _dot(F.col("a.vec"), F.col("b.vec")) / _nz(F.col("a.norm") * F.col("b.norm"))
     return (
         joined.select(
             F.col("a.id").alias("vec_a"),
@@ -250,7 +258,7 @@ def cell_bucketed_neardup_pairs(
             F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("s_norm"),
         )
     )
-    sim = _dot(F.col(vec_col), F.col("s_vec")) / (
+    sim = _dot(F.col(vec_col), F.col("s_vec")) / _nz(
         F.sqrt(_dot(F.col(vec_col), F.col(vec_col))) * F.col("s_norm")
     )
     w = Window.partitionBy(id_col).orderBy(F.col("s_sim").desc(), F.col("cell").asc())
@@ -282,7 +290,8 @@ def cell_bucketed_neardup_pairs(
         " y -> struct(x.id AS vec_a, y.id AS vec_b,"
         " round(aggregate(zip_with(x.vec, y.vec, (p, q) -> p * q),"
         "       cast(0 as double), (acc, v) -> acc + v)"
-        "       / (x.norm * y.norm), 6) AS cosine_sim))))"
+        "       / nullif(x.norm * y.norm, cast(0 as double)), 6)"
+        " AS cosine_sim))))"
     )
     return (
         buckets.select(F.explode(pairs).alias("p"))
@@ -356,7 +365,7 @@ def assign_cells(
             F.sqrt(_dot(F.col("centroid"), F.col("centroid"))).alias("cn_norm"),
         )
     )
-    sim = _dot(F.col(vec_col), F.col("cn_vec")) / (F.col("__norm") * F.col("cn_norm"))
+    sim = _dot(F.col(vec_col), F.col("cn_vec")) / _nz(F.col("__norm") * F.col("cn_norm"))
     carry = [c for c in e.columns if c not in (id_col, "__norm")]
     scored = e.crossJoin(cn).select(
         F.col(id_col),
@@ -468,7 +477,9 @@ def train_ivf_centroids(
 
         e = e.filter(hash_bucket(F.col(id_col)) < sample_pct)
     norm = F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
-    train = e.select(
+    # a zero vector cannot train the quantizer (no direction): drop it
+    # BEFORE the unit-normalize, or x/0 throws under ANSI
+    train = e.filter(norm != 0.0).select(
         F.col(id_col).alias("tid"),
         F.transform(F.col(vec_col), lambda x: x / norm).alias("v"),
     )
@@ -575,7 +586,7 @@ def ivf_topk_preassigned(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
     qc = F.broadcast(centroids).crossJoin(q)
-    csim = _dot(F.col("q_vec"), F.col("centroid")) / (
+    csim = _dot(F.col("q_vec"), F.col("centroid")) / _nz(
         F.sqrt(_dot(F.col("q_vec"), F.col("q_vec")))
         * F.sqrt(_dot(F.col("centroid"), F.col("centroid")))
     )
@@ -593,7 +604,7 @@ def ivf_topk_preassigned(
         F.col(label_col).alias("cell"),
     )
     cand = probe.join(c, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
-    sim = _dot(F.col("q_vec"), F.col("c_vec")) / (
+    sim = _dot(F.col("q_vec"), F.col("c_vec")) / _nz(
         F.sqrt(_dot(F.col("q_vec"), F.col("q_vec"))) * F.col("c_norm")
     )
     scored = cand.select("query_id", "neighbor_id", F.round(sim, 6).alias("cosine_sim"))

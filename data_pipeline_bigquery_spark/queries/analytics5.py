@@ -849,7 +849,13 @@ def _hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("doc_id"),
             F.round(
-                dot / (F.sqrt(norm2("v")) * F.sqrt(norm2("qv"))), 6
+                # rule 9: zero-norm vectors -> NULL cosine, both engines
+                dot
+                / F.when(
+                    F.sqrt(norm2("v")) * F.sqrt(norm2("qv")) != 0.0,
+                    F.sqrt(norm2("v")) * F.sqrt(norm2("qv")),
+                ),
+                6,
             ).alias("cos"),
         )
         .orderBy(F.col("cos").desc(), F.col("doc_id"))

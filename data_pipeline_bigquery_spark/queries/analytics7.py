@@ -1812,17 +1812,23 @@ def _grouped_ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
                        g="sd", h="spd", i="sdd")
     det2 = det3.format(a="n", b="sq", c="sp", d="sq", e="sqq", f="spq",
                        g="sd", h="sqd", i="spd")
+    # rule 9: a singular system (too few distinct rows in a group) has
+    # det = 0 — ANSI throws on the division where the oracle's NULL
+    # says "no unique fit" (degenerate-lineitem sweep catch)
     return s.select(
         "flag",
         F.col("n").cast("bigint").alias("n_rows"),
         F.expr(
-            f"round(CAST({det0} AS DOUBLE) / CAST({det} AS DOUBLE), 6)"
+            f"round(CAST({det0} AS DOUBLE)"
+            f" / nullif(CAST({det} AS DOUBLE), 0.0), 6)"
         ).alias("b0_cents"),
         F.expr(
-            f"round(CAST({det1} AS DOUBLE) / CAST({det} AS DOUBLE), 6)"
+            f"round(CAST({det1} AS DOUBLE)"
+            f" / nullif(CAST({det} AS DOUBLE), 0.0), 6)"
         ).alias("b1_cents_per_unit"),
         F.expr(
-            f"round(CAST({det2} AS DOUBLE) / CAST({det} AS DOUBLE), 6)"
+            f"round(CAST({det2} AS DOUBLE)"
+            f" / nullif(CAST({det} AS DOUBLE), 0.0), 6)"
         ).alias("b2_cents_per_pp"),
     )
 
@@ -1860,10 +1866,11 @@ s AS (
          CAST(sum(p * d) AS HUGEINT) AS spd
   FROM ints GROUP BY flag)
 SELECT flag, CAST(n AS BIGINT) AS n_rows,
-       round(CAST({det0} AS DOUBLE) / CAST({det} AS DOUBLE), 6) AS b0_cents,
-       round(CAST({det1} AS DOUBLE) / CAST({det} AS DOUBLE), 6)
+       round(CAST({det0} AS DOUBLE) / nullif(CAST({det} AS DOUBLE), 0.0), 6)
+         AS b0_cents,
+       round(CAST({det1} AS DOUBLE) / nullif(CAST({det} AS DOUBLE), 0.0), 6)
          AS b1_cents_per_unit,
-       round(CAST({det2} AS DOUBLE) / CAST({det} AS DOUBLE), 6)
+       round(CAST({det2} AS DOUBLE) / nullif(CAST({det} AS DOUBLE), 0.0), 6)
          AS b2_cents_per_pp
 FROM s
 """

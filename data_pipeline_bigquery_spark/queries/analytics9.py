@@ -746,7 +746,10 @@ def _hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = F.broadcast(anchors).join(
         corpus, F.col("anchor_label") != F.col("negative_label")
     )
-    sim = _dot(F.col("a_vec"), F.col("c_vec")) / (
+    from data_pipeline_bigquery_spark.extensions.similarity import _nz
+
+    # rule 9: zero-norm vectors -> NULL cosine on both engines
+    sim = _dot(F.col("a_vec"), F.col("c_vec")) / _nz(
         F.col("a_norm") * F.col("c_norm")
     )
     scored = pairs.select(

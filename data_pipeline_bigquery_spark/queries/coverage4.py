@@ -465,8 +465,13 @@ def _corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov = n * d("sxy") - sx * sy
     vx = n * d("sxx") - sx * sx
     vy = n * d("syy") - sy * sy
+    den = F.sqrt(vx) * F.sqrt(vy)
     return s.select(
-        "l_returnflag", "n", (cov / (F.sqrt(vx) * F.sqrt(vy))).alias("corr_qty_price")
+        "l_returnflag",
+        "n",
+        # rule 9: a single-row (or constant) group has zero variance —
+        # ANSI throws on the 0/0 where the oracle returns NULL
+        (cov / F.when(den != 0.0, den)).alias("corr_qty_price"),
     )
 
 

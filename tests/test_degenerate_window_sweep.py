@@ -121,6 +121,76 @@ def test_fixed_regression_on_degenerate_fixtures(spark, degenerate_dir, key):
     _parity(spark, registry()[key], degenerate_dir)
 
 
+# --- degenerate EMBEDDINGS / LINEITEM dimension ------------------------------
+
+# keys where the zero-norm-vector / single-row-group run found (and
+# fixed) ANSI divide-by-zero or singular-system defects
+_EMBEDDING_FIXES = [
+    "ann_auto_topk",
+    "ann_cosine_topk",
+    "ann_ivf_exact_topk",
+    "corr_qty_price_by_flag",
+    "grouped_ols_price_model",
+    "hard_negative_mining",
+    "hybrid_search_rrf",
+    "knn_label_accuracy",
+    "nearest_centroid_confusion",
+]
+
+# measurement contracts: on a 6-vector corpus their recall/coverage
+# gates legitimately trip and the output EMPTIES (the driver-visible
+# red) — the guarantee lives at corpus scale, covered by the fixture
+# parity sweep
+_GATED_CONTRACTS = [
+    "ann_ivf_pq_recall_contract",
+    "ann_ivf_recall_contract",
+    "ann_ivf_trained_recall_contract",
+    "ann_lsh_recall_contract",
+    "ann_reuse_centroids_contract",
+]
+
+
+@pytest.fixture(scope="module")
+def degenerate_vec_dir(tmp_path_factory):
+    import pyarrow as pa
+
+    vecs = [
+        [0.0] * 8,  # zero norm — undefined cosine
+        [1.0, 0, 0, 0, 0, 0, 0, 0],
+        [1.0, 0, 0, 0, 0, 0, 0, 0],  # exact duplicate
+        [0, 1.0, 0, 0, 0, 0, 0, 0],
+        [0.5] * 8,
+        [-1.0, 0.5, 0.25, 0, 0, 0, 0, 0],
+    ]
+    emb = pa.table(
+        {
+            "vec_id": pa.array(range(6), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([0, 1, 1, 2, 2, 0], pa.int32()),
+        }
+    )
+    from tests.test_analytics19_20_edges import _lineitem
+
+    li = _lineitem([(999999, "N", 1.0, 10.0, 0.0)])
+    return _edge_dir(
+        tmp_path_factory.mktemp("vec_degenerate"), embeddings=emb, lineitem=li
+    )
+
+
+@pytest.mark.parametrize("key", _EMBEDDING_FIXES)
+def test_embedding_fix_on_zero_norm_corpus(spark, degenerate_vec_dir, key):
+    from data_pipeline_bigquery_spark.queries import registry
+
+    _parity(spark, registry()[key], degenerate_vec_dir)
+
+
+@pytest.mark.parametrize("key", _GATED_CONTRACTS)
+def test_gated_contract_empties_not_crashes(spark, degenerate_vec_dir, key):
+    from data_pipeline_bigquery_spark.queries import registry
+
+    assert registry()[key].fn(spark, degenerate_vec_dir).count() == 0
+
+
 def test_recall_contract_gate_trips_honestly_on_tiny_corpus(
     spark, degenerate_dir
 ):
