@@ -1712,12 +1712,22 @@ def _ewma_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     the frame is a constant 30 rows, so state per key is bounded —
     the same recurrence-as-window discipline as
     ``clamped_running_balance``."""
-    ev = load(spark, sf_dir, "events").select(
-        "event_id",
-        "user_id",
-        "event_type",
-        "ts",
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    ev = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "ts",
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        # a NULL-value event has no reading: drop it on BOTH engines —
+        # Spark's collect_list skips NULLs (an all-NULL window makes an
+        # EMPTY frame the fold then indexes out of bounds) while
+        # DuckDB's list() keeps them, shifting every exponent
+        .filter(F.col("cents").isNotNull())
     )
     w = (
         Window.partitionBy("user_id", "event_type")
@@ -1742,7 +1752,7 @@ _EWMA_SQL = """
 WITH ev AS (
   SELECT event_id, user_id, event_type, ts,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-  FROM events),
+  FROM events WHERE value IS NOT NULL),
 w AS (
   SELECT event_id, user_id, event_type,
          list(cents) OVER (PARTITION BY user_id, event_type

@@ -289,7 +289,12 @@ def _theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume).  Each slope is one IEEE division of exact ints, the
     median is the lower order statistic with (slope, t1, t2)
     tie-break — identical selection on both engines."""
-    events = load(spark, sf_dir, "events")
+    # an unlabeled (NULL-type) event belongs to no series: drop it on
+    # BOTH engines — the pair self-join never matches NULL keys while
+    # the scaffold groupBy keeps them, inventing a phantom series
+    events = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
     daily = events.groupBy(
         F.col("event_type"),
         F.date_trunc("day", "ts").alias("day"),
@@ -355,7 +360,7 @@ def _theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 _THEIL_SEN_SQL = """
 WITH daily AS (
   SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
-  FROM events GROUP BY 1, 2),
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
 base AS (SELECT event_type, min(day) AS day0 FROM daily GROUP BY 1),
 d AS (
   SELECT daily.event_type, date_diff('day', day0, day) AS t, n
@@ -973,8 +978,12 @@ def _iqr_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the value-domain histogram feeds BOTH the quartile windows and
     # the outlier recount — localCheckpoint so the fact table is
     # scanned once (the domain grain is the natural persist point)
+    # a NULL value has no place in a value histogram: drop it on BOTH
+    # engines (NULL cents would shift the rank windows NULLS FIRST vs
+    # NULLS LAST — rule 11)
     hist = (
-        events.groupBy(
+        events.filter(F.col("value").isNotNull())
+        .groupBy(
             "event_type",
             F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias(
                 "cents"
@@ -1039,7 +1048,7 @@ WITH hist AS (
   SELECT event_type,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
          count(*) AS c
-  FROM events GROUP BY 1, 2),
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
 cum AS (
   SELECT event_type, cents, c,
          sum(c) OVER (PARTITION BY event_type ORDER BY cents

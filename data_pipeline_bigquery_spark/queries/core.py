@@ -247,7 +247,12 @@ def _nested_field_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _JSON_EXTRACT_SQL = """
-SELECT event_id, json_extract_string(props, '$.k') AS k_value FROM events
+-- json_valid guard: DuckDB's json_extract_string ERRORS on malformed
+-- JSON where Spark's get_json_object returns NULL
+SELECT event_id,
+       json_extract_string(CASE WHEN json_valid(props) THEN props END,
+                           '$.k') AS k_value
+FROM events
 """
 
 

@@ -290,7 +290,8 @@ WITH d AS (
          CAST(user_id AS VARCHAR) AS owner_id
   FROM events)
 SELECT id, properties,
-       json_extract_string(properties, '$.k') AS k_value,
+       json_extract_string(CASE WHEN json_valid(properties)
+                           THEN properties END, '$.k') AS k_value,
        coalesce(try_strptime(hs_timestamp, '%Y-%m-%dT%H:%M:%S.%gZ'),
                 try_strptime(hs_timestamp, '%Y-%m-%dT%H:%M:%SZ'),
                 epoch_ms(TRY_CAST(hs_timestamp AS BIGINT))) AS activity_date,

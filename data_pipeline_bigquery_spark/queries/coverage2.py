@@ -178,7 +178,12 @@ def _dict_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FLATTEN_SQL = """
-WITH k AS (SELECT event_id, props, unnest(json_keys(props)) AS prop_key FROM events)
+-- json_valid guard: malformed props flatten to NOTHING on both engines
+-- (Spark's from_json yields a NULL map the explode drops)
+WITH j AS (SELECT event_id,
+                  CASE WHEN json_valid(props) THEN props END AS props
+           FROM events),
+k AS (SELECT event_id, props, unnest(json_keys(props)) AS prop_key FROM j)
 SELECT event_id, prop_key,
        json_extract_string(props, '$.' || prop_key) AS prop_value
 FROM k
@@ -191,7 +196,9 @@ def _exists_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 exists_count (check_field_usage, hubspotoop.py:286-318):
     total matching count + boolean in-use probe in one aggregate."""
     events = load(spark, sf_dir, "events")
-    pred = F.get_json_object("props", "$.k").cast("long") > 50
+    # try_cast: a non-numeric (or malformed-JSON) k is "not in use",
+    # not an ANSI cast crash — TRY_CAST on the oracle side identically
+    pred = F.get_json_object("props", "$.k").try_cast("long") > 50
     return events.agg(
         F.count(F.when(pred, 1)).alias("n_matching"),
         (F.count(F.when(pred, 1)) > 0).alias("field_in_use"),
@@ -199,9 +206,11 @@ def _exists_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EXISTS_SQL = """
-SELECT count(*) FILTER (WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50)
+SELECT count(*) FILTER (WHERE TRY_CAST(json_extract_string(
+           CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT) > 50)
          AS n_matching,
-       count(*) FILTER (WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50) > 0
+       count(*) FILTER (WHERE TRY_CAST(json_extract_string(
+           CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT) > 50) > 0
          AS field_in_use
 FROM events
 """

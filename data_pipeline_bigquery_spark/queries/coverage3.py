@@ -1367,7 +1367,10 @@ def _variant_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     `get_json_object` path remains in ``nested_field_extract``; this is
     its typed, shreddable successor."""
     ev = load(spark, sf_dir, "events")
-    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    # try_parse_json: malformed props become a NULL variant (and a NULL
+    # k) instead of an ANSI parse error — TRY_CAST + json_valid on the
+    # oracle side identically
+    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "long")
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")
@@ -1382,12 +1385,17 @@ def _variant_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _VARIANT_SQL = """
+WITH j AS (
+  SELECT event_type,
+         TRY_CAST(json_extract_string(
+             CASE WHEN json_valid(props) THEN props END, '$.k')
+           AS BIGINT) AS k
+  FROM events)
 SELECT event_type,
-       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
-       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
-       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
-       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
-FROM events GROUP BY event_type ORDER BY event_type
+       count(k) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS k_sum,
+       min(k) AS k_min, max(k) AS k_max
+FROM j GROUP BY event_type ORDER BY event_type
 """
 
 

@@ -780,9 +780,17 @@ def _winsorize_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     many rows each side clamps and the post-clamp sum.  The standard
     robust-feature preprocessing step, with the receipt the pipeline
     logs.  One ordered window per type + one keyed agg."""
-    ev = load(spark, sf_dir, "events").select(
-        "event_type",
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    # rule 11: a NULL value would enter the rank window (NULLS FIRST
+    # on Spark, LAST on DuckDB) — a valueless event clamps nothing
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("c"),
+        )
     )
     w = Window.partitionBy("event_type").orderBy("c")
     ranked = (
@@ -822,7 +830,7 @@ _WINSORIZE_SQL = """
 WITH ev AS (
   SELECT event_type,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
-  FROM events),
+  FROM events WHERE value IS NOT NULL),
 ranked AS (
   SELECT event_type, c,
          row_number() OVER (PARTITION BY event_type ORDER BY c) AS rk,

@@ -121,6 +121,63 @@ def test_fixed_regression_on_degenerate_fixtures(spark, degenerate_dir, key):
     _parity(spark, registry()[key], degenerate_dir)
 
 
+# --- degenerate EVENTS dimension (NULL value / type, malformed JSON) ---------
+
+# keys where the NULL-laden events run found (and fixed) real defects:
+# oracle-side malformed-JSON crashes, ANSI cast/index crashes, and
+# NULL rank-window drift
+_EVENTS_FIXES = [
+    "dict_flatten",
+    "ewma_event_value",
+    "exists_count",
+    "iqr_outlier_audit",
+    "nested_field_extract",
+    "pipeline_engagement",
+    "theil_sen_trend",
+    "variant_json_field_stats",
+    "winsorize_report",
+]
+
+
+@pytest.fixture(scope="module")
+def degenerate_events_dir(tmp_path_factory):
+    import datetime as dt
+
+    import pyarrow as pa
+
+    d0 = dt.datetime(2024, 1, 5, 9)
+    rows = [
+        (0, d0, 1, "purchase", 300.0, '{"k":"a"}'),
+        (1, d0, 1, "view", None, '{"k":"b"}'),  # NULL value
+        (2, d0 + dt.timedelta(days=1), 1, "purchase", 12.5, None),
+        (3, d0 + dt.timedelta(days=1), 1, "click", 1.0, "not json"),
+        (4, d0, 2, "view", 5.0, "{}"),  # key absent
+        (5, d0 + dt.timedelta(days=2), 2, None, 7.0, '{"k":"c"}'),
+        (6, d0 + dt.timedelta(days=2), 2, "signup", None, '{"k":null}'),
+        (7, d0 + dt.timedelta(days=3), 2, "purchase", 0.0, '{"k":""}'),
+    ]
+    events = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    return _edge_dir(
+        tmp_path_factory.mktemp("events_degenerate"), events=events
+    )
+
+
+@pytest.mark.parametrize("key", _EVENTS_FIXES)
+def test_events_fix_on_null_laden_stream(spark, degenerate_events_dir, key):
+    from data_pipeline_bigquery_spark.queries import registry
+
+    _parity(spark, registry()[key], degenerate_events_dir)
+
+
 # --- degenerate EMBEDDINGS / LINEITEM dimension ------------------------------
 
 # keys where the zero-norm-vector / single-row-group run found (and
