@@ -510,7 +510,14 @@ def _decile_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort — fine for dimension-sized tables; for a 100 TB fact the scale
     path is approx-percentile cutpoints broadcast-joined as bucket
     boundaries (see percentiles_by_group / approx_price_percentiles)."""
-    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    # rule 11: a NULL balance would enter the NTILE ordering NULLS
+    # FIRST on Spark and NULLS LAST on DuckDB — a balanceless customer
+    # has no value decile (degenerate-dims sweep catch)
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal").isNotNull())
+        .select("c_custkey", "c_acctbal")
+    )
     w = Window.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
     d = cust.withColumn("decile", F.ntile(10).over(w))
     return d.groupBy("decile").agg(
@@ -526,7 +533,7 @@ SELECT decile, count(*) AS n_customers,
        CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance,
        min(c_acctbal) AS min_balance, max(c_acctbal) AS max_balance
 FROM (SELECT c_acctbal, ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
-      FROM customer)
+      FROM customer WHERE c_acctbal IS NOT NULL)
 GROUP BY decile
 """
 

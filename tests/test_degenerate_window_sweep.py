@@ -121,6 +121,75 @@ def test_fixed_regression_on_degenerate_fixtures(spark, degenerate_dir, key):
     _parity(spark, registry()[key], degenerate_dir)
 
 
+# --- degenerate DIMENSION tables (NULL names/balances, dangling FKs) ---------
+
+
+@pytest.fixture(scope="module")
+def degenerate_dims_dir(tmp_path_factory):
+    import pyarrow as pa
+
+    cust = pa.table(
+        {
+            "c_custkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "c_name": pa.array(
+                [None, "", "Customer#000000003", "Customer#000000003", "Custx"]
+            ),
+            "c_nationkey": pa.array([0, 1, 99, 2, None], pa.int64()),
+            "c_acctbal": pa.array(
+                [None, 0.0, -10.5, 100.0, 100.0], pa.float64()
+            ),
+            "c_mktsegment": pa.array(
+                ["BUILDING", None, "AUTOMOBILE", "BUILDING", "BUILDING"]
+            ),
+        }
+    )
+    supp = pa.table(
+        {
+            "s_suppkey": pa.array([1, 2], pa.int64()),
+            "s_name": pa.array([None, "Supplier#2"]),
+            "s_nationkey": pa.array([0, None], pa.int64()),
+            "s_acctbal": pa.array([None, 5.0], pa.float64()),
+        }
+    )
+    part = pa.table(
+        {
+            "p_partkey": pa.array([1, 2, 3], pa.int64()),
+            "p_name": pa.array(["widget", None, ""]),
+            "p_brand": pa.array(["Brand#1", None, "Brand#1"]),
+            "p_type": pa.array([None, "STANDARD", "STANDARD"]),
+            "p_size": pa.array([1, None, 3], pa.int32()),
+            "p_retailprice": pa.array([10.0, None, 0.0], pa.float64()),
+        }
+    )
+    return _edge_dir(
+        tmp_path_factory.mktemp("dims_degenerate"),
+        customer=cust,
+        supplier=supp,
+        part=part,
+    )
+
+
+# the one defect this dimension found (plus the ER/fuzzy/skyline keys
+# that survived it — kept as the dimension's representatives)
+_DIMS_KEYS = [
+    "decile_customer_value",
+    "fuzzy_name_match",
+    "entity_resolution_golden",
+    "referential_integrity_audit",
+    "pit_dim_lookup",
+    "supplier_hhi",
+    "pareto_skyline_customers",
+    "customer_rfm_segments",
+]
+
+
+@pytest.mark.parametrize("key", _DIMS_KEYS)
+def test_dims_key_on_degenerate_dims(spark, degenerate_dims_dir, key):
+    from data_pipeline_bigquery_spark.queries import registry
+
+    _parity(spark, registry()[key], degenerate_dims_dir)
+
+
 # --- degenerate EVENTS dimension (NULL value / type, malformed JSON) ---------
 
 # keys where the NULL-laden events run found (and fixed) real defects:
