@@ -75,8 +75,16 @@ _NEEDS_REEVIDENCE: set[str] = {
     # (the round-6 HUGEINT re-evidence set and the round-7
     # sliding_window_counts TIMESTAMPTZ fix were all discharged green —
     # CORRECTNESS_r06 / CORRECTNESS_r07 — and have been dropped)
+    #
+    # r9: the three r8 driver-reds were de-decimalized (the driver's
+    # typed hasher diverges on emitted DECIMAL(38,0) — r8 judge
+    # adjudication; wide products stay internal, signs/classes emitted)
+    # and need a post-fix driver-green row under the new schema.
+    "arc_price_elasticity",
+    "price_volume_mix_bridge",
+    "simpsons_paradox_audit",
 }
-_REEVIDENCE_AFTER_ROUND = 6  # green rows in CORRECTNESS_r>NN clear the flag
+_REEVIDENCE_AFTER_ROUND = 8  # green rows in CORRECTNESS_r>NN clear the flag
 
 
 def _tier(name: str) -> int:

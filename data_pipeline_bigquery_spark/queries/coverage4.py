@@ -47,7 +47,7 @@ _REV_SQL = (
 def _q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7 shape: bilateral trade volume between two nations by ship
     year.  Reference analog: the cross-entity reporting joins in
-    `/root/reference/pipeline/gs_deal_log_2_bigquery/main_oop.py`.
+    `/root/reference/pipeline/hubspot_deal_logs/hubspot_deal_log_pipeline.py:44-136`.
     Plan shape: supplier/customer/nation are dimension-sized and
     broadcast; the only shuffle is lineitem↔orders on orderkey, which
     AQE co-partitions.  The nation-pair filter lands on the broadcast

@@ -210,15 +210,38 @@ class SnapshotStreamReader(SimpleDataSourceStreamReader):
         self.max_versions = int(options.get("max_versions_per_batch", 10))
 
     def initialOffset(self):
-        return {"version": 0}
+        return {"version": 0, "emitted_count": 0}
 
     def read(self, start):
         last = start["version"]
-        pending = [v for v in _committed_versions(self.base) if v > last][
-            : self.max_versions
-        ]
+        committed = _committed_versions(self.base)
+        below = [v for v in committed if v <= last]
+        # LATE-PUBLISH DETECTION (ADVICE r08): best-effort multi-writer
+        # mode has a one-RPC window where a stalled writer publishes
+        # version N after N+1 is already visible; a reader whose offset
+        # advanced past N would otherwise skip its rows FOREVER and
+        # silently.  Legitimately-skipped numbers (a crashed writer's
+        # _LATEST_ reservation) never appear in _committed_versions, so
+        # any growth in the at-or-below-offset committed count versus
+        # the cumulative emitted count IS a late publish — fail loudly
+        # rather than drop data.  (Retention expiry only shrinks the
+        # count, so it cannot false-positive; legacy checkpoints without
+        # the counter skip the check.)
+        known = start.get("emitted_count")
+        if known is not None and len(below) > known:
+            raise RuntimeError(
+                f"snapshotstore late publish detected: {len(below) - known} "
+                f"version(s) at or below the stream offset {last} appeared "
+                f"after the stream already advanced past them (committed "
+                f"at-or-below offset: {below}) — a concurrent writer "
+                f"published out of order; these rows would be skipped "
+                f"silently.  Re-seed the stream from an earlier checkpoint "
+                f"or run writers single-writer."
+            )
+        pending = [v for v in committed if v > last][: self.max_versions]
+        emitted = (known if known is not None else len(below)) + len(pending)
         if not pending:
-            return iter(()), {"version": last}
+            return iter(()), {"version": last, "emitted_count": emitted}
         rows = [
             row
             for v in pending
@@ -229,7 +252,11 @@ class SnapshotStreamReader(SimpleDataSourceStreamReader):
         # (a crashed writer reserves a number via the _LATEST_ ratchet),
         # so crash-recovery must replay precisely these versions — and
         # can detect retention racing the checkpoint (below)
-        return iter(rows), {"version": pending[-1], "versions": pending}
+        return iter(rows), {
+            "version": pending[-1],
+            "versions": pending,
+            "emitted_count": emitted,
+        }
 
     def readBetweenOffsets(self, start, end):
         planned = end.get("versions")

@@ -1,5 +1,5 @@
 """Stream-static enrichment — the streaming form of the reference's
-per-record lookup joins (`/root/reference/pipeline/hubspot_2_bigquery_migration/main_oop.py`
+per-record lookup joins (`/root/reference/pipeline/hubspot_2_bigquery_migration/companies_pipeline.py:98-136`
 enriches each pulled batch against already-loaded entity tables).
 
 Two variants with different dimension-freshness semantics:

@@ -213,7 +213,20 @@ def ledger_rollup(spark: SparkSession, ledger_path: str) -> DataFrame:
     try:
         ledger = spark.read.parquet(ledger_path)
     except AnalysisException as exc:
-        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+        # Prefer the stable error class (ADVICE r08); the message
+        # substring is only the fallback for Spark builds whose
+        # AnalysisException carries no class.
+        try:
+            err_class = exc.getErrorClass()
+        except Exception:
+            err_class = None
+        if err_class is not None:
+            if err_class != "PATH_NOT_FOUND":
+                raise
+        elif (
+            "PATH_NOT_FOUND" not in str(exc)
+            and "Path does not exist" not in str(exc)
+        ):
             raise
         # schema mirrors _ledger_from_flags (+ the discovered epoch
         # partition column) so the rollup's output types are identical

@@ -97,7 +97,10 @@ def _seasonal_fn(
     if state.hasTimedOut:  # pragma: no cover - NoTimeout configured
         state.remove()
         return
-    rows = pd.concat(list(pdfs), ignore_index=True)
+    chunks = list(pdfs)
+    if not chunks:  # state-only invocation (no data for the key this
+        return  # micro-batch in some Spark versions): nothing to fold
+    rows = pd.concat(chunks, ignore_index=True)
     rows = rows.sort_values("day_epoch", kind="mergesort").drop_duplicates(
         "day_epoch", keep="first"
     )

@@ -51,6 +51,22 @@ def oracle_type_drift(spark_df, arrow_schema) -> list[str]:
                 f"DuckDB but {st} in Spark — wrap the oracle expression in "
                 f"CAST(... AS BIGINT)"
             )
+        if pa.types.is_decimal(field.type) and field.type.precision > 18:
+            # r8 judge adjudication: the ONLY three keys ever driver-red
+            # with no err emitted DECIMAL(38,0) columns, and all three
+            # replayed hash-exact locally with byte-identical arrow types
+            # on both sides — the driver's typed hasher diverges on
+            # emitted wide decimals even when values AND declared types
+            # agree.  decimal(18,2) emissions (rollup_pricing) hash green;
+            # precision > 18 does not.  Keep wide-decimal arithmetic
+            # internal and emit BIGINT (or a derived sign/class column).
+            problems.append(
+                f"wide decimal emission: column {field.name!r} is "
+                f"{field.type} — the driver's typed hasher diverges on "
+                f"emitted decimals with precision > 18 even at value "
+                f"parity; keep the wide arithmetic internal and emit "
+                f"CAST(... AS BIGINT) or a derived sign/class column"
+            )
         if pa.types.is_timestamp(field.type) and field.type.tz is not None:
             # DuckDB's to_timestamp()/now() return TIMESTAMPTZ, which the
             # driver's typed hasher sees as timestamp[us, tz=...] while every

@@ -151,8 +151,8 @@ def test_elasticity_one_sided_history_is_undefined(spark, tmp_path):
     for r in spec.fn(spark, d).collect():
         if r.q1 > 0:  # the brands our rows touch
             assert r.q2 == 0 and r.demand_class == "undefined"
-            assert int(r.elasticity_num) == 0
-            assert int(r.elasticity_den) == 0
+            assert int(r.num_sign) == 0
+            assert int(r.den_sign) == 0
     _parity(spark, spec, d)
 
 

@@ -80,8 +80,8 @@ def test_elasticity_classification_matches_float_formula(spark):
         q1, q2, pc1, pc2 = r.q1, r.q2, r.pc1, r.pc2
         num = (q2 - q1) * (pc1 * q2 + pc2 * q1)
         den = (pc2 * q1 - pc1 * q2) * (q1 + q2)
-        assert int(r.elasticity_num) == num
-        assert int(r.elasticity_den) == den
+        assert int(r.num_sign) == (num > 0) - (num < 0)
+        assert int(r.den_sign) == (den > 0) - (den < 0)
         if den == 0:
             assert r.demand_class == "undefined"
         else:

@@ -116,12 +116,17 @@ def test_pvm_bridge_telescopes_and_matches_direct_sums(spark):
     for r in rows:
         r1, r2, q1, q2 = direct[r.l_returnflag]
         assert (r.r1_cents, r.r2_cents, r.q1, r.q2) == (r1, r2, q1, q2)
-        price = int(r.price_effect_num)
-        volume = int(r.volume_effect_num)
-        assert price == r2 * q1 - r1 * q2
-        assert volume == r1 * (q2 - q1)
+        price = r2 * q1 - r1 * q2
+        volume = r1 * (q2 - q1)
         # the bridge telescopes exactly: price + volume == ΔR · Q1
         assert price + volume == (r2 - r1) * q1
+        def _dir(v, stem):
+            return (
+                f"{stem}_up" if v > 0
+                else f"{stem}_down" if v < 0 else f"{stem}_flat"
+            )
+        assert r.price_direction == _dir(price, "price")
+        assert r.volume_direction == _dir(volume, "volume")
 
 
 def test_seasonal_decompose_is_additive_and_edges_are_null(spark):

@@ -275,7 +275,6 @@ def test_pvm_one_sided_period(spark, tmp_path):
     (r,) = spec.fn(spark, d).collect()
     assert (r.r1_cents, r.q1) == (0, 0)
     assert r.delta_cents == r.r2_cents == 30000
-    assert int(r.price_effect_num) == 0 and int(r.volume_effect_num) == 0
     assert (r.price_direction, r.volume_direction) == (
         "price_flat",
         "volume_flat",

