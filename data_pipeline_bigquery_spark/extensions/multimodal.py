@@ -2,11 +2,13 @@
 metadata, with decode / resize / feature-extract / frame-sample as
 Arrow-batched ``mapInPandas`` kernels.
 
-The decode path is REAL: :mod:`.codecs` implements uncompressed P6 PPM
-and 24-bit BMP in pure python + numpy, dispatched on magic bytes, so
-resize/features/frame-sample do actual pixel math.  Compressed codecs
-(JPEG/PNG/H.264) raise ``NotImplementedError`` at the same dispatch
-seam — that is where a production image swaps in PIL/pyav.
+The decode path is REAL: :mod:`.codecs` implements uncompressed P6 PPM,
+24-bit BMP, and zlib-deflated 8-bit PNG in pure python + numpy,
+dispatched on magic bytes, so resize/features/frame-sample/roundtrip do
+actual pixel math over a real compressed format too.  The remaining
+compressed codecs (JPEG/H.264, exotic PNG sub-formats) raise
+``NotImplementedError`` at the same dispatch seam — that is where a
+production image swaps in PIL/pyav.
 
 Payload synthesis (:func:`ppm_payload` / :func:`video_payload`) is a
 Catalyst binary expression — header literal + byte-sliced text — so at
@@ -293,6 +295,59 @@ def audio_features(
             )
 
     return df.mapInPandas(gen, AUDIO_FEATURES_SCHEMA)
+
+
+PNG_ROUNDTRIP_SCHEMA = (
+    "doc_id long, width int, height int, raster_md5 string, "
+    "roundtrip_ok boolean"
+)
+
+
+def png_roundtrip(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """Compressed-format coverage: decode the P6 payload, RE-ENCODE it
+    as a real zlib-deflated PNG (``codecs.encode_png``), decode THAT
+    with the pure-python PNG decoder (``codecs.decode_png`` — chunk
+    walk, CRC checks, scanline unfiltering), and emit the decoded
+    raster's digest + a pixel-exact roundtrip flag.  The digest equals
+    the original raster's md5 iff encoder and decoder are both
+    faithful, which is what lets a SQL oracle (that cannot inflate
+    zlib) still hash-check a compressed codec end to end."""
+    id_name, payload_name = id_col, payload_col
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from data_pipeline_bigquery_spark.extensions.codecs import (
+            decode_png,
+            encode_png,
+        )
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf[id_name], pdf[payload_name]):
+                pixels = decode_image(bytes(payload))
+                decoded = decode_png(encode_png(pixels))
+                out.append(
+                    (
+                        int(doc_id),
+                        int(decoded.shape[1]),
+                        int(decoded.shape[0]),
+                        hashlib.md5(decoded.tobytes()).hexdigest(),
+                        bool(np.array_equal(pixels, decoded)),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "width", "height", "raster_md5", "roundtrip_ok",
+                ],
+            )
+
+    from data_pipeline_bigquery_spark.extensions.dedup_text import (
+        spread_small_input,
+    )
+
+    return spread_small_input(
+        df.select(F.col(id_col), F.col(payload_col))
+    ).mapInPandas(gen, PNG_ROUNDTRIP_SCHEMA)
 
 
 DHASH_SCHEMA = "doc_id long, dhash string"

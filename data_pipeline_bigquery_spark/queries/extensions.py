@@ -1160,6 +1160,39 @@ def _mm_audio_sql_from_constants() -> str:
 _MM_AUDIO_SQL = _mm_audio_sql_from_constants()
 
 
+def _multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-codec pillar: P6 payload → real zlib-deflated PNG →
+    pure-python PNG decode (CRC-checked chunk walk + unfiltering) →
+    raster digest.  Closes the r8 'one compressed format honestly'
+    ask: the oracle can't inflate zlib, but the decoded raster must
+    hash back to the original bytes it CAN rebuild — so a defect in
+    either the encoder or the decoder goes red."""
+    from data_pipeline_bigquery_spark.extensions.multimodal import (
+        png_roundtrip,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", ppm_payload("text", _MM_IMG_W, _MM_IMG_H).alias("payload")
+    )
+    return png_roundtrip(docs, "doc_id", "payload")
+
+
+def _mm_png_sql(w: int, h: int) -> str:
+    """The roundtrip oracle: decoded-PNG raster md5 == md5 of the
+    space-padded text raster (the exact bytes `ppm_payload` rastered);
+    geometry from the same shared constants as the other image keys."""
+    n = w * h * 3
+    return f"""
+SELECT doc_id, CAST({w} AS INT) AS width, CAST({h} AS INT) AS height,
+       md5(substr(coalesce(text, '') || repeat(' ', {n}), 1, {n})) AS raster_md5,
+       TRUE AS roundtrip_ok
+FROM documents
+"""
+
+
+_MM_PNG_SQL = _mm_png_sql(_MM_IMG_W, _MM_IMG_H)
+
+
 def _multimodal_perceptual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual media dedup: dHash fingerprints over the decoded
     rasters, grouped — images that LOOK alike share a hash even when
@@ -1286,5 +1319,6 @@ QUERIES: dict[str, QuerySpec] = {
     "multimodal_features": QuerySpec(_multimodal_features, _MM_FEAT_SQL),
     "multimodal_audio_features": QuerySpec(_multimodal_audio, _MM_AUDIO_SQL),
     "multimodal_perceptual_dedup": QuerySpec(_multimodal_perceptual_dedup, _MM_DHASH_SQL),
+    "multimodal_png_roundtrip": QuerySpec(_multimodal_png, _MM_PNG_SQL),
     "sessionize_events": QuerySpec(_sessionize, _SESSIONIZE_SQL),
 }

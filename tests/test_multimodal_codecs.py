@@ -73,18 +73,52 @@ def test_compressed_codecs_raise_without_pil():
         pass
     with pytest.raises(NotImplementedError, match="JPEG"):
         decode_image(b"\xff\xd8\xff\xe0rest")
-    with pytest.raises(NotImplementedError, match="PNG"):
-        decode_image(b"\x89PNG\r\n\x1a\nrest")
+    # PNG decodes for real since r9; only the EXOTIC sub-formats
+    # (palette / 16-bit / Adam7) remain the PIL seam, and they must
+    # name it rather than fail cryptically
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_image(_png_exotic_palette())
 
 
-def test_png_decode_through_pil_when_available():
-    """The day PIL lands, PNG decode goes green with NO code edit: a
-    losslessly-compressed PNG of a known raster must decode to the exact
-    pixels (PNG is lossless, so equality is exact)."""
+def _png_exotic_palette():
+    """A syntactically-valid palette (color type 3) PNG — decodable by
+    PIL, deliberately outside the pure-python decoder's coverage."""
+    import struct
+    import zlib
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d))
+            + t
+            + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", b"\x01\x02\x03")
+        + chunk(b"IDAT", zlib.compress(bytes([0, 0])))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_matches_pil_when_available():
+    """With PIL present, the pure-python PNG decoder and PIL must agree
+    pixel-for-pixel on our encoder's output (cross-implementation
+    check); palette PNGs route through PIL with no code edit."""
     PIL_Image = pytest.importorskip("PIL.Image")
     import io
 
+    from data_pipeline_bigquery_spark.extensions.codecs import encode_png
+
     px = _gradient(5, 4)
+    np.testing.assert_array_equal(
+        np.asarray(
+            PIL_Image.open(io.BytesIO(encode_png(px))).convert("RGB")
+        ),
+        px,
+    )
     buf = io.BytesIO()
     PIL_Image.fromarray(px, "RGB").save(buf, format="PNG")
     np.testing.assert_array_equal(decode_image(buf.getvalue()), px)
@@ -418,3 +452,126 @@ def test_dhash_invariant_to_brightness_shift(spark):
         ).binary_metadata(docs, "doc_id", "payload").collect()
     }
     assert len(md5s) == 2
+
+
+# --- PNG (the compressed-format pillar, r9) -----------------------------------
+
+
+def _png_chunks(w, h, color, raw):
+    """Hand-build a PNG around an already-filtered scanline stream —
+    lets the tests pin each filter type's decode independently of the
+    (filter-0-only) encoder."""
+    import struct
+    import zlib
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d))
+            + t
+            + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip_random_rasters():
+    from data_pipeline_bigquery_spark.extensions.codecs import (
+        decode_image,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(7)
+    for shape in [(1, 1, 3), (5, 3, 3), (24, 32, 3), (17, 13, 3)]:
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        png = encode_png(px)
+        assert np.array_equal(decode_png(png), px)
+        # magic-byte dispatch routes PNG to the pure decoder
+        assert np.array_equal(decode_image(png), px)
+    # compression is real: a constant raster deflates far below raw size
+    flat = encode_png(np.zeros((64, 64, 3), np.uint8))
+    assert len(flat) < 64 * 64 * 3 // 10
+
+
+def test_png_sub_and_up_filters_decode_per_spec():
+    from data_pipeline_bigquery_spark.extensions.codecs import decode_png
+
+    row0 = bytes([1, 10, 20, 30, 5, 5, 5])  # Sub: px1 = raw + left
+    row1 = bytes([2, 100, 100, 100, 100, 100, 100])  # Up: px = raw + above
+    out = decode_png(_png_chunks(2, 2, 2, row0 + row1))
+    exp = np.array(
+        [[[10, 20, 30], [15, 25, 35]], [[110, 120, 130], [115, 125, 135]]],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(out, exp)
+
+
+def test_png_average_and_paeth_filters_decode_per_spec():
+    from data_pipeline_bigquery_spark.extensions.codecs import decode_png
+
+    row0 = bytes([3, 8, 10, 12, 4, 5, 6])  # Average: px1 = raw + (a+b)//2
+    row1 = bytes([4, 2, 2, 2, 3, 3, 3])  # Paeth
+    out = decode_png(_png_chunks(2, 2, 2, row0 + row1))
+    exp = np.array(
+        [[[8, 10, 12], [8, 10, 12]], [[10, 12, 14], [13, 15, 17]]],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(out, exp)
+
+
+def test_png_gray_and_rgba_color_types():
+    from data_pipeline_bigquery_spark.extensions.codecs import decode_png
+
+    g = _png_chunks(2, 1, 0, bytes([0, 7, 9]))
+    assert np.array_equal(
+        decode_png(g), np.array([[[7, 7, 7], [9, 9, 9]]], dtype=np.uint8)
+    )
+    ra = _png_chunks(1, 1, 6, bytes([0, 1, 2, 3, 200]))
+    assert np.array_equal(
+        decode_png(ra), np.array([[[1, 2, 3]]], dtype=np.uint8)
+    )
+
+
+def test_png_crc_corruption_and_exotic_features_fail_loudly():
+    import pytest
+
+    from data_pipeline_bigquery_spark.extensions.codecs import (
+        decode_png,
+        encode_png,
+    )
+
+    png = encode_png(np.zeros((2, 2, 3), np.uint8))
+    bad = bytearray(png)
+    bad[20] ^= 0xFF  # flip a bit inside IHDR
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+    # palette (color type 3) is the honest PIL seam
+    pal = _png_chunks(1, 1, 3, bytes([0, 0]))
+    with pytest.raises(NotImplementedError, match="color_type=3"):
+        decode_png(pal)
+
+
+def test_png_roundtrip_kernel_matches_source_raster(spark):
+    from data_pipeline_bigquery_spark.extensions.multimodal import (
+        png_roundtrip,
+        ppm_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="x" * 5000), Row(doc_id=2, text=None)],
+        "doc_id long, text string",
+    ).select("doc_id", ppm_payload("text", 32, 24).alias("payload"))
+    rows = {r.doc_id: r for r in png_roundtrip(docs, "doc_id", "payload").collect()}
+    assert all(r.roundtrip_ok for r in rows.values())
+    assert rows[1].width == 32 and rows[1].height == 24
+    n = 32 * 24 * 3
+    assert rows[1].raster_md5 == hashlib.md5(
+        ("x" * 5000)[:n].encode() + b" " * (n - 5000)
+    ).hexdigest()
+    assert rows[2].raster_md5 == hashlib.md5(b" " * n).hexdigest()
