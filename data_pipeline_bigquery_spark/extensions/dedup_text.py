@@ -74,6 +74,27 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def shingle_array_sql(
+    text_expr: str,
+    k: int = DEFAULT_SHINGLE_K,
+    stride: int = DEFAULT_SHINGLE_STRIDE,
+    elem_wrap: str = "{s}",
+) -> str:
+    """THE shingle-window expression — the one Spark-side generator of
+    the strided lowercased k-gram array (the oracle twin lives in the
+    SQL CTE generators).  ``elem_wrap`` lets a caller map each shingle
+    in the SAME fused lambda (the minhash base hash wraps with
+    md5→conv), so every consumer — char_shingles' explode, the fused
+    signature build, the calibration key's distinct-set form — shares
+    one window arithmetic and cannot drift (r9 review finding)."""
+    t = f"lower({text_expr})"
+    elem = elem_wrap.format(s=f"substring({t}, i, {k})")
+    return (
+        f"transform(sequence(1, greatest(length({t}) - {k - 1}, 1),"
+        f" {stride}), i -> {elem})"
+    )
+
+
 def char_shingles(
     df: DataFrame,
     id_col: str,
@@ -84,13 +105,11 @@ def char_shingles(
     """Strided character k-shingles of lowercased text (one row per
     shingle).  Stride>1 cuts shingle volume k/stride× with little recall
     loss on near-dup detection."""
-    t = f"lower({text_col})"
-    expr = (
-        f"transform(sequence(1, greatest(length({t}) - {k - 1}, 1), {stride}),"
-        f" i -> substring({t}, i, {k}))"
-    )
     return spread_small_input(df).select(
-        F.col(id_col).alias("doc_id"), F.explode(F.expr(expr)).alias("shingle")
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.expr(shingle_array_sql(text_col, k, stride))).alias(
+            "shingle"
+        ),
     )
 
 
@@ -159,11 +178,11 @@ def minhash_signatures_from_docs(
     one NULL shingle; ``min`` and ``array_min`` both skip NULLs to the
     same result) — the two forms are row-for-row interchangeable,
     pinned by tests/test_minhash_recall.py."""
-    t = f"lower({text_col})"
-    base_arr = (
-        f"transform(sequence(1, greatest(length({t}) - {k - 1}, 1), {stride}),"
-        f" i -> cast(conv(substring(md5(substring({t}, i, {k})), 1, 7), 16, 10)"
-        f" as long))"
+    base_arr = shingle_array_sql(
+        text_col,
+        k,
+        stride,
+        elem_wrap="cast(conv(substring(md5({s}), 1, 7), 16, 10) as long)",
     )
     sigs = [
         F.expr(

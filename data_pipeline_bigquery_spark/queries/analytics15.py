@@ -28,11 +28,10 @@ from pyspark.sql import functions as F
 
 from data_pipeline_bigquery_spark.catalog import load
 from data_pipeline_bigquery_spark.extensions.dedup_text import (
-    char_shingles,
     DEFAULT_NUM_PERM,
-    _gram_pair_stats,
     lsh_candidate_pairs,
     minhash_signatures_from_docs,
+    shingle_array_sql,
 )
 from data_pipeline_bigquery_spark.extensions.sampling import hash_bucket
 from data_pipeline_bigquery_spark.queries import QuerySpec
@@ -163,18 +162,21 @@ def _minhash_estimate_calibration(
         _augmented_docs,
     )
 
-    # aug feeds the shingle rows AND the fused signature build —
-    # lineage cut (rule 14) on the constructed corpus
-    aug = _augmented_docs(spark, sf_dir).localCheckpoint(eager=False)
-    # the exact-Jaccard side needs the shingle ROWS; the signature side
-    # uses the fused per-doc array form (no explode, no groupBy)
-    shingles = char_shingles(aug, "doc_id", "t")
+    # aug feeds the signature build AND the shingle-set projection —
+    # deliberately NOT lineage-cut: a checkpointed frame loses its file
+    # lineage, which blinds spread_small_input's split probe and runs
+    # the md5-heavy signature build on the source's ~4 splits instead
+    # of the cluster's parallelism (measured 6.0 s vs 1.4 s at sf0.1);
+    # re-scanning the documents parquet twice costs ~0.2 s
+    aug = _augmented_docs(spark, sf_dir)
     # cut lineage: signatures feed the pair generation AND both sides
     # of the estimate join
     sigs = minhash_signatures_from_docs(aug, "doc_id", "t").localCheckpoint(
         eager=False
     )
-    pairs = lsh_candidate_pairs(sigs)
+    # pairs feed the estimate join, the candidate-doc filter, AND the
+    # exact join — cut, or each reference rebuilds the banding
+    pairs = lsh_candidate_pairs(sigs).localCheckpoint(eager=False)
     # ONE parsed SQL string, not 16 when-Columns — per dedup_text's
     # measured note, primitive-built Columns cost ~6 py4j round-trips
     # each at plan-build time
@@ -191,14 +193,68 @@ def _minhash_estimate_calibration(
         .join(b, pairs.doc_b == F.col("b.doc_id"))
         .select("doc_a", "doc_b", est.alias("est_matches"))
     )
-    exact = _gram_pair_stats(
-        shingles.withColumnRenamed("shingle", "gram").distinct()
-    ).select(
-        "doc_a",
-        "doc_b",
-        F.expr(
-            "CAST(n_inter * 1000 div (n_a + n_b - n_inter) AS BIGINT)"
-        ).alias("exact_permille"),
+    # Exact Jaccard ONLY for the candidate pairs (r9): the oracle's
+    # corpus-wide gram self-join feeds a LEFT join from the candidates,
+    # so every non-candidate pair it builds is discarded — and common
+    # 12-char shingles make that self-join quadratic in hot buckets
+    # (measured 96 s at sf0.1, the whole registry's worst key).  Value-
+    # identical shortcut: per-doc DISTINCT shingle sets for the ~2 docs
+    # per pair (semi-filtered before the collect), then
+    # |A∩B| via array_intersect — n_inter over shared grams is exactly
+    # what the oracle's cinter counts, and a pair with no shared gram
+    # (absent from cinter → coalesce 0) is size(∩)=0 here.  Work is
+    # O(candidate docs × shingles/doc), independent of corpus gram
+    # popularity — the 100 TB-safe shape.
+    docs_in_pairs = pairs.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    # per-doc DISTINCT shingle set as ONE fused projection — identical
+    # to collect_set over the char_shingles explode (same transform
+    # expression; collect_set drops NULLs, the filter() here likewise)
+    # but with zero explode rows and zero aggregation shuffle
+    shingle_set_expr = (
+        f"array_distinct(filter({shingle_array_sql('t')},"
+        f" x -> x IS NOT NULL))"
+    )
+    # explicit repartition: the semi-join output's split count follows
+    # the (few-file) source, and the per-doc distinct-set projection is
+    # the compute-heavy step here
+    shingle_sets = (
+        aug.join(F.broadcast(docs_in_pairs), "doc_id", "semi")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.expr(shingle_set_expr).alias("gs"))
+    )
+    exact = (
+        pairs.join(
+            shingle_sets.select(
+                F.col("doc_id").alias("doc_a"), F.col("gs").alias("gs_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            shingle_sets.select(
+                F.col("doc_id").alias("doc_b"), F.col("gs").alias("gs_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("gs_a", "gs_b")).alias("n_inter"),
+            (F.size("gs_a") + F.size("gs_b")).alias("n_sum"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            # all-NULL-shingle docs collect to EMPTY sets (collect_set
+            # skips NULLs, rule 21): den 0 ≡ "no cinter row" → 0, like
+            # the oracle's left-join coalesce
+            F.expr(
+                "CASE WHEN n_sum - n_inter > 0 THEN"
+                " CAST(n_inter * 1000 div (n_sum - n_inter) AS BIGINT)"
+                " ELSE 0 END"
+            ).alias("exact_permille"),
+        )
     )
     joined = estimated.join(exact, ["doc_a", "doc_b"], "left").select(
         "est_matches",

@@ -383,6 +383,14 @@ def _knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("b_id"), F.col("v").alias("b_v"),
         F.col("label").alias("b_label"),
     )
+    # the 64-dim fold over |corpus|² pairs is the cost here and it is
+    # irreducible under the parity rules: the sequential left-fold is
+    # the ONE summation order DuckDB's list_dot_product reproduces, a
+    # BLAS/numpy matmul sums in a different order (round-9 can flip),
+    # and an indexed 64-term + chain measured 2.7x SLOWER than the
+    # fold (per-access null-checked GetArrayItem beats whole-stage
+    # codegen out of the plan).  Brute force stays intentional — the
+    # IVF path is what runs at scale (docstring above).
     dot = F.aggregate(
         F.zip_with("a_v", "b_v", lambda x, y: x * y),
         F.lit(0.0),
@@ -392,16 +400,23 @@ def _knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(F.broadcast(b), F.col("a_id") != F.col("b_id"))
         .withColumn("sim", F.round(dot, 9))
     )
+    # argmax via max(struct(sim, -b_id, b_label)) — field-wise struct
+    # ordering is exactly (sim DESC, b_id ASC) and the label rides
+    # along; unlike a row_number window this partial-aggregates
+    # MAP-SIDE, so the |corpus|² pair stream never shuffles (measured
+    # 38 s → the pair fold's cost alone at sf0.1), only |corpus| rows
     nn = (
-        pairs.withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("a_id").orderBy(
-                    F.col("sim").desc(), F.col("b_id")
+        pairs.groupBy("a_id", "a_label")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("sim"),
+                    (-F.col("b_id")).alias("neg_b"),
+                    F.col("b_label"),
                 )
-            ),
+            ).alias("best")
         )
-        .filter(F.col("rk") == 1)
+        .select("a_id", "a_label", F.col("best.b_label").alias("b_label"))
     )
     return nn.agg(
         F.count(F.lit(1)).alias("n"),

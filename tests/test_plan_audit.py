@@ -42,10 +42,14 @@ def test_association_single_scan_single_exchange(spark, reg):
 def test_star_join_all_broadcast(spark, reg):
     df = _q(reg, spark, "join_agg_revenue_by_nation")
     assert_no_cartesian(df)
-    # every dim side broadcast: the fact table never shuffles pre-agg
+    # every dim side broadcast; since r9 the fact side PRE-AGGREGATES
+    # to orderkey grain before the star join (one extra deliberate
+    # exchange that removes ~4x the row volume from the join chain and
+    # killed the r8 broadcast/shuffle plan oscillation), so the budget
+    # is 2: the orderkey partial-agg shuffle + the final nation agg
     assert count_nodes(df, "SortMergeJoin") == 0
     assert count_nodes(df, "BroadcastHashJoin") >= 3
-    assert_max_exchanges(df, 1)
+    assert_max_exchanges(df, 2)
     assert_wholestage_codegen(df)
 
 
