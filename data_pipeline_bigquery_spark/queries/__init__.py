@@ -33,7 +33,7 @@ MODULE_NAMES = (
     "analytics7", "training3", "analytics8", "analytics9", "evalops",
     "analytics10", "analytics11", "analytics12", "analytics13",
     "analytics14", "analytics15", "analytics16", "analytics17",
-    "analytics18", "analytics19", "analytics20", "analytics21",
+    "analytics18", "analytics19", "analytics20", "analytics21", "analytics22",
 )
 
 

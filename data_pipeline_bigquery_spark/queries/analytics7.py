@@ -290,6 +290,32 @@ FROM hist GROUP BY 1
 # --- Wilson confidence bounds ------------------------------------------------
 
 
+def wilson_bounds_sql(k: str = "k", n: str = "n") -> dict:
+    """THE Wilson-interval expression texts (rate/lo/hi) over integer
+    count columns ``k``/``n`` — one generator for every key that emits
+    a 95% Wilson score interval, so the fixed-order IEEE chain (one
+    sqrt, z frozen at 1.96) can never fork between keys or engines.
+    Interpolate the SAME strings into the Spark plan and the oracle."""
+    kd = f"CAST({k} AS DOUBLE)"
+    nd = f"CAST({n} AS DOUBLE)"
+    rate = f"{kd} / {nd}"
+    core = (
+        f"(({rate})\n"
+        f"           + (1.96 * 1.96) / (2.0 * {nd})\n"
+        f"         {{sign}} 1.96 * sqrt(\n"
+        f"             (({rate})\n"
+        f"              * (1.0 - {rate})\n"
+        f"              + (1.96 * 1.96) / (4.0 * {nd})\n"
+        f"             ) / {nd})\n"
+        f"        ) / (1.0 + (1.96 * 1.96) / {nd})"
+    )
+    return {
+        "rate": rate,
+        "lo": core.format(sign="-"),
+        "hi": core.format(sign="+"),
+    }
+
+
 def _wilson_conversion_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per hour-of-day purchase-share with a 95% Wilson score interval
     — the interval practitioners use because the naive Wald CI
