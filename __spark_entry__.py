@@ -70,21 +70,17 @@ _HEAVY_QUERIES = {
 
 # Queries whose oracle SQL was fixed since the last driver sweep and
 # that therefore need a fresh post-fix hash-green row; they jump the
-# rotation until one exists.
+# rotation until one exists.  (All prior cohorts — r6 HUGEINT, r7
+# TIMESTAMPTZ, r8→r9 decimal de-widening — are discharged green in
+# CORRECTNESS_r06/r07/r09 and dropped.)
 _NEEDS_REEVIDENCE: set[str] = {
-    # (the round-6 HUGEINT re-evidence set and the round-7
-    # sliding_window_counts TIMESTAMPTZ fix were all discharged green —
-    # CORRECTNESS_r06 / CORRECTNESS_r07 — and have been dropped)
-    #
-    # r9: the three r8 driver-reds were de-decimalized (the driver's
-    # typed hasher diverges on emitted DECIMAL(38,0) — r8 judge
-    # adjudication; wide products stay internal, signs/classes emitted)
-    # and need a post-fix driver-green row under the new schema.
-    "arc_price_elasticity",
-    "price_volume_mix_bridge",
-    "simpsons_paradox_audit",
+    # r10: compression_ratio_quality gained its first real oracle (the
+    # roundtrip-gated per-source byte contract, r9 VERDICT #1); it has
+    # zero green rows ever, so green-count ordering fronts it anyway —
+    # listed here for the audit trail.
+    "compression_ratio_quality",
 }
-_REEVIDENCE_AFTER_ROUND = 8  # green rows in CORRECTNESS_r>NN clear the flag
+_REEVIDENCE_AFTER_ROUND = 9  # green rows in CORRECTNESS_r>NN clear the flag
 
 
 def _tier(name: str) -> int:

@@ -179,6 +179,11 @@ def decode_png(buf: bytes) -> np.ndarray:
     idat = bytearray()
     while pos + 8 <= len(buf):
         (length,) = struct.unpack_from(">I", buf, pos)
+        if pos + 12 + length > len(buf):
+            # declared chunk overruns the buffer: fail with the same
+            # error type as every other malformed-input path instead of
+            # letting struct.error escape from the CRC read below
+            raise ValueError("truncated PNG chunk")
         typ = buf[pos + 4 : pos + 8]
         data = buf[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack_from(">I", buf, pos + 8 + length)
@@ -215,16 +220,25 @@ def decode_png(buf: bytes) -> np.ndarray:
             cur = line
         elif f == 2:  # Up
             cur = (line + prev) & 0xFF
+        elif f == 1:  # Sub — per-channel-lane prefix sum, vectorized:
+            # cur[x] = Σ line[x], line[x-ch], ... (mod 256), i.e. a
+            # cumsum down each of the ch byte lanes
+            cur = (np.cumsum(line.reshape(w, ch), axis=0) & 0xFF).reshape(
+                stride
+            )
         else:
-            if f not in (1, 3, 4):
+            if f not in (3, 4):
                 raise ValueError(f"invalid PNG filter {f} on line {y}")
+            # Average/Paeth stay sequential: each byte depends on the
+            # already-unfiltered LEFT neighbor through a nonlinear op
+            # (floor-div / predictor select), so no closed-form vector
+            # rewrite exists — see the size-envelope note on
+            # decode_image
             cur = np.zeros(stride, dtype=np.int64)
             for x in range(stride):
                 a = cur[x - ch] if x >= ch else 0
                 b = prev[x]
-                if f == 1:  # Sub
-                    cur[x] = (line[x] + a) & 0xFF
-                elif f == 3:  # Average
+                if f == 3:  # Average
                     cur[x] = (line[x] + (a + b) // 2) & 0xFF
                 else:  # Paeth
                     c = prev[x - ch] if x >= ch else 0
@@ -260,7 +274,14 @@ def decode_image(payload: bytes) -> np.ndarray:
     through PIL WHEN INSTALLED (``pytest.importorskip``-gated tests in
     tests/test_multimodal_codecs.py) and name the missing codec
     otherwise — same seam, no code edit needed the day the dependency
-    lands."""
+    lands.
+
+    Size envelope: the pure-python PNG path unfilters None/Up/Sub rows
+    fully vectorized, but Average/Paeth rows fall back to a per-byte
+    loop (inherently sequential in x) — fine for the fixture-scale
+    rasters this engine produces (its own encoder emits filter 0 only);
+    for real-world megapixel PNGs route through PIL (this dispatch
+    already prefers it for the formats pure python can't take)."""
     if payload is None or len(payload) < 2:
         raise ValueError("empty payload")
     if payload[:2] == PPM_MAGIC:

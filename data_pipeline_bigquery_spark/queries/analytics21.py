@@ -34,11 +34,14 @@ retrieval/agreement metrics:
   document-frequency terms — lift·1e6 = N·c_xy/(c_x·c_y) on the
   doc-incidence grain, the log-free PMI stand-in (rule 4).  Vocab is
   top-k bounded, so the pair space is ≤ k², never corpus².
-- ``compression_ratio_quality``: zlib-deflate ratio per document (the
-  classic repetitive-junk detector) over ``mapInPandas`` — REAL
-  compression via the stdlib codec the PNG encoder uses; no SQL
-  oracle can inflate zlib, so this is a rows-only key pinned by
-  tests/test_analytics21.py instead.
+- ``compression_ratio_quality``: zlib-deflate corpus QA as a
+  roundtrip-gated CONTRACT — the real compressor runs per doc over
+  ``mapInPandas`` and the job asserts ``decompress(compress(x)) == x``
+  + size sanity for every doc; gated on that, it emits per-source
+  byte/count aggregates DuckDB recomputes independently (broken
+  compressor ⇒ empty output ⇒ row-count red).  The per-doc ratio
+  kernel (``compression_ratio_per_doc``) stays pinned by
+  tests/test_analytics21.py.
 
 Reference parity: the reference pipeline (main.py:13-54) has no
 dedup/recsys/eval layer — scale-out extensions in the same spirit as
@@ -74,14 +77,14 @@ def _fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
 
-    def pass_on(key_expr: str) -> DataFrame:
-        a = part.select(
+    def pass_on(key_expr: str, src: DataFrame = part) -> DataFrame:
+        a = src.select(
             F.col("p_partkey").alias("key_a"),
             F.col("p_brand").alias("brand"),
             F.col("p_name").alias("name_a"),
             F.expr(key_expr.format(c="p_name")).alias("blk"),
         )
-        b = part.select(
+        b = src.select(
             F.col("p_partkey").alias("key_b"),
             F.col("p_brand").alias("brand"),
             F.col("p_name").alias("name_b"),
@@ -99,9 +102,16 @@ def _fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     pre = pass_on(f"substr({{c}}, 1, {_FUZZY_BLOCK_LEN})")
+    # suffix pass only considers names long enough to HAVE a full
+    # suffix block (identical filter in the oracle, ADVICE r9): avoids
+    # depending on the engines' undocumented-but-probed agreement on
+    # substr with a non-positive start; short names still pair through
+    # the prefix pass (substr(x,1,3) of a short string is the string
+    # itself in both engines)
     suf = pass_on(
         f"substr({{c}}, length({{c}}) - {_FUZZY_BLOCK_LEN - 1},"
-        f" {_FUZZY_BLOCK_LEN})"
+        f" {_FUZZY_BLOCK_LEN})",
+        src=part.filter(F.length("p_name") >= _FUZZY_BLOCK_LEN),
     )
     # edit_dist is functionally determined by the pair, so it rides
     # through the two-pass dedup instead of a second DP evaluation
@@ -132,7 +142,9 @@ suf AS (
        = substr(b.p_name, length(b.p_name) - {_FUZZY_BLOCK_LEN - 1},
                 {_FUZZY_BLOCK_LEN})
    AND a.p_partkey < b.p_partkey
-  WHERE levenshtein(a.p_name, b.p_name) <= {_FUZZY_MAX_DIST}),
+  WHERE levenshtein(a.p_name, b.p_name) <= {_FUZZY_MAX_DIST}
+    AND length(a.p_name) >= {_FUZZY_BLOCK_LEN}
+    AND length(b.p_name) >= {_FUZZY_BLOCK_LEN}),
 u AS (SELECT DISTINCT brand, key_a, key_b, name_a, name_b
       FROM (SELECT * FROM pre UNION ALL SELECT * FROM suf))
 SELECT brand, key_a, key_b,
@@ -642,54 +654,136 @@ ORDER BY term_a, term_b
 """
 
 
-# --- compression_ratio_quality (rows-only: no SQL engine can inflate zlib) ------
+# --- compression_ratio_quality (roundtrip-gated contract) -----------------------
 
 
-def _compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """zlib-deflate ratio per doc over mapInPandas (Arrow-batched; the
-    compressor is the same stdlib zlib the PNG encoder uses, level
+def compression_ratio_per_doc(docs: DataFrame) -> DataFrame:
+    """Per-doc zlib-deflate kernel over mapInPandas (Arrow-batched; the
+    compressor is the same stdlib zlib the PNG encoder uses, level 6
     pinned so results are deterministic).  Low ratio = repetitive
-    boilerplate, the cheap classic of corpus QA.  Pinned by
-    tests/test_analytics21.py; rows-only for the driver."""
+    boilerplate, the cheap classic of corpus QA.
+
+    Emits ``roundtrip_ok``: per-doc ``decompress(compress(x)) == x``
+    AND the size-sanity bound ``0 < zlib_bytes <= raw_bytes + 64``
+    (zlib's worst-case stored-block overhead is ~5 bytes/16 KiB + 6;
+    64 is a generous ceiling at these doc sizes).  The registered
+    query gates its output on the conjunction over the corpus, turning
+    the non-SQL-expressible compressor into a driver-checkable
+    contract (same pattern as the ANN recall contracts,
+    queries/extensions.py).  Pinned by tests/test_analytics21.py."""
     import pandas as pd
 
     from data_pipeline_bigquery_spark.extensions.dedup_text import (
         spread_small_input,
     )
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-
     def gen(batches):
         import zlib
 
         for pdf in batches:
             out = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            for doc_id, source, text in zip(
+                pdf["doc_id"], pdf["source"], pdf["text"]
+            ):
                 if text is None or len(text) == 0:
-                    out.append((int(doc_id), 0, 0, None, None))
+                    out.append((int(doc_id), source, 0, 0, None, None, True))
                     continue
                 raw = text.encode("utf-8")
-                comp = len(zlib.compress(raw, 6))
-                ratio = comp * 1000 // len(raw)
+                comp = zlib.compress(raw, 6)
+                ok = (
+                    0 < len(comp) <= len(raw) + 64
+                    and zlib.decompress(comp) == raw
+                )
+                ratio = len(comp) * 1000 // len(raw)
                 out.append(
-                    (int(doc_id), len(raw), comp, ratio, bool(ratio < 300))
+                    (
+                        int(doc_id),
+                        source,
+                        len(raw),
+                        len(comp),
+                        ratio,
+                        bool(ratio < 300),
+                        bool(ok),
+                    )
                 )
             yield pd.DataFrame(
                 out,
                 columns=[
                     "doc_id",
+                    "source",
                     "raw_bytes",
                     "zlib_bytes",
                     "ratio_permille",
                     "is_repetitive",
+                    "roundtrip_ok",
                 ],
             )
 
-    return spread_small_input(docs).mapInPandas(
+    return spread_small_input(docs.select("doc_id", "source", "text")).mapInPandas(
         gen,
-        "doc_id long, raw_bytes long, zlib_bytes long,"
-        " ratio_permille long, is_repetitive boolean",
+        "doc_id long, source string, raw_bytes long, zlib_bytes long,"
+        " ratio_permille long, is_repetitive boolean, roundtrip_ok boolean",
     )
+
+
+def _compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roundtrip-gated compression-quality contract (r9 VERDICT #1).
+
+    No SQL engine can inflate zlib, so the raw per-doc ratios are not
+    oracle-checkable.  Instead: run the REAL compressor per doc, assert
+    the zlib roundtrip identity + size-sanity inside the job, and —
+    gated on every doc passing — emit only per-source aggregates DuckDB
+    recomputes independently (doc count, UTF-8 byte sums/min/max).  A
+    broken compressor empties the gate and the driver's row-count check
+    goes red; a healthy one hash-matches.  The per-doc ratio kernel
+    stays pinned by tests/test_analytics21.py."""
+    docs = load(spark, sf_dir, "documents")
+    per_doc = compression_ratio_per_doc(docs)
+    # Single pass: the gate folds into the per-source aggregate
+    # (min(roundtrip_ok)) and the corpus-wide conjunction is a window
+    # over the AGGREGATED frame — bounded by #sources, never data-
+    # proportional, so the empty-over() is safe here.  Empty-doc rows
+    # are vacuously ok and excluded on both sides (oracle WHERE).
+    per_src = (
+        per_doc.filter(F.col("raw_bytes") > 0)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("doc_count"),
+            F.sum("raw_bytes").cast("long").alias("raw_byte_sum"),
+            F.min("raw_bytes").cast("long").alias("min_raw_bytes"),
+            F.max("raw_bytes").cast("long").alias("max_raw_bytes"),
+            F.min(F.coalesce(F.col("roundtrip_ok"), F.lit(False))).alias(
+                "src_ok"
+            ),
+        )
+    )
+    return (
+        per_src.withColumn(
+            "all_ok", F.min("src_ok").over(Window.partitionBy(F.lit(1)))
+        )
+        .filter(F.col("all_ok"))
+        .select(
+            "source", "doc_count", "raw_byte_sum",
+            "min_raw_bytes", "max_raw_bytes",
+        )
+        .orderBy("source")
+    )
+
+
+# strlen() is DuckDB's UTF-8 *byte* length (Spark-side raw_bytes is
+# len(text.encode('utf-8')) — same quantity); sums cast from HUGEINT
+# back to BIGINT (parity rule 1).
+_COMPRESSION_SQL = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       CAST(sum(strlen(text)) AS BIGINT) AS raw_byte_sum,
+       CAST(min(strlen(text)) AS BIGINT) AS min_raw_bytes,
+       CAST(max(strlen(text)) AS BIGINT) AS max_raw_bytes
+FROM documents
+WHERE text IS NOT NULL AND strlen(text) > 0
+GROUP BY source
+ORDER BY source
+"""
 
 
 QUERIES: dict[str, QuerySpec] = {
@@ -709,6 +803,6 @@ QUERIES: dict[str, QuerySpec] = {
         _cooccurrence_lift_topterms, _LIFT_SQL
     ),
     "compression_ratio_quality": QuerySpec(
-        _compression_ratio_quality, None
+        _compression_ratio_quality, _COMPRESSION_SQL
     ),
 }

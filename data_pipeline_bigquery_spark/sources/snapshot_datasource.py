@@ -28,7 +28,15 @@ version.  Best-effort multi-writer caveat: a writer stalled between
 its pre-rename listing and its rename can publish version N *after*
 N+1 became visible; a poll that already advanced past N will then skip
 it.  Run concurrent writers only if the sink tolerates that transient,
-or serialize writers per base path.
+or serialize writers per base path.  The late-publish detector below
+fires on the READER side only — it turns the silent skip into a loud
+stream failure after the fact, but it cannot prevent the out-of-order
+publish itself; writes still need external mutual exclusion (one
+writer per base path, or a lock service) when strict commit ordering
+is required.  The streaming offset carries the exact set of known
+at-or-below-offset versions (retention-bounded; expired entries are
+pruned each poll), so a retention expiry in the same poll interval as
+a late publish cannot mask the detection.
 
 Scale notes: this reader is the ``SimpleDataSourceStreamReader`` form
 (driver reads, then the engine distributes) — right for version-grain
@@ -210,38 +218,62 @@ class SnapshotStreamReader(SimpleDataSourceStreamReader):
         self.max_versions = int(options.get("max_versions_per_batch", 10))
 
     def initialOffset(self):
-        return {"version": 0, "emitted_count": 0}
+        return {"version": 0, "emitted_count": 0, "below_versions": []}
 
     def read(self, start):
         last = start["version"]
         committed = _committed_versions(self.base)
         below = [v for v in committed if v <= last]
-        # LATE-PUBLISH DETECTION (ADVICE r08): best-effort multi-writer
-        # mode has a one-RPC window where a stalled writer publishes
-        # version N after N+1 is already visible; a reader whose offset
-        # advanced past N would otherwise skip its rows FOREVER and
-        # silently.  Legitimately-skipped numbers (a crashed writer's
-        # _LATEST_ reservation) never appear in _committed_versions, so
-        # any growth in the at-or-below-offset committed count versus
-        # the cumulative emitted count IS a late publish — fail loudly
-        # rather than drop data.  (Retention expiry only shrinks the
-        # count, so it cannot false-positive; legacy checkpoints without
-        # the counter skip the check.)
+        # LATE-PUBLISH DETECTION (ADVICE r08, expiry-proofed r10):
+        # best-effort multi-writer mode has a one-RPC window where a
+        # stalled writer publishes version N after N+1 is already
+        # visible; a reader whose offset advanced past N would
+        # otherwise skip its rows FOREVER and silently.  Legitimately-
+        # skipped numbers (a crashed writer's _LATEST_ reservation)
+        # never appear in _committed_versions, so any at-or-below-
+        # offset version NOT in the offset's known set IS a late
+        # publish — fail loudly rather than drop data.  The offset
+        # carries the exact known-below version list (size bounded by
+        # retention, same order as the per-batch `versions` list), so
+        # an expiry that removes versions in the same interval as a
+        # late publish cannot mask the detection — set difference, not
+        # a count compare (ADVICE r09).  Legacy checkpoints that
+        # predate the list fall back to the count check (maskable,
+        # documented); ones that predate the counter skip the check.
+        known_below = start.get("below_versions")
         known = start.get("emitted_count")
-        if known is not None and len(below) > known:
+        if known_below is not None:
+            late = sorted(set(below) - set(known_below))
+        elif known is not None and len(below) > known:
+            late = below
+        else:
+            late = []
+        if late:
             raise RuntimeError(
-                f"snapshotstore late publish detected: {len(below) - known} "
-                f"version(s) at or below the stream offset {last} appeared "
-                f"after the stream already advanced past them (committed "
-                f"at-or-below offset: {below}) — a concurrent writer "
+                f"snapshotstore late publish detected: version(s) {late} "
+                f"at or below the stream offset {last} appeared after the "
+                f"stream already advanced past them — a concurrent writer "
                 f"published out of order; these rows would be skipped "
                 f"silently.  Re-seed the stream from an earlier checkpoint "
                 f"or run writers single-writer."
             )
         pending = [v for v in committed if v > last][: self.max_versions]
         emitted = (known if known is not None else len(below)) + len(pending)
+        # prune expired entries (intersection with committed) so the
+        # carried set stays retention-bounded; safe because the commit
+        # protocol never reuses a version number below the _LATEST_
+        # high-water mark, so a pruned version cannot reappear
+        new_below = sorted(
+            (set(below if known_below is None else known_below)
+             & set(committed))
+            | set(pending)
+        )
         if not pending:
-            return iter(()), {"version": last, "emitted_count": emitted}
+            return iter(()), {
+                "version": last,
+                "emitted_count": emitted,
+                "below_versions": new_below,
+            }
         rows = [
             row
             for v in pending
@@ -256,6 +288,7 @@ class SnapshotStreamReader(SimpleDataSourceStreamReader):
             "version": pending[-1],
             "versions": pending,
             "emitted_count": emitted,
+            "below_versions": new_below,
         }
 
     def readBetweenOffsets(self, start, end):

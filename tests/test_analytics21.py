@@ -133,39 +133,75 @@ def test_lift_matches_incidence_recompute(spark):
 def test_compression_ratio_pinned_values(spark):
     docs = spark.createDataFrame(
         [
-            Row(doc_id=1, text="a" * 1000),  # maximally repetitive
-            Row(doc_id=2, text=None),
-            Row(doc_id=3, text=""),
+            Row(doc_id=1, source="s", text="a" * 1000),  # max repetitive
+            Row(doc_id=2, source="s", text=None),
+            Row(doc_id=3, source="s", text=""),
         ],
-        "doc_id long, text string",
+        "doc_id long, source string, text string",
     )
-    import data_pipeline_bigquery_spark.queries.analytics21 as a21
-    from unittest import mock
-
-    with mock.patch.object(
-        a21, "load", lambda spark, sf, name: docs
-    ):
-        rows = {
-            r.doc_id: r
-            for r in a21.QUERIES["compression_ratio_quality"]
-            .fn(spark, "unused")
-            .collect()
-        }
+    rows = {
+        r.doc_id: r
+        for r in analytics21.compression_ratio_per_doc(docs).collect()
+    }
     r1 = rows[1]
     assert r1.raw_bytes == 1000
     assert r1.zlib_bytes == len(zlib.compress(b"a" * 1000, 6))
     assert r1.ratio_permille == r1.zlib_bytes * 1000 // 1000
     assert r1.is_repetitive is True
+    assert r1.roundtrip_ok is True
     for d in (2, 3):
         assert rows[d].raw_bytes == 0 and rows[d].ratio_permille is None
+        assert rows[d].roundtrip_ok is True  # vacuous: nothing compressed
 
 
-def test_compression_ratio_fixture_run(spark):
-    rows = analytics21.QUERIES["compression_ratio_quality"].fn(
-        spark, SF_DIR
+def test_compression_ratio_per_doc_fixture(spark):
+    from data_pipeline_bigquery_spark.catalog import load
+
+    rows = analytics21.compression_ratio_per_doc(
+        load(spark, SF_DIR, "documents")
     ).collect()
     assert rows
     for r in rows:
+        assert r.roundtrip_ok is True
         if r.raw_bytes > 0:
             assert r.zlib_bytes > 0
             assert r.ratio_permille == r.zlib_bytes * 1000 // r.raw_bytes
+
+
+def test_compression_contract_matches_oracle_and_gates(spark):
+    """The registered key's aggregates equal DuckDB's independent
+    byte-sum recompute, and the gate empties when a doc fails the
+    roundtrip (simulated via a broken-kernel monkeypatch)."""
+    import duckdb
+
+    rows = _run(spark, "compression_ratio_quality")
+    assert rows
+    ora = duckdb.sql(
+        analytics21.QUERIES["compression_ratio_quality"].oracle.replace(
+            "FROM documents", f"FROM '{SF_DIR}/documents.parquet'"
+        )
+    ).fetchall()
+    assert [tuple(r) for r in rows] == ora
+
+    # gate trips: a per-doc frame with one roundtrip_ok=false row must
+    # empty the contract output
+    import data_pipeline_bigquery_spark.queries.analytics21 as a21
+    from unittest import mock
+
+    from pyspark.sql import functions as F
+
+    broken = analytics21.compression_ratio_per_doc(
+        spark.createDataFrame(
+            [Row(doc_id=1, source="s", text="xyz")],
+            "doc_id long, source string, text string",
+        )
+    ).withColumn("roundtrip_ok", F.lit(False))
+    with mock.patch.object(
+        a21, "compression_ratio_per_doc", lambda docs: broken
+    ):
+        assert (
+            a21.QUERIES["compression_ratio_quality"]
+            .fn(spark, SF_DIR)
+            .count()
+            == 0
+        )

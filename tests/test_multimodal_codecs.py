@@ -557,6 +557,43 @@ def test_png_crc_corruption_and_exotic_features_fail_loudly():
         decode_png(pal)
 
 
+def test_png_truncated_chunk_rejected_with_valueerror():
+    """A declared chunk length overrunning the buffer must fail with
+    the consistent ValueError, not struct.error / a short CRC slice
+    (ADVICE r9)."""
+    import pytest
+
+    from data_pipeline_bigquery_spark.extensions.codecs import (
+        decode_png,
+        encode_png,
+    )
+
+    png = encode_png(np.zeros((2, 2, 3), np.uint8))
+    # cuts land mid-IHDR, mid-IDAT, and one byte into IEND's CRC —
+    # each leaves the 8-byte chunk header readable so the declared
+    # length overruns the remaining buffer
+    for cut in (20, 45, len(png) - 1):
+        with pytest.raises(ValueError, match="truncated PNG chunk"):
+            decode_png(png[:cut])
+
+
+def test_png_sub_filter_vectorized_matches_reference_prefix_sum():
+    """The cumsum rewrite of filter-1 must invert sub-filtering exactly
+    on a wide random raster (wraparound included)."""
+    from data_pipeline_bigquery_spark.extensions.codecs import decode_png
+
+    rng = np.random.default_rng(11)
+    w, h, ch = 37, 5, 3
+    px = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+    raw = bytearray()
+    for y in range(h):
+        raw.append(1)  # Sub filter on every row
+        line = px[y].reshape(w * ch).astype(np.int64)
+        left = np.concatenate([np.zeros(ch, np.int64), line[:-ch]])
+        raw.extend(((line - left) & 0xFF).astype(np.uint8).tobytes())
+    assert np.array_equal(decode_png(_png_chunks(w, h, 2, bytes(raw))), px)
+
+
 def test_png_roundtrip_kernel_matches_source_raster(spark):
     from data_pipeline_bigquery_spark.extensions.multimodal import (
         png_roundtrip,

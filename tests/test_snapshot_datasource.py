@@ -316,3 +316,56 @@ def test_late_publish_below_offset_fails_loudly(spark, tmp_path):
     # legacy checkpoint without the counter: check skipped, no raise
     rows, _ = reader2.read({"version": end2["version"]})
     assert list(rows) == []
+
+
+def test_late_publish_not_masked_by_same_interval_expiry(spark, tmp_path):
+    """ADVICE r09: the count-based check could be masked when a
+    retention expiry removed an at-or-below-offset version in the SAME
+    poll interval as a late publish (shrink offsets the growth).  The
+    offset now carries the exact known-below version set, so the late
+    version is caught by set difference regardless of expiry."""
+    import os
+    import shutil
+
+    import pytest
+
+    from data_pipeline_bigquery_spark.sources.snapshot_datasource import (
+        SnapshotStreamReader,
+    )
+    from data_pipeline_bigquery_spark.sources.snapshots import (
+        expire_snapshots,
+    )
+
+    base = str(tmp_path / "snapds_mask")
+    for payload in [(1, "a"), (2, "b"), (3, "c"), (4, "d")]:
+        write_snapshot(_df(spark, [payload]), base)
+    schema = (
+        spark.createDataFrame([], "k long, v string, _version long").schema
+    )
+    reader = SnapshotStreamReader(schema, {"path": base})
+
+    hidden = str(tmp_path / "stalled_v2")
+    shutil.move(os.path.join(base, "v=2"), hidden)
+    rows, end = reader.read(reader.initialOffset())
+    assert end["versions"] == [1, 3, 4]
+    assert end["below_versions"] == [1, 3, 4]
+    assert len(list(rows)) == 3
+
+    # same interval: v1 expires AND v2 lands late — counts cancel
+    # (3 committed at-or-below vs emitted_count 3), set diff does not
+    expire_snapshots(spark, base, keep_last=2)
+    shutil.move(hidden, os.path.join(base, "v=2"))
+    with pytest.raises(RuntimeError, match=r"late publish.*\[2\]"):
+        reader.read(end)
+
+    # and a pure expiry (no late publish) stays benign, with the
+    # carried set pruned to retention
+    base2 = str(tmp_path / "snapds_prune")
+    for payload in [(1, "a"), (2, "b"), (3, "c")]:
+        write_snapshot(_df(spark, [payload]), base2)
+    r2 = SnapshotStreamReader(schema, {"path": base2})
+    rows, e2 = r2.read(r2.initialOffset())
+    assert len(list(rows)) == 3 and e2["below_versions"] == [1, 2, 3]
+    expire_snapshots(spark, base2, keep_last=1)
+    rows, e3 = r2.read(e2)
+    assert list(rows) == [] and e3["below_versions"] == [3]
