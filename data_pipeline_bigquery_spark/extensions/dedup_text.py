@@ -245,8 +245,29 @@ def lsh_candidate_pairs(
     (e.g. near-empty docs sharing one signature) at lake scale: buckets
     above the cap are dropped — a bucket that hot is boilerplate, not a
     near-dup cluster, and would contribute O(n²) junk pairs.
+
+    Bucket keys here are ``xxhash64`` straight over the band's sig
+    longs (JVM-native, no cast-to-string/concat/md5 — r9 VERDICT #5):
+    the key never leaves the job, so portability doesn't apply and
+    bucket membership is what matters (equality of the 8 sig values;
+    a 2⁻⁶⁴ xxhash collision is the same risk class md5 had).  The
+    EXPORTED manifest form (:func:`banded_signatures`) keeps the
+    documented md5 string so cross-corpus joins stay engine-portable.
     """
-    banded = banded_signatures(signatures, num_perm, bands)
+    rows_per_band = num_perm // bands
+    band_keys = [
+        F.xxhash64(
+            *[
+                F.col(f"sig_{j}")
+                for j in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ]
+        )
+        for b in range(bands)
+    ]
+    banded = signatures.select(
+        "doc_id",
+        F.posexplode(F.array(*band_keys)).alias("band_idx", "band_hash"),
+    )
     buckets = (
         banded.groupBy("band_idx", "band_hash")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
