@@ -665,13 +665,23 @@ def _ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     small ints (64× compression) by a literal-codebook codegen
     projection → ADC candidate scoring on codes alone → exact cosine on
     the shortlist.  Recall gated vs brute force in
-    tests/test_ann_recall.py."""
+    tests/test_ann_recall.py.
+
+    Parameter scale rule (r10): the rerank SHORTLIST must grow with
+    per-cell occupancy, not stay fixed — at sf0.1 (10× vectors per
+    cell) the r9 rerank=6 shortlist held only 0.40 recall because ADC
+    quantization error pushed true neighbors past position 30;
+    rerank=32 restores 0.90 at BOTH sf0.01 and sf0.1 for free (the
+    exact re-rank costs |queries|·rerank·k dot products — noise next
+    to the corpus encode).  At lake scale size rerank so that
+    rerank·k tracks ~1e-3 of the probed candidate count
+    ((corpus/nlist)·nprobe)."""
     from data_pipeline_bigquery_spark.extensions.pq import ivf_pq_topk
 
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     return ivf_pq_topk(
-        queries, emb, k=5, nlist=10, nprobe=3, rerank=6, train_iters=1, pq_iters=1
+        queries, emb, k=5, nlist=10, nprobe=4, rerank=32, train_iters=1, pq_iters=1
     )
 
 
