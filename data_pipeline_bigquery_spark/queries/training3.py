@@ -368,43 +368,93 @@ def _knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Brute force is intentional — this is the exact probe the IVF path
     is measured against; at corpus scale the identical argmax runs over
     IVF-probed candidates (`extensions/similarity.py:513`) so the pair
-    space is nlist-pruned, never all-pairs."""
+    space is nlist-pruned, never all-pairs.
+
+    r10 rewrite — BLAS shortlist, fold verdict: the r9 form fold-scored
+    all |corpus|² pairs in Catalyst (30 s at sf0.1, 144 s at sf1, the
+    registry's tallest cost).  The EXACT result only needs the fold on
+    pairs that can win, and a numpy matmul bounds those provably: for
+    64 float64 products, |blas − fold| ≤ 2·64·u·Σ|aᵢbᵢ| ≲ 1e-12, so
+    every fold-winner AND every rounded-to-9-digits tie sits within
+    MARGIN = 1e-6 of the per-row blas max (1e-6 ≫ 2ε + the 5e-10
+    rounding granularity).  The kernel emits that shortlist (~1–2
+    candidates/row) and the SAME fold + round(,9) + (sim DESC, b_id
+    ASC) argmax as before decides among them — the emitted aggregate
+    is provably identical to full enumeration, and the oracle parity
+    sweep re-proves it against DuckDB's all-pairs form every round.
+    The corpus matrix is collected at build time — the same broadcast
+    envelope the old form's ``F.broadcast(b)`` required; IVF remains
+    the beyond-broadcast scale path."""
+    import numpy as np
+    import pandas as pd
+
+    from data_pipeline_bigquery_spark.extensions.dedup_text import (
+        spread_small_input,
+    )
+
     emb = (
         load(spark, sf_dir, "embeddings")
         .select(
             "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
         )
     )
-    a = emb.select(
-        F.col("vec_id").alias("a_id"), F.col("v").alias("a_v"),
-        F.col("label").alias("a_label"),
+    corpus_rows = sorted(
+        (
+            (r["vec_id"], r["v"], r["label"])
+            for r in emb.collect()
+            if r["v"] is not None
+        ),
+        key=lambda t: t[0],
     )
+    ids = np.array([i for i, _, _ in corpus_rows], dtype=np.int64)
+    mat = np.array([v for _, v, _ in corpus_rows], dtype=np.float64)
+    margin = 1e-6
+
+    label_t = emb.schema["label"].dataType.simpleString()
+    schema = (
+        f"a_id long, a_label {label_t}, a_v array<double>, b_id long"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for a_id, a_v, a_label in zip(
+                pdf["vec_id"], pdf["v"], pdf["label"]
+            ):
+                if a_v is None or len(mat) == 0:
+                    continue
+                s = mat @ np.asarray(a_v, dtype=np.float64)
+                valid = ids != int(a_id)
+                if not valid.any():
+                    continue
+                best = s[valid].max()
+                keep = np.nonzero(valid & (s >= best - margin))[0]
+                a_v_list = list(a_v)
+                for j in keep:
+                    out.append((int(a_id), a_label, a_v_list, int(ids[j])))
+            yield pd.DataFrame(
+                out, columns=["a_id", "a_label", "a_v", "b_id"]
+            )
+
+    shortlist = spread_small_input(emb).mapInPandas(gen, schema)
     b = emb.select(
         F.col("vec_id").alias("b_id"), F.col("v").alias("b_v"),
         F.col("label").alias("b_label"),
     )
-    # the 64-dim fold over |corpus|² pairs is the cost here and it is
-    # irreducible under the parity rules: the sequential left-fold is
-    # the ONE summation order DuckDB's list_dot_product reproduces, a
-    # BLAS/numpy matmul sums in a different order (round-9 can flip),
-    # and an indexed 64-term + chain measured 2.7x SLOWER than the
-    # fold (per-access null-checked GetArrayItem beats whole-stage
-    # codegen out of the plan).  Brute force stays intentional — the
-    # IVF path is what runs at scale (docstring above).
+    # fold verdict on the shortlist only: the sequential left-fold is
+    # the ONE summation order DuckDB's list_dot_product reproduces
+    # (rule 30) — it decides the winner; blas only bounded the field
     dot = F.aggregate(
         F.zip_with("a_v", "b_v", lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    pairs = (
-        a.join(F.broadcast(b), F.col("a_id") != F.col("b_id"))
-        .withColumn("sim", F.round(dot, 9))
+    pairs = shortlist.join(F.broadcast(b), "b_id").withColumn(
+        "sim", F.round(dot, 9)
     )
     # argmax via max(struct(sim, -b_id, b_label)) — field-wise struct
-    # ordering is exactly (sim DESC, b_id ASC) and the label rides
-    # along; unlike a row_number window this partial-aggregates
-    # MAP-SIDE, so the |corpus|² pair stream never shuffles (measured
-    # 38 s → the pair fold's cost alone at sf0.1), only |corpus| rows
+    # ordering is exactly (sim DESC, b_id ASC), partial-aggregated
+    # map-side (rule 31)
     nn = (
         pairs.groupBy("a_id", "a_label")
         .agg(
