@@ -186,3 +186,52 @@ def test_kendall_counts_pinned(spark):
     assert (r.n_pairs, r.concordant, r.discordant, r.ties_x, r.ties_y,
             r.ties_both) == (3, 2, 0, 0, 1, 0)
     assert r.tau_a_e6 == 2 * 1_000_000 // 3
+
+
+def test_batch23_empty_input_edges(spark):
+    """Empty sources must yield the same shape on both engines: the
+    scalar aggregates emit their one NULL-laden row, the grouped keys
+    emit zero rows, and nothing throws under ANSI mode."""
+    empty_orders = spark.createDataFrame(
+        [],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    with mock.patch.object(a23, "load", lambda spark, sf, name: empty_orders):
+        assert a23.QUERIES["pettitt_changepoint"].fn(spark, "x").count() == 0
+        r = a23.QUERIES["kendall_tau_daily_metrics"].fn(
+            spark, "x"
+        ).collect()
+        assert len(r) == 1 and r[0].n_pairs == 0
+        assert r[0].tau_a_e6 is None  # nullif guard, rule 9
+
+    empty_events = spark.createDataFrame(
+        [], "event_id long, event_type string"
+    )
+    with mock.patch.object(a23, "load", lambda spark, sf, name: empty_events):
+        assert (
+            a23.QUERIES["randomized_response_audit"].fn(spark, "x").count()
+            == 0
+        )
+
+    # single-day orders: pettitt's U_1 = 0 on a 1-point series, no
+    # window crash; kendall has zero pairs
+    one = spark.createDataFrame(
+        [
+            Row(
+                o_orderkey=1,
+                o_custkey=1,
+                o_orderstatus="F",
+                o_totalprice=10.0,
+                o_orderdate=dt.datetime(2024, 1, 1),
+                o_orderpriority="1",
+            )
+        ]
+    )
+    with mock.patch.object(a23, "load", lambda spark, sf, name: one):
+        rows = a23.QUERIES["pettitt_changepoint"].fn(spark, "x").collect()
+        assert len(rows) == 1 and rows[0].u_stat == 0
+        assert rows[0].is_changepoint is True
+        r = a23.QUERIES["kendall_tau_daily_metrics"].fn(spark, "x").collect()
+        assert r[0].n_pairs == 0
