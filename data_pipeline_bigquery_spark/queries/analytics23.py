@@ -68,7 +68,13 @@ def _randomized_response_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = (
         load(spark, sf_dir, "events")
-        .filter(F.col("event_type").isNotNull())
+        # event_id NOT NULL is load-bearing for parity: the md5 coin is
+        # keyed on it, and a NULL id makes Spark's concat_ws SKIP the
+        # NULL while the oracle's '||' nullifies the whole key — the
+        # engines would flip different coins (review r10)
+        .filter(
+            F.col("event_type").isNotNull() & F.col("event_id").isNotNull()
+        )
         .select("event_id", "event_type")
     )
     types = ev.select(F.col("event_type").alias("t")).distinct()
@@ -113,7 +119,8 @@ def _randomized_response_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RR_SQL = f"""
 WITH ev AS (
-  SELECT event_id, event_type FROM events WHERE event_type IS NOT NULL),
+  SELECT event_id, event_type FROM events
+  WHERE event_type IS NOT NULL AND event_id IS NOT NULL),
 types AS (SELECT DISTINCT event_type AS t FROM ev),
 grain AS (
   SELECT e.event_id, t.t,
@@ -152,7 +159,12 @@ def _daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("day")
         .agg(
-            F.sum("cents").cast("long").alias("rev_cents"),
+            # coalesce is load-bearing (rule 11): an all-NULL-price day
+            # would rank NULLS FIRST in Spark vs LAST in DuckDB and
+            # shift every Pettitt u_stat after it (review r10)
+            F.coalesce(F.sum("cents"), F.lit(0))
+            .cast("long")
+            .alias("rev_cents"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
@@ -161,8 +173,8 @@ def _daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DAILY_CTE = f"""
 daily AS (
   SELECT epoch_us(o_orderdate) // {_US_PER_DAY} AS day,
-         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
-              AS BIGINT) AS rev_cents,
+         CAST(coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)),
+                       0) AS BIGINT) AS rev_cents,
          CAST(count(*) AS BIGINT) AS n_orders
   FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1)
 """

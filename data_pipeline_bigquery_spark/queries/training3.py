@@ -383,8 +383,12 @@ def _knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     is provably identical to full enumeration, and the oracle parity
     sweep re-proves it against DuckDB's all-pairs form every round.
     The corpus matrix is collected at build time — the same broadcast
-    envelope the old form's ``F.broadcast(b)`` required; IVF remains
-    the beyond-broadcast scale path."""
+    envelope the old form's ``F.broadcast(b)`` required (note: that
+    makes constructing this DataFrame run one embeddings scan, like an
+    eager checkpoint — plan-audit/explain sweeps pay it; the fixture
+    matrix is ~10 MB), shipped to executors as a broadcast variable so
+    tasks don't re-serialize the closure matrix; IVF remains the
+    beyond-broadcast scale path."""
     import numpy as np
     import pandas as pd
 
@@ -406,8 +410,12 @@ def _knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         key=lambda t: t[0],
     )
-    ids = np.array([i for i, _, _ in corpus_rows], dtype=np.int64)
-    mat = np.array([v for _, v, _ in corpus_rows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast(
+        (
+            np.array([i for i, _, _ in corpus_rows], dtype=np.int64),
+            np.array([v for _, v, _ in corpus_rows], dtype=np.float64),
+        )
+    )
     margin = 1e-6
 
     label_t = emb.schema["label"].dataType.simpleString()
@@ -416,6 +424,7 @@ def _knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def gen(batches):
+        ids, mat = bc.value
         for pdf in batches:
             out = []
             for a_id, a_v, a_label in zip(

@@ -34,9 +34,13 @@ stream failure after the fact, but it cannot prevent the out-of-order
 publish itself; writes still need external mutual exclusion (one
 writer per base path, or a lock service) when strict commit ordering
 is required.  The streaming offset carries the exact set of known
-at-or-below-offset versions (retention-bounded; expired entries are
-pruned each poll), so a retention expiry in the same poll interval as
-a late publish cannot mask the detection.
+at-or-below-offset versions (expired entries are pruned each poll),
+so a retention expiry in the same poll interval as a late publish
+cannot mask the detection.  Precondition for bounded offsets: the
+carried set's size tracks the COMMITTED version count, so a base path
+that never runs ``expire_snapshots`` grows its checkpoint offset
+O(versions-ever) — run a retention cadence on long-lived streams (the
+same cadence the storage itself needs).
 
 Scale notes: this reader is the ``SimpleDataSourceStreamReader`` form
 (driver reads, then the engine distributes) — right for version-grain
@@ -242,15 +246,21 @@ class SnapshotStreamReader(SimpleDataSourceStreamReader):
         # documented); ones that predate the counter skip the check.
         known_below = start.get("below_versions")
         known = start.get("emitted_count")
+        detail = None
         if known_below is not None:
             late = sorted(set(below) - set(known_below))
+            if late:
+                detail = f"version(s) {late}"
         elif known is not None and len(below) > known:
-            late = below
-        else:
-            late = []
-        if late:
+            # legacy checkpoint: only the count survives, so name the
+            # delta, not every at-or-below version (review r10)
+            detail = (
+                f"{len(below) - known} version(s) (legacy count check; "
+                f"committed at-or-below offset: {below})"
+            )
+        if detail:
             raise RuntimeError(
-                f"snapshotstore late publish detected: version(s) {late} "
+                f"snapshotstore late publish detected: {detail} "
                 f"at or below the stream offset {last} appeared after the "
                 f"stream already advanced past them — a concurrent writer "
                 f"published out of order; these rows would be skipped "

@@ -235,3 +235,47 @@ def test_batch23_empty_input_edges(spark):
         assert rows[0].is_changepoint is True
         r = a23.QUERIES["kendall_tau_daily_metrics"].fn(spark, "x").collect()
         assert r[0].n_pairs == 0
+
+
+def test_rr_and_pettitt_null_edges_parity(spark, tmp_path):
+    """Review-r10 regressions, replayed through BOTH engines: a NULL
+    event_id must not make the engines flip different md5 coins
+    (concat_ws skips NULLs, '||' nullifies), and an all-NULL-price day
+    must not rank NULLS FIRST/LAST differently in the Pettitt ranks."""
+    import datetime as edt
+
+    import pyarrow as pa
+
+    from data_pipeline_bigquery_spark.queries import registry
+    from tests.test_analytics19_20_edges import (
+        _edge_dir,
+        _events,
+        _orders,
+        _parity,
+    )
+
+    d0 = edt.datetime(2024, 1, 5, 9)
+    events = _events(
+        [
+            (0, d0, 1, "click", 1.0),
+            (None, d0, 1, "click", 1.0),  # NULL id: excluded, both engines
+            (2, d0, 2, "purchase", 3.0),
+            (3, d0, 2, "view", 1.0),
+        ]
+    )
+    orders = _orders(
+        [
+            (1, 1, 100.0, d0),
+            (2, 1, None, d0 + edt.timedelta(days=1)),  # all-NULL-price day
+            (3, 2, 250.0, d0 + edt.timedelta(days=2)),
+            (4, 2, 80.0, d0 + edt.timedelta(days=3)),
+        ]
+    )
+    d = _edge_dir(tmp_path, events=events, orders=orders)
+    reg = registry()
+    for key in (
+        "randomized_response_audit",
+        "pettitt_changepoint",
+        "kendall_tau_daily_metrics",
+    ):
+        _parity(spark, reg[key], d)

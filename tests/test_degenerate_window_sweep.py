@@ -311,10 +311,30 @@ def test_embedding_fix_on_zero_norm_corpus(spark, degenerate_vec_dir, key):
 
 
 @pytest.mark.parametrize("key", _GATED_CONTRACTS)
-def test_gated_contract_empties_not_crashes(spark, degenerate_vec_dir, key):
+def test_gated_contract_empties_or_emits_exact(spark, degenerate_vec_dir, key):
+    """Gate semantics on a statistically tiny corpus: trip → EMPTY
+    (the driver-visible red), or pass → the output IS the exact
+    brute-force top-k set (r10: the occupancy-scaled IVF-PQ shortlist
+    now legitimately clears its gate even on this 6-vector corpus).
+    Either way, never a partial pair set — rule 25."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_bigquery_spark.catalog import load
+    from data_pipeline_bigquery_spark.extensions.similarity import (
+        cosine_topk,
+    )
     from data_pipeline_bigquery_spark.queries import registry
 
-    assert registry()[key].fn(spark, degenerate_vec_dir).count() == 0
+    rows = registry()[key].fn(spark, degenerate_vec_dir).collect()
+    if not rows:
+        return  # gate tripped: the honest empty
+    emb = load(spark, degenerate_vec_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(queries, emb, k=5).collect()
+    }
+    assert {(r.query_id, r.neighbor_id) for r in rows} == exact
 
 
 def test_recall_contract_gate_trips_honestly_on_tiny_corpus(
