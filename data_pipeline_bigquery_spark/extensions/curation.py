@@ -27,6 +27,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from data_pipeline_bigquery_spark.functions.text import (
+    ascii_lower,
+    ascii_lower_sql,
+)
+
 # Deliberately RE2-safe, lowercase-input patterns — identical semantics
 # in Spark (Java regex) and DuckDB (RE2): no backrefs, no lookaround.
 EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
@@ -40,7 +45,7 @@ def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     of the redacted text proves byte-identical replacement without
     hauling full texts around.
     """
-    t = F.lower(F.col(text_col))
+    t = ascii_lower(F.col(text_col))
     redacted = F.regexp_replace(
         F.regexp_replace(t, EMAIL_RE, "<email>"), PHONE_RE, "<phone>"
     )
@@ -66,7 +71,7 @@ def repetition_stats(
     # clamps to a partial gram), and a NULL-text doc must yield NO
     # grams (the oracle's range(NULL) emits no rows) — the same two
     # degenerate-corpus traps fixed in dedup_text.word_ngrams
-    w = f"split(lower({text_col}), ' ')"
+    w = f"split({ascii_lower_sql(text_col)}, ' ')"
     parts = ", ".join(f"try_element_at({w}, i + {d})" for d in range(n))
     expr = (
         f"transform(sequence(1, greatest(size({w}) - {n - 1}, 1)),"

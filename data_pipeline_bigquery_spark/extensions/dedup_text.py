@@ -22,6 +22,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from data_pipeline_bigquery_spark.functions.text import (
+    ascii_lower,
+    ascii_lower_sql,
+)
+
 
 def spread_small_input(df: DataFrame) -> DataFrame:
     """Row-amplifying ops (shingle explode: ~300× per doc) inherit the
@@ -86,8 +91,12 @@ def shingle_array_sql(
     in the SAME fused lambda (the minhash base hash wraps with
     md5→conv), so every consumer — char_shingles' explode, the fused
     signature build, the calibration key's distinct-set form — shares
-    one window arithmetic and cannot drift (r9 review finding)."""
-    t = f"lower({text_expr})"
+    one window arithmetic and cannot drift (r9 review finding).
+
+    Case folds ASCII-only (``functions/text.py``): engine ``lower()``
+    diverges on non-ASCII (İ/ς/ß probe) and would de-sync the shingle
+    stream from the DuckDB oracle on any multilingual corpus."""
+    t = ascii_lower_sql(text_expr)
     elem = elem_wrap.format(s=f"substring({t}, i, {k})")
     return (
         f"transform(sequence(1, greatest(length({t}) - {k - 1}, 1),"
@@ -291,7 +300,7 @@ def simhash_fingerprint(df: DataFrame, id_col: str, text_col: str, bits: int = 1
     md5 hex digit).  One explode + one hash-aggregate."""
     tokens = spread_small_input(df).select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
+        F.explode(F.split(ascii_lower(F.col(text_col)), " ")).alias("tok"),
     ).withColumn("h", F.md5(F.col("tok")))
     sums = tokens.groupBy("doc_id").agg(
         *[
@@ -387,7 +396,7 @@ def word_ngrams(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFr
     NULL is skipped by concat_ws, emitting the same clamped partial
     gram as the oracle (caught by the degenerate-window sweep; the
     fixtures never produce a <n-word doc, real corpora always do)."""
-    w = f"split(lower({text_col}), ' ')"
+    w = f"split({ascii_lower_sql(text_col)}, ' ')"
     parts = ", ".join(f"try_element_at({w}, i + {d})" for d in range(n))
     expr = f"transform(sequence(1, greatest(size({w}) - {n - 1}, 1)), i -> concat_ws(' ', {parts}))"
     return (

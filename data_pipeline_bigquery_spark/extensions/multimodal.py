@@ -65,7 +65,7 @@ def ppm_payload(text_col: str, width: int, height: int) -> Column:
     identically (degenerate-corpus sweep catch)."""
     n = width * height * 3
     header = F.lit(f"P6\n{width} {height}\n255\n".encode())
-    body = F.expr(f"rpad(substr(encode(coalesce(`{text_col}`, ''), 'UTF-8'), 1, {n}), {n}, X'20')")
+    body = F.expr(f"rpad(substr(encode(regexp_replace(coalesce(`{text_col}`, ''), '[^\\\\x00-\\\\x7F]', '?'), 'UTF-8'), 1, {n}), {n}, X'20')")
     return F.concat(header, body)
 
 
@@ -93,7 +93,7 @@ def video_payload(text_col: str, width: int, height: int, n_frames: int) -> Colu
         start = 1 + i * FRAME_BYTE_STRIDE
         parts.append(header)
         parts.append(
-            F.expr(f"rpad(substr(encode(coalesce(`{text_col}`, ''), 'UTF-8'), {start}, {n}), {n}, X'20')")
+            F.expr(f"rpad(substr(encode(regexp_replace(coalesce(`{text_col}`, ''), '[^\\\\x00-\\\\x7F]', '?'), 'UTF-8'), {start}, {n}), {n}, X'20')")
         )
     return F.concat(*parts)
 
@@ -231,7 +231,7 @@ def wav_payload(
 
     header = F.lit(wav_header(n_samples, rate))
     body = F.expr(
-        f"rpad(substr(encode(coalesce(`{text_col}`, ''), 'UTF-8'), 1, {n_samples}), {n_samples}, X'20')"
+        f"rpad(substr(encode(regexp_replace(coalesce(`{text_col}`, ''), '[^\\\\x00-\\\\x7F]', '?'), 'UTF-8'), 1, {n_samples}), {n_samples}, X'20')"
     )
     return F.concat(header, body)
 

@@ -8,6 +8,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from data_pipeline_bigquery_spark.functions.text import (
+    ascii_lower,
+    ascii_lower_sql,
+)
+
 # marker-word profiles for the n-gram-ish language heuristic
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "en": ("the", "a"),
@@ -28,7 +33,7 @@ def lang_id(
     precedence (en > de > fr) on ties.  ``truth_col`` (the ground-truth
     label, for accuracy eval) is echoed through only when present in the
     input — generic inputs without it still work."""
-    words = F.split(F.lower(F.col(text_col)), " ")
+    words = F.split(ascii_lower(F.col(text_col)), " ")
     scores = {lang: _marker_count(words, m) for lang, m in LANG_MARKERS.items()}
     predicted = (
         F.when((scores["en"] >= scores["de"]) & (scores["en"] >= scores["fr"]), "en")
@@ -51,7 +56,7 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Length / stopword-ratio / alpha-ratio quality features + a
     composite score — the standard cheap pre-filter before expensive
     dedup/training steps."""
-    t = F.lower(F.col(text_col))
+    t = ascii_lower(F.col(text_col))
     words = F.split(t, " ")
     word_count = F.size(words)
     stop = F.array(F.lit("the"), F.lit("a"), F.lit("and"), F.lit("of"))
@@ -80,7 +85,7 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Whitespace token count + a BPE-ish regex token count
     (letter-runs | digit-runs | single punctuation)."""
-    t = F.lower(F.col(text_col))
+    t = ascii_lower(F.col(text_col))
     ws = F.size(F.split(t, " "))
     bpe = F.regexp_count(t, F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
     return df.select(
@@ -98,7 +103,7 @@ def rolling_hash_fingerprint(
     :func:`doc_fingerprint`'s order-insensitive one).  The fold runs as
     a JVM higher-order ``aggregate``; the modulus keeps every
     intermediate in BIGINT range on any engine."""
-    t = f"lower({text_col})"
+    t = ascii_lower_sql(text_col)
     h = F.expr(
         f"aggregate(transform(sequence(1, length({t})), i -> ascii(substring({t}, i, 1))),"
         f" 0L, (acc, c) -> (acc * 31 + c) % {mod})"
@@ -113,7 +118,7 @@ def rolling_hash_fingerprint(
 def doc_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Order-insensitive content fingerprint: md5 over the sorted
     distinct word set (robust to shuffling/duplication of words)."""
-    words = F.split(F.lower(F.col(text_col)), " ")
+    words = F.split(ascii_lower(F.col(text_col)), " ")
     canon = F.concat_ws(" ", F.array_sort(F.array_distinct(words)))
     return df.select(
         F.col(id_col).alias("doc_id"),
@@ -147,7 +152,7 @@ def distinctive_terms(
     """
     tokens = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"),
+        F.explode(F.split(ascii_lower(F.col(text_col)), " ")).alias("term"),
     ).filter(F.col("term") != "")
     tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))

@@ -258,7 +258,7 @@ def _manifest_sql() -> str:
     )
 
     return f"""
-WITH raw AS (SELECT doc_id, lower(text) AS t FROM documents),
+WITH raw AS (SELECT doc_id, translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS t FROM documents),
 {minhash_lng_ctes("raw")}
 SELECT doc_id, band_idx, band_hash FROM lng ORDER BY doc_id, band_idx
 """

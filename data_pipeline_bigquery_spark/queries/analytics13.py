@@ -120,10 +120,10 @@ def _incremental_sql() -> str:
     # band arithmetic as the Spark path's two builder calls.
     return f"""
 WITH unioned AS (
-  SELECT doc_id, lower(text) AS t FROM documents
+  SELECT doc_id, translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS t FROM documents
   WHERE doc_id < {_NEW_ID_OFFSET}
   UNION ALL
-  SELECT doc_id + {_NEW_ID_OFFSET}, lower(substr(text, 5))
+  SELECT doc_id + {_NEW_ID_OFFSET}, translate(substr(text, 5), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')
   FROM documents WHERE doc_id % 5 = 0 AND doc_id < {_NEW_ID_OFFSET}),
 {minhash_lng_ctes("unioned")},
 matches AS (

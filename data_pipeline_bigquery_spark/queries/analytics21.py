@@ -54,6 +54,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_bigquery_spark.catalog import load
+from data_pipeline_bigquery_spark.functions.text import ascii_lower
 from data_pipeline_bigquery_spark.queries import QuerySpec
 from data_pipeline_bigquery_spark.queries.quantile_util import (
     cumulative_value_histogram,
@@ -499,7 +500,7 @@ def _char_class_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull() & (F.length("text") > 0)
     )
-    t = "lower(text)"
+    t = "translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')"
     letters = f"length(regexp_replace({t}, '[^a-z]', ''))"
     digits = f"length(regexp_replace({t}, '[^0-9]', ''))"
     spaces = f"length({t}) - length(replace({t}, ' ', ''))"
@@ -533,7 +534,7 @@ def _char_class_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHAR_GINI_SQL = """
 WITH d AS (
-  SELECT source, lower(text) AS t FROM documents
+  SELECT source, translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS t FROM documents
   WHERE text IS NOT NULL AND length(text) > 0),
 c AS (
   SELECT source, length(t) AS tt,
@@ -576,7 +577,7 @@ def _cooccurrence_lift_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     incidence = (
         docs.select(
             "doc_id",
-            F.explode(F.split(F.lower("text"), " ")).alias("term"),
+            F.explode(F.split(ascii_lower("text"), " ")).alias("term"),
         )
         .filter(F.col("term") != "")
         .distinct()
@@ -632,7 +633,7 @@ WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
 n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM d),
 inc AS (
   SELECT DISTINCT doc_id, term FROM (
-    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM d)
+    SELECT doc_id, unnest(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS term FROM d)
   WHERE term != ''),
 dfreq AS (SELECT term, count(*) AS df FROM inc GROUP BY term),
 vocab AS (SELECT term, df FROM dfreq

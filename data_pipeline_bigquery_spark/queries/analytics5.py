@@ -2664,8 +2664,8 @@ def _source_quality_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SOURCE_QUALITY_SQL = """
-WITH w AS (SELECT doc_id, source, lang, lower(text) AS t,
-                  string_split(lower(text), ' ') AS words
+WITH w AS (SELECT doc_id, source, lang, translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS t,
+                  string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS words
            FROM documents),
 q AS (SELECT doc_id, source, lang,
              round(

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_bigquery_spark.catalog import load
+from data_pipeline_bigquery_spark.functions.text import ascii_lower
 from data_pipeline_bigquery_spark.queries import QuerySpec
 from data_pipeline_bigquery_spark.sources.media import (
     media_inventory,
@@ -641,7 +642,7 @@ def _length_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _QNORM_SQL = """
-WITH d AS (SELECT source, strlen(text) AS text_len FROM documents
+WITH d AS (SELECT source, length(text) AS text_len FROM documents
            WHERE text IS NOT NULL),
 dom AS (SELECT source, text_len, count(*) AS n_docs
         FROM d GROUP BY 1, 2),
@@ -882,7 +883,7 @@ def _vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # offsets — lineage cuts (rule 14); pre-cut: documents ×4
     toks = (
         load(spark, sf_dir, "documents")
-        .select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .select(F.explode(F.split(ascii_lower("text"), " ")).alias("tok"))
         .filter(F.col("tok") != "")
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -946,7 +947,7 @@ def _vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 _VOCAB_CURVE_SQL = f"""
 WITH toks AS (
   SELECT t.tok, count(*) AS cnt
-  FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok
+  FROM (SELECT unnest(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS tok
         FROM documents) t
   WHERE t.tok <> '' GROUP BY 1),
 ranked AS (

@@ -7,6 +7,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_bigquery_spark.catalog import load
+from data_pipeline_bigquery_spark.functions.text import ascii_lower
 from data_pipeline_bigquery_spark.extensions.curation import (
     cap_per_group,
     pack_sequences,
@@ -48,7 +49,7 @@ WITH planted AS (
          || CASE WHEN doc_id % 11 = 0
                  THEN ' call +1 555-000-' || doc_id ELSE '' END AS text
   FROM documents),
-t AS (SELECT doc_id, lower(text) AS lt FROM planted)
+t AS (SELECT doc_id, translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS lt FROM planted)
 SELECT doc_id,
        CAST(len(regexp_extract_all(lt, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS BIGINT) AS n_emails,
        CAST(len(regexp_extract_all(lt, '\\+[0-9][0-9()\\- ]{7,}[0-9]')) AS BIGINT) AS n_phones,
@@ -80,7 +81,7 @@ WITH planted AS (
   SELECT doc_id,
          CASE WHEN doc_id % 13 = 0 THEN text || ' ' || text ELSE text END AS text
   FROM documents WHERE text IS NOT NULL),
-w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM planted),
+w AS (SELECT doc_id, string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS words FROM planted),
 grams AS (
   SELECT doc_id,
          array_to_string(words[CAST(i AS INT):CAST(i AS INT) + 1], ' ') AS gram
@@ -120,7 +121,7 @@ FROM ranked WHERE rn <= 5 GROUP BY source
 
 def _packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    tokens = F.size(F.split(F.lower(F.col("text")), " "))
+    tokens = F.size(F.split(ascii_lower(F.col("text")), " "))
     packed = pack_sequences(docs, "lang", "doc_id", tokens, ctx=512)
     return packed.groupBy("shard", "bin_id").agg(
         F.count("*").alias("n_docs"), F.sum("n_tokens").alias("bin_tokens")
@@ -130,7 +131,7 @@ def _packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PACKING_SQL = """
 WITH t AS (
   SELECT lang AS shard, doc_id,
-         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+         CAST(len(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS BIGINT) AS n_tokens
   FROM documents),
 p AS (
   SELECT shard, doc_id, n_tokens,
@@ -156,7 +157,7 @@ def _corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_bigquery_spark.extensions.sampling import assign_split
 
     docs = load(spark, sf_dir, "documents")
-    tokens = F.size(F.split(F.lower(F.col("text")), " "))
+    tokens = F.size(F.split(ascii_lower(F.col("text")), " "))
     quality = docs.withColumn("n_tokens", tokens).filter(F.col("n_tokens") >= 5)
     # exact dedup: canonical row = min doc_id per content digest
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
@@ -184,7 +185,7 @@ def _corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CURATION_SQL = """
 WITH t AS (
   SELECT doc_id, lang, text,
-         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+         CAST(len(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS BIGINT) AS n_tokens
   FROM documents),
 quality AS (SELECT * FROM t WHERE n_tokens >= 5),
 deduped AS (

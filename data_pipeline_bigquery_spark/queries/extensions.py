@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_bigquery_spark.catalog import load
+from data_pipeline_bigquery_spark.functions.text import ascii_lower
 from data_pipeline_bigquery_spark.extensions.dedup_text import (
     char_shingles,
     exact_dedup,
@@ -58,7 +59,7 @@ def _augmented_docs(spark: SparkSession, sf_dir: str, max_doc: int | None = None
     oracle fixture.  A single-scan explode variant was measured SLOWER
     cold (nested generator pipelines compile into bigger whole-stage
     methods: +2s janino on the minhash path), so the union stays."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", F.lower("text").alias("t"))
+    docs = load(spark, sf_dir, "documents").select("doc_id", ascii_lower("text").alias("t"))
     if max_doc is not None:
         docs = docs.filter(F.col("doc_id") < max_doc)
     copies = docs.select(
@@ -68,7 +69,7 @@ def _augmented_docs(spark: SparkSession, sf_dir: str, max_doc: int | None = None
 
 
 _AUG_SQL = """
-base AS (SELECT doc_id, lower(text) AS t FROM documents{filt}),
+base AS (SELECT doc_id, translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS t FROM documents{filt}),
 aug AS (SELECT doc_id, t FROM base
         UNION ALL
         SELECT doc_id + 1000000, substr(t, 5) FROM base)
@@ -365,7 +366,7 @@ def _simhash_sql(bits: int = 16) -> str:
     fp = ", ".join(f"CASE WHEN s_{p} >= 0 THEN '1' ELSE '0' END" for p in range(bits))
     return f"""
 WITH toks AS (
-  SELECT doc_id, md5(unnest(string_split(lower(text), ' '))) AS h FROM documents),
+  SELECT doc_id, md5(unnest(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '))) AS h FROM documents),
 sums AS (SELECT doc_id, {sums} FROM toks GROUP BY doc_id)
 SELECT doc_id, concat({fp}) AS simhash FROM sums
 """
@@ -432,7 +433,7 @@ def _simhash_pairs_sql() -> str:
     # text column is `t`, so rewrite the fingerprint SQL's source refs
     inner = (
         _simhash_sql()
-        .replace("lower(text)", "t")
+        .replace("translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')", "t")
         .replace("FROM documents", "FROM aug")
     )
     return f"""
@@ -786,7 +787,7 @@ def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _LANG_SQL = """
-WITH w AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS words FROM documents),
+WITH w AS (SELECT doc_id, lang, string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS words FROM documents),
 s AS (SELECT doc_id, lang,
              CAST(len(list_filter(words, x -> list_contains(['the','a'], x))) AS INT) AS score_en,
              CAST(len(list_filter(words, x -> list_contains(['der','und'], x))) AS INT) AS score_de,
@@ -805,7 +806,7 @@ def _quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _QUALITY_SQL = """
-WITH w AS (SELECT doc_id, lower(text) AS t, string_split(lower(text), ' ') AS words
+WITH w AS (SELECT doc_id, translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS t, string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS words
            FROM documents),
 s AS (SELECT doc_id,
              CAST(length(t) AS BIGINT) AS text_len,
@@ -829,8 +830,8 @@ def _token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOKEN_SQL = """
 SELECT doc_id,
-       CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS ws_tokens,
-       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens
+       CAST(len(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens
 FROM documents
 """
 
@@ -840,7 +841,7 @@ def _fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FINGERPRINT_SQL = """
-WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents)
+WITH w AS (SELECT doc_id, string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS words FROM documents)
 SELECT doc_id,
        md5(array_to_string(list_sort(list_distinct(words)), ' ')) AS fingerprint,
        CAST(len(list_distinct(words)) AS BIGINT) AS vocab_size
@@ -859,10 +860,10 @@ _ROLLING_HASH_SQL = """
 SELECT doc_id,
        CASE WHEN text IS NULL THEN NULL ELSE
        list_reduce(list_prepend(CAST(0 AS BIGINT),
-                   list_transform(range(1, length(lower(text)) + 1),
-                                  i -> CAST(ord(substr(lower(text), i, 1)) AS BIGINT))),
+                   list_transform(range(1, length(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) + 1),
+                                  i -> CAST(ord(substr(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), i, 1)) AS BIGINT))),
                    (acc, c) -> (acc * 31 + c) % 2147483647) END AS rolling_hash,
-       CAST(length(lower(text)) AS BIGINT) AS n_chars
+       CAST(length(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS BIGINT) AS n_chars
 FROM documents
 """
 
@@ -875,7 +876,7 @@ def _distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DISTINCTIVE_TERMS_SQL = """
 WITH toks AS (
-  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+  SELECT doc_id, unnest(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS term FROM documents),
 tf AS (
   SELECT doc_id, term, count(*) AS tf FROM toks WHERE term != '' GROUP BY doc_id, term),
 n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
@@ -898,7 +899,7 @@ def _corpus_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CORPUS_NGRAMS_SQL = """
-WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words
+WITH w AS (SELECT doc_id, string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS words
            FROM documents WHERE text IS NOT NULL),
 grams AS (
   SELECT DISTINCT doc_id,
@@ -1038,7 +1039,7 @@ def _ppm_gather_sql(in_w: int, in_h: int, out_w: int, out_h: int) -> str:
     # binder recursion depth (128)
     gather = "concat(" + ", ".join(parts) + ")"
     return (
-        f"WITH base AS (SELECT doc_id, substr(coalesce(text, '') || repeat(' ', {n}), 1, {n}) AS r"
+        f"WITH base AS (SELECT doc_id, substr(regexp_replace(coalesce(text, ''), '[^\\x00-\\x7F]', '?', 'g') || repeat(' ', {n}), 1, {n}) AS r"
         " FROM documents)\n"
         f"SELECT doc_id, CAST({out_w} AS INT) AS width, CAST({out_h} AS INT) AS height,"
         f" CAST({13 + out_w * out_h * 3} AS INT) AS resized_bytes,"
@@ -1059,7 +1060,7 @@ def _mm_feat_sql(w: int, h: int, dim: int) -> str:
     chunk = n // dim
     return f"""
 WITH base AS (
-  SELECT doc_id, substr(coalesce(text, '') || repeat(' ', {n}), 1, {n}) AS r FROM documents),
+  SELECT doc_id, substr(regexp_replace(coalesce(text, ''), '[^\\x00-\\x7F]', '?', 'g') || repeat(' ', {n}), 1, {n}) AS r FROM documents),
 bytes AS (
   SELECT doc_id, CAST((i - 1) // {chunk} AS INT) AS chunk, ord(substr(r, CAST(i AS INT), 1)) AS v
   FROM base, generate_series(1, {n}) AS s(i)),
@@ -1092,7 +1093,7 @@ def _mm_frames_sql(w: int, h: int, n_stored: int, n_sample: int) -> str:
     picks_sql = ", ".join(str(p) for p in picks)
     return f"""
 WITH f AS (SELECT unnest([{picks_sql}]) AS frame_idx),
-base AS (SELECT doc_id, coalesce(text, '') || repeat(' ', {pad}) AS padded FROM documents)
+base AS (SELECT doc_id, regexp_replace(coalesce(text, ''), '[^\\x00-\\x7F]', '?', 'g') || repeat(' ', {pad}) AS padded FROM documents)
 SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
        CAST({frame_bytes} AS INT) AS frame_bytes,
        md5('P6' || chr(10) || '{w} {h}' || chr(10) || '255' || chr(10)
@@ -1132,7 +1133,7 @@ def _mm_audio_sql(n: int, rate: int, window: int) -> str:
     n_win = (n + window - 1) // window  # ceil: a partial tail window IS a window (the kernel matches)
     return f"""
 WITH base AS (
-  SELECT doc_id, substr(coalesce(text, '') || repeat(' ', {n}), 1, {n}) AS body FROM documents),
+  SELECT doc_id, substr(regexp_replace(coalesce(text, ''), '[^\\x00-\\x7F]', '?', 'g') || repeat(' ', {n}), 1, {n}) AS body FROM documents),
 s AS (
   SELECT doc_id, CAST(i - 1 AS INT) AS i, ord(substr(body, CAST(i AS INT), 1)) AS v
   FROM base, generate_series(1, {n}) AS g(i)),
@@ -1194,7 +1195,7 @@ def _mm_png_sql(w: int, h: int) -> str:
     n = w * h * 3
     return f"""
 SELECT doc_id, CAST({w} AS INT) AS width, CAST({h} AS INT) AS height,
-       md5(substr(coalesce(text, '') || repeat(' ', {n}), 1, {n})) AS raster_md5,
+       md5(substr(regexp_replace(coalesce(text, ''), '[^\\x00-\\x7F]', '?', 'g') || repeat(' ', {n}), 1, {n})) AS raster_md5,
        TRUE AS roundtrip_ok
 FROM documents
 """
@@ -1251,7 +1252,7 @@ def _mm_dhash_sql(w: int, h: int) -> str:
     dhash = "lower(" + " || ".join(byte_exprs) + ")"
     return f"""
 WITH base AS (
-  SELECT doc_id, substr(coalesce(text, '') || repeat(' ', {n}), 1, {n}) AS t FROM documents),
+  SELECT doc_id, substr(regexp_replace(coalesce(text, ''), '[^\\x00-\\x7F]', '?', 'g') || repeat(' ', {n}), 1, {n}) AS t FROM documents),
 h AS (SELECT doc_id, {dhash} AS dhash FROM base)
 SELECT dhash, count(*) AS n_docs, min(doc_id) AS canonical_id
 FROM h GROUP BY dhash

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_bigquery_spark.catalog import load
+from data_pipeline_bigquery_spark.functions.text import ascii_lower
 from data_pipeline_bigquery_spark.extensions.dedup_text import word_ngrams
 from data_pipeline_bigquery_spark.extensions.sampling import (
     assign_split,
@@ -110,7 +111,7 @@ def _contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 400)
-        .select("doc_id", F.lower("text").alias("t"))
+        .select("doc_id", ascii_lower("text").alias("t"))
     )
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     corpus = docs.filter(F.col("doc_id") % 97 != 0).unionByName(
@@ -125,7 +126,7 @@ def _contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CONTAMINATION_SQL = """
-WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < 400),
+WITH docs AS (SELECT doc_id, translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS t FROM documents WHERE doc_id < 400),
 bench AS (SELECT doc_id, t FROM docs WHERE doc_id % 97 = 0),
 corpus AS (SELECT doc_id, t FROM docs WHERE doc_id % 97 <> 0
            UNION ALL

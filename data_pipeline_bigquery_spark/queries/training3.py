@@ -48,6 +48,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_bigquery_spark.catalog import load
+from data_pipeline_bigquery_spark.functions.text import ascii_lower
 from data_pipeline_bigquery_spark.extensions.sampling import hash_bucket
 from data_pipeline_bigquery_spark.queries import QuerySpec
 
@@ -626,7 +627,7 @@ def _bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     greedy-overlap bug on either side mismatches."""
     vocab = (
         load(spark, sf_dir, "documents")
-        .select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .select(F.explode(F.split(ascii_lower("text"), " ")).alias("word"))
         .filter(F.length("word") >= 2)
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -662,7 +663,7 @@ def _bpe_merges_sql() -> str:
 v0 AS (
   SELECT array_to_string(string_split(word, ''), ' ') AS seq,
          CAST(count(*) AS BIGINT) AS freq
-  FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+  FROM (SELECT unnest(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS word
         FROM documents)
   WHERE len(word) >= 2
   GROUP BY word)"""
