@@ -54,7 +54,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_bigquery_spark.catalog import load
-from data_pipeline_bigquery_spark.functions.text import ascii_lower
+from data_pipeline_bigquery_spark.functions.text import (
+    ascii_fold,
+    ascii_lower,
+)
 from data_pipeline_bigquery_spark.queries import QuerySpec
 from data_pipeline_bigquery_spark.queries.quantile_util import (
     cumulative_value_histogram,
@@ -73,8 +76,12 @@ def _fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: each blocking pass is an equi-join on
     (brand, 3-char key) — hash-partitioned, block-bounded work, and
     the union of the two passes dedups on the pair key.  levenshtein
-    is a JVM builtin with identical classic-DP semantics in DuckDB
-    (probed: equal on k=0/prefix/suffix/empty/equal-string cases).
+    is a JVM builtin with identical classic-DP semantics in DuckDB on
+    ASCII (probed: equal on k=0/prefix/suffix/empty/equal-string
+    cases) — but Spark's DP walks CODE POINTS while DuckDB's walks
+    UTF-8 BYTES ('café'/'cafe' is 1 vs 2, probed), so both engines
+    ASCII-fold the DP inputs (functions/text.py): exact for ASCII
+    names, non-ASCII characters compare as equal ('?').
     """
     part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
 
@@ -96,7 +103,9 @@ def _fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("key_a") < F.col("key_b"))
             .withColumn(
                 "edit_dist",
-                F.levenshtein("name_a", "name_b").cast("int"),
+                F.levenshtein(
+                    ascii_fold("name_a"), ascii_fold("name_b")
+                ).cast("int"),
             )
             .filter(F.col("edit_dist") <= _FUZZY_MAX_DIST)
             .select("brand", "key_a", "key_b", "edit_dist")
@@ -132,7 +141,7 @@ WITH pre AS (
    AND substr(a.p_name, 1, {_FUZZY_BLOCK_LEN})
        = substr(b.p_name, 1, {_FUZZY_BLOCK_LEN})
    AND a.p_partkey < b.p_partkey
-  WHERE levenshtein(a.p_name, b.p_name) <= {_FUZZY_MAX_DIST}),
+  WHERE levenshtein(regexp_replace(a.p_name, '[^\\x00-\\x7F]', '?', 'g'), regexp_replace(b.p_name, '[^\\x00-\\x7F]', '?', 'g')) <= {_FUZZY_MAX_DIST}),
 suf AS (
   SELECT a.p_brand AS brand, a.p_partkey AS key_a, b.p_partkey AS key_b,
          a.p_name AS name_a, b.p_name AS name_b
@@ -143,13 +152,13 @@ suf AS (
        = substr(b.p_name, length(b.p_name) - {_FUZZY_BLOCK_LEN - 1},
                 {_FUZZY_BLOCK_LEN})
    AND a.p_partkey < b.p_partkey
-  WHERE levenshtein(a.p_name, b.p_name) <= {_FUZZY_MAX_DIST}
+  WHERE levenshtein(regexp_replace(a.p_name, '[^\\x00-\\x7F]', '?', 'g'), regexp_replace(b.p_name, '[^\\x00-\\x7F]', '?', 'g')) <= {_FUZZY_MAX_DIST}
     AND length(a.p_name) >= {_FUZZY_BLOCK_LEN}
     AND length(b.p_name) >= {_FUZZY_BLOCK_LEN}),
 u AS (SELECT DISTINCT brand, key_a, key_b, name_a, name_b
       FROM (SELECT * FROM pre UNION ALL SELECT * FROM suf))
 SELECT brand, key_a, key_b,
-       CAST(levenshtein(name_a, name_b) AS INT) AS edit_dist
+       CAST(levenshtein(regexp_replace(name_a, '[^\\x00-\\x7F]', '?', 'g'), regexp_replace(name_b, '[^\\x00-\\x7F]', '?', 'g')) AS INT) AS edit_dist
 FROM u ORDER BY brand, key_a, key_b
 """
 

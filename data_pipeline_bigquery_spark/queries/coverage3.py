@@ -17,6 +17,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_bigquery_spark.catalog import load
+from data_pipeline_bigquery_spark.functions.text import (
+    ascii_fold,
+    ascii_fold_duckdb_sql as _fold,
+)
 from data_pipeline_bigquery_spark.functions.timestamps import to_epoch_seconds
 from data_pipeline_bigquery_spark.operators.asof import asof_join
 from data_pipeline_bigquery_spark.queries import QuerySpec
@@ -912,7 +916,13 @@ def _fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     variants of the fixture's 'Customer#000000123' names sort adjacent,
     which is exactly the property sorted-neighborhood exploits; the
     oracle mirrors the same window semantics, so the driver hash checks
-    the scalable form, not a quadratic one."""
+    the scalable form, not a quadratic one.
+
+    Distance inputs are ASCII-folded on BOTH engines: Spark's
+    levenshtein walks code points, DuckDB's walks UTF-8 BYTES
+    (probed: 'café'/'cafe' is 1 vs 2) — folding every non-ASCII
+    code point to one '?' makes the two walks identical; exact
+    for ASCII names, non-ASCII characters compare as equal."""
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
     w = Window.partitionBy("c_nationkey").orderBy("c_name", "c_custkey")
     # window exprs evaluate in their own projection; the explode runs on
@@ -935,7 +945,9 @@ def _fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("c_custkey").alias("cust_a"),
             F.col("nbr.nbr_key").alias("cust_b"),
-            F.levenshtein("c_name", F.col("nbr.nbr_name")).alias("name_dist"),
+            F.levenshtein(
+                ascii_fold("c_name"), ascii_fold(F.col("nbr.nbr_name"))
+            ).alias("name_dist"),
         )
     )
     return exploded.filter(F.col("name_dist") <= 1)
@@ -952,7 +964,8 @@ WITH nbr AS (
   FROM customer),
 pairs AS (
   {' UNION ALL '.join(
-      f"SELECT c_custkey AS cust_a, k{i} AS cust_b, levenshtein(c_name, n{i}) AS name_dist "
+      f"SELECT c_custkey AS cust_a, k{i} AS cust_b, "
+      f"levenshtein({_fold('c_name')}, {_fold(f'n{i}')}) AS name_dist "
       f"FROM nbr WHERE k{i} IS NOT NULL"
       for i in range(1, _FUZZY_WINDOW + 1)
   )})

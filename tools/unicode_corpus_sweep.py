@@ -96,6 +96,50 @@ def hostile_documents_table():
     )
 
 
+# hostile NAME plants for part.p_name / customer.c_name — the
+# levenshtein / phonetic / entity-resolution keys process names, and
+# Spark's levenshtein walks code points while DuckDB's walks UTF-8
+# bytes (probed: 'café'/'cafe' = 1 vs 2), fixed by ASCII-folding the
+# DP inputs on both engines.  Pairs share their first-3-char block
+# (and brand, patched uniform over the planted rows) so the blocked
+# matchers actually pair them; distances straddle the <=2 gate.
+HOSTILE_PART_NAMES = [
+    "café blue steel",        # vs plain: 1 substitution
+    "cafe blue steel",
+    "caféé blue steel",       # 2 non-ASCII
+    "grüne farbe metall",     # vs next: 1 sub inside a gram
+    "grune farbe metall",
+    "İstanbul kırmızı bakır",  # Turkish pair, distance 2 after fold
+    "Istanbul kirmizi bakır",
+    "端州铜器 classic",        # CJK block (folds to ???? classic)
+    "端州银器 classic",        # 1 CJK substitution -> folds EQUAL
+]
+HOSTILE_CUSTOMER_NAMES = [
+    "Customer#000000001ß",    # adjacent sorted neighbors, distance 1
+    "Customer#000000001s",
+    "Customer#000000002é",
+    "Customer#000000002e",
+]
+
+
+def _patch_names(src_path: str, col: str, names: list[str]):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(src_path)
+    vals = tbl.column(col).to_pylist()
+    vals[: len(names)] = names[: len(vals)]
+    idx = tbl.schema.get_field_index(col)
+    tbl = tbl.set_column(idx, col, pa.array(vals, pa.string()))
+    if col == "p_name" and "p_brand" in tbl.column_names:
+        # uniform brand over the planted rows so brand-blocked passes pair them
+        brands = tbl.column("p_brand").to_pylist()
+        brands[: len(names)] = [brands[0]] * min(len(names), len(brands))
+        bidx = tbl.schema.get_field_index("p_brand")
+        tbl = tbl.set_column(bidx, "p_brand", pa.array(brands, pa.string()))
+    return tbl
+
+
 def build_dir(base: str, sf_src: str) -> str:
     import pyarrow.parquet as pq
 
@@ -106,6 +150,22 @@ def build_dir(base: str, sf_src: str) -> str:
         dst = os.path.join(base, f"{t}.parquet")
         if t == "documents":
             pq.write_table(hostile_documents_table(), dst)
+        elif t == "part":
+            pq.write_table(
+                _patch_names(
+                    os.path.join(sf_src, f"{t}.parquet"), "p_name", HOSTILE_PART_NAMES
+                ),
+                dst,
+            )
+        elif t == "customer":
+            pq.write_table(
+                _patch_names(
+                    os.path.join(sf_src, f"{t}.parquet"),
+                    "c_name",
+                    HOSTILE_CUSTOMER_NAMES,
+                ),
+                dst,
+            )
         elif not os.path.exists(dst):
             os.symlink(os.path.join(sf_src, f"{t}.parquet"), dst)
     return base
@@ -126,9 +186,16 @@ def main() -> int:
     spark = get_spark(app_name="unicode_corpus_sweep")
     reg = registry()
     doc_keys = sorted(
-        k for k, s in reg.items() if s.oracle and "documents" in s.oracle.lower()
+        k
+        for k, s in reg.items()
+        if s.oracle
+        and (
+            "documents" in s.oracle.lower()
+            or "p_name" in s.oracle
+            or "c_name" in s.oracle
+        )
     )
-    print(f"{len(doc_keys)} doc-reading keys against {d}", flush=True)
+    print(f"{len(doc_keys)} doc/name-reading keys against {d}", flush=True)
     bad = 0
     for k in doc_keys:
         t0 = time.monotonic()
