@@ -34,14 +34,17 @@ sys.path.insert(
 from unicode_corpus_sweep import build_dir  # noqa: E402
 
 REG = registry()
-# doc-reading keys + the name-processing keys (the corpus also plants
+# doc-reading keys + the name-processing keys (the corpus plants
 # hostile p_name/c_name rows for the levenshtein/phonetic/ER family)
+# + the events-reading keys (hostile unicode event_type values and
+# unicode/escaped/astral JSON props)
 DOC_KEYS = sorted(
     k
     for k, s in REG.items()
     if s.oracle
     and (
         "documents" in s.oracle.lower()
+        or "events" in s.oracle.lower()
         or "p_name" in s.oracle
         or "c_name" in s.oracle
     )

@@ -12,6 +12,11 @@ sequences, CJK, RTL, zero-width chars, >127-byte-but-<12-char texts)
 and runs every doc-reading key's Spark form against its DuckDB oracle
 on the same dir.
 
+The corpus also plants hostile part/customer NAMES (levenshtein /
+phonetic / ER keys) and hostile EVENTS (unicode event_type values,
+unicode/escaped/astral JSON props), so the sweep covers every
+document-, name-, and event-reading key — 201 of the 350.
+
 Usage: python tools/unicode_corpus_sweep.py [out_dir]
 Prints one line per key; exits 1 if any key diverges.
 """
@@ -122,6 +127,44 @@ HOSTILE_CUSTOMER_NAMES = [
 ]
 
 
+# hostile event plants: unicode event_type values on a row fraction
+# (grouping/ordering/md5-keyed paths must agree on non-ASCII keys) and
+# unicode JSON props (both engines' JSON parsers must unescape \\uXXXX,
+# astral, and nested non-ASCII keys identically)
+HOSTILE_EVENT_TYPES = ["покупка", "señal", "ÉVÉNEMENT", "购买事件"]
+HOSTILE_PROPS = [
+    '{"country":"Türkiye","city":"İstanbul"}',
+    '{"emoji":"🎉👍🏽","nested":{"ключ":"значение"}}',
+    '{"esc":"\\u0130 and \\u00df literal","tab":"a\\tb"}',
+    '{"s":"ΣΟΦΙΑΣ","mixed":["ﾊﾝｶｸ","中文",42]}',
+]
+
+
+def hostile_events_table(src_path: str):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(src_path)
+    types = tbl.column("event_type").to_pylist()
+    props = tbl.column("props").to_pylist() if "props" in tbl.column_names else None
+    ids = tbl.column("event_id").to_pylist()
+    for i, eid in enumerate(ids):
+        if eid is not None and eid % 7 == 3:
+            types[i] = HOSTILE_EVENT_TYPES[eid % len(HOSTILE_EVENT_TYPES)]
+        if props is not None and eid is not None and eid % 5 == 2:
+            props[i] = HOSTILE_PROPS[eid % len(HOSTILE_PROPS)]
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("event_type"),
+        "event_type",
+        pa.array(types, pa.string()),
+    )
+    if props is not None:
+        tbl = tbl.set_column(
+            tbl.schema.get_field_index("props"), "props", pa.array(props, pa.string())
+        )
+    return tbl
+
+
 def _patch_names(src_path: str, col: str, names: list[str]):
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -157,6 +200,10 @@ def build_dir(base: str, sf_src: str) -> str:
                 ),
                 dst,
             )
+        elif t == "events":
+            pq.write_table(
+                hostile_events_table(os.path.join(sf_src, f"{t}.parquet")), dst
+            )
         elif t == "customer":
             pq.write_table(
                 _patch_names(
@@ -191,11 +238,12 @@ def main() -> int:
         if s.oracle
         and (
             "documents" in s.oracle.lower()
+            or "events" in s.oracle.lower()
             or "p_name" in s.oracle
             or "c_name" in s.oracle
         )
     )
-    print(f"{len(doc_keys)} doc/name-reading keys against {d}", flush=True)
+    print(f"{len(doc_keys)} doc/name/event-reading keys against {d}", flush=True)
     bad = 0
     for k in doc_keys:
         t0 = time.monotonic()
