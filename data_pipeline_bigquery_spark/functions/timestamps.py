@@ -61,14 +61,40 @@ def epoch_millis_to_ts(col: Column | str) -> Column:
     return F.timestamp_millis(c.cast("long"))
 
 
+def _truncating_div(us: Column, unit: int) -> Column:
+    """Truncate-toward-zero integer division of an epoch-micros Column.
+
+    Spark's ``unix_millis``/``unix_seconds`` FLOOR while DuckDB's
+    ``epoch_ms``/``epoch()`` — and the reference's
+    ``int(dt.timestamp() * 1000)`` — truncate toward zero; the two
+    split by one unit on every pre-1970 instant with sub-unit residue
+    (probed, round-10 pre-epoch sweep).  ``%`` truncates identically
+    on both engines, so ``(us - us % unit) / unit`` is the portable
+    form; the subtraction yields an exact multiple ≤ 2^53, making the
+    double division and the long cast exact."""
+    exact = us - us % F.lit(unit)
+    return (exact / F.lit(unit)).cast("long")
+
+
 def to_epoch_millis(col: Column | str) -> Column:
-    """C2 reverse: ``int(dt.timestamp() * 1000)`` ≙ ``unix_millis``."""
-    return F.unix_millis(as_instant(col))
+    """C2 reverse: ``int(dt.timestamp() * 1000)`` ≙ truncating div
+    (NOT ``unix_millis``, which floors on pre-1970 instants)."""
+    return _truncating_div(F.unix_micros(as_instant(col)), 1_000)
 
 
 def to_epoch_seconds(col: Column | str) -> Column:
     """Epoch seconds for RANGE window frames and gap arithmetic —
-    NTZ-tolerant replacement for the illegal ``ts.cast("long")``."""
+    NTZ-tolerant replacement for the illegal ``ts.cast("long")``.
+
+    FLOOR semantics (``unix_seconds``) on purpose, unlike
+    :func:`to_epoch_millis`: second-GRAIN bucketing means every
+    instant belongs to the second it falls in, pre-1970 included, and
+    the oracle twins that emit second-grain values pin it
+    (``event_burstiness`` floors each epoch before subtracting).
+    The millis path truncates instead because the reference's
+    ``int(dt.timestamp() * 1000)`` and DuckDB's ``epoch_ms`` both do —
+    the two families are deliberately different and each is
+    pre-epoch-sweep-verified against its own oracles."""
     return F.unix_seconds(as_instant(col))
 
 
