@@ -11,10 +11,13 @@ Scale notes:
 * MinHash/LSH: shingle → per-doc signature (one groupBy) → band hash →
   self-join *on the band key only*.  Pair generation is bounded by
   bucket sizes, not corpus², which is the whole point at 100 TB.
-* All hashing is md5-based (not ``xxhash64``) so results are portable
-  across engines — the DuckDB oracle replays the identical pipeline.
-  MinHash values are min'd as hex *strings*: uniform and
-  order-isomorphic to the underlying 128-bit integer.
+* All RESULT-affecting hashing is md5-based (portable: the DuckDB
+  oracle replays the identical pipeline); the one exception is the
+  in-job LSH bucket key (``lsh_candidate_pairs``), which uses native
+  ``xxhash64`` because the key never leaves the job — only bucket
+  MEMBERSHIP matters, and the exported manifest form keeps md5.
+  Case folding is ASCII-only (``functions/text.py``): engine
+  ``lower()`` diverges on non-ASCII and can never hash-match.
 """
 
 from __future__ import annotations
@@ -84,6 +87,7 @@ def shingle_array_sql(
     k: int = DEFAULT_SHINGLE_K,
     stride: int = DEFAULT_SHINGLE_STRIDE,
     elem_wrap: str = "{s}",
+    prefolded: bool = False,
 ) -> str:
     """THE shingle-window expression — the one Spark-side generator of
     the strided lowercased k-gram array (the oracle twin lives in the
@@ -95,8 +99,14 @@ def shingle_array_sql(
 
     Case folds ASCII-only (``functions/text.py``): engine ``lower()``
     diverges on non-ASCII (İ/ς/ß probe) and would de-sync the shingle
-    stream from the DuckDB oracle on any multilingual corpus."""
-    t = ascii_lower_sql(text_expr)
+    stream from the DuckDB oracle on any multilingual corpus.
+
+    Pass ``prefolded=True`` when ``text_expr`` is already folded (or a
+    projected column a caller folds once per ROW): an expression
+    spliced here lands inside the transform lambda and re-evaluates
+    PER ELEMENT — hoisting the fold measured 2× on the sf0.1
+    signature build (round-10 session 2)."""
+    t = text_expr if prefolded else ascii_lower_sql(text_expr)
     elem = elem_wrap.format(s=f"substring({t}, i, {k})")
     return (
         f"transform(sequence(1, greatest(length({t}) - {k - 1}, 1),"
@@ -113,12 +123,21 @@ def char_shingles(
 ) -> DataFrame:
     """Strided character k-shingles of lowercased text (one row per
     shingle).  Stride>1 cuts shingle volume k/stride× with little recall
-    loss on near-dup detection."""
-    return spread_small_input(df).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.expr(shingle_array_sql(text_col, k, stride))).alias(
-            "shingle"
-        ),
+    loss on near-dup detection.  The ASCII fold is hoisted to a per-ROW
+    projection (idempotent if the input is already folded) — folding
+    inside the shingle lambda re-evaluates per element (2× measured)."""
+    return (
+        spread_small_input(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            ascii_lower(F.col(text_col)).alias("__t"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(shingle_array_sql("__t", k, stride, prefolded=True))
+            ).alias("shingle"),
+        )
     )
 
 
@@ -188,10 +207,11 @@ def minhash_signatures_from_docs(
     same result) — the two forms are row-for-row interchangeable,
     pinned by tests/test_minhash_recall.py."""
     base_arr = shingle_array_sql(
-        text_col,
+        "__t",
         k,
         stride,
         elem_wrap="cast(conv(substring(md5({s}), 1, 7), 16, 10) as long)",
+        prefolded=True,
     )
     sigs = [
         F.expr(
@@ -200,9 +220,16 @@ def minhash_signatures_from_docs(
         )
         for j in range(num_perm)
     ]
+    # the fold is hoisted to its own per-ROW projection (idempotent on
+    # already-folded inputs): spliced into base_arr it would land inside
+    # the transform lambda and re-evaluate per shingle (2x measured)
     return (
         spread_small_input(df)
-        .select(F.col(id_col).alias("doc_id"), F.expr(f"{base_arr} AS __base"))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            ascii_lower(F.col(text_col)).alias("__t"),
+        )
+        .select("doc_id", F.expr(f"{base_arr} AS __base"))
         .select("doc_id", *sigs)
     )
 

@@ -212,8 +212,10 @@ def _minhash_estimate_calibration(
     # to collect_set over the char_shingles explode (same transform
     # expression; collect_set drops NULLs, the filter() here likewise)
     # but with zero explode rows and zero aggregation shuffle
+    # prefolded: aug's `t` is already ascii_lower'd once per row —
+    # refolding here would land inside the shingle lambda (per element)
     shingle_set_expr = (
-        f"array_distinct(filter({shingle_array_sql('t')},"
+        f"array_distinct(filter({shingle_array_sql('t', prefolded=True)},"
         f" x -> x IS NOT NULL))"
     )
     # explicit repartition: the semi-join output's split count follows
