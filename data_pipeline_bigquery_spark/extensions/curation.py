@@ -71,14 +71,19 @@ def repetition_stats(
     # clamps to a partial gram), and a NULL-text doc must yield NO
     # grams (the oracle's range(NULL) emits no rows) — the same two
     # degenerate-corpus traps fixed in dedup_text.word_ngrams
-    w = f"split({ascii_lower_sql(text_col)}, ' ')"
-    parts = ", ".join(f"try_element_at({w}, i + {d})" for d in range(n))
+    parts = ", ".join(f"try_element_at(__w, i + {d})" for d in range(n))
     expr = (
-        f"transform(sequence(1, greatest(size({w}) - {n - 1}, 1)),"
+        f"transform(sequence(1, greatest(size(__w) - {n - 1}, 1)),"
         f" i -> concat_ws(' ', {parts}))"
     )
-    grams = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("doc_id"), F.explode(F.expr(expr)).alias("gram")
+    # fold+split hoisted per ROW (see dedup_text.word_ngrams)
+    grams = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.split(ascii_lower(F.col(text_col)), " ").alias("__w"),
+        )
+        .select("doc_id", F.explode(F.expr(expr)).alias("gram"))
     )
     return grams.groupBy("doc_id").agg(
         F.count("*").alias("total_grams"),

@@ -423,9 +423,11 @@ def word_ngrams(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFr
     NULL is skipped by concat_ws, emitting the same clamped partial
     gram as the oracle (caught by the degenerate-window sweep; the
     fixtures never produce a <n-word doc, real corpora always do)."""
-    w = f"split({ascii_lower_sql(text_col)}, ' ')"
-    parts = ", ".join(f"try_element_at({w}, i + {d})" for d in range(n))
-    expr = f"transform(sequence(1, greatest(size({w}) - {n - 1}, 1)), i -> concat_ws(' ', {parts}))"
+    # fold+split hoisted to a per-ROW projection: spliced inline the
+    # O(len) split re-runs inside the per-gram lambda (n+1 times per
+    # element) — see shingle_array_sql's prefolded note
+    parts = ", ".join(f"try_element_at(__w, i + {d})" for d in range(n))
+    expr = f"transform(sequence(1, greatest(size(__w) - {n - 1}, 1)), i -> concat_ws(' ', {parts}))"
     return (
         spread_small_input(df)
         # NULL text → NO grams, mirroring the oracle (its range() over a
@@ -433,7 +435,11 @@ def word_ngrams(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFr
         # the all-NULL gram into '' and every NULL-text doc becomes a
         # mutual duplicate of every empty-text doc on one engine only
         .filter(F.col(text_col).isNotNull())
-        .select(F.col(id_col).alias("doc_id"), F.explode(F.expr(expr)).alias("gram"))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.split(ascii_lower(F.col(text_col)), " ").alias("__w"),
+        )
+        .select("doc_id", F.explode(F.expr(expr)).alias("gram"))
         .distinct()
     )
 

@@ -103,15 +103,20 @@ def rolling_hash_fingerprint(
     :func:`doc_fingerprint`'s order-insensitive one).  The fold runs as
     a JVM higher-order ``aggregate``; the modulus keeps every
     intermediate in BIGINT range on any engine."""
-    t = ascii_lower_sql(text_col)
+    # fold hoisted to its own per-ROW projection: spliced inline it
+    # lands inside the per-CHARACTER lambda and the O(len) translate
+    # re-runs per character — quadratic in doc length
     h = F.expr(
-        f"aggregate(transform(sequence(1, length({t})), i -> ascii(substring({t}, i, 1))),"
+        f"aggregate(transform(sequence(1, length(__t)), i -> ascii(substring(__t, i, 1))),"
         f" 0L, (acc, c) -> (acc * 31 + c) % {mod})"
     )
     return df.select(
         F.col(id_col).alias("doc_id"),
+        ascii_lower(F.col(text_col)).alias("__t"),
+    ).select(
+        "doc_id",
         h.cast("long").alias("rolling_hash"),
-        F.length(F.expr(t)).cast("long").alias("n_chars"),
+        F.length("__t").cast("long").alias("n_chars"),
     )
 
 
