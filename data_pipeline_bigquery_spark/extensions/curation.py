@@ -27,10 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from data_pipeline_bigquery_spark.functions.text import (
-    ascii_lower,
-    ascii_lower_sql,
-)
+from data_pipeline_bigquery_spark.functions.text import ascii_lower
 
 # Deliberately RE2-safe, lowercase-input patterns — identical semantics
 # in Spark (Java regex) and DuckDB (RE2): no backrefs, no lookaround.

@@ -8,10 +8,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from data_pipeline_bigquery_spark.functions.text import (
-    ascii_lower,
-    ascii_lower_sql,
-)
+from data_pipeline_bigquery_spark.functions.text import ascii_lower
 
 # marker-word profiles for the n-gram-ish language heuristic
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
