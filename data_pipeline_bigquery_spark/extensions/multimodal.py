@@ -26,6 +26,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from data_pipeline_bigquery_spark.functions.text import ascii_fold_sql
+
 from data_pipeline_bigquery_spark.extensions.codecs import (
     decode_frames,
     decode_image,
@@ -65,7 +67,8 @@ def ppm_payload(text_col: str, width: int, height: int) -> Column:
     identically (degenerate-corpus sweep catch)."""
     n = width * height * 3
     header = F.lit(f"P6\n{width} {height}\n255\n".encode())
-    body = F.expr(f"rpad(substr(encode(regexp_replace(coalesce(`{text_col}`, ''), '[^\\\\x00-\\\\x7F]', '?'), 'UTF-8'), 1, {n}), {n}, X'20')")
+    folded = ascii_fold_sql(f"coalesce(`{text_col}`, '')")
+    body = F.expr(f"rpad(substr(encode({folded}, 'UTF-8'), 1, {n}), {n}, X'20')")
     return F.concat(header, body)
 
 
@@ -88,12 +91,13 @@ def video_payload(text_col: str, width: int, height: int, n_frames: int) -> Colu
     :func:`ppm_payload` (oracle-replicable bytes)."""
     n = width * height * 3
     header = F.lit(ppm_header(width, height))
+    folded = ascii_fold_sql(f"coalesce(`{text_col}`, '')")
     parts: list[Column] = []
     for i in range(n_frames):
         start = 1 + i * FRAME_BYTE_STRIDE
         parts.append(header)
         parts.append(
-            F.expr(f"rpad(substr(encode(regexp_replace(coalesce(`{text_col}`, ''), '[^\\\\x00-\\\\x7F]', '?'), 'UTF-8'), {start}, {n}), {n}, X'20')")
+            F.expr(f"rpad(substr(encode({folded}, 'UTF-8'), {start}, {n}), {n}, X'20')")
         )
     return F.concat(*parts)
 
@@ -230,8 +234,9 @@ def wav_payload(
     from data_pipeline_bigquery_spark.extensions.codecs import wav_header
 
     header = F.lit(wav_header(n_samples, rate))
+    folded = ascii_fold_sql(f"coalesce(`{text_col}`, '')")
     body = F.expr(
-        f"rpad(substr(encode(regexp_replace(coalesce(`{text_col}`, ''), '[^\\\\x00-\\\\x7F]', '?'), 'UTF-8'), 1, {n_samples}), {n_samples}, X'20')"
+        f"rpad(substr(encode({folded}, 'UTF-8'), 1, {n_samples}), {n_samples}, X'20')"
     )
     return F.concat(header, body)
 

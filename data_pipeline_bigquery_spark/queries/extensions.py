@@ -13,7 +13,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_bigquery_spark.catalog import load
-from data_pipeline_bigquery_spark.functions.text import ascii_lower
+from data_pipeline_bigquery_spark.functions.text import (
+    LOWER_TEXT_SQL,
+    ascii_lower,
+)
 from data_pipeline_bigquery_spark.extensions.dedup_text import (
     char_shingles,
     exact_dedup,
@@ -431,10 +434,13 @@ def _dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _simhash_pairs_sql() -> str:
     # reuse the ONE shared augmentation CTE (`_aug_cte`) — its lowered
     # text column is `t`, so rewrite the fingerprint SQL's source refs
-    inner = (
-        _simhash_sql()
-        .replace("translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')", "t")
-        .replace("FROM documents", "FROM aug")
+    inner = _simhash_sql()
+    # loud surgery: if the fold expression in _simhash_sql ever drifts
+    # from the shared helper, fail at import instead of binding `text`
+    # against the aug CTE (which only exposes `t`) at run time
+    assert LOWER_TEXT_SQL in inner, "fold literal drifted from functions.text"
+    inner = inner.replace(LOWER_TEXT_SQL, "t").replace(
+        "FROM documents", "FROM aug"
     )
     return f"""
 WITH {_aug_cte(max_doc=150)},
@@ -853,18 +859,22 @@ def _rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_hash_fingerprint(load(spark, sf_dir, "documents"), "doc_id", "text")
 
 
-_ROLLING_HASH_SQL = """
+# fold hoisted into the CTE: spliced inline it sits inside the
+# per-character lambda and the O(len) translate re-runs per character
+# (the same quadratic the Spark twin hoists)
+_ROLLING_HASH_SQL = f"""
+WITH t AS (SELECT doc_id, text, {LOWER_TEXT_SQL} AS lt FROM documents)
 -- NULL text hashes NULL (Spark's aggregate over a NULL sequence);
 -- without the CASE, list_prepend folds the seed alone and stamps
 -- NULL docs with hash 0
 SELECT doc_id,
        CASE WHEN text IS NULL THEN NULL ELSE
        list_reduce(list_prepend(CAST(0 AS BIGINT),
-                   list_transform(range(1, length(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) + 1),
-                                  i -> CAST(ord(substr(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), i, 1)) AS BIGINT))),
+                   list_transform(range(1, length(lt) + 1),
+                                  i -> CAST(ord(substr(lt, i, 1)) AS BIGINT))),
                    (acc, c) -> (acc * 31 + c) % 2147483647) END AS rolling_hash,
-       CAST(length(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS BIGINT) AS n_chars
-FROM documents
+       CAST(length(lt) AS BIGINT) AS n_chars
+FROM t
 """
 
 

@@ -30,15 +30,11 @@ from tests.oracle_compare import compare
 sys.path.insert(
     0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
 )
-from preepoch_corpus_sweep import build_dir  # noqa: E402
+from preepoch_corpus_sweep import build_dir, select_keys  # noqa: E402
 
 REG = registry()
-TS_KEYS = sorted(
-    k
-    for k, s in REG.items()
-    if s.oracle
-    and any(t in s.oracle.lower() for t in ("orders", "lineitem", "events"))
-)
+# shared selection function — the pinned set cannot drift from the runner
+TS_KEYS = select_keys(REG)
 
 
 @pytest.fixture(scope="module")

@@ -31,24 +31,12 @@ from tests.oracle_compare import compare
 sys.path.insert(
     0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
 )
-from unicode_corpus_sweep import build_dir  # noqa: E402
+from unicode_corpus_sweep import build_dir, select_keys  # noqa: E402
 
 REG = registry()
-# doc-reading keys + the name-processing keys (the corpus plants
-# hostile p_name/c_name rows for the levenshtein/phonetic/ER family)
-# + the events-reading keys (hostile unicode event_type values and
-# unicode/escaped/astral JSON props)
-DOC_KEYS = sorted(
-    k
-    for k, s in REG.items()
-    if s.oracle
-    and (
-        "documents" in s.oracle.lower()
-        or "events" in s.oracle.lower()
-        or "p_name" in s.oracle
-        or "c_name" in s.oracle
-    )
-)
+# doc-, name- and events-reading keys — the ONE selection function is
+# shared with the standalone runner so the pinned set cannot drift
+DOC_KEYS = select_keys(REG)
 
 
 @pytest.fixture(scope="module")

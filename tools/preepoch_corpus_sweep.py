@@ -48,9 +48,11 @@ def _shift_days(src_path: str, cols: list[str]) -> "object":
 
     tbl = pq.read_table(src_path)
     first = [v for v in tbl.column(cols[0]).to_pylist() if v is not None]
-    mid = min(first) + (max(first) - min(first)) / 2
-    if isinstance(mid, int):  # nanos-as-int64 fixtures
-        mid = _EPOCH + dt.timedelta(microseconds=mid / 1000)
+    lo, hi = min(first), max(first)
+    if isinstance(lo, int):  # nanos-as-int64 fixtures
+        mid = _EPOCH + dt.timedelta(microseconds=((lo + hi) // 2) / 1000)
+    else:
+        mid = lo + (hi - lo) / 2
     shift_days = (mid.replace(tzinfo=None) - _EPOCH).days
     delta_us = shift_days * 86_400_000_000
     for col in cols:
@@ -75,6 +77,18 @@ def _shift_days(src_path: str, cols: list[str]) -> "object":
     return tbl
 
 
+def select_keys(reg) -> list[str]:
+    """The sweep's key set — ONE definition shared with the pinning
+    test (tests/test_preepoch_corpus_sweep.py) so the suite can never
+    drift from the documented runner."""
+    return sorted(
+        k
+        for k, s in reg.items()
+        if s.oracle
+        and any(t in s.oracle.lower() for t in ("orders", "lineitem", "events"))
+    )
+
+
 def build_dir(base: str, sf_src: str) -> str:
     import pyarrow.parquet as pq
 
@@ -84,11 +98,16 @@ def build_dir(base: str, sf_src: str) -> str:
     for t in FIXTURE_TABLES:
         dst = os.path.join(base, f"{t}.parquet")
         if t in _TS_COLS:
+            # unlink first: a pre-existing SYMLINK here (e.g. the dir was
+            # built by another sweep) would make write_table follow it
+            # and overwrite the shared source fixture in place
+            if os.path.lexists(dst):
+                os.unlink(dst)
             pq.write_table(
                 _shift_days(os.path.join(sf_src, f"{t}.parquet"), _TS_COLS[t]),
                 dst,
             )
-        elif not os.path.exists(dst):
+        elif not os.path.lexists(dst):
             os.symlink(os.path.join(sf_src, f"{t}.parquet"), dst)
     return base
 
@@ -107,12 +126,7 @@ def main() -> int:
     d = build_dir(out_dir, sf_src)
     spark = get_spark(app_name="preepoch_corpus_sweep")
     reg = registry()
-    keys = sorted(
-        k
-        for k, s in reg.items()
-        if s.oracle
-        and any(t in s.oracle.lower() for t in ("orders", "lineitem", "events"))
-    )
+    keys = select_keys(reg)
     print(f"{len(keys)} timestamp-table keys against {d}", flush=True)
     bad = 0
     for k in keys:

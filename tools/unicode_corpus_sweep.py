@@ -191,6 +191,11 @@ def build_dir(base: str, sf_src: str) -> str:
     os.makedirs(base, exist_ok=True)
     for t in FIXTURE_TABLES:
         dst = os.path.join(base, f"{t}.parquet")
+        # unlink before any write: a pre-existing SYMLINK here (a dir
+        # previously built by another sweep) would make write_table
+        # follow it and overwrite the shared source fixture in place
+        if t in ("documents", "part", "events", "customer") and os.path.lexists(dst):
+            os.unlink(dst)
         if t == "documents":
             pq.write_table(hostile_documents_table(), dst)
         elif t == "part":
@@ -213,9 +218,26 @@ def build_dir(base: str, sf_src: str) -> str:
                 ),
                 dst,
             )
-        elif not os.path.exists(dst):
+        elif not os.path.lexists(dst):
             os.symlink(os.path.join(sf_src, f"{t}.parquet"), dst)
     return base
+
+
+def select_keys(reg) -> list[str]:
+    """The sweep's key set — ONE definition shared with the pinning
+    test (tests/test_unicode_corpus_sweep.py) so the suite can never
+    drift from the documented runner."""
+    return sorted(
+        k
+        for k, s in reg.items()
+        if s.oracle
+        and (
+            "documents" in s.oracle.lower()
+            or "events" in s.oracle.lower()
+            or "p_name" in s.oracle
+            or "c_name" in s.oracle
+        )
+    )
 
 
 def main() -> int:
@@ -232,17 +254,7 @@ def main() -> int:
     d = build_dir(out_dir, sf_src)
     spark = get_spark(app_name="unicode_corpus_sweep")
     reg = registry()
-    doc_keys = sorted(
-        k
-        for k, s in reg.items()
-        if s.oracle
-        and (
-            "documents" in s.oracle.lower()
-            or "events" in s.oracle.lower()
-            or "p_name" in s.oracle
-            or "c_name" in s.oracle
-        )
-    )
+    doc_keys = select_keys(reg)
     print(f"{len(doc_keys)} doc/name/event-reading keys against {d}", flush=True)
     bad = 0
     for k in doc_keys:
