@@ -70,17 +70,11 @@ _HEAVY_QUERIES = {
 
 # Queries whose oracle SQL was fixed since the last driver sweep and
 # that therefore need a fresh post-fix hash-green row; they jump the
-# rotation until one exists.  (All prior cohorts — r6 HUGEINT, r7
-# TIMESTAMPTZ, r8→r9 decimal de-widening — are discharged green in
-# CORRECTNESS_r06/r07/r09 and dropped.)
-_NEEDS_REEVIDENCE: set[str] = {
-    # r10: compression_ratio_quality gained its first real oracle (the
-    # roundtrip-gated per-source byte contract, r9 VERDICT #1); it has
-    # zero green rows ever, so green-count ordering fronts it anyway —
-    # listed here for the audit trail.
-    "compression_ratio_quality",
-}
-_REEVIDENCE_AFTER_ROUND = 9  # green rows in CORRECTNESS_r>NN clear the flag
+# rotation until one exists.  (All prior cohorts are discharged green
+# and dropped: r6 HUGEINT, r7 TIMESTAMPTZ, r8→r9 decimal de-widening,
+# and r10's compression_ratio_quality — hash-green in CORRECTNESS_r10.)
+_NEEDS_REEVIDENCE: set[str] = set()
+_REEVIDENCE_AFTER_ROUND = 10  # green rows in CORRECTNESS_r>NN clear the flag
 
 
 def _tier(name: str) -> int:

@@ -74,3 +74,31 @@ def ascii_fold_sql(expr: str) -> str:
 def ascii_fold_duckdb_sql(expr: str) -> str:
     """DuckDB twin (verbatim backslashes, global flag explicit)."""
     return f"regexp_replace({expr}, '{_NON_ASCII_RE}', '?', 'g')"
+
+
+# ``ascii_fold`` maps EVERY non-ASCII code point to the same '?', so two
+# entirely different non-Latin strings fold EQUAL (levenshtein 0) — a
+# false-positive class on multilingual corpora (r10 ADVICE).  Fuzzy
+# matchers therefore surface a ``fold_ambiguous`` flag: the pair's
+# distance is trustworthy only when neither input lost information to
+# the fold (or the raw strings are bytewise equal, where distance 0 is
+# sound regardless).  Detection matches per code point on both engines
+# (probed incl. astral, see module docstring).
+
+
+def has_nonascii(col: Column | str) -> Column:
+    """TRUE iff the string contains any non-ASCII code point (Column
+    form — ``rlike`` takes the regex verbatim, no SQL unescaping)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.rlike(_NON_ASCII_RE)
+
+
+def has_nonascii_sql(expr: str) -> str:
+    """Spark-SQL-text form (backslashes doubled for the SQL parser)."""
+    pat = _NON_ASCII_RE.replace("\\", "\\\\")
+    return f"({expr} rlike '{pat}')"
+
+
+def has_nonascii_duckdb_sql(expr: str) -> str:
+    """DuckDB twin (verbatim backslashes)."""
+    return f"regexp_matches({expr}, '{_NON_ASCII_RE}')"

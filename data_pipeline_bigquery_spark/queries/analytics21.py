@@ -57,6 +57,8 @@ from data_pipeline_bigquery_spark.catalog import load
 from data_pipeline_bigquery_spark.functions.text import (
     ascii_fold,
     ascii_lower,
+    has_nonascii,
+    has_nonascii_duckdb_sql,
 )
 from data_pipeline_bigquery_spark.queries import QuerySpec
 from data_pipeline_bigquery_spark.queries.quantile_util import (
@@ -82,6 +84,15 @@ def _fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     UTF-8 BYTES ('café'/'cafe' is 1 vs 2, probed), so both engines
     ASCII-fold the DP inputs (functions/text.py): exact for ASCII
     names, non-ASCII characters compare as equal ('?').
+
+    Because the fold conflates EVERY non-ASCII code point, two
+    entirely different non-Latin names fold EQUAL (edit_dist 0) — so
+    each pair carries ``fold_ambiguous`` (r10 ADVICE): 1 when the raw
+    names differ AND either contains a non-ASCII code point (the
+    distance may be understated; downstream should confirm such pairs
+    with a single-engine full-Unicode pass), 0 when the distance is
+    exact (pure-ASCII inputs, or bytewise-equal raws where 0 is sound).
+    All-ASCII corpora (the TPC-H fixtures) flag nothing.
     """
     part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
 
@@ -108,7 +119,14 @@ def _fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("int"),
             )
             .filter(F.col("edit_dist") <= _FUZZY_MAX_DIST)
-            .select("brand", "key_a", "key_b", "edit_dist")
+            .withColumn(
+                "fold_ambiguous",
+                (
+                    (F.col("name_a") != F.col("name_b"))
+                    & (has_nonascii("name_a") | has_nonascii("name_b"))
+                ).cast("int"),
+            )
+            .select("brand", "key_a", "key_b", "edit_dist", "fold_ambiguous")
         )
 
     pre = pass_on(f"substr({{c}}, 1, {_FUZZY_BLOCK_LEN})")
@@ -158,7 +176,11 @@ suf AS (
 u AS (SELECT DISTINCT brand, key_a, key_b, name_a, name_b
       FROM (SELECT * FROM pre UNION ALL SELECT * FROM suf))
 SELECT brand, key_a, key_b,
-       CAST(levenshtein(regexp_replace(name_a, '[^\\x00-\\x7F]', '?', 'g'), regexp_replace(name_b, '[^\\x00-\\x7F]', '?', 'g')) AS INT) AS edit_dist
+       CAST(levenshtein(regexp_replace(name_a, '[^\\x00-\\x7F]', '?', 'g'), regexp_replace(name_b, '[^\\x00-\\x7F]', '?', 'g')) AS INT) AS edit_dist,
+       CAST(CASE WHEN name_a <> name_b
+                  AND ({has_nonascii_duckdb_sql('name_a')}
+                       OR {has_nonascii_duckdb_sql('name_b')})
+             THEN 1 ELSE 0 END AS INT) AS fold_ambiguous
 FROM u ORDER BY brand, key_a, key_b
 """
 

@@ -20,6 +20,8 @@ from data_pipeline_bigquery_spark.catalog import load
 from data_pipeline_bigquery_spark.functions.text import (
     ascii_fold,
     ascii_fold_duckdb_sql as _fold,
+    has_nonascii,
+    has_nonascii_duckdb_sql,
 )
 from data_pipeline_bigquery_spark.functions.timestamps import to_epoch_seconds
 from data_pipeline_bigquery_spark.operators.asof import asof_join
@@ -922,7 +924,12 @@ def _fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     levenshtein walks code points, DuckDB's walks UTF-8 BYTES
     (probed: 'café'/'cafe' is 1 vs 2) — folding every non-ASCII
     code point to one '?' makes the two walks identical; exact
-    for ASCII names, non-ASCII characters compare as equal."""
+    for ASCII names, non-ASCII characters compare as equal.  The
+    conflation risk that creates (different non-Latin names folding
+    EQUAL, r10 ADVICE) is surfaced per pair as ``fold_ambiguous``:
+    1 when the raw names differ and either contains non-ASCII (the
+    distance may be understated), 0 otherwise — always 0 on the
+    all-ASCII fixtures."""
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
     w = Window.partitionBy("c_nationkey").orderBy("c_name", "c_custkey")
     # window exprs evaluate in their own projection; the explode runs on
@@ -948,6 +955,12 @@ def _fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein(
                 ascii_fold("c_name"), ascii_fold(F.col("nbr.nbr_name"))
             ).alias("name_dist"),
+            (
+                (F.col("c_name") != F.col("nbr.nbr_name"))
+                & (has_nonascii("c_name") | has_nonascii(F.col("nbr.nbr_name")))
+            )
+            .cast("int")
+            .alias("fold_ambiguous"),
         )
     )
     return exploded.filter(F.col("name_dist") <= 1)
@@ -965,11 +978,15 @@ WITH nbr AS (
 pairs AS (
   {' UNION ALL '.join(
       f"SELECT c_custkey AS cust_a, k{i} AS cust_b, "
-      f"levenshtein({_fold('c_name')}, {_fold(f'n{i}')}) AS name_dist "
+      f"levenshtein({_fold('c_name')}, {_fold(f'n{i}')}) AS name_dist, "
+      f"CAST(CASE WHEN c_name <> n{i} AND ({has_nonascii_duckdb_sql('c_name')}"
+      f" OR {has_nonascii_duckdb_sql(f'n{i}')}) THEN 1 ELSE 0 END AS INT)"
+      f" AS fold_ambiguous "
       f"FROM nbr WHERE k{i} IS NOT NULL"
       for i in range(1, _FUZZY_WINDOW + 1)
   )})
-SELECT cust_a, cust_b, name_dist FROM pairs WHERE name_dist <= 1
+SELECT cust_a, cust_b, name_dist, fold_ambiguous
+FROM pairs WHERE name_dist <= 1
 """
 
 

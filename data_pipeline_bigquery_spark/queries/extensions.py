@@ -367,9 +367,12 @@ def _simhash_sql(bits: int = 16) -> str:
         for p in range(bits)
     )
     fp = ", ".join(f"CASE WHEN s_{p} >= 0 THEN '1' ELSE '0' END" for p in range(bits))
+    # the fold is spliced from the ONE shared helper (functions.text) so
+    # it cannot drift from the Spark side or from _simhash_pairs_sql's
+    # source-rewrite surgery
     return f"""
 WITH toks AS (
-  SELECT doc_id, md5(unnest(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '))) AS h FROM documents),
+  SELECT doc_id, md5(unnest(string_split({LOWER_TEXT_SQL}, ' '))) AS h FROM documents),
 sums AS (SELECT doc_id, {sums} FROM toks GROUP BY doc_id)
 SELECT doc_id, concat({fp}) AS simhash FROM sums
 """
@@ -435,9 +438,9 @@ def _simhash_pairs_sql() -> str:
     # reuse the ONE shared augmentation CTE (`_aug_cte`) — its lowered
     # text column is `t`, so rewrite the fingerprint SQL's source refs
     inner = _simhash_sql()
-    # loud surgery: if the fold expression in _simhash_sql ever drifts
-    # from the shared helper, fail at import instead of binding `text`
-    # against the aug CTE (which only exposes `t`) at run time
+    # _simhash_sql splices LOWER_TEXT_SQL itself, so this replace always
+    # binds; the guard stays as a cheap backstop against a future rewrite
+    # silently re-introducing a raw `text` reference the aug CTE lacks
     assert LOWER_TEXT_SQL in inner, "fold literal drifted from functions.text"
     inner = inner.replace(LOWER_TEXT_SQL, "t").replace(
         "FROM documents", "FROM aug"

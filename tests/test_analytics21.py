@@ -37,6 +37,49 @@ def test_fuzzy_pairs_are_within_threshold_and_blocked(spark):
     assert len(rows) == full
 
 
+def test_fuzzy_fold_ambiguous_flags_nonascii_conflation(spark, tmp_path):
+    """ascii_fold maps every non-ASCII code point to '?', so different
+    non-Latin names fold EQUAL (edit_dist 0) — the r10-ADVICE false-
+    positive class.  Pin that such pairs carry fold_ambiguous=1, that
+    pure-ASCII and raw-equal pairs carry 0, and that the hostile
+    fixture still hash-matches the DuckDB oracle."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fixture = [
+        (1, "B1", "abc王"),  # abc王
+        (2, "B1", "abc龍"),  # abc龍 — folds equal to #1: dist 0, AMBIGUOUS
+        (3, "B1", "abcd1"),
+        (4, "B1", "abcd2"),  # pure-ASCII dist 1: exact, flag 0
+        (5, "B1", "abc王"),  # raw-equal to #1: dist 0 is sound, flag 0
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([r[0] for r in fixture], pa.int64()),
+                "p_brand": [r[1] for r in fixture],
+                "p_name": [r[2] for r in fixture],
+            }
+        ),
+        str(tmp_path / "part.parquet"),
+    )
+    spec = analytics21.QUERIES["fuzzy_match_blocked"]
+    got = {
+        (r.key_a, r.key_b): (r.edit_dist, r.fold_ambiguous)
+        for r in spec.fn(spark, str(tmp_path)).collect()
+    }
+    assert got[(1, 2)] == (0, 1)  # the conflation class, flagged
+    assert got[(3, 4)] == (1, 0)  # ASCII distance is exact
+    assert got[(1, 5)] == (0, 0)  # bytewise-equal raws: 0 is sound
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW part AS SELECT * FROM '{tmp_path}/part.parquet'")
+    oracle = {
+        (a, b): (d, f) for _, a, b, d, f in con.sql(spec.oracle).fetchall()
+    }
+    assert oracle == got
+
+
 def test_markov_rows_are_conditional_distributions(spark):
     rows = _run(spark, "markov_event_transitions")
     assert rows

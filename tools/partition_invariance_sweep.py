@@ -18,6 +18,19 @@ Usage:
         /root/testdata/sf0.01 /tmp/inv_5.jsonl 7
     python tools/partition_invariance_sweep.py --diff /tmp/inv_32.jsonl /tmp/inv_5.jsonl
 
+Beyond parallelism, the same two-point pattern proves invariance on any
+session-config axis via repeated ``--conf k=v`` flags (applied through
+``get_spark(extra_conf=...)``, i.e. on top of session.py's pins), e.g.:
+
+    # ANSI-mode flip (r10 VERDICT ask #1)
+    python tools/partition_invariance_sweep.py /root/testdata/sf0.01 \
+        /tmp/inv_ansi.jsonl --conf spark.sql.ansi.enabled=true
+
+    # hostile session/JVM/Python timezone (run under TZ=Pacific/Chatham)
+    TZ=Pacific/Chatham python tools/partition_invariance_sweep.py \
+        /root/testdata/sf0.01 /tmp/inv_tz.jsonl \
+        --conf "spark.driver.extraJavaOptions=-Duser.timezone=Pacific/Chatham"
+
 The hash canonicalizes exactly like the local oracle-compare replica
 (columns sorted by name, rows sorted, Decimal/naive-datetime/NaN
 normalization) so a hash here is order-insensitive by construction —
@@ -83,16 +96,27 @@ def main() -> int:
     if len(sys.argv) >= 2 and sys.argv[1] == "--diff":
         return diff(sys.argv[2], sys.argv[3])
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    out_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/invariance.jsonl"
-    shuffle = int(sys.argv[3]) if len(sys.argv) > 3 else None
+    args = list(sys.argv[1:])
+    extra_conf: dict[str, str] = {}
+    while "--conf" in args:
+        i = args.index("--conf")
+        k, _, v = args[i + 1].partition("=")
+        extra_conf[k] = v
+        del args[i : i + 2]
+    sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+    out_path = args[1] if len(args) > 1 else "/tmp/invariance.jsonl"
+    shuffle = int(args[2]) if len(args) > 2 else None
 
     import __spark_entry__ as entry
     from data_pipeline_bigquery_spark.session import get_spark
 
     spark = get_spark(
-        app_name="partition_invariance_sweep", shuffle_partitions=shuffle
+        app_name="partition_invariance_sweep",
+        shuffle_partitions=shuffle,
+        extra_conf=extra_conf,
     )
+    if extra_conf:
+        print(f"extra_conf: {extra_conf}", flush=True)
     qs = entry.queries()
     print(
         f"{len(qs)} keys at {sf_dir} "

@@ -47,6 +47,19 @@ def _shift_days(src_path: str, cols: list[str]) -> "object":
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(src_path)
+    # midpoint/shift arithmetic below assumes timestamp (datetime) or
+    # nanos-as-int64 values; a date32 column yields datetime.date, where
+    # .replace(tzinfo=None) and date-datetime subtraction both raise
+    # (r10 ADVICE) — fail up front with the actual type, not mid-shift
+    for col in cols:
+        ftype = tbl.schema.field(col).type
+        if not (pa.types.is_timestamp(ftype) or pa.types.is_integer(ftype)):
+            raise TypeError(
+                f"{src_path}:{col} is {ftype}; the pre-epoch shifter "
+                "handles timestamp[*] and nanos-as-int64 columns only — "
+                "extend _shift_days (date32 → datetime at midnight) "
+                "before sweeping this fixture"
+            )
     first = [v for v in tbl.column(cols[0]).to_pylist() if v is not None]
     lo, hi = min(first), max(first)
     if isinstance(lo, int):  # nanos-as-int64 fixtures
