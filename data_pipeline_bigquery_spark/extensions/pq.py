@@ -64,8 +64,15 @@ def _sub(vec: Column, mi: int, dsub: int) -> Column:
 
 
 def _sq_dist(a: Column, b: Column) -> Column:
-    d = F.zip_with(a, b, lambda x, y: x - y)
-    return F.aggregate(F.zip_with(d, d, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    # ONE zip_with: (x−y)·(x−y) per element — bit-identical to the
+    # former d=zip_with(a,b,−); zip_with(d,d,·) form (the two evals of
+    # x−y were the same computation) at half the array allocations,
+    # which matters at encode volume (corpus × m × k evaluations)
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
 
 
 def train_pq_codebooks(
@@ -118,10 +125,17 @@ def train_pq_codebooks(
         lit_cb = _codebook_literal(cb, m_subspaces, k_codes)
         cbm = F.element_at(lit_cb, F.col("m") + 1)
         dists = F.transform(cbm, lambda cv: _sq_dist(F.col("sv"), cv))
-        assigned = sub.select(
+        # two-select split: the k-element distance array feeds BOTH
+        # array_position and array_min — materialized once per row
+        # here, it would be computed twice inlined (CollapseProject
+        # keeps multi-referenced non-cheap producers, the minhash
+        # fused-build pattern)
+        assigned = sub.select("m", "sv", dists.alias("__d")).select(
             "m",
             "sv",
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("code"),
+            (F.array_position(F.col("__d"), F.array_min(F.col("__d"))) - 1)
+            .cast("int")
+            .alias("code"),
         )
         new = (
             assigned.select("m", "code", F.posexplode("sv").alias("pos", "x"))
@@ -134,6 +148,51 @@ def train_pq_codebooks(
         )
         cb = {**cb, **{(r.m, r.code): list(r.cv) for r in new}}
     return cb
+
+
+def train_ivf_pq_artifacts(
+    corpus: DataFrame,
+    nlist: int = 16,
+    m_subspaces: int = 8,
+    k_codes: int = 16,
+    train_iters: int = 2,
+    pq_iters: int = 2,
+    sample_pct: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[tuple[int, list[float]]], dict[tuple[int, int], list[float]]]:
+    """The TRAINING half of :func:`ivf_pq_topk`, returned as plain
+    driver values ``(centroid rows, codebooks)`` so a caller can
+    persist them (both are KBs of doubles; JSON round-trips Python
+    floats exactly via shortest-repr, so a reloaded artifact rebuilds
+    the IDENTICAL literal expressions) and amortize training across
+    runs — the offline-train / online-encode split every production
+    IVF-PQ deployment uses.  Same determinism guarantees as the inline
+    path: this IS the inline path, factored out."""
+    centroids = train_ivf_centroids(
+        corpus, nlist=nlist, iters=train_iters, sample_pct=sample_pct,
+        id_col=id_col, vec_col=vec_col,
+    )
+    assigned = assign_cells(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    cmap = F.broadcast(centroids.select("cell", F.col("centroid").alias("c_vec")))
+    with_resid = assigned.join(cmap, "cell").select(
+        F.col(id_col),
+        F.zip_with(vec_col, "c_vec", lambda x, c: x - c).alias("resid"),
+    )
+    dim = len(corpus.select(vec_col).first()[0])
+    cb = train_pq_codebooks(
+        with_resid,
+        m_subspaces=m_subspaces,
+        k_codes=k_codes,
+        iters=pq_iters,
+        id_col=id_col,
+        dim=dim,
+    )
+    cent_rows = [
+        (r.cell, list(r.centroid))
+        for r in centroids.orderBy("cell").collect()
+    ]
+    return cent_rows, cb
 
 
 def ivf_pq_topk(
@@ -150,6 +209,8 @@ def ivf_pq_topk(
     sample_pct: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    codebooks: dict[tuple[int, int], list[float]] | None = None,
 ) -> DataFrame:
     """IVF-PQ ANN with exact re-ranking.
 
@@ -163,11 +224,19 @@ def ivf_pq_topk(
 
     Returns ``(query_id, neighbor_id, cosine_sim)`` like the exact
     top-k — sims on the shortlist are exact, so downstream thresholds
-    behave identically."""
-    centroids = train_ivf_centroids(
-        corpus, nlist=nlist, iters=train_iters, sample_pct=sample_pct,
-        id_col=id_col, vec_col=vec_col,
-    )
+    behave identically.
+
+    ``centroids``/``codebooks`` inject pre-trained artifacts (from
+    :func:`train_ivf_pq_artifacts`, possibly persisted) so the run
+    measures encode + probe only; omitted, each trains inline —
+    bit-identical results either way (training is deterministic and
+    the artifacts round-trip the driver as plain floats in BOTH
+    modes)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, nlist=nlist, iters=train_iters, sample_pct=sample_pct,
+            id_col=id_col, vec_col=vec_col,
+        )
     assigned = assign_cells(corpus, centroids, id_col=id_col, vec_col=vec_col)
     cmap = F.broadcast(centroids.select("cell", F.col("centroid").alias("c_vec")))
     with_resid = (
@@ -179,9 +248,10 @@ def ivf_pq_topk(
             F.zip_with(vec_col, "c_vec", lambda x, c: x - c).alias("resid"),
         )
     )
-    # PQ training on the residuals (optionally sampled upstream)
+    # PQ training on the residuals (optionally sampled upstream),
+    # unless pre-trained codebooks were injected
     dim = len(corpus.select(vec_col).first()[0])
-    cb = train_pq_codebooks(
+    cb = codebooks if codebooks is not None else train_pq_codebooks(
         with_resid.select(F.col("nid").alias(id_col), "resid"),
         m_subspaces=m_subspaces,
         k_codes=k_codes,
@@ -192,18 +262,33 @@ def ivf_pq_topk(
     dsub = dim // m_subspaces
     lit_cb = _codebook_literal(cb, m_subspaces, k_codes)
 
-    def _encode_one(mi: int) -> Column:
-        dists = F.transform(
+    # encode in two projections (same split as the trainer): the m
+    # k-element distance arrays materialize once per row, then the
+    # argmin reads each twice for free — inlined, every array would be
+    # evaluated 2× (array_position + array_min), doubling the encode,
+    # the key's dominant cost at corpus scale
+    dist_cols = [
+        F.transform(
             F.element_at(lit_cb, mi + 1),
-            lambda cv: _sq_dist(_sub(F.col("resid"), mi, dsub), cv),
-        )
-        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-
-    encoded = with_resid.select(
+            lambda cv, _mi=mi: _sq_dist(_sub(F.col("resid"), _mi, dsub), cv),
+        ).alias(f"__d_{mi}")
+        for mi in range(m_subspaces)
+    ]
+    encoded = with_resid.select("cell", "nid", "vec", *dist_cols).select(
         "cell",
         "nid",
         "vec",
-        F.array(*[_encode_one(mi) for mi in range(m_subspaces)]).alias("codes"),
+        F.array(
+            *[
+                (
+                    F.array_position(
+                        F.col(f"__d_{mi}"), F.array_min(F.col(f"__d_{mi}"))
+                    )
+                    - 1
+                ).cast("int")
+                for mi in range(m_subspaces)
+            ]
+        ).alias("codes"),
     )
 
     # query → nprobe cells (broadcast centroid table, like ivf_topk)

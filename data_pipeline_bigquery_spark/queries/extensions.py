@@ -669,13 +669,91 @@ def _ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(queries, emb, k=5, nprobe=2, auto_cells=10, train_iters=2)
 
 
+# the contract's training hyperparameters — ONE dict feeding both the
+# trainer and the artifact-cache fingerprint, so a parameter change can
+# never serve a stale artifact
+_PQ_PARAMS = dict(nlist=10, m_subspaces=8, k_codes=16, train_iters=1, pq_iters=1)
+
+#: test seam — overrides the default gitignored spark-warehouse cache dir
+_PQ_CACHE_DIR: str | None = None
+
+
+def _pq_cached_artifacts(spark: SparkSession, sf_dir: str):
+    """Offline-train / online-encode amortization for the IVF-PQ
+    contract (r10 VERDICT #6): the trained artifacts (centroid rows +
+    PQ codebooks, KBs of doubles) persist as JSON under the gitignored
+    ``spark-warehouse/pq_artifact_cache/``, fingerprinted by the
+    embeddings file's (abspath, size, mtime_ns) and the full parameter
+    dict — any fixture or parameter drift misses the cache and
+    retrains.  JSON round-trips Python floats exactly (shortest-repr),
+    and the inline trainer ITSELF round-trips the same floats through
+    the driver, so cached and fresh runs build bit-identical literal
+    expressions — proven by
+    tests/test_ann_recall.py::test_pq_cached_artifacts_match_fresh_training.
+    Returns ``(centroids DataFrame, codebooks dict)``; falls back to
+    (None, None) → inline training when the source can't be stat'd
+    (non-local layouts)."""
+    import hashlib
+    import json
+    import os
+
+    from data_pipeline_bigquery_spark.extensions.pq import (
+        train_ivf_pq_artifacts,
+    )
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+    except OSError:
+        return None, None
+    fp = hashlib.md5(
+        json.dumps(
+            [os.path.abspath(src), st.st_size, st.st_mtime_ns,
+             sorted(_PQ_PARAMS.items())]
+        ).encode()
+    ).hexdigest()
+    cache_dir = _PQ_CACHE_DIR
+    if cache_dir is None:
+        here = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        cache_dir = os.path.join(here, "spark-warehouse", "pq_artifact_cache")
+    path = os.path.join(cache_dir, f"{fp}.json")
+    if os.path.exists(path):
+        with open(path) as fh:
+            art = json.load(fh)
+        cent_rows = [(int(c), list(v)) for c, v in art["centroids"]]
+        cb = {(int(mi), int(ki)): list(v) for mi, ki, v in art["codebooks"]}
+    else:
+        emb = load(spark, sf_dir, "embeddings")
+        cent_rows, cb = train_ivf_pq_artifacts(emb, **_PQ_PARAMS)
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "centroids": cent_rows,
+                    "codebooks": [[mi, ki, v] for (mi, ki), v in sorted(cb.items())],
+                },
+                fh,
+            )
+        os.replace(tmp, path)  # atomic: concurrent runs see whole files
+    centroids = spark.createDataFrame(
+        cent_rows, "cell int, centroid array<double>"
+    )
+    return centroids, cb
+
+
 def _ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ with exact re-ranking (extensions/pq.py): trained coarse
     quantizer → per-subspace residual codebooks → corpus encoded to 8
     small ints (64× compression) by a literal-codebook codegen
     projection → ADC candidate scoring on codes alone → exact cosine on
     the shortlist.  Recall gated vs brute force in
-    tests/test_ann_recall.py.
+    tests/test_ann_recall.py.  Training amortizes across runs via
+    :func:`_pq_cached_artifacts` (bit-identical results either way);
+    the library path (``ivf_pq_topk`` with no injection) still trains
+    inline and stays under test.
 
     Parameter scale rule (r10): the rerank SHORTLIST must grow with
     per-cell occupancy, not stay fixed — at sf0.1 (10× vectors per
@@ -690,8 +768,10 @@ def _ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
+    centroids, cb = _pq_cached_artifacts(spark, sf_dir)
     return ivf_pq_topk(
-        queries, emb, k=5, nlist=10, nprobe=4, rerank=32, train_iters=1, pq_iters=1
+        queries, emb, k=5, nprobe=4, rerank=32,
+        centroids=centroids, codebooks=cb, **_PQ_PARAMS,
     )
 
 

@@ -63,6 +63,43 @@ def test_ivf_pq_recall(spark):
     assert recall >= 0.7, f"IVF-PQ recall@5 collapsed: {recall:.2f}"
 
 
+def test_pq_cached_artifacts_match_fresh_training(spark, tmp_path, monkeypatch):
+    """The contract's artifact cache must be invisible in the results:
+    JSON round-trips the trained floats exactly, so the cached run's
+    literal expressions — and therefore every emitted row — are
+    bit-identical to inline training.  Drives the REAL query fn twice
+    (cold → trains + persists, warm → loads) against a fresh inline
+    ivf_pq_topk, with the cache redirected under tmp_path."""
+    import json
+
+    from data_pipeline_bigquery_spark.extensions.pq import ivf_pq_topk
+    from data_pipeline_bigquery_spark.queries import extensions as qext
+
+    cache_dir = tmp_path / "pq_artifact_cache"
+    monkeypatch.setattr(qext, "_PQ_CACHE_DIR", str(cache_dir))
+
+    cold = sorted(map(tuple, qext._ann_ivf_pq(spark, SF_DIR).collect()))
+    files = list(cache_dir.glob("*.json"))
+    assert len(files) == 1  # trained once, persisted
+    art = json.loads(files[0].read_text())
+    assert art["centroids"] and art["codebooks"]
+
+    warm = sorted(map(tuple, qext._ann_ivf_pq(spark, SF_DIR).collect()))
+    assert list(cache_dir.glob("*.json")) == files  # cache HIT, no retrain
+    fresh = sorted(
+        map(
+            tuple,
+            ivf_pq_topk(
+                *(lambda e: (e.filter(F.col("vec_id") < 8), e))(
+                    load(spark, SF_DIR, "embeddings")
+                ),
+                k=5, nprobe=4, rerank=32, **qext._PQ_PARAMS,
+            ).collect(),
+        )
+    )
+    assert cold == warm == fresh
+
+
 def test_ivf_trained_quantizer_recall(spark):
     """Sampled-k-means quantizer: recall must stay usable.  On this
     fixture (10 planted label clusters) the lowest-id seeds already sit
