@@ -226,17 +226,24 @@ def _minhash_estimate_calibration(
         .repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", F.expr(shingle_set_expr).alias("gs"))
     )
+    # shuffle_hash hints: the shingle-set frame's PRE-execution size
+    # estimate counts rows, not the ~300-element string arrays behind
+    # them, so AQE promotes these joins to broadcast and pays a ~1 GB
+    # single-threaded broadcast build at sf1 (measured: the whole key
+    # 31 s → 9 s with the hint) — and a 1 GB broadcast × N executors
+    # is exactly the wrong shape at lake scale.  Shuffle-hash keys the
+    # arrays by doc id once and never sorts or broadcasts them.
     exact = (
         pairs.join(
             shingle_sets.select(
                 F.col("doc_id").alias("doc_a"), F.col("gs").alias("gs_a")
-            ),
+            ).hint("shuffle_hash"),
             "doc_a",
         )
         .join(
             shingle_sets.select(
                 F.col("doc_id").alias("doc_b"), F.col("gs").alias("gs_b")
-            ),
+            ).hint("shuffle_hash"),
             "doc_b",
         )
         .select(

@@ -51,6 +51,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # pin ANSI to Spark 4's default so the engine doesn't float on
+        # the installed build's flag; the registry is additionally
+        # PROVEN flag-independent (ANSI-off invariance sweep, round 11
+        # — the arithmetic routes through DECIMAL/guarded div paths
+        # that behave identically both ways on in-contract inputs)
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
