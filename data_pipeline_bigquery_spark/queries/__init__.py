@@ -7,14 +7,57 @@ equivalent ANSI SQL the DuckDB oracle runs on the same parquet tables.
 
 Column names are aliased identically on both sides — the driver's
 compare sorts columns by name before hashing values.
+
+Output-boundary TIMESTAMP → TIMESTAMP_NTZ (round 11): PySpark's
+``collect()`` renders instant-semantics TIMESTAMP columns as naive
+datetimes in the PYTHON PROCESS's local timezone — not the pinned UTC
+session TZ — so a driver running under a non-UTC TZ reads shifted
+values while the DuckDB oracle's tz-naive timestamps never move
+(45 of 351 keys diverged under TZ=Pacific/Chatham; probe: a UTC-noon
+instant collected as 00:45 next day).  :func:`registry` therefore
+casts every top-level TimestampType output column to TIMESTAMP_NTZ —
+under the pinned UTC session the cast extracts the UTC wall clock, so
+values are bit-identical for a UTC driver and now PROVEN identical
+under a hostile one (re-swept 0 divergent).  Engine-INTERNAL
+timestamps stay instant-semantics TIMESTAMP; only the driver-facing
+boundary is wall-clock.
 """
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _ntz_output_boundary(
+    fn: Callable[[SparkSession, str], DataFrame],
+) -> Callable[[SparkSession, str], DataFrame]:
+    """Cast top-level TIMESTAMP output columns to TIMESTAMP_NTZ (see
+    module docstring) — a no-op select when no timestamp is emitted."""
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        df = fn(spark, sf_dir)
+        if not any(
+            isinstance(f.dataType, T.TimestampType) for f in df.schema.fields
+        ):
+            return df
+        return df.select(
+            *[
+                F.col(f.name).cast(T.TimestampNTZType()).alias(f.name)
+                if isinstance(f.dataType, T.TimestampType)
+                else F.col(f.name)
+                for f in df.schema.fields
+            ]
+        )
+
+    return wrapped
 
 
 @dataclass(frozen=True)
@@ -51,4 +94,7 @@ def registry() -> dict[str, QuerySpec]:
     merged: dict[str, QuerySpec] = {}
     for mod in registry_modules():
         merged.update(mod.QUERIES)
-    return merged
+    return {
+        name: QuerySpec(_ntz_output_boundary(spec.fn), spec.oracle)
+        for name, spec in merged.items()
+    }
