@@ -267,13 +267,18 @@ def ivf_pq_topk(
     # argmin reads each twice for free — inlined, every array would be
     # evaluated 2× (array_position + array_min), doubling the encode,
     # the key's dominant cost at corpus scale
-    dist_cols = [
-        F.transform(
+    def _dist_col(mi: int) -> Column:
+        # bind mi through a def, NEVER a defaulted lambda parameter:
+        # pyspark passes (element, index) to any 2-parameter lambda —
+        # a `lambda cv, _mi=mi:` silently receives the CODEWORD INDEX
+        # as _mi and encodes garbage (caught by the sf1 duplicate-probe
+        # spot check; pinned by test_pq_adc_ranks_exact_duplicate_first)
+        return F.transform(
             F.element_at(lit_cb, mi + 1),
-            lambda cv, _mi=mi: _sq_dist(_sub(F.col("resid"), _mi, dsub), cv),
+            lambda cv: _sq_dist(_sub(F.col("resid"), mi, dsub), cv),
         ).alias(f"__d_{mi}")
-        for mi in range(m_subspaces)
-    ]
+
+    dist_cols = [_dist_col(mi) for mi in range(m_subspaces)]
     encoded = with_resid.select("cell", "nid", "vec", *dist_cols).select(
         "cell",
         "nid",

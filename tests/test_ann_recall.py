@@ -63,6 +63,60 @@ def test_ivf_pq_recall(spark):
     assert recall >= 0.7, f"IVF-PQ recall@5 collapsed: {recall:.2f}"
 
 
+def test_pq_adc_ranks_exact_duplicate_first(spark):
+    """ADC-sanity pin the small-SF recall gates CANNOT provide: when the
+    probed candidate pool fits inside the rerank·k shortlist, the exact
+    rerank hides ANY garbage in the ADC scoring/encode (this is how a
+    broken encode — pyspark binding the codeword index into a defaulted
+    lambda parameter — passed every sf0.001/sf0.01 gate and only
+    surfaced at sf1).  Here the pool (≈ corpus/nlist·nprobe = 800) far
+    exceeds the shortlist (rerank·k = 10), so the planted exact
+    duplicates reach the output ONLY if their ADC ranks them into the
+    shortlist."""
+    import math
+
+    from data_pipeline_bigquery_spark.extensions.pq import ivf_pq_topk
+
+    dim, n = 16, 4000
+    rows = []
+    for i in range(n):
+        # deterministic pseudo-random vectors, DISTINCT for every i (no
+        # modular repetition — a corpus with accidental exact copies
+        # gives PQ legitimate near-ties and makes top-1 meaningless)
+        rows.append(
+            (
+                i,
+                [
+                    math.sin(i * 12.9898 + j * 78.233) * 43758.5453 % 1.0
+                    - 0.5
+                    for j in range(dim)
+                ],
+            )
+        )
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = corpus.filter(F.col("vec_id") < 4)
+    # plant one exact duplicate of each query deep in the id range
+    dups = queries.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    full = corpus.unionByName(dups)
+    out = ivf_pq_topk(
+        queries, full, k=5, nlist=5, nprobe=1, rerank=2,
+        train_iters=1, pq_iters=1,
+    )
+    got = {
+        r.query_id: [r2.neighbor_id for r2 in out.filter(
+            F.col("query_id") == r.query_id
+        ).orderBy(F.col("cosine_sim").desc(), "neighbor_id").collect()]
+        for r in queries.select(F.col("vec_id").alias("query_id")).collect()
+    }
+    for q, nids in got.items():
+        assert nids and nids[0] == q + 1_000_000, (
+            f"query {q}: exact duplicate not ranked first "
+            f"(got {nids[:3]}) — ADC scoring/encode is broken"
+        )
+
+
 def test_pq_cached_artifacts_match_fresh_training(spark, tmp_path, monkeypatch):
     """The contract's artifact cache must be invisible in the results:
     JSON round-trips the trained floats exactly, so the cached run's
