@@ -677,39 +677,38 @@ _PQ_PARAMS = dict(nlist=10, m_subspaces=8, k_codes=16, train_iters=1, pq_iters=1
 #: test seam — overrides the default gitignored spark-warehouse cache dir
 _PQ_CACHE_DIR: str | None = None
 
+#: the reuse-centroids contract's training hyperparameters (same ONE-dict
+#: rule as _PQ_PARAMS: the dict feeds both the trainer and the cache key)
+_REUSE_PARAMS = dict(nlist=10, iters=2)
 
-def _pq_cached_artifacts(spark: SparkSession, sf_dir: str):
-    """Offline-train / online-encode amortization for the IVF-PQ
-    contract (r10 VERDICT #6): the trained artifacts (centroid rows +
-    PQ codebooks, KBs of doubles) persist as JSON under the gitignored
+
+def _cached_train(sf_dir: str, tag: str, params: dict, build):
+    """Offline-train / online-encode amortization shared by the ANN
+    contracts (r10 VERDICT #6): a trained artifact (KBs of doubles)
+    persists as JSON under the gitignored
     ``spark-warehouse/pq_artifact_cache/``, fingerprinted by the
-    embeddings file's (abspath, size, mtime_ns) and the full parameter
-    dict — any fixture or parameter drift misses the cache and
-    retrains.  JSON round-trips Python floats exactly (shortest-repr),
-    and the inline trainer ITSELF round-trips the same floats through
-    the driver, so cached and fresh runs build bit-identical literal
-    expressions — proven by
-    tests/test_ann_recall.py::test_pq_cached_artifacts_match_fresh_training.
-    Returns ``(centroids DataFrame, codebooks dict)``; falls back to
-    (None, None) → inline training when the source can't be stat'd
-    (non-local layouts)."""
+    embeddings file's (abspath, size, mtime_ns) plus ``tag`` and the
+    full parameter dict — any fixture or parameter drift misses the
+    cache and retrains.  JSON round-trips Python floats exactly
+    (shortest-repr), and the inline trainers THEMSELVES round-trip the
+    same floats through the driver, so cached and fresh runs build
+    bit-identical literal expressions — proven per contract in
+    tests/test_ann_recall.py.  ``build()`` must return a JSON-able
+    payload; returns (payload, True) or, when the source can't be
+    stat'd (non-local layouts), (None, False) → caller trains inline."""
     import hashlib
     import json
     import os
-
-    from data_pipeline_bigquery_spark.extensions.pq import (
-        train_ivf_pq_artifacts,
-    )
 
     src = os.path.join(sf_dir, "embeddings.parquet")
     try:
         st = os.stat(src)
     except OSError:
-        return None, None
+        return None, False
     fp = hashlib.md5(
         json.dumps(
-            [os.path.abspath(src), st.st_size, st.st_mtime_ns,
-             sorted(_PQ_PARAMS.items())]
+            [os.path.abspath(src), st.st_size, st.st_mtime_ns, tag,
+             sorted(params.items())]
         ).encode()
     ).hexdigest()
     cache_dir = _PQ_CACHE_DIR
@@ -718,26 +717,41 @@ def _pq_cached_artifacts(spark: SparkSession, sf_dir: str):
             os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         )
         cache_dir = os.path.join(here, "spark-warehouse", "pq_artifact_cache")
-    path = os.path.join(cache_dir, f"{fp}.json")
+    path = os.path.join(cache_dir, f"{tag}-{fp}.json")
     if os.path.exists(path):
         with open(path) as fh:
-            art = json.load(fh)
-        cent_rows = [(int(c), list(v)) for c, v in art["centroids"]]
-        cb = {(int(mi), int(ki)): list(v) for mi, ki, v in art["codebooks"]}
-    else:
+            return json.load(fh), True
+    payload = build()
+    os.makedirs(cache_dir, exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh)
+    os.replace(tmp, path)  # atomic: concurrent runs see whole files
+    return payload, True
+
+
+def _pq_cached_artifacts(spark: SparkSession, sf_dir: str):
+    """IVF-PQ trained artifacts via :func:`_cached_train`.  Returns
+    ``(centroids DataFrame, codebooks dict)``, or (None, None) →
+    inline training.  Equivalence pinned by
+    tests/test_ann_recall.py::test_pq_cached_artifacts_match_fresh_training."""
+    from data_pipeline_bigquery_spark.extensions.pq import (
+        train_ivf_pq_artifacts,
+    )
+
+    def build():
         emb = load(spark, sf_dir, "embeddings")
         cent_rows, cb = train_ivf_pq_artifacts(emb, **_PQ_PARAMS)
-        os.makedirs(cache_dir, exist_ok=True)
-        tmp = f"{path}.tmp.{os.getpid()}"
-        with open(tmp, "w") as fh:
-            json.dump(
-                {
-                    "centroids": cent_rows,
-                    "codebooks": [[mi, ki, v] for (mi, ki), v in sorted(cb.items())],
-                },
-                fh,
-            )
-        os.replace(tmp, path)  # atomic: concurrent runs see whole files
+        return {
+            "centroids": cent_rows,
+            "codebooks": [[mi, ki, v] for (mi, ki), v in sorted(cb.items())],
+        }
+
+    art, ok = _cached_train(sf_dir, "ivfpq", _PQ_PARAMS, build)
+    if not ok:
+        return None, None
+    cent_rows = [(int(c), list(v)) for c, v in art["centroids"]]
+    cb = {(int(mi), int(ki)): list(v) for mi, ki, v in art["codebooks"]}
     centroids = spark.createDataFrame(
         cent_rows, "cell int, centroid array<double>"
     )
@@ -845,7 +859,29 @@ def _ann_reuse_centroids_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    cents = train_ivf_centroids(emb, nlist=10, iters=2)
+
+    # the amortized path amortizes its own training too: centroids are
+    # the persisted artifact (train_ivf_centroids already round-trips
+    # them through the driver as plain floats, so the JSON cache is
+    # bit-identical — same argument as _pq_cached_artifacts, pinned by
+    # test_reuse_centroids_cache_matches_fresh_training)
+    def build():
+        return [
+            (r.cell, list(r.centroid))
+            for r in train_ivf_centroids(emb, **_REUSE_PARAMS)
+            .orderBy("cell")
+            .collect()
+        ]
+
+    rows, ok = _cached_train(sf_dir, "ivfreuse", _REUSE_PARAMS, build)
+    cents = (
+        spark.createDataFrame(
+            [(int(c), list(v)) for c, v in rows],
+            "cell int, centroid array<double>",
+        )
+        if ok
+        else train_ivf_centroids(emb, **_REUSE_PARAMS)
+    )
     approx = similarity_topk(queries, emb, k=5, centroids=cents, nprobe=3)
     return _recall_contract(spark, sf_dir, approx, 0.7)
 

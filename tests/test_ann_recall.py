@@ -154,6 +154,25 @@ def test_pq_cached_artifacts_match_fresh_training(spark, tmp_path, monkeypatch):
     assert cold == warm == fresh
 
 
+def test_reuse_centroids_cache_matches_fresh_training(spark, tmp_path, monkeypatch):
+    """Same equivalence pin as the PQ cache, for the reuse-centroids
+    contract: cold (train+persist) == warm (load) == fresh inline."""
+    from data_pipeline_bigquery_spark.queries import extensions as qext
+
+    cache_dir = tmp_path / "pq_artifact_cache"
+    monkeypatch.setattr(qext, "_PQ_CACHE_DIR", str(cache_dir))
+    cold = sorted(
+        map(tuple, qext._ann_reuse_centroids_recall(spark, SF_DIR).collect())
+    )
+    files = list(cache_dir.glob("ivfreuse-*.json"))
+    assert len(files) == 1
+    warm = sorted(
+        map(tuple, qext._ann_reuse_centroids_recall(spark, SF_DIR).collect())
+    )
+    assert list(cache_dir.glob("ivfreuse-*.json")) == files  # HIT
+    assert cold == warm and cold  # non-empty: the recall gate passed
+
+
 def test_ivf_trained_quantizer_recall(spark):
     """Sampled-k-means quantizer: recall must stay usable.  On this
     fixture (10 planted label clusters) the lowest-id seeds already sit
