@@ -532,6 +532,7 @@ def ivf_topk(
     auto_cells: int | None = None,
     train_iters: int = 0,
     sample_pct: int | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: assign each query to its ``nprobe`` nearest cells
     (broadcast join vs the tiny centroid table), then run exact cosine
@@ -547,7 +548,14 @@ def ivf_topk(
     :func:`train_ivf_centroids` (sampled spherical k-means over
     ``sample_pct`` of the corpus) — the scale path, where cells track
     the data distribution instead of the seed draw."""
-    if auto_cells is not None and train_iters > 0:
+    if centroids is not None:
+        # pre-trained quantizer injection (possibly a persisted
+        # artifact): identical to the train_iters path below given the
+        # same centroid floats — training is deterministic and already
+        # round-trips the driver, so a JSON-cached table is bit-identical
+        corpus = assign_cells(corpus, centroids, id_col=id_col, vec_col=vec_col)
+        label_col = "cell"
+    elif auto_cells is not None and train_iters > 0:
         centroids = train_ivf_centroids(
             corpus, nlist=auto_cells, iters=train_iters,
             sample_pct=sample_pct, id_col=id_col, vec_col=vec_col,

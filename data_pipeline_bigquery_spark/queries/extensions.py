@@ -663,10 +663,42 @@ def _ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with a LEARNED quantizer (sampled spherical k-means) instead
     of seed cells — the 100 TB path, where cells must track the data
-    distribution.  Recall gated in tests/test_ann_recall.py."""
+    distribution.  Recall gated in tests/test_ann_recall.py.  The
+    quantizer amortizes through the same artifact cache as the other
+    trained contracts (bit-identical; pinned by
+    test_ivf_trained_cache_matches_fresh_training)."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    return ivf_topk(queries, emb, k=5, nprobe=2, auto_cells=10, train_iters=2)
+
+    def build():
+        from data_pipeline_bigquery_spark.extensions.similarity import (
+            train_ivf_centroids,
+        )
+
+        return [
+            (r.cell, list(r.centroid))
+            for r in train_ivf_centroids(
+                emb, nlist=_TRAINED_PARAMS["auto_cells"],
+                iters=_TRAINED_PARAMS["train_iters"],
+            )
+            .orderBy("cell")
+            .collect()
+        ]
+
+    rows, ok = _cached_train(sf_dir, "ivftrained", _TRAINED_PARAMS, build)
+    cents = (
+        spark.createDataFrame(
+            [(int(c), list(v)) for c, v in rows],
+            "cell int, centroid array<double>",
+        )
+        if ok
+        else None
+    )
+    return ivf_topk(
+        queries, emb, k=5, nprobe=2, centroids=cents,
+        auto_cells=_TRAINED_PARAMS["auto_cells"],
+        train_iters=_TRAINED_PARAMS["train_iters"],
+    )
 
 
 # the contract's training hyperparameters — ONE dict feeding both the
@@ -680,6 +712,9 @@ _PQ_CACHE_DIR: str | None = None
 #: the reuse-centroids contract's training hyperparameters (same ONE-dict
 #: rule as _PQ_PARAMS: the dict feeds both the trainer and the cache key)
 _REUSE_PARAMS = dict(nlist=10, iters=2)
+
+#: the trained-IVF contract's hyperparameters (same ONE-dict rule)
+_TRAINED_PARAMS = dict(auto_cells=10, train_iters=2)
 
 
 def _cached_train(sf_dir: str, tag: str, params: dict, build):

@@ -173,6 +173,30 @@ def test_reuse_centroids_cache_matches_fresh_training(spark, tmp_path, monkeypat
     assert cold == warm and cold  # non-empty: the recall gate passed
 
 
+def test_ivf_trained_cache_matches_fresh_training(spark, tmp_path, monkeypatch):
+    """Equivalence pin for the trained-IVF contract's quantizer cache:
+    cold (train+persist) == warm (load) == the pre-cache inline form
+    (ivf_topk training internally with the same hyperparameters)."""
+    from data_pipeline_bigquery_spark.queries import extensions as qext
+
+    cache_dir = tmp_path / "pq_artifact_cache"
+    monkeypatch.setattr(qext, "_PQ_CACHE_DIR", str(cache_dir))
+    cold = sorted(map(tuple, qext._ann_ivf_trained(spark, SF_DIR).collect()))
+    assert len(list(cache_dir.glob("ivftrained-*.json"))) == 1
+    warm = sorted(map(tuple, qext._ann_ivf_trained(spark, SF_DIR).collect()))
+    emb = load(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    fresh = sorted(
+        map(
+            tuple,
+            ivf_topk(
+                queries, emb, k=5, nprobe=2, auto_cells=10, train_iters=2
+            ).collect(),
+        )
+    )
+    assert cold == warm == fresh and cold
+
+
 def test_ivf_trained_quantizer_recall(spark):
     """Sampled-k-means quantizer: recall must stay usable.  On this
     fixture (10 planted label clusters) the lowest-id seeds already sit
