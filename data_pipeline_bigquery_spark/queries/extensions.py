@@ -664,40 +664,16 @@ def _ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with a LEARNED quantizer (sampled spherical k-means) instead
     of seed cells — the 100 TB path, where cells must track the data
     distribution.  Recall gated in tests/test_ann_recall.py.  The
-    quantizer amortizes through the same artifact cache as the other
-    trained contracts (bit-identical; pinned by
+    quantizer amortizes through the SHARED "ivfcent" artifact (same
+    hyperparameters as the reuse contract ⇒ same centroids; pinned by
     test_ivf_trained_cache_matches_fresh_training)."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-
-    def build():
-        from data_pipeline_bigquery_spark.extensions.similarity import (
-            train_ivf_centroids,
-        )
-
-        return [
-            (r.cell, list(r.centroid))
-            for r in train_ivf_centroids(
-                emb, nlist=_TRAINED_PARAMS["auto_cells"],
-                iters=_TRAINED_PARAMS["train_iters"],
-            )
-            .orderBy("cell")
-            .collect()
-        ]
-
-    rows, ok = _cached_train(sf_dir, "ivftrained", _TRAINED_PARAMS, build)
-    cents = (
-        spark.createDataFrame(
-            [(int(c), list(v)) for c, v in rows],
-            "cell int, centroid array<double>",
-        )
-        if ok
-        else None
-    )
+    cents = _cached_centroids(spark, sf_dir)
     return ivf_topk(
         queries, emb, k=5, nprobe=2, centroids=cents,
-        auto_cells=_TRAINED_PARAMS["auto_cells"],
-        train_iters=_TRAINED_PARAMS["train_iters"],
+        auto_cells=_CENT_PARAMS["nlist"],
+        train_iters=_CENT_PARAMS["iters"],
     )
 
 
@@ -709,12 +685,38 @@ _PQ_PARAMS = dict(nlist=10, m_subspaces=8, k_codes=16, train_iters=1, pq_iters=1
 #: test seam — overrides the default gitignored spark-warehouse cache dir
 _PQ_CACHE_DIR: str | None = None
 
-#: the reuse-centroids contract's training hyperparameters (same ONE-dict
-#: rule as _PQ_PARAMS: the dict feeds both the trainer and the cache key)
-_REUSE_PARAMS = dict(nlist=10, iters=2)
+#: the coarse-quantizer hyperparameters SHARED by the reuse-centroids
+#: and trained-IVF contracts (same ONE-dict rule as _PQ_PARAMS: the
+#: dict feeds both the trainer and the cache key).  Identical
+#: hyperparameters + the deterministic trainer ⇒ identical centroids,
+#: so the two contracts share ONE cached artifact ("ivfcent") and a
+#: cold fixture trains the quantizer once, not twice.
+_CENT_PARAMS = dict(nlist=10, iters=2)
 
-#: the trained-IVF contract's hyperparameters (same ONE-dict rule)
-_TRAINED_PARAMS = dict(auto_cells=10, train_iters=2)
+
+def _cached_centroids(spark: SparkSession, sf_dir: str):
+    """The shared coarse quantizer via :func:`_cached_train`; returns a
+    centroids DataFrame, or None → caller trains inline."""
+    from data_pipeline_bigquery_spark.extensions.similarity import (
+        train_ivf_centroids,
+    )
+
+    def build():
+        emb = load(spark, sf_dir, "embeddings")
+        return [
+            (r.cell, list(r.centroid))
+            for r in train_ivf_centroids(emb, **_CENT_PARAMS)
+            .orderBy("cell")
+            .collect()
+        ]
+
+    rows, ok = _cached_train(sf_dir, "ivfcent", _CENT_PARAMS, build)
+    if not ok:
+        return None
+    return spark.createDataFrame(
+        [(int(c), list(v)) for c, v in rows],
+        "cell int, centroid array<double>",
+    )
 
 
 def _cached_train(sf_dir: str, tag: str, params: dict, build):
@@ -894,29 +896,14 @@ def _ann_reuse_centroids_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-
-    # the amortized path amortizes its own training too: centroids are
-    # the persisted artifact (train_ivf_centroids already round-trips
-    # them through the driver as plain floats, so the JSON cache is
-    # bit-identical — same argument as _pq_cached_artifacts, pinned by
+    # the amortized path amortizes its own training too: the shared
+    # "ivfcent" artifact (train_ivf_centroids already round-trips the
+    # floats through the driver, so the JSON cache is bit-identical —
+    # same argument as _pq_cached_artifacts, pinned by
     # test_reuse_centroids_cache_matches_fresh_training)
-    def build():
-        return [
-            (r.cell, list(r.centroid))
-            for r in train_ivf_centroids(emb, **_REUSE_PARAMS)
-            .orderBy("cell")
-            .collect()
-        ]
-
-    rows, ok = _cached_train(sf_dir, "ivfreuse", _REUSE_PARAMS, build)
-    cents = (
-        spark.createDataFrame(
-            [(int(c), list(v)) for c, v in rows],
-            "cell int, centroid array<double>",
-        )
-        if ok
-        else train_ivf_centroids(emb, **_REUSE_PARAMS)
-    )
+    cents = _cached_centroids(spark, sf_dir)
+    if cents is None:
+        cents = train_ivf_centroids(emb, **_CENT_PARAMS)
     approx = similarity_topk(queries, emb, k=5, centroids=cents, nprobe=3)
     return _recall_contract(spark, sf_dir, approx, 0.7)
 

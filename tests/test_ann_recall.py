@@ -164,12 +164,12 @@ def test_reuse_centroids_cache_matches_fresh_training(spark, tmp_path, monkeypat
     cold = sorted(
         map(tuple, qext._ann_reuse_centroids_recall(spark, SF_DIR).collect())
     )
-    files = list(cache_dir.glob("ivfreuse-*.json"))
+    files = list(cache_dir.glob("ivfcent-*.json"))
     assert len(files) == 1
     warm = sorted(
         map(tuple, qext._ann_reuse_centroids_recall(spark, SF_DIR).collect())
     )
-    assert list(cache_dir.glob("ivfreuse-*.json")) == files  # HIT
+    assert list(cache_dir.glob("ivfcent-*.json")) == files  # HIT
     assert cold == warm and cold  # non-empty: the recall gate passed
 
 
@@ -182,7 +182,7 @@ def test_ivf_trained_cache_matches_fresh_training(spark, tmp_path, monkeypatch):
     cache_dir = tmp_path / "pq_artifact_cache"
     monkeypatch.setattr(qext, "_PQ_CACHE_DIR", str(cache_dir))
     cold = sorted(map(tuple, qext._ann_ivf_trained(spark, SF_DIR).collect()))
-    assert len(list(cache_dir.glob("ivftrained-*.json"))) == 1
+    assert len(list(cache_dir.glob("ivfcent-*.json"))) == 1
     warm = sorted(map(tuple, qext._ann_ivf_trained(spark, SF_DIR).collect()))
     emb = load(spark, SF_DIR, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
