@@ -197,6 +197,35 @@ def test_ivf_trained_cache_matches_fresh_training(spark, tmp_path, monkeypatch):
     assert cold == warm == fresh and cold
 
 
+def test_artifact_cache_misses_on_fixture_drift(spark, tmp_path, monkeypatch):
+    """The cache key must track the SOURCE, not just the params: a
+    changed embeddings file (same path, new mtime) must MISS and
+    retrain — a stale quantizer served against new data is the silent
+    failure mode of every persisted-index design."""
+    import shutil
+
+    from data_pipeline_bigquery_spark.queries import extensions as qext
+
+    sfdir = tmp_path / "sf"
+    sfdir.mkdir()
+    shutil.copy(f"{SF_DIR}/embeddings.parquet", sfdir / "embeddings.parquet")
+    cache_dir = tmp_path / "pq_artifact_cache"
+    monkeypatch.setattr(qext, "_PQ_CACHE_DIR", str(cache_dir))
+
+    qext._ann_ivf_trained(spark, str(sfdir)).collect()
+    assert len(list(cache_dir.glob("ivfcent-*.json"))) == 1
+    # same bytes, same mtime → HIT
+    qext._ann_ivf_trained(spark, str(sfdir)).collect()
+    assert len(list(cache_dir.glob("ivfcent-*.json"))) == 1
+    # touch the fixture (mtime moves) → MISS, retrain under a new key
+    import os
+
+    st = os.stat(sfdir / "embeddings.parquet")
+    os.utime(sfdir / "embeddings.parquet", ns=(st.st_atime_ns, st.st_mtime_ns + 1))
+    qext._ann_ivf_trained(spark, str(sfdir)).collect()
+    assert len(list(cache_dir.glob("ivfcent-*.json"))) == 2
+
+
 def test_ivf_trained_quantizer_recall(spark):
     """Sampled-k-means quantizer: recall must stay usable.  On this
     fixture (10 planted label clusters) the lowest-id seeds already sit
