@@ -231,7 +231,20 @@ def ivf_pq_topk(
     measures encode + probe only; omitted, each trains inline —
     bit-identical results either way (training is deterministic and
     the artifacts round-trip the driver as plain floats in BOTH
-    modes)."""
+    modes).  The two are COUPLED: codebooks quantize residuals
+    *against these centroids*, so an injected codebook dict is only
+    meaningful alongside the centroid frame from the SAME
+    ``train_ivf_pq_artifacts`` run — codebooks without centroids
+    would be applied to residuals of freshly-trained (different)
+    centroids and silently produce garbage ADC scores, so that
+    combination raises.  Centroids alone are fine (codebooks then
+    train inline on the correct residuals)."""
+    if codebooks is not None and centroids is None:
+        raise ValueError(
+            "ivf_pq_topk: injected codebooks require the centroids from "
+            "the same train_ivf_pq_artifacts run (codebooks quantize "
+            "residuals against those centroids); pass both or neither"
+        )
     if centroids is None:
         centroids = train_ivf_centroids(
             corpus, nlist=nlist, iters=train_iters, sample_pct=sample_pct,

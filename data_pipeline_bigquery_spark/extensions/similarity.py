@@ -477,8 +477,10 @@ def train_ivf_centroids(
 
         e = e.filter(hash_bucket(F.col(id_col)) < sample_pct)
     norm = F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
-    # a zero vector cannot train the quantizer (no direction): drop it
-    # BEFORE the unit-normalize, or x/0 throws under ANSI
+    # a zero vector cannot train the quantizer (it has no direction):
+    # drop it BEFORE the unit-normalize, whose x/0.0 would yield NaN
+    # components under IEEE double division (ANSI's divide-by-zero
+    # error applies to integral/decimal division only, not doubles)
     train = e.filter(norm != 0.0).select(
         F.col(id_col).alias("tid"),
         F.transform(F.col(vec_col), lambda x: x / norm).alias("v"),

@@ -738,6 +738,11 @@ def _cached_train(sf_dir: str, tag: str, params: dict, build):
     import os
 
     src = os.path.join(sf_dir, "embeddings.parquet")
+    # single-FILE fingerprints only: for a Spark-written parquet
+    # *directory*, dir size/mtime can miss in-place part-file content
+    # changes and serve a stale artifact — fall back to inline training
+    if not os.path.isfile(src):
+        return None, False
     try:
         st = os.stat(src)
     except OSError:

@@ -347,3 +347,18 @@ def test_assign_cells_arrow_agrees_with_fold(spark):
     assert set(fold) == set(arrow)
     agree = sum(fold[k] == arrow[k] for k in fold) / len(fold)
     assert agree >= 0.995, f"arrow assignment diverged: {agree:.4f}"
+
+
+def test_pq_codebooks_without_centroids_rejected(spark):
+    """Codebooks quantize residuals against the centroids they were
+    trained with; injecting codebooks alone would apply them to
+    residuals of freshly-trained (different) centroids and silently
+    produce garbage ADC scores — the seam must raise instead
+    (ADVICE r11)."""
+    import pytest
+
+    from data_pipeline_bigquery_spark.extensions.pq import ivf_pq_topk
+
+    emb, queries = _fixture(spark)
+    with pytest.raises(ValueError, match="both or neither"):
+        ivf_pq_topk(queries, emb, codebooks={(0, 0): [0.0] * 8})

@@ -100,7 +100,16 @@ def main() -> int:
     extra_conf: dict[str, str] = {}
     while "--conf" in args:
         i = args.index("--conf")
-        k, _, v = args[i + 1].partition("=")
+        if i + 1 >= len(args):
+            print("usage: --conf key=value (missing value)", file=sys.stderr)
+            return 2
+        k, sep, v = args[i + 1].partition("=")
+        if not sep or not k:
+            print(
+                f"usage: --conf key=value (got {args[i + 1]!r})",
+                file=sys.stderr,
+            )
+            return 2
         extra_conf[k] = v
         del args[i : i + 2]
     sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
