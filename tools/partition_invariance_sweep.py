@@ -31,6 +31,20 @@ session-config axis via repeated ``--conf k=v`` flags (applied through
         /root/testdata/sf0.01 /tmp/inv_tz.jsonl \
         --conf "spark.driver.extraJavaOptions=-Duser.timezone=Pacific/Chatham"
 
+    # memory-pressure / shuffle-spill axis (r11 VERDICT ask #6): force
+    # the spill code paths deterministically at ANY scale factor via
+    # Spark's element-count spill thresholds, doubled shuffle width
+    python tools/partition_invariance_sweep.py /root/testdata/sf0.01 \
+        /tmp/inv_spill.jsonl 64 \
+        --conf spark.shuffle.spill.numElementsForceSpillThreshold=5000 \
+        --conf spark.sql.windowExec.buffer.spill.threshold=1000 \
+        --conf spark.sql.sortMergeJoinExec.buffer.spill.threshold=1000 \
+        --conf spark.sql.objectHashAggregate.sortBased.fallbackThreshold=128
+
+``--keys k1,k2,...`` restricts the sweep to a subset (e.g. the heavy
+family at sf0.1 under genuinely constrained executor memory, where a
+full-registry pass would be impractically slow).
+
 The hash canonicalizes exactly like the local oracle-compare replica
 (columns sorted by name, rows sorted, Decimal/naive-datetime/NaN
 normalization) so a hash here is order-insensitive by construction —
@@ -112,6 +126,14 @@ def main() -> int:
             return 2
         extra_conf[k] = v
         del args[i : i + 2]
+    only: list[str] | None = None
+    if "--keys" in args:
+        i = args.index("--keys")
+        if i + 1 >= len(args):
+            print("usage: --keys k1,k2,... (missing value)", file=sys.stderr)
+            return 2
+        only = args[i + 1].split(",")
+        del args[i : i + 2]
     sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
     out_path = args[1] if len(args) > 1 else "/tmp/invariance.jsonl"
     shuffle = int(args[2]) if len(args) > 2 else None
@@ -127,6 +149,12 @@ def main() -> int:
     if extra_conf:
         print(f"extra_conf: {extra_conf}", flush=True)
     qs = entry.queries()
+    if only is not None:
+        missing = [k for k in only if k not in qs]
+        if missing:
+            print(f"unknown keys: {missing}", file=sys.stderr)
+            return 2
+        qs = {k: qs[k] for k in only}
     print(
         f"{len(qs)} keys at {sf_dir} "
         f"(defaultParallelism={spark.sparkContext.defaultParallelism}, "
