@@ -261,6 +261,33 @@ def banded_signatures(
     )
 
 
+def band_hashes(
+    signatures: DataFrame,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """``(doc_id, band_idx, band_hash)`` — one row per (doc, band),
+    keyed by ``xxhash64`` over the band's signature longs.  The ONE
+    Spark-side generator of the banding arithmetic (mirror of the
+    oracle's ``minhash_lng_ctes``), shared by candidate-pair
+    generation and the bucket-skew diagnostic so the scheme can't
+    fork."""
+    rows_per_band = num_perm // bands
+    band_keys = [
+        F.xxhash64(
+            *[
+                F.col(f"sig_{j}")
+                for j in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ]
+        )
+        for b in range(bands)
+    ]
+    return signatures.select(
+        "doc_id",
+        F.posexplode(F.array(*band_keys)).alias("band_idx", "band_hash"),
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     num_perm: int = DEFAULT_NUM_PERM,
@@ -290,20 +317,7 @@ def lsh_candidate_pairs(
     EXPORTED manifest form (:func:`banded_signatures`) keeps the
     documented md5 string so cross-corpus joins stay engine-portable.
     """
-    rows_per_band = num_perm // bands
-    band_keys = [
-        F.xxhash64(
-            *[
-                F.col(f"sig_{j}")
-                for j in range(b * rows_per_band, (b + 1) * rows_per_band)
-            ]
-        )
-        for b in range(bands)
-    ]
-    banded = signatures.select(
-        "doc_id",
-        F.posexplode(F.array(*band_keys)).alias("band_idx", "band_hash"),
-    )
+    banded = band_hashes(signatures, num_perm=num_perm, bands=bands)
     buckets = (
         banded.groupBy("band_idx", "band_hash")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))

@@ -25,6 +25,10 @@ numbers an operator needs BEFORE committing a 100 TB curation run.
   separating intra-source duplication (mirrors, reposts) from
   cross-source contamination; the number that decides whether dedup
   should run per-source or globally.
+- ``lsh_bucket_size_histogram``: band-bucket occupancy histogram with
+  per-size candidate-pair contribution and the ``over_cap`` flag —
+  the skew diagnostic that justifies (and sizes) the ``max_bucket``
+  hot-bucket cap before the pair stage pays the quadratic bill.
 - ``dup_token_inflation_by_source``: per-source token mass sitting in
   non-canonical exact-duplicate rows (digest-grain, the
   ``dedup_exact`` union fixture) — the "how much of this source is
@@ -263,6 +267,67 @@ GROUP BY 1, 2
 )
 
 
+# --- lsh_bucket_size_histogram ---------------------------------------------------
+
+def _lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-bucket occupancy histogram — the skew diagnostic behind the
+    ``max_bucket`` hot-bucket cap: at lake scale a single boilerplate
+    bucket of n docs contributes n·(n−1)/2 junk pairs, and THIS is the
+    table that shows the tail before the pair stage pays for it.
+    ``candidate_pairs`` is each size's total pair contribution were it
+    NOT capped; ``over_cap`` marks sizes the pair generator drops.
+    Engine note: Spark buckets by xxhash64 over the band's signature
+    longs, the oracle by the md5-string band key — DIFFERENT key
+    values, identical partitions (both key on equality of the same
+    signature slice), so sizes compare exactly."""
+    from data_pipeline_bigquery_spark.extensions.dedup_text import (
+        DEFAULT_MAX_BUCKET,
+        band_hashes,
+        minhash_signatures_from_docs,
+    )
+
+    aug = _augmented_docs(spark, sf_dir)
+    sigs = minhash_signatures_from_docs(aug, "doc_id", "t")
+    sizes = (
+        band_hashes(sigs)
+        .groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        sizes.groupBy("n")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+        .select(
+            F.col("n").alias("bucket_size"),
+            "n_buckets",
+            F.expr("n_buckets * (n * (n - 1) DIV 2)").alias("candidate_pairs"),
+            (F.col("n") > DEFAULT_MAX_BUCKET).cast("int").alias("over_cap"),
+        )
+    )
+
+
+def _lsh_bucket_histogram_sql() -> str:
+    from data_pipeline_bigquery_spark.extensions.dedup_text import (
+        DEFAULT_MAX_BUCKET,
+    )
+    from data_pipeline_bigquery_spark.queries.extensions import minhash_lng_ctes
+
+    return (
+        "WITH "
+        + _aug_cte()
+        + ",\n"
+        + minhash_lng_ctes("aug")
+        + f""",
+bucket_sizes AS (
+  SELECT band_idx, band_hash, count(*) AS n FROM lng GROUP BY 1, 2)
+SELECT CAST(n AS BIGINT) AS bucket_size,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(count(*) * (n * (n - 1) // 2) AS BIGINT) AS candidate_pairs,
+       CAST(CASE WHEN n > {DEFAULT_MAX_BUCKET} THEN 1 ELSE 0 END AS INT) AS over_cap
+FROM bucket_sizes GROUP BY n
+"""
+    )
+
+
 # --- dup_token_inflation_by_source ----------------------------------------------
 
 def _dup_token_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -339,6 +404,9 @@ QUERIES: dict[str, QuerySpec] = {
     "minhash_band_tuning_curve": QuerySpec(_band_tuning_curve, _band_tuning_sql()),
     "packing_waste_curve": QuerySpec(_packing_waste_curve, _PACKING_WASTE_SQL),
     "dedup_pair_source_mix": QuerySpec(_pair_source_mix, _PAIR_SOURCE_MIX_SQL),
+    "lsh_bucket_size_histogram": QuerySpec(
+        _lsh_bucket_histogram, _lsh_bucket_histogram_sql()
+    ),
     "dup_token_inflation_by_source": QuerySpec(
         _dup_token_inflation, _DUP_INFLATION_SQL
     ),

@@ -78,3 +78,25 @@ def test_dup_token_inflation_accounting(spark):
         " WHERE text IS NOT NULL AND doc_id % 5 = 0"
     ).fetchone()[0]
     assert sum(r.dup_docs for r in rows) == planted
+
+
+def test_lsh_bucket_histogram_mass_conservation(spark):
+    from data_pipeline_bigquery_spark.extensions.dedup_text import (
+        DEFAULT_BANDS,
+        DEFAULT_MAX_BUCKET,
+    )
+
+    rows = _run(spark, "lsh_bucket_size_histogram")
+    assert rows
+    # every (doc, band) row lands in exactly one bucket
+    n_docs = duckdb.sql(
+        f"SELECT count(*) * 2 FROM '{SF_DIR}/documents.parquet'"
+    ).fetchone()[0]  # aug corpus = docs + planted copies
+    assert sum(r.bucket_size * r.n_buckets for r in rows) == n_docs * DEFAULT_BANDS
+    for r in rows:
+        assert r.candidate_pairs == r.n_buckets * (
+            r.bucket_size * (r.bucket_size - 1) // 2
+        )
+        assert r.over_cap == int(r.bucket_size > DEFAULT_MAX_BUCKET)
+    # the near-dup fixture must actually produce multi-doc buckets
+    assert any(r.bucket_size > 1 for r in rows)
