@@ -25,6 +25,11 @@ numbers an operator needs BEFORE committing a 100 TB curation run.
   separating intra-source duplication (mirrors, reposts) from
   cross-source contamination; the number that decides whether dedup
   should run per-source or globally.
+- ``minhash_recall_by_jaccard_band``: the EMPIRICAL S-curve — LSH
+  detection rate per true-Jaccard bucket in the detector's own
+  shingle space; the measured counterpart the tuning curve predicts
+  (947‰ at j∈[0.9,1) with the production 16×2 banding at sf0.01,
+  agreeing with the gated contract's 0.948).
 - ``lsh_bucket_size_histogram``: band-bucket occupancy histogram with
   per-size candidate-pair contribution and the ``over_cap`` flag —
   the skew diagnostic that justifies (and sizes) the ``max_bucket``
@@ -267,6 +272,117 @@ GROUP BY 1, 2
 )
 
 
+# --- minhash_recall_by_jaccard_band ------------------------------------------------
+
+def _minhash_recall_by_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EMPIRICAL S-curve: LSH detection rate per true-Jaccard
+    bucket, across the whole spectrum (j ≥ 0.25), in the detector's
+    own similarity space (char-12 shingles — the very sets MinHash
+    sketches).  ``minhash_lsh_recall_contract`` gates ONE operating
+    point (overall recall at j ≥ 0.8); this key shows the measured
+    curve that ``minhash_band_tuning_curve`` predicts theoretically —
+    together they are the calibration pair an operator reads before
+    re-banding a 100 TB dedup run.  Ground truth comes from the
+    gram-bucket pipeline (never from signatures), so a banding bug
+    shows up as a recall dip, not as self-consistent garbage."""
+    from data_pipeline_bigquery_spark.extensions.dedup_text import (
+        char_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    aug = _augmented_docs(spark, sf_dir, max_doc=150)
+    # one materialized shingle stream feeds both arms (contract's note:
+    # different agg keys → no exchange reuse without the checkpoint;
+    # corpus capped at 300 docs by construction)
+    shingles = char_shingles(aug, "doc_id", "t").localCheckpoint(eager=False)
+    grams = shingles.withColumnRenamed("shingle", "gram").distinct()
+    truth = (
+        _gram_pair_stats(grams)
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+            ).alias("j"),
+        )
+        .filter(F.col("j") >= 0.25)
+        .withColumn("j_bucket", F.floor(F.col("j") * F.lit(10.0)).cast("int"))
+    )
+    lsh = lsh_candidate_pairs(minhash_signatures(shingles))
+    hits = truth.join(
+        lsh.withColumn("hit", F.lit(1)), ["doc_a", "doc_b"], "left"
+    )
+    return (
+        hits.groupBy("j_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_detected"),
+        )
+        .select(
+            "j_bucket",
+            "n_true",
+            "n_detected",
+            F.expr("(n_detected * 1000) DIV n_true").alias("recall_permille"),
+        )
+    )
+
+
+def _minhash_recall_by_band_sql() -> str:
+    from data_pipeline_bigquery_spark.extensions.dedup_text import (
+        DEFAULT_MAX_BUCKET,
+    )
+    from data_pipeline_bigquery_spark.queries.extensions import minhash_lng_ctes
+
+    # truth CTEs renamed t* — minhash_lng_ctes also defines an `sh`
+    return (
+        "WITH "
+        + _aug_cte(max_doc=150)
+        + ",\n"
+        + minhash_lng_ctes("aug")
+        + f""",
+bucket_sizes AS (
+  SELECT band_idx, band_hash, count(*) AS n_in_bucket
+  FROM lng GROUP BY 1, 2),
+det AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM lng a
+  JOIN lng b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+  JOIN bucket_sizes s
+    ON a.band_idx = s.band_idx AND a.band_hash = s.band_hash
+  WHERE s.n_in_bucket <= {DEFAULT_MAX_BUCKET}),
+tsh AS (
+  SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 12) AS gram
+  FROM aug, UNNEST(range(1, greatest(len(t) - 11, 1) + 1)) AS u(i)),
+tsizes AS (SELECT doc_id, count(*) AS n_grams FROM tsh GROUP BY doc_id),
+tinter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM tsh a JOIN tsh b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+tj AS (
+  SELECT doc_a, doc_b,
+         CAST(n_inter AS DOUBLE)
+         / CAST(sa.n_grams + sb.n_grams - n_inter AS DOUBLE) AS j
+  FROM tinter
+  JOIN tsizes sa ON sa.doc_id = doc_a
+  JOIN tsizes sb ON sb.doc_id = doc_b),
+tp AS (
+  SELECT doc_a, doc_b, CAST(floor(j * CAST(10 AS DOUBLE)) AS INT) AS j_bucket
+  FROM tj WHERE j >= 0.25)
+SELECT j_bucket,
+       CAST(count(*) AS BIGINT) AS n_true,
+       CAST(sum(CASE WHEN d.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_detected,
+       CAST(sum(CASE WHEN d.doc_a IS NOT NULL THEN 1 ELSE 0 END) * 1000
+            // count(*) AS BIGINT) AS recall_permille
+FROM tp
+LEFT JOIN det d ON tp.doc_a = d.doc_a AND tp.doc_b = d.doc_b
+GROUP BY j_bucket
+"""
+    )
+
+
 # --- lsh_bucket_size_histogram ---------------------------------------------------
 
 def _lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -406,6 +522,9 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_pair_source_mix": QuerySpec(_pair_source_mix, _PAIR_SOURCE_MIX_SQL),
     "lsh_bucket_size_histogram": QuerySpec(
         _lsh_bucket_histogram, _lsh_bucket_histogram_sql()
+    ),
+    "minhash_recall_by_jaccard_band": QuerySpec(
+        _minhash_recall_by_band, _minhash_recall_by_band_sql()
     ),
     "dup_token_inflation_by_source": QuerySpec(
         _dup_token_inflation, _DUP_INFLATION_SQL

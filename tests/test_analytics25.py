@@ -100,3 +100,20 @@ def test_lsh_bucket_histogram_mass_conservation(spark):
         assert r.over_cap == int(r.bucket_size > DEFAULT_MAX_BUCKET)
     # the near-dup fixture must actually produce multi-doc buckets
     assert any(r.bucket_size > 1 for r in rows)
+
+
+def test_minhash_recall_by_band_matches_contract_operating_point(spark):
+    rows = sorted(_run(spark, "minhash_recall_by_jaccard_band"),
+                  key=lambda r: r.j_bucket)
+    assert rows
+    for r in rows:
+        assert 2 <= r.j_bucket <= 10
+        assert 0 <= r.n_detected <= r.n_true
+        assert r.recall_permille == r.n_detected * 1000 // r.n_true
+    # the contract gates overall recall >= 0.85 at j >= 0.8; the
+    # empirical curve must agree at those buckets
+    high = [r for r in rows if r.j_bucket >= 8]
+    assert high
+    hits = sum(r.n_detected for r in high)
+    total = sum(r.n_true for r in high)
+    assert hits * 100 >= total * 85
