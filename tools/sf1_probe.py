@@ -68,6 +68,7 @@ BASELINE_SEC: dict[str, float] = {  # recorded r12 run, PERFORMANCE.md
     "dedup_minhash_lsh": 17.0,
     "dedup_cluster_sizes": 25.0,
     "minhash_estimate_calibration": 40.0,  # r11/r12 spread 23-53 s
+    "lsh_bucket_size_histogram": 14.4,     # full-aug banding, r12
 }
 
 _MARK = "SF1PROBE_RESULT "
