@@ -46,8 +46,9 @@ packing curve is scan → two hash aggs; inflation is one digest window
 over 32-byte keys.  No cross joins, no driver loops.
 
 Reference parity: beyond the reference surface (its pandas pipelines
-dedup by pk only — `pipeline/functions/functions.py:33-45`); these are
-the curation-planning extensions BASELINE.json names.
+dedup by pk only — `pipeline/functions/functions.py:91-105`
+``drop_duplicates_by_id``); these are the curation-planning
+extensions BASELINE.json names.
 """
 
 from __future__ import annotations
