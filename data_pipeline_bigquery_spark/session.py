@@ -43,6 +43,16 @@ def get_spark(
         n = int(cpus) if cpus else (os.cpu_count() or 8)
         shuffle_partitions = max(n, 8)
 
+    # One BLAS thread per Python worker: Spark already runs one task
+    # per core, so OpenBLAS spawning its own thread pool inside EVERY
+    # pandas-UDF worker oversubscribes cores² (measured: wildly
+    # unstable numpy matmul times in the knn kernel at sf10).  Local
+    # mode: workers inherit this process env (set BEFORE the JVM
+    # forks them); clusters: spark.executorEnv carries it.  Deployers
+    # with spare cores per task override via the same env var.
+    os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -60,6 +70,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
+        # cluster twin of the local env pin above (one BLAS thread per
+        # task-pinned python worker)
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
         .config("spark.sql.parquet.filterPushdown", "true")
         # per-Column-call Python stack capture (error context) costs ~5 ms
         # per DataFrame API call; off in production, plan-build time drops

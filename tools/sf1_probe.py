@@ -64,7 +64,7 @@ BASELINE_SEC: dict[str, float] = {  # recorded r12 run, PERFORMANCE.md
     "ann_ivf_recall_contract": 15.0,
     "ann_lsh_recall_contract": 17.0,
     "minhash_lsh_recall_contract": 16.0,
-    "knn_label_accuracy": 14.0,
+    "knn_label_accuracy": 16.0,   # r12 gemm kernel + BLAS pin, 3-run band 15.2-16.9
     "dedup_minhash_lsh": 17.0,
     "dedup_cluster_sizes": 25.0,
     "minhash_estimate_calibration": 40.0,  # r11/r12 spread 23-53 s
