@@ -2,6 +2,7 @@
 """Build a scaled-up copy of a fixture SF dir for scaling experiments.
 
 Usage:  python tools/make_scaled_sf.py [factor] [src_dir] [out_dir]
+            [--perturb-embeddings]
         (defaults: 10 /root/testdata/sf0.1 /tmp/sf_scaled)
 
 Each fact table becomes ``factor`` id-shifted copies so keys stay unique
@@ -11,6 +12,15 @@ exact duplicates (which would measure pair-explosion, not scan/shuffle
 scaling).  Dimension tables (region/nation/customer/supplier/part) are
 copied unchanged — exactly how a real lake scales: facts grow, dims
 don't, and the star joins must stay broadcast.
+
+``--perturb-embeddings`` additionally nudges each copy's vectors by a
+tiny copy-indexed offset on one dimension.  WITHOUT it, every vector
+has ``factor`` EXACT duplicates, so any tie-margin shortlist (the knn
+key's blas bound, PQ rerank pools) correctly explodes ~factor× — the
+r12 sf10 probe measured 99 tied winners per query, i.e. you measure
+tie-volume, not search cost.  Leave it OFF for corpora that existing
+recorded baselines (tools/sf1_probe.py) were measured on; turn it ON
+when probing ANN/knn scale behavior.
 
 This writes OUTSIDE the repo (default /tmp) — scaled data is an
 experiment artifact, not a fixture.
@@ -36,9 +46,11 @@ SHIFT = 100_000_000  # beyond any fixture key range
 
 
 def main() -> None:
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    out = sys.argv[3] if len(sys.argv) > 3 else "/tmp/sf_scaled"
+    args = [a for a in sys.argv[1:] if a != "--perturb-embeddings"]
+    perturb_emb = "--perturb-embeddings" in sys.argv[1:]
+    factor = int(args[0]) if len(args) > 0 else 10
+    src = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
+    out = args[2] if len(args) > 2 else "/tmp/sf_scaled"
 
     from pyspark.sql import functions as F
 
@@ -63,6 +75,18 @@ def main() -> None:
                 df = df.withColumn(c, F.col(c) + F.lit(i * SHIFT))
             for c in text_cols:
                 df = df.withColumn(c, F.concat(F.col(c), F.lit(f" #v{i}")))
+            if perturb_emb and name == "embeddings" and i > 0:
+                # nudge dim 0 by a copy-indexed epsilon: breaks exact
+                # duplication (so margin shortlists stay ~1/query)
+                # while moving cosine by <1e-4 — neighbors keep rank
+                df = df.withColumn(
+                    "embedding",
+                    F.expr(
+                        "transform(embedding, (x, j) -> CASE WHEN j = 0"
+                        f" THEN x + CAST({i} AS FLOAT) * CAST(1e-5 AS FLOAT)"
+                        " ELSE x END)"
+                    ),
+                )
             copies.append(df)
         scaled = copies[0]
         for df in copies[1:]:
