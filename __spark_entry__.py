@@ -74,7 +74,10 @@ _HEAVY_QUERIES = {
 # and dropped: r6 HUGEINT, r7 TIMESTAMPTZ, r8→r9 decimal de-widening,
 # and r10's compression_ratio_quality — hash-green in CORRECTNESS_r10.)
 _NEEDS_REEVIDENCE: set[str] = set()
-_REEVIDENCE_AFTER_ROUND = 10  # green rows in CORRECTNESS_r>NN clear the flag
+# green rows in CORRECTNESS_r>NN clear the flag; last non-empty cohort was
+# r10 (compression_ratio_quality) — empty since r11, kept armed because the
+# next oracle fix needs exactly this jump-the-rotation path
+_REEVIDENCE_AFTER_ROUND = 10
 
 
 def _tier(name: str) -> int:

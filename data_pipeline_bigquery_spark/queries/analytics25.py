@@ -66,6 +66,7 @@ from data_pipeline_bigquery_spark.functions.text import LOWER_TEXT_SQL, ascii_lo
 from data_pipeline_bigquery_spark.queries import QuerySpec
 from data_pipeline_bigquery_spark.queries.extensions import (
     _GRAM_STATS_CTES,
+    AUG_ID_SHIFT,
     _aug_cte,
     _augmented_docs,
 )
@@ -235,10 +236,10 @@ def _pair_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = load(spark, sf_dir, "documents").select("doc_id", "source")
     withs = pairs.join(
         src.select(F.col("doc_id").alias("ka"), F.col("source").alias("sa")),
-        pairs.doc_a % 1000000 == F.col("ka"),
+        pairs.doc_a % AUG_ID_SHIFT == F.col("ka"),
     ).join(
         src.select(F.col("doc_id").alias("kb"), F.col("source").alias("sb")),
-        F.col("doc_b") % 1000000 == F.col("kb"),
+        F.col("doc_b") % AUG_ID_SHIFT == F.col("kb"),
     )
     return (
         withs.select(
@@ -266,10 +267,10 @@ SELECT least(da.source, db.source) AS source_lo,
        greatest(da.source, db.source) AS source_hi,
        CAST(count(*) AS BIGINT) AS n_pairs
 FROM pairs p
-JOIN documents da ON p.doc_a % 1000000 = da.doc_id
-JOIN documents db ON p.doc_b % 1000000 = db.doc_id
+JOIN documents da ON p.doc_a % {shift} = da.doc_id
+JOIN documents db ON p.doc_b % {shift} = db.doc_id
 GROUP BY 1, 2
-"""
+""".format(shift=AUG_ID_SHIFT)
 )
 
 
@@ -456,7 +457,7 @@ def _dup_token_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     both = docs.select("doc_id", "source", "text").unionByName(
         docs.filter(F.col("doc_id") % 5 == 0).select(
-            (F.col("doc_id") + 1_000_000).alias("doc_id"), "source", "text"
+            (F.col("doc_id") + AUG_ID_SHIFT).alias("doc_id"), "source", "text"
         )
     )
     pre = both.select(
@@ -495,7 +496,7 @@ _DUP_INFLATION_SQL = f"""
 WITH unioned AS (
   SELECT doc_id, source, text FROM documents WHERE text IS NOT NULL
   UNION ALL
-  SELECT doc_id + 1000000, source, text FROM documents
+  SELECT doc_id + {AUG_ID_SHIFT}, source, text FROM documents
   WHERE text IS NOT NULL AND doc_id % 5 = 0),
 pre AS (
   SELECT source, doc_id, md5(text) AS d,

@@ -53,6 +53,12 @@ from data_pipeline_bigquery_spark.extensions.text_analysis import (
 )
 from data_pipeline_bigquery_spark.queries import QuerySpec
 
+# id offset of planted near-dup copies in the augmented fixture corpus.
+# Consumers that fold pair ids back to real documents (% AUG_ID_SHIFT in
+# queries/analytics25.py) MUST use this constant so the mapping can't
+# silently fork from the generator.
+AUG_ID_SHIFT = 1_000_000
+
 
 def _augmented_docs(spark: SparkSession, sf_dir: str, max_doc: int | None = None) -> DataFrame:
     """documents ∪ planted near-dups (first 4 chars dropped, id+1M).
@@ -66,7 +72,8 @@ def _augmented_docs(spark: SparkSession, sf_dir: str, max_doc: int | None = None
     if max_doc is not None:
         docs = docs.filter(F.col("doc_id") < max_doc)
     copies = docs.select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"), F.expr("substring(t, 5)").alias("t")
+        (F.col("doc_id") + AUG_ID_SHIFT).alias("doc_id"),
+        F.expr("substring(t, 5)").alias("t"),
     )
     return docs.unionByName(copies)
 
@@ -75,13 +82,13 @@ _AUG_SQL = """
 base AS (SELECT doc_id, translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS t FROM documents{filt}),
 aug AS (SELECT doc_id, t FROM base
         UNION ALL
-        SELECT doc_id + 1000000, substr(t, 5) FROM base)
+        SELECT doc_id + {shift}, substr(t, 5) FROM base)
 """
 
 
 def _aug_cte(max_doc: int | None = None) -> str:
     filt = f" WHERE doc_id < {max_doc}" if max_doc is not None else ""
-    return _AUG_SQL.format(filt=filt)
+    return _AUG_SQL.format(filt=filt, shift=AUG_ID_SHIFT)
 
 
 # --- exact dedup -------------------------------------------------------------

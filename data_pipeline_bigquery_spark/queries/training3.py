@@ -403,6 +403,27 @@ def _knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
         )
     )
+    # Broadcast-envelope guard BEFORE the collect: this key is the
+    # exact-by-contract quality oracle and its corpus matrix must fit
+    # the driver + executor broadcast envelope.  Estimate the matrix
+    # bytes from a cheap count/dim aggregate and raise with a pointer
+    # to the IVF candidate path instead of driver-OOMing at lake scale.
+    import os as _os
+
+    cap_mb = int(_os.environ.get("SPARK_GRAFT_KNN_BROADCAST_MB", "1024"))
+    stats = emb.agg(
+        F.count("v").alias("n"), F.max(F.size("v")).alias("dim")
+    ).first()
+    est_bytes = int(stats["n"] or 0) * int(stats["dim"] or 0) * 8
+    if est_bytes > cap_mb * 1024 * 1024:
+        raise ValueError(
+            f"knn_label_accuracy: embedding corpus matrix ~{est_bytes >> 20} MiB "
+            f"exceeds the exact-probe broadcast envelope ({cap_mb} MiB, "
+            "override via SPARK_GRAFT_KNN_BROADCAST_MB); this key is the "
+            "brute-force exactness oracle — at this scale use the IVF "
+            "candidate path (extensions/similarity.py ann_ivf_topk / "
+            "ann_auto_topk) instead"
+        )
     corpus_rows = sorted(
         (
             (r["vec_id"], r["v"], r["label"])
@@ -411,9 +432,18 @@ def _knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         key=lambda t: t[0],
     )
+    corpus_ids = np.array([i for i, _, _ in corpus_rows], dtype=np.int64)
+    # the kernel's self-exclusion binary-searches ids and masks ONE
+    # position, which is only correct when vec_id is unique — assert it
+    # here rather than silently scoring a row against its duplicate
+    if len(corpus_ids) != len(np.unique(corpus_ids)):
+        raise ValueError(
+            "knn_label_accuracy: duplicate vec_id in embeddings corpus; "
+            "the leave-one-out kernel assumes unique ids"
+        )
     bc = spark.sparkContext.broadcast(
         (
-            np.array([i for i, _, _ in corpus_rows], dtype=np.int64),
+            corpus_ids,
             np.array([v for _, v, _ in corpus_rows], dtype=np.float64),
         )
     )

@@ -71,9 +71,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         # cluster twin of the local env pin above (one BLAS thread per
-        # task-pinned python worker)
-        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
-        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        # task-pinned python worker); reads the post-setdefault env so a
+        # deployer's override reaches executors in both deployment modes
+        .config(
+            "spark.executorEnv.OPENBLAS_NUM_THREADS",
+            os.environ["OPENBLAS_NUM_THREADS"],
+        )
+        .config("spark.executorEnv.OMP_NUM_THREADS", os.environ["OMP_NUM_THREADS"])
         .config("spark.sql.parquet.filterPushdown", "true")
         # per-Column-call Python stack capture (error context) costs ~5 ms
         # per DataFrame API call; off in production, plan-build time drops

@@ -64,3 +64,26 @@ def test_shortlist_form_equals_brute_force(spark):
     want = _brute(spark, SF_DIR)
     assert (got.n, got.n_correct) == (want.n, want.n_correct)
     assert got.accuracy_permille == want.n_correct * 1000 // want.n
+
+
+def test_broadcast_envelope_guard_raises_before_collect(spark, monkeypatch):
+    """r12 VERDICT #3: a corpus too big for the exact-probe broadcast
+    envelope must raise with a pointer to the IVF path, not driver-OOM.
+    Simulated by shrinking the cap to 0 MiB on the real fixture."""
+    import pytest
+
+    monkeypatch.setenv("SPARK_GRAFT_KNN_BROADCAST_MB", "0")
+    with pytest.raises(ValueError, match="IVF"):
+        registry()["knn_label_accuracy"].fn(spark, SF_DIR).collect()
+
+
+def test_duplicate_vec_id_rejected(spark, tmp_path):
+    """The kernel's binary-search self-exclusion assumes unique vec_id
+    (r12 ADVICE); a duplicated corpus must fail loudly, not silently
+    score rows against their own copies."""
+    import pytest
+
+    emb = load(spark, SF_DIR, "embeddings").limit(8)
+    emb.unionByName(emb).write.parquet(str(tmp_path / "embeddings.parquet"))
+    with pytest.raises(ValueError, match="duplicate vec_id"):
+        registry()["knn_label_accuracy"].fn(spark, str(tmp_path)).collect()

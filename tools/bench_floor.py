@@ -42,16 +42,25 @@ def main() -> int:
             [sys.executable, os.path.join(HERE, "bench.py")],
             capture_output=True, text=True, cwd=HERE,
         )
-        line = next(
-            (ln for ln in proc.stdout.splitlines() if ln.startswith("{")),
-            None,
-        )
-        if proc.returncode != 0 or line is None:
+        # bench.py's driver contract is ONE bare-JSON stdout line (no
+        # marker prefix allowed), so identify the record by SHAPE: the
+        # only parseable JSON object carrying the contract keys.  A
+        # stray '{'-prefixed log line no longer mis-parses (r12 ADVICE).
+        rec = None
+        for ln in proc.stdout.splitlines():
+            if not ln.startswith("{"):
+                continue
+            try:
+                cand = json.loads(ln)
+            except ValueError:
+                continue
+            if isinstance(cand, dict) and {"metric", "value", "queries"} <= set(cand):
+                rec = cand
+        if proc.returncode != 0 or rec is None:
             tail = (proc.stderr or proc.stdout).strip().splitlines()[-8:]
             print(f"run {i + 1}/{n}: bench.py failed rc={proc.returncode}\n  "
                   + "\n  ".join(tail), file=sys.stderr)
             return 2
-        rec = json.loads(line)
         totals.append(rec["value"])
         for q, s in rec["queries"].items():
             per_query.setdefault(q, []).append(s)
