@@ -34,6 +34,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+# CC checkpoints cache SERIALIZED (PySpark's MEMORY_AND_DISK is the
+# serialized level): the edge list is the iteration's whale — cached
+# deserialized, a 10x-scale pair graph (205M symmetrized edges, r13
+# probe) pinned enough of the unified pool behind storageFraction to
+# starve the aggregates (AGGREGATE_OUT_OF_MEMORY with plenty of disk
+# idle).  Serialized rows are several x smaller and evict to disk
+# cleanly; the decode cost is paid ~log(diameter) times.
+_CC_LEVEL = StorageLevel.MEMORY_AND_DISK
 
 
 def connected_components(
@@ -51,13 +61,13 @@ def connected_components(
     edges = (
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=_CC_LEVEL)
     )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=_CC_LEVEL)
     )
 
     converged = False
@@ -78,7 +88,7 @@ def connected_components(
         labels = (
             stepped.join(l2, stepped.label == l2.pnode, "left")
             .select("node", F.coalesce("plabel", "label").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(storageLevel=_CC_LEVEL)
         )
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:

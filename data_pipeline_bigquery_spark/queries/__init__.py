@@ -77,7 +77,7 @@ MODULE_NAMES = (
     "analytics10", "analytics11", "analytics12", "analytics13",
     "analytics14", "analytics15", "analytics16", "analytics17",
     "analytics18", "analytics19", "analytics20", "analytics21", "analytics22",
-    "analytics23", "analytics24", "analytics25",
+    "analytics23", "analytics24", "analytics25", "analytics26",
 )
 
 

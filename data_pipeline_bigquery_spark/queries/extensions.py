@@ -145,23 +145,41 @@ def minhash_lng_ctes(source: str) -> str:
     sigs = ",\n               ".join(
         f"min(({minhash_perm_multiplier(j)} * h + {j}) % {MOD}) AS s{j}" for j in range(NP)
     )
-    bands = ", ".join(
-        "md5(concat_ws('_', "
-        + ", ".join(f"s{j}" for j in range(b * rows, (b + 1) * rows))
-        + f")) AS b{b}"
-        for b in range(NB)
-    )
-    lng = "\n        UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_idx, b{b} AS band_hash FROM bands" for b in range(NB)
-    )
     return f"""sh AS (SELECT doc_id,
               CAST(('0x' || substr(md5(substr(t, CAST(i AS INT), {K})), 1, 7)) AS BIGINT) AS h
        FROM {source}, UNNEST(range(1, greatest(length(t) - {K - 1}, 1) + 1, {STRIDE})) AS u(i)),
 sig AS (SELECT doc_id,
                {sigs}
         FROM sh GROUP BY doc_id),
-bands AS (SELECT doc_id, {bands} FROM sig),
-lng AS ({lng})"""
+{band_lng_ctes(NB)}"""
+
+
+def band_lng_ctes(n_bands: int, prefix: str = "", sig_cte: str = "sig") -> str:
+    """The banding half of :func:`minhash_lng_ctes` on its own —
+    ``{prefix}bands`` / ``{prefix}lng`` CTEs over an existing signature
+    CTE — so multi-config keys (``minhash_precision_by_band``) can band
+    ONE ``sig`` several ways without duplicating the arithmetic.  With
+    the defaults it emits exactly the CTEs :func:`minhash_lng_ctes`
+    always emitted."""
+    from data_pipeline_bigquery_spark.extensions.dedup_text import (
+        DEFAULT_NUM_PERM as NP,
+    )
+
+    rows = NP // n_bands
+    bands = ", ".join(
+        "md5(concat_ws('_', "
+        + ", ".join(f"s{j}" for j in range(b * rows, (b + 1) * rows))
+        + f")) AS b{b}"
+        for b in range(n_bands)
+    )
+    lng = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, b{b} AS band_hash FROM {prefix}bands"
+        for b in range(n_bands)
+    )
+    return (
+        f"{prefix}bands AS (SELECT doc_id, {bands} FROM {sig_cte}),\n"
+        f"{prefix}lng AS ({lng})"
+    )
 
 
 def _minhash_ctes() -> str:

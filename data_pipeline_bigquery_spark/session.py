@@ -59,6 +59,19 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # start shuffles fine-grained and let AQE coalesce DOWN: with a
+        # pinned partition count, per-task execution memory is heap /
+        # (2 x cores) regardless of data volume, and a 10x-scale corpus
+        # OOMs its aggregates (measured: the r13 sf10 probe's 205M-edge
+        # distinct threw AGGREGATE_OUT_OF_MEMORY at 32 partitions; 8x
+        # initial partitions cleared it with small-SF plans unchanged
+        # because AQE coalesces them back).  This is the scale-correct
+        # shape on a real cluster too — initialPartitionNum rides data
+        # volume, coalescing handles the small case.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(max(shuffle_partitions * 8, 256)),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # pin ANSI to Spark 4's default so the engine doesn't float on
