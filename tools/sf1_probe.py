@@ -67,6 +67,10 @@ BASELINE_SEC: dict[str, float] = {  # recorded r12 run, PERFORMANCE.md
     "knn_label_accuracy": 16.0,   # r12 gemm kernel + BLAS pin, 3-run band 15.2-16.9
     "dedup_minhash_lsh": 17.0,
     "dedup_cluster_sizes": 25.0,
+    # the full CC kill-list pass — the path whose sf10 OOM r13 fixed
+    # (serialized CC cache + AQE initialPartitionNum); fresh-session
+    # r13 scaling-probe reading 22.7 s
+    "dedup_near_corpus": 23.0,
     "minhash_estimate_calibration": 40.0,  # r11/r12 spread 23-53 s
     "lsh_bucket_size_histogram": 14.4,     # full-aug banding, r12
 }
