@@ -69,6 +69,7 @@ from data_pipeline_bigquery_spark.queries.extensions import (
     AUG_ID_SHIFT,
     _aug_cte,
     _augmented_docs,
+    char_truth_ctes,
 )
 
 # --- minhash_band_tuning_curve ------------------------------------------------
@@ -355,21 +356,7 @@ det AS (
   JOIN bucket_sizes s
     ON a.band_idx = s.band_idx AND a.band_hash = s.band_hash
   WHERE s.n_in_bucket <= {DEFAULT_MAX_BUCKET}),
-tsh AS (
-  SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 12) AS gram
-  FROM aug, UNNEST(range(1, greatest(len(t) - 11, 1) + 1)) AS u(i)),
-tsizes AS (SELECT doc_id, count(*) AS n_grams FROM tsh GROUP BY doc_id),
-tinter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-  FROM tsh a JOIN tsh b ON a.gram = b.gram AND a.doc_id < b.doc_id
-  GROUP BY 1, 2),
-tj AS (
-  SELECT doc_a, doc_b,
-         CAST(n_inter AS DOUBLE)
-         / CAST(sa.n_grams + sb.n_grams - n_inter AS DOUBLE) AS j
-  FROM tinter
-  JOIN tsizes sa ON sa.doc_id = doc_a
-  JOIN tsizes sb ON sb.doc_id = doc_b),
+{char_truth_ctes()},
 tp AS (
   SELECT doc_a, doc_b, CAST(floor(j * CAST(10 AS DOUBLE)) AS INT) AS j_bucket
   FROM tj WHERE j >= 0.25)

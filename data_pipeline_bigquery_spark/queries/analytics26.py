@@ -78,10 +78,12 @@ from data_pipeline_bigquery_spark.extensions.sampling import hash_bucket
 from data_pipeline_bigquery_spark.functions.text import LOWER_TEXT_SQL, ascii_lower
 from data_pipeline_bigquery_spark.queries import QuerySpec
 from data_pipeline_bigquery_spark.queries.extensions import (
+    _GRAM_STATS_CTES,
     AUG_ID_SHIFT,
     _aug_cte,
     _augmented_docs,
     band_lng_ctes,
+    char_truth_ctes,
     minhash_lng_ctes,
 )
 
@@ -393,24 +395,19 @@ def _chain_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CHAIN_TRANSITIVITY_SQL = f"""
+_CHAIN_TRANSITIVITY_SQL = (
+    f"""
 WITH base AS (
   SELECT doc_id, {LOWER_TEXT_SQL} AS t FROM documents WHERE doc_id < 150),
 aug AS (SELECT doc_id, t FROM base
         UNION ALL
         SELECT doc_id + {AUG_ID_SHIFT}, substr(t, 5) FROM base
         UNION ALL
-        SELECT doc_id + {2 * AUG_ID_SHIFT}, substr(t, 9) FROM base),
-w AS (SELECT doc_id, string_split(t, ' ') AS words FROM aug),
-grams AS (
-  SELECT DISTINCT doc_id,
-         array_to_string(words[CAST(i AS INT):CAST(i AS INT) + 2], ' ') AS gram
-  FROM w, UNNEST(range(1, greatest(len(words) - 2, 1) + 1)) AS u(i)),
-sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id),
+        SELECT doc_id + {2 * AUG_ID_SHIFT}, substr(t, 9) FROM base)"""
+    # w/grams/sizes/inter come from the ONE shared word-3-gram CTE
+    # block (it reads the `aug` CTE defined above)
+    + _GRAM_STATS_CTES
+    + """,
 pairs AS (
   SELECT doc_a, doc_b
   FROM inter
@@ -436,6 +433,7 @@ SELECT n_edges, n_two_paths, n_closed,
          AS closure_permille
 FROM edges, closed
 """
+)
 
 
 # --- shuffle_skew_preflight -----------------------------------------------------
@@ -592,21 +590,7 @@ def _minhash_precision_sql() -> str:
         + ",\n".join(per_config)
         + f""",
 cand AS ({cand}),
-tsh AS (
-  SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 12) AS gram
-  FROM aug, UNNEST(range(1, greatest(len(t) - 11, 1) + 1)) AS u(i)),
-tsizes AS (SELECT doc_id, count(*) AS n_grams FROM tsh GROUP BY doc_id),
-tinter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-  FROM tsh a JOIN tsh b ON a.gram = b.gram AND a.doc_id < b.doc_id
-  GROUP BY 1, 2),
-tj AS (
-  SELECT doc_a, doc_b,
-         CAST(n_inter AS DOUBLE)
-         / CAST(sa.n_grams + sb.n_grams - n_inter AS DOUBLE) AS j
-  FROM tinter
-  JOIN tsizes sa ON sa.doc_id = doc_a
-  JOIN tsizes sb ON sb.doc_id = doc_b)
+{char_truth_ctes()}
 SELECT n_bands, rows_per_band,
        CAST(count(*) AS BIGINT) AS n_candidates,
        CAST(sum(CASE WHEN tj.j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_true,

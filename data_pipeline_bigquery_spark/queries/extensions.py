@@ -53,10 +53,11 @@ from data_pipeline_bigquery_spark.extensions.text_analysis import (
 )
 from data_pipeline_bigquery_spark.queries import QuerySpec
 
-# id offset of planted near-dup copies in the augmented fixture corpus.
-# Consumers that fold pair ids back to real documents (% AUG_ID_SHIFT in
-# queries/analytics25.py) MUST use this constant so the mapping can't
-# silently fork from the generator.
+# id offset of planted copies in EVERY augmented fixture (near-dup text
+# copies, exact-dup %5 unions, contamination benches, shifted embedding
+# vectors).  Consumers that fold pair ids back to real rows
+# (% AUG_ID_SHIFT in queries/analytics25.py) and every planting site
+# MUST use this constant so the mapping can't silently fork.
 AUG_ID_SHIFT = 1_000_000
 
 
@@ -100,17 +101,17 @@ def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     both = docs.select("doc_id", "text").unionByName(
         docs.filter(F.col("doc_id") % 5 == 0).select(
-            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+            (F.col("doc_id") + AUG_ID_SHIFT).alias("doc_id"), "text"
         )
     )
     return exact_dedup(both, "doc_id", "text")
 
 
-_DEDUP_EXACT_SQL = """
+_DEDUP_EXACT_SQL = f"""
 WITH unioned AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0)
+  SELECT doc_id + {AUG_ID_SHIFT}, text FROM documents WHERE doc_id % 5 = 0)
 SELECT md5(text) AS content_md5, min(doc_id) AS canonical_id, count(*) AS n_copies
 FROM unioned GROUP BY md5(text)
 """
@@ -180,6 +181,34 @@ def band_lng_ctes(n_bands: int, prefix: str = "", sig_cte: str = "sig") -> str:
         f"{prefix}bands AS (SELECT doc_id, {bands} FROM {sig_cte}),\n"
         f"{prefix}lng AS ({lng})"
     )
+
+
+def char_truth_ctes() -> str:
+    """Ground-truth Jaccard in the detector's OWN similarity space —
+    char-K shingles (K = ``DEFAULT_SHINGLE_K``, stride 1) over the
+    ``aug`` CTE, ending in ``tj(doc_a, doc_b, j)``.  The ONE oracle-side
+    generator of the truth block the minhash recall/precision
+    calibration pair (analytics25/analytics26) both join against —
+    the two keys must judge candidates against the SAME truth."""
+    from data_pipeline_bigquery_spark.extensions.dedup_text import (
+        DEFAULT_SHINGLE_K as K,
+    )
+
+    return f"""tsh AS (
+  SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), {K}) AS gram
+  FROM aug, UNNEST(range(1, greatest(len(t) - {K - 1}, 1) + 1)) AS u(i)),
+tsizes AS (SELECT doc_id, count(*) AS n_grams FROM tsh GROUP BY doc_id),
+tinter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM tsh a JOIN tsh b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+tj AS (
+  SELECT doc_a, doc_b,
+         CAST(n_inter AS DOUBLE)
+         / CAST(sa.n_grams + sb.n_grams - n_inter AS DOUBLE) AS j
+  FROM tinter
+  JOIN tsizes sa ON sa.doc_id = doc_a
+  JOIN tsizes sb ON sb.doc_id = doc_b)"""
 
 
 def _minhash_ctes() -> str:
@@ -602,7 +631,7 @@ def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     shifted = emb.select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        (F.col("vec_id") + AUG_ID_SHIFT).alias("vec_id"),
         F.expr("transform(embedding, x -> x + 0.01d)").alias("embedding"),
     )
     return cell_bucketed_neardup_pairs(
@@ -610,12 +639,12 @@ def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NEARDUP_SQL = """
+_NEARDUP_SQL = f"""
 WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
               FROM embeddings WHERE vec_id < 300),
 e AS (SELECT vec_id, v FROM base
       UNION ALL
-      SELECT vec_id + 1000000, list_transform(v, x -> x + 0.01) FROM base)
+      SELECT vec_id + {AUG_ID_SHIFT}, list_transform(v, x -> x + 0.01) FROM base)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_dot_product(a.v, b.v)
              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
@@ -1120,7 +1149,7 @@ def _multimodal_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     both = docs.select("doc_id", "text").unionByName(
         docs.filter(F.col("doc_id") % 5 == 0).select(
-            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+            (F.col("doc_id") + AUG_ID_SHIFT).alias("doc_id"), "text"
         )
     )
     payloads = both.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
@@ -1134,11 +1163,11 @@ def _multimodal_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MM_DEDUP_SQL = """
+_MM_DEDUP_SQL = f"""
 WITH unioned AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0)
+  SELECT doc_id + {AUG_ID_SHIFT}, text FROM documents WHERE doc_id % 5 = 0)
 SELECT md5(text) AS content_md5, min(doc_id) AS canonical_id, count(*) AS n_copies
 FROM unioned GROUP BY md5(text)
 """

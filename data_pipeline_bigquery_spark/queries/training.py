@@ -26,6 +26,7 @@ from data_pipeline_bigquery_spark.extensions.sampling import (
     stratified_sample,
 )
 from data_pipeline_bigquery_spark.queries import QuerySpec
+from data_pipeline_bigquery_spark.queries.extensions import AUG_ID_SHIFT
 
 # DuckDB twin of sampling.hash_bucket — digit-for-digit the same md5 arithmetic.
 _BUCKET = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 100"
@@ -116,7 +117,7 @@ def _contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     corpus = docs.filter(F.col("doc_id") % 97 != 0).unionByName(
         bench.select(
-            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            (F.col("doc_id") + AUG_ID_SHIFT).alias("doc_id"),
             F.expr("substring(t, 5)").alias("t"),
         )
     )
@@ -125,12 +126,12 @@ def _contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CONTAMINATION_SQL = """
+_CONTAMINATION_SQL = f"""
 WITH docs AS (SELECT doc_id, translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS t FROM documents WHERE doc_id < 400),
 bench AS (SELECT doc_id, t FROM docs WHERE doc_id % 97 = 0),
 corpus AS (SELECT doc_id, t FROM docs WHERE doc_id % 97 <> 0
            UNION ALL
-           SELECT doc_id + 1000000, substr(t, 5) FROM bench),
+           SELECT doc_id + {AUG_ID_SHIFT}, substr(t, 5) FROM bench),
 bw AS (SELECT doc_id, string_split(t, ' ') AS words FROM bench),
 cw AS (SELECT doc_id, string_split(t, ' ') AS words FROM corpus),
 bg AS (SELECT DISTINCT array_to_string(words[CAST(i AS INT):CAST(i AS INT) + 2], ' ') AS gram

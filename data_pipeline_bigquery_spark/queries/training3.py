@@ -410,19 +410,25 @@ def _knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to the IVF candidate path instead of driver-OOMing at lake scale.
     import os as _os
 
-    cap_mb = int(_os.environ.get("SPARK_GRAFT_KNN_BROADCAST_MB", "1024"))
+    cap_mb = int(_os.environ.get("SPARK_GRAFT_KNN_BROADCAST_MB", "2048"))
     stats = emb.agg(
         F.count("v").alias("n"), F.max(F.size("v")).alias("dim")
     ).first()
-    est_bytes = int(stats["n"] or 0) * int(stats["dim"] or 0) * 8
+    n_vec, dim = int(stats["n"] or 0), int(stats["dim"] or 0)
+    # the guarded peak is NOT the final float64 matrix (n*dim*8): the
+    # collect below first materializes boxed Python floats + per-row
+    # list/Row overhead (~4x per element + ~200 B/row measured), all
+    # outside spark.driver.memory — guard on that transient estimate
+    est_bytes = n_vec * (dim * 32 + 200)
     if est_bytes > cap_mb * 1024 * 1024:
         raise ValueError(
-            f"knn_label_accuracy: embedding corpus matrix ~{est_bytes >> 20} MiB "
-            f"exceeds the exact-probe broadcast envelope ({cap_mb} MiB, "
-            "override via SPARK_GRAFT_KNN_BROADCAST_MB); this key is the "
-            "brute-force exactness oracle — at this scale use the IVF "
-            "candidate path (extensions/similarity.py ann_ivf_topk / "
-            "ann_auto_topk) instead"
+            f"knn_label_accuracy: collecting the embedding corpus would peak "
+            f"~{est_bytes >> 20} MiB of driver-process memory "
+            f"({n_vec} vectors x {dim} dims incl. Python boxing), over the "
+            f"exact-probe envelope ({cap_mb} MiB, override via "
+            "SPARK_GRAFT_KNN_BROADCAST_MB); this key is the brute-force "
+            "exactness oracle — at this scale use the IVF candidate path "
+            "(extensions/similarity.py ann_ivf_topk / ann_auto_topk) instead"
         )
     corpus_rows = sorted(
         (

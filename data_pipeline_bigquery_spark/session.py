@@ -67,10 +67,13 @@ def get_spark(
         # initial partitions cleared it with small-SF plans unchanged
         # because AQE coalesces them back).  This is the scale-correct
         # shape on a real cluster too — initialPartitionNum rides data
-        # volume, coalescing handles the small case.
+        # volume, coalescing handles the small case.  Exactly 8x, no
+        # floor: a floor would collapse every small configuration onto
+        # one initial width and blunt the partition-count invariance
+        # sweep's 5-vs-7-partition arms.
         .config(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-            str(max(shuffle_partitions * 8, 256)),
+            str(shuffle_partitions * 8),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

@@ -83,7 +83,9 @@ def test_duplicate_vec_id_rejected(spark, tmp_path):
     score rows against their own copies."""
     import pytest
 
-    emb = load(spark, SF_DIR, "embeddings").limit(8)
+    # orderBy before limit: each union branch re-evaluates the limit
+    # subtree, and an unordered limit may pick different rows per branch
+    emb = load(spark, SF_DIR, "embeddings").orderBy("vec_id").limit(8)
     emb.unionByName(emb).write.parquet(str(tmp_path / "embeddings.parquet"))
     with pytest.raises(ValueError, match="duplicate vec_id"):
         registry()["knn_label_accuracy"].fn(spark, str(tmp_path)).collect()
