@@ -63,17 +63,22 @@ def get_spark(
         # pinned partition count, per-task execution memory is heap /
         # (2 x cores) regardless of data volume, and a 10x-scale corpus
         # OOMs its aggregates (measured: the r13 sf10 probe's 205M-edge
-        # distinct threw AGGREGATE_OUT_OF_MEMORY at 32 partitions; 8x
-        # initial partitions cleared it with small-SF plans unchanged
-        # because AQE coalesces them back).  This is the scale-correct
-        # shape on a real cluster too — initialPartitionNum rides data
-        # volume, coalescing handles the small case.  Exactly 8x, no
-        # floor: a floor would collapse every small configuration onto
-        # one initial width and blunt the partition-count invariance
-        # sweep's 5-vs-7-partition arms.
+        # distinct threw AGGREGATE_OUT_OF_MEMORY at 32 partitions; 4x
+        # initial partitions clear it — 1.6M edge rows/task — with
+        # small-SF plans unchanged because AQE coalesces them back).
+        # Exactly 4x, no floor: a floor would collapse every small
+        # configuration onto one initial width and blunt the
+        # partition-count invariance sweep's 5-vs-7-partition arms.
+        # NOT 8x: at 32 cores that is 256 initial partitions, which
+        # crossed a measured single-JVM cliff on the array-heavy
+        # SMJ/SHJ key (minhash_estimate_calibration sf1: 32s at
+        # 64/128 initial, 58-104s at 256; not the sort-bypass
+        # writer — raising spark.shuffle.sort.bypassMergeThreshold
+        # did not recover it).  Deployers sizing a real cluster set
+        # shuffle.partitions to the data and this multiplier rides it.
         .config(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-            str(shuffle_partitions * 8),
+            str(shuffle_partitions * 4),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
