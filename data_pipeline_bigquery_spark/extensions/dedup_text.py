@@ -31,13 +31,22 @@ from data_pipeline_bigquery_spark.functions.text import (
 )
 
 
-def spread_small_input(df: DataFrame) -> DataFrame:
+def spread_small_input(df: DataFrame, key: str | None = None) -> DataFrame:
     """Row-amplifying ops (shingle explode: ~300× per doc) inherit the
     *input's* split count — a source compacted into one file runs the
     whole downstream on one task.  Repartition up to cluster parallelism
     before amplifying; keyed aggregations downstream are partitioning-
     insensitive, so results are unchanged.  (On a 100 TB lake inputs
     already carry many splits and this is a no-op.)
+
+    Pass ``key`` (a unique id column) whenever one exists: a keyless
+    ``repartition(n)`` is round-robin, and Spark first LOCALLY SORTS
+    each input partition by the rows' full binary form so that retried
+    map tasks reproduce the same row→partition assignment
+    (``spark.sql.execution.sortBeforeRepartition``, SPARK-23207) — for
+    payload-heavy corpus rows that sort is pure overhead.  Hash
+    partitioning on a deterministic unique key needs no such sort (the
+    assignment is already retry-stable) and spreads just as evenly.
 
     The split-count probe uses ``inputFiles()`` (a file listing, ~ms),
     NOT ``df.rdd.getNumPartitions()`` — the RDD conversion compiles the
@@ -50,6 +59,8 @@ def spread_small_input(df: DataFrame) -> DataFrame:
     except Exception:
         n_files = 0
     if 0 < n_files < target:
+        if key is not None and key in df.columns:
+            return df.repartition(target, F.col(key))
         return df.repartition(target)
     return df
 
@@ -127,7 +138,7 @@ def char_shingles(
     projection (idempotent if the input is already folded) — folding
     inside the shingle lambda re-evaluates per element (2× measured)."""
     return (
-        spread_small_input(df)
+        spread_small_input(df, key=id_col)
         .select(
             F.col(id_col).alias("doc_id"),
             ascii_lower(F.col(text_col)).alias("__t"),
@@ -224,7 +235,7 @@ def minhash_signatures_from_docs(
     # already-folded inputs): spliced into base_arr it would land inside
     # the transform lambda and re-evaluate per shingle (2x measured)
     return (
-        spread_small_input(df)
+        spread_small_input(df, key=id_col)
         .select(
             F.col(id_col).alias("doc_id"),
             ascii_lower(F.col(text_col)).alias("__t"),
@@ -339,7 +350,7 @@ def simhash_fingerprint(df: DataFrame, id_col: str, text_col: str, bits: int = 1
     """SimHash over whitespace tokens: bit p of the fingerprint is the
     majority vote of bit p of each token's hash (top bit of the p-th
     md5 hex digit).  One explode + one hash-aggregate."""
-    tokens = spread_small_input(df).select(
+    tokens = spread_small_input(df, key=id_col).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(ascii_lower(F.col(text_col)), " ")).alias("tok"),
     ).withColumn("h", F.md5(F.col("tok")))
@@ -443,7 +454,7 @@ def word_ngrams(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFr
     parts = ", ".join(f"try_element_at(__w, i + {d})" for d in range(n))
     expr = f"transform(sequence(1, greatest(size(__w) - {n - 1}, 1)), i -> concat_ws(' ', {parts}))"
     return (
-        spread_small_input(df)
+        spread_small_input(df, key=id_col)
         # NULL text → NO grams, mirroring the oracle (its range() over a
         # NULL length yields no rows) — without this, concat_ws turns
         # the all-NULL gram into '' and every NULL-text doc becomes a

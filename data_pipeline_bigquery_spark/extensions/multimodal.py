@@ -129,7 +129,9 @@ def resize_images(
     from data_pipeline_bigquery_spark.extensions.dedup_text import spread_small_input
 
     # python decode is the bottleneck: one input file must not mean one worker
-    return spread_small_input(df.select(F.col(id_col), F.col(payload_col))).mapInPandas(
+    return spread_small_input(
+        df.select(F.col(id_col), F.col(payload_col)), key=id_col
+    ).mapInPandas(
         gen, RESIZED_SCHEMA
     )
 
@@ -164,7 +166,9 @@ def extract_features(df: DataFrame, id_col: str, payload_col: str, dim: int = FE
 
     from data_pipeline_bigquery_spark.extensions.dedup_text import spread_small_input
 
-    return spread_small_input(df.select(F.col(id_col), F.col(payload_col))).mapInPandas(
+    return spread_small_input(
+        df.select(F.col(id_col), F.col(payload_col)), key=id_col
+    ).mapInPandas(
         gen, FEATURE_SCHEMA
     )
 
@@ -209,7 +213,9 @@ def frame_sample(df: DataFrame, id_col: str, payload_col: str, n_frames: int = 4
 
     from data_pipeline_bigquery_spark.extensions.dedup_text import spread_small_input
 
-    return spread_small_input(df.select(F.col(id_col), F.col(payload_col))).mapInPandas(
+    return spread_small_input(
+        df.select(F.col(id_col), F.col(payload_col)), key=id_col
+    ).mapInPandas(
         gen, FRAME_SCHEMA
     )
 
@@ -351,7 +357,7 @@ def png_roundtrip(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
     )
 
     return spread_small_input(
-        df.select(F.col(id_col), F.col(payload_col))
+        df.select(F.col(id_col), F.col(payload_col)), key=id_col
     ).mapInPandas(gen, PNG_ROUNDTRIP_SCHEMA)
 
 

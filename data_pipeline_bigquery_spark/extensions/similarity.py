@@ -23,12 +23,18 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def with_double_embedding(df: DataFrame, col: str = "embedding") -> DataFrame:
+def with_double_embedding(
+    df: DataFrame, col: str = "embedding", key: str | None = None
+) -> DataFrame:
     from data_pipeline_bigquery_spark.extensions.dedup_text import spread_small_input
 
     # the 64-dim fold per pair is compute-heavy: make sure a compacted
-    # single-file corpus doesn't serialize it onto one task
-    return spread_small_input(df).withColumn(col, F.col(col).cast("array<double>"))
+    # single-file corpus doesn't serialize it onto one task; ``key``
+    # (the id column) upgrades the spread to a sort-free hash
+    # repartition (see spread_small_input)
+    return spread_small_input(df, key=key).withColumn(
+        col, F.col(col).cast("array<double>")
+    )
 
 
 def _nz(den):
@@ -53,13 +59,18 @@ def cosine_topk(
     decimals *before* ranking with an id tie-break, making the top-k
     selection reproducible across engines and partitionings.
     """
-    # norms computed once per row, not once per pair (k·|corpus| saved folds)
-    q = with_double_embedding(queries, vec_col).select(
+    # norms computed once per row, not once per pair (k·|corpus| saved folds).
+    # The query side is NOT spread: it is broadcast right below, so a
+    # repartition of it is a pure-waste Exchange + extra stage (r13 plan
+    # audit: an 8-row query side paid a RoundRobinPartitioning(32)
+    # shuffle before its BroadcastExchange); the per-row norm fold on a
+    # broadcast-small side costs nothing measurable.
+    q = queries.withColumn(vec_col, F.col(vec_col).cast("array<double>")).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("q_norm"),
     )
-    c = with_double_embedding(candidates, vec_col).select(
+    c = with_double_embedding(candidates, vec_col, key=id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("c_norm"),
@@ -194,7 +205,7 @@ def cosine_neardup_pairs(
     bucket so only intra-bucket pairs materialize — the scalable form.
     Without it, a full pairwise join (test scale only).
     """
-    e = with_double_embedding(df, vec_col).select(
+    e = with_double_embedding(df, vec_col, key=id_col).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("norm"),
@@ -248,7 +259,7 @@ def cell_bucketed_neardup_pairs(
     (no corpus shuffle), then one shuffle whose partitions are
     cell-sized, not corpus-sized.
     """
-    e = with_double_embedding(df, vec_col)
+    e = with_double_embedding(df, vec_col, key=id_col)
     seeds = F.broadcast(
         e.orderBy(id_col)
         .limit(nlist)
@@ -329,7 +340,7 @@ def ivf_assign_cells(
     arbitrary metadata column).  Production swaps the seed pick for a
     sampled k-means; the assignment is :func:`assign_cells`' map-side
     argmax — linear, one corpus-sized exchange."""
-    e = with_double_embedding(corpus, vec_col)
+    e = with_double_embedding(corpus, vec_col, key=id_col)
     seeds = (
         e.orderBy(id_col)
         .limit(nlist)
@@ -355,7 +366,7 @@ def assign_cells(
     computed as a single dot fold per pair: the corpus row's norm is
     folded once per ROW before the join, and centroid norms once per
     centroid."""
-    e = with_double_embedding(corpus, vec_col).withColumn(
+    e = with_double_embedding(corpus, vec_col, key=id_col).withColumn(
         "__norm", F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
     )
     cn = F.broadcast(
@@ -443,7 +454,7 @@ def assign_cells_arrow(
 
     from data_pipeline_bigquery_spark.extensions.dedup_text import spread_small_input
 
-    return spread_small_input(corpus).mapInPandas(gen, schema)
+    return spread_small_input(corpus, key=id_col).mapInPandas(gen, schema)
 
 
 def train_ivf_centroids(
@@ -471,7 +482,7 @@ def train_ivf_centroids(
     dot product).
     """
     spark = corpus.sparkSession
-    e = with_double_embedding(corpus, vec_col)
+    e = with_double_embedding(corpus, vec_col, key=id_col)
     if sample_pct is not None:
         from data_pipeline_bigquery_spark.extensions.sampling import hash_bucket
 
@@ -592,7 +603,10 @@ def ivf_topk_preassigned(
     :func:`train_ivf_centroids`, persist the assigned corpus
     cell-partitioned, then every batch is: queries × broadcast(nlist)
     probe, then a cell-keyed join that touches only probed cells)."""
-    q = with_double_embedding(queries, vec_col).select(
+    # query side not spread: it is the small probe batch (the centroid
+    # table is the broadcast side), and a repartition of it would add a
+    # useless Exchange — same r13 plan-audit rationale as cosine_topk
+    q = queries.withColumn(vec_col, F.col(vec_col).cast("array<double>")).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
     qc = F.broadcast(centroids).crossJoin(q)

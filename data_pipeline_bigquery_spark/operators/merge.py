@@ -66,7 +66,17 @@ def merge_upsert(
 
     cols = target.columns
     t = target.alias("t")
-    s = source.select(*cols).alias("s")
+    # shuffle_hash on the SOURCE side: in a MERGE the delta is smaller
+    # than the target by contract, so building the hash table from it
+    # turns the full-outer SortMergeJoin into a ShuffledHashJoin
+    # (BuildRight) and deletes BOTH Sort nodes — the target-side sort is
+    # O(target) work per merge that the hash join never does (guide §3.2;
+    # plans/r13/merge_upsert_{before,after}.txt).  Exchange count is
+    # unchanged (both sides still hash-partition on pk) and AQE skew
+    # splitting still applies.  If a caller's delta ever rivals the
+    # target, drop the hint — SHJ must hold one build partition in
+    # memory, SMJ needn't.
+    s = source.select(*cols).hint("shuffle_hash").alias("s")
 
     joined = t.join(s, F.col(f"t.{pk}") == F.col(f"s.{pk}"), "full_outer")
 

@@ -751,7 +751,9 @@ def compression_ratio_per_doc(docs: DataFrame) -> DataFrame:
                 ],
             )
 
-    return spread_small_input(docs.select("doc_id", "source", "text")).mapInPandas(
+    return spread_small_input(
+        docs.select("doc_id", "source", "text"), key="doc_id"
+    ).mapInPandas(
         gen,
         "doc_id long, source string, raw_bytes long, zlib_bytes long,"
         " ratio_permille long, is_repetitive boolean, roundtrip_ok boolean",

@@ -510,7 +510,7 @@ def _knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out, columns=["a_id", "a_label", "a_v", "b_id"]
             )
 
-    shortlist = spread_small_input(emb).mapInPandas(gen, schema)
+    shortlist = spread_small_input(emb, key="vec_id").mapInPandas(gen, schema)
     b = emb.select(
         F.col("vec_id").alias("b_id"), F.col("v").alias("b_v"),
         F.col("label").alias("b_label"),
