@@ -224,11 +224,14 @@ def minhash_signatures_from_docs(
         elem_wrap="cast(conv(substring(md5({s}), 1, 7), 16, 10) as long)",
         prefolded=True,
     )
+    # one selectExpr call instead of num_perm F.expr() Column builds:
+    # each F.expr is its own py4j round-trip (~0.25-0.9 ms measured),
+    # so the 128-permutation tree cost ~num_perm extra RTTs per plan
+    # build; the parsed expressions — and the physical plan — are
+    # identical either way (r13 plan-identity check)
     sigs = [
-        F.expr(
-            f"array_min(transform(__base, h ->"
-            f" ({minhash_perm_multiplier(j)} * h + {j}) % {MINHASH_MOD})) AS sig_{j}"
-        )
+        f"array_min(transform(__base, h ->"
+        f" ({minhash_perm_multiplier(j)} * h + {j}) % {MINHASH_MOD})) AS sig_{j}"
         for j in range(num_perm)
     ]
     # the fold is hoisted to its own per-ROW projection (idempotent on
@@ -241,7 +244,7 @@ def minhash_signatures_from_docs(
             ascii_lower(F.col(text_col)).alias("__t"),
         )
         .select("doc_id", F.expr(f"{base_arr} AS __base"))
-        .select("doc_id", *sigs)
+        .selectExpr("doc_id", *sigs)
     )
 
 
@@ -256,19 +259,20 @@ def banded_signatures(
     against this table instead of re-deduping the union from scratch).
     """
     rows_per_band = num_perm // bands
-    band_hashes = [
-        F.expr(
-            "md5(concat_ws('_', "
-            + ", ".join(
-                f"cast(sig_{j} as string)"
-                for j in range(b * rows_per_band, (b + 1) * rows_per_band)
-            )
-            + "))"
+    # single parsed array expression — same RTT-count rationale as
+    # band_hashes below
+    band_arr = ", ".join(
+        "md5(concat_ws('_', "
+        + ", ".join(
+            f"cast(sig_{j} as string)"
+            for j in range(b * rows_per_band, (b + 1) * rows_per_band)
         )
+        + "))"
         for b in range(bands)
-    ]
+    )
     return signatures.select(
-        "doc_id", F.posexplode(F.array(*band_hashes)).alias("band_idx", "band_hash")
+        "doc_id",
+        F.posexplode(F.expr(f"array({band_arr})")).alias("band_idx", "band_hash"),
     )
 
 
@@ -284,18 +288,21 @@ def band_hashes(
     generation and the bucket-skew diagnostic so the scheme can't
     fork."""
     rows_per_band = num_perm // bands
-    band_keys = [
-        F.xxhash64(
-            *[
-                F.col(f"sig_{j}")
-                for j in range(b * rows_per_band, (b + 1) * rows_per_band)
-            ]
+    # one parsed array expression: the per-band F.xxhash64(*F.col(...))
+    # form paid (rows_per_band + 1) py4j round-trips PER BAND at plan
+    # build; SQL xxhash64 uses the same default seed (42), so the
+    # expression tree — and every band key — is bit-identical
+    band_arr = ", ".join(
+        "xxhash64("
+        + ", ".join(
+            f"sig_{j}" for j in range(b * rows_per_band, (b + 1) * rows_per_band)
         )
+        + ")"
         for b in range(bands)
-    ]
+    )
     return signatures.select(
         "doc_id",
-        F.posexplode(F.array(*band_keys)).alias("band_idx", "band_hash"),
+        F.posexplode(F.expr(f"array({band_arr})")).alias("band_idx", "band_hash"),
     )
 
 
