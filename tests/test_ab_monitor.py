@@ -4,6 +4,11 @@ matches a one-shot batch computation over the same events."""
 
 from __future__ import annotations
 
+import pytest as _pytest_tier
+
+# slow tier: streaming monitor replay/model proofs
+pytestmark = _pytest_tier.mark.slow
+
 import hashlib
 
 import pytest

@@ -5,6 +5,11 @@ cell-partitioned layout must let a probe read only its probed cells
 
 from __future__ import annotations
 
+import pytest as _pytest_tier
+
+# slow tier: ANN artifact persistence roundtrip proofs
+pytestmark = _pytest_tier.mark.slow
+
 from pyspark.sql import functions as F
 
 from data_pipeline_bigquery_spark.catalog import load

@@ -4,6 +4,11 @@ where brute force is the oracle you can no longer afford to run."""
 
 from __future__ import annotations
 
+import pytest as _pytest_tier
+
+# slow tier: ANN recall + artifact cache-vs-fresh-training proofs (contracts also covered by oracle parity at sf0.001)
+pytestmark = _pytest_tier.mark.slow
+
 from pyspark.sql import functions as F
 
 from data_pipeline_bigquery_spark.catalog import load

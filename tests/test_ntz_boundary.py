@@ -14,6 +14,8 @@ boundary from silently disappearing.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import types as T
 
 from data_pipeline_bigquery_spark.queries import registry, registry_modules
@@ -71,6 +73,7 @@ def _walk(dt: T.DataType):
         yield from _walk(dt.valueType)
 
 
+@pytest.mark.slow  # registry-WIDE schema audit (~48 s): analyzes all 363 plans
 def test_no_registry_key_emits_instant_timestamp(spark):
     """Registry-wide schema audit: no TIMESTAMP escapes at ANY nesting
     depth (the boundary casts top-level columns; this proves no key

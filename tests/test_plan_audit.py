@@ -165,6 +165,7 @@ def test_sketch_distinct_single_exchange(spark, reg):
     assert_max_exchanges(df, 3)
 
 
+@pytest.mark.slow  # registry-WIDE sweep (~60 s): builds all 363 plans
 def test_whole_registry_no_cartesian_products(spark, reg):
     """Every registry plan, scanned automatically: a new query that
     sneaks in a CartesianProduct fails here the day it lands (this
@@ -561,3 +562,24 @@ def test_vocab_overlap_checkpointed_top_sets(spark, reg):
     # the all-pairs scaffold is langs×langs over the language-count
     # rows — a legitimate tiny-side nested loop
     assert_no_cartesian(df, allow_broadcast_nl=1)
+
+
+def test_merge_upsert_join_strategy_guard(spark, reg):
+    """r14 guard: the default MERGE keeps the delta-built
+    ShuffledHashJoin (both Sorts deleted); a caller whose delta rivals
+    the target opts back into the spill-safe SortMergeJoin with
+    build_source=False."""
+    from data_pipeline_bigquery_spark.catalog import load
+    from data_pipeline_bigquery_spark.operators.merge import merge_upsert
+
+    df = _q(reg, spark, "merge_upsert")
+    assert count_nodes(df, "ShuffledHashJoin") == 1
+    assert count_nodes(df, "SortMergeJoin") == 0
+
+    orders = load(spark, SF, "orders")
+    big_delta = merge_upsert(
+        orders, orders, pk="o_orderkey", cursor_col="o_orderdate",
+        build_source=False,
+    )
+    assert count_nodes(big_delta, "SortMergeJoin") == 1
+    assert count_nodes(big_delta, "ShuffledHashJoin") == 0

@@ -14,6 +14,11 @@ disabled; the value is in the adversarial shapes hypothesis finds
 
 from __future__ import annotations
 
+import pytest as _pytest_tier
+
+# slow tier: property-based model replays
+pytestmark = _pytest_tier.mark.slow
+
 import datetime as dt
 
 import pandas as pd

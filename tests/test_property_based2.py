@@ -11,6 +11,11 @@ no Spark session needed, so examples run in volume:
 
 from __future__ import annotations
 
+import pytest as _pytest_tier
+
+# slow tier: property-based model replays
+pytestmark = _pytest_tier.mark.slow
+
 import math
 
 from hypothesis import given, settings, strategies as st
