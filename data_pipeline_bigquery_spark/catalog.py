@@ -108,7 +108,8 @@ def _require_utc_session(spark: SparkSession, table: str, col: str) -> None:
         )
 
 
-# Per-session plan/metadata cache for fixture reads (r13 optimization).
+# Per-session plan/metadata cache for fixture reads (r13 optimization,
+# key hardened r14).
 #
 # ``spark.read.parquet(path)`` pays a schema-inference footer read plus
 # DataFrameReader py4j chatter on EVERY call — measured 150-250 ms per
@@ -117,15 +118,65 @@ def _require_utc_session(spark: SparkSession, table: str, col: str) -> None:
 # recorded per-query times (OPTIMIZATION_r13.md "measure first" table).
 # A catalog is exactly the component whose job is to remember table
 # metadata, so ``load`` memoizes the normalized LAZY DataFrame per
-# (session, path, mtime).  Nothing materialized is cached — a DataFrame
-# is a logical plan; every action still recomputes from the parquet
-# input (the partition-invariance and oracle-parity sweeps run unchanged
-# on this path).  The mtime key drops entries when a fixture is
-# rewritten (tests rebuild scaled corpora in place); the WeakKey session
-# key drops entries when a test stops its session.
+# (session, path, listing-fingerprint).  Nothing materialized is cached
+# — a DataFrame is a logical plan; every action still recomputes from
+# the parquet input (the partition-invariance and oracle-parity sweeps
+# run unchanged on this path).
+#
+# The fingerprint covers every file under the path (relative name, size,
+# mtime_ns), not just the top-level mtime: a part file rewritten IN
+# PLACE inside a directory table doesn't bump the directory mtime, and
+# the cached frame's InMemoryFileIndex would otherwise serve stale
+# FileStatus sizes (r13 VERDICT "what's wrong" #2).  At lake scale this
+# walk is the metastore's job — a table format (Iceberg/Delta) or schema
+# registry owns invalidation there; the walk only runs against the
+# driver-local fixture layout.
+#
+# Lifetime: the WeakKeyDictionary scopes entries per session but cannot
+# collect them while a cached DataFrame strongly references its session,
+# so ``load`` additionally purges entries of STOPPED sessions on each
+# call, and ``invalidate_plan_cache`` drops everything explicitly.
 from weakref import WeakKeyDictionary
 
 _PLAN_CACHE: "WeakKeyDictionary[SparkSession, dict]" = WeakKeyDictionary()
+
+
+def _listing_fingerprint(path: str) -> tuple:
+    """(relpath, size, mtime_ns) for every regular file under ``path``
+    (or the file itself), sorted — the cache key component that changes
+    whenever any byte source the scan could read changes."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return ("<missing>",)
+    if not os.path.isdir(path):
+        return ((os.path.basename(path), st.st_size, st.st_mtime_ns),)
+    out = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            fp = os.path.join(root, f)
+            try:
+                fst = os.stat(fp)
+            except OSError:
+                out.append((os.path.relpath(fp, path), -1, -1))
+                continue
+            out.append((os.path.relpath(fp, path), fst.st_size, fst.st_mtime_ns))
+    return tuple(sorted(out))
+
+
+def _session_stopped(spark: SparkSession) -> bool:
+    try:
+        return spark.sparkContext._jsc is None
+    except Exception:
+        return True
+
+
+def invalidate_plan_cache(spark: SparkSession | None = None) -> None:
+    """Drop cached plans — for ``spark`` only, or everything."""
+    if spark is None:
+        _PLAN_CACHE.clear()
+    else:
+        _PLAN_CACHE.pop(spark, None)
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -143,12 +194,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     nanos switch lives in ``session.get_spark`` only).
     """
     path = table_path(sf_dir, name)
-    try:
-        mtime = os.path.getmtime(path)
-    except OSError:
-        mtime = -1.0
+    fprint = _listing_fingerprint(path)
+    for s in [s for s in _PLAN_CACHE if _session_stopped(s)]:
+        _PLAN_CACHE.pop(s, None)
     per_session = _PLAN_CACHE.setdefault(spark, {})
-    cached = per_session.get((path, mtime))
+    cached = per_session.get((path, fprint))
     if cached is not None:
         df, guard_tz = cached
         # a frame whose build performed the NTZ→TIMESTAMP cast is only
@@ -176,7 +226,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         else:
             projected.append(F.col(c))
     out = df.select(*projected) if changed else df
-    per_session[(path, mtime)] = (
+    # one live entry per path: a rewritten fixture's old-fingerprint
+    # entry would never be hit again, so drop it rather than accrete
+    for stale in [k for k in per_session if k[0] == path and k[1] != fprint]:
+        del per_session[stale]
+    per_session[(path, fprint)] = (
         out,
         spark.conf.get("spark.sql.session.timeZone") if ntz_cast else None,
     )
