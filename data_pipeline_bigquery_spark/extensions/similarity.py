@@ -12,6 +12,8 @@ All arithmetic runs in JVM higher-order functions (``zip_with`` +
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -587,6 +589,69 @@ def ivf_topk(
     )
 
 
+_LARGE_QUERY_BATCH_BYTES = 32 * 1024 * 1024
+
+
+def _spread_large_query_batch(
+    queries: DataFrame,
+    corpus: DataFrame,
+    key: str,
+    min_bytes: int | None = None,
+) -> DataFrame:
+    """Keyed spread of an IVF probe batch ONLY when it is genuinely a
+    large under-split upload (r13 VERDICT "what's wrong" #4).
+
+    The usual probe batch is tiny — 8 rows filtered out of the corpus
+    file, or a local relation — and spreading it costs a pure-waste
+    Exchange before the probe stage (the r13 plan audit removed exactly
+    that).  But a big query batch compacted into ONE standalone file
+    would drive the whole broadcast-probe stage on one task.  Cheap
+    metadata-only guard:
+
+    * batch reads no files (local relation) → leave alone;
+    * batch reads a file the CORPUS also reads → it is a derived slice
+      of the corpus (small by contract; the file's byte size says
+      nothing about the slice) → leave alone;
+    * otherwise: standalone file set — spread when it is under-split
+      (files < parallelism) and carries ≥ ``min_bytes`` locally
+      stat-able bytes (one ~128 MB-default split ≈ one task; below
+      ``min_bytes`` a single task is fine)."""
+    if min_bytes is None:
+        min_bytes = _LARGE_QUERY_BATCH_BYTES
+    try:
+        q_files = set(queries.inputFiles())
+    except Exception:
+        return queries
+    if not q_files:
+        return queries
+    try:
+        if q_files & set(corpus.inputFiles()):
+            return queries
+    except Exception:
+        return queries
+    target = queries.sparkSession.sparkContext.defaultParallelism
+    if len(q_files) >= target:
+        return queries
+    total = 0
+    for uri in q_files:
+        p = uri
+        for pre in ("file://", "file:"):
+            if p.startswith(pre):
+                p = p[len(pre):]
+                break
+        else:
+            # non-local scheme: can't stat cheaply; a real lake input
+            # is split by maxPartitionBytes anyway
+            return queries
+        try:
+            total += os.stat(p).st_size
+        except OSError:
+            return queries
+    if total < min_bytes:
+        return queries
+    return queries.repartition(target, F.col(key))
+
+
 def ivf_topk_preassigned(
     queries: DataFrame,
     assigned_corpus: DataFrame,
@@ -603,9 +668,11 @@ def ivf_topk_preassigned(
     :func:`train_ivf_centroids`, persist the assigned corpus
     cell-partitioned, then every batch is: queries × broadcast(nlist)
     probe, then a cell-keyed join that touches only probed cells)."""
-    # query side not spread: it is the small probe batch (the centroid
-    # table is the broadcast side), and a repartition of it would add a
-    # useless Exchange — same r13 plan-audit rationale as cosine_topk
+    # query side spread only under the large-standalone-batch guard:
+    # the common probe batch is small (centroids are the broadcast
+    # side) and an unconditional repartition of it would add a useless
+    # Exchange — same r13 plan-audit rationale as cosine_topk
+    queries = _spread_large_query_batch(queries, assigned_corpus, id_col)
     q = queries.withColumn(vec_col, F.col(vec_col).cast("array<double>")).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )

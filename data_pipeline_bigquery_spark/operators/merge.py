@@ -43,12 +43,25 @@ def merge_upsert(
     cursor_col: str,
     null_safe: bool = False,
     validate: bool = False,
+    build_source: bool = True,
 ) -> DataFrame:
     """Return the post-MERGE state of ``target``.
 
     Columns are taken from ``target``'s schema; ``source`` must contain
     them all (extra source columns are ignored — the reference loads
     through a temp table with the target schema).
+
+    ``build_source=True`` (default) hints the planner to run the
+    full-outer join as a ShuffledHashJoin built from ``source``,
+    deleting both sort passes — **valid only under the MERGE contract
+    that the delta is much smaller than the target**: each build
+    partition of ``source`` must fit in executor memory (Spark can't
+    spill a hash build the way a SortMergeJoin spills its sort).  A
+    caller merging a delta that rivals the target must pass
+    ``build_source=False`` to keep the spill-safe SortMergeJoin.
+    Catalyst's own size estimates can't arbitrate this (a filtered
+    scan keeps its parent's estimate without CBO stats), so the switch
+    is explicit rather than inferred.
     """
     if validate:
         dup = (
@@ -66,17 +79,17 @@ def merge_upsert(
 
     cols = target.columns
     t = target.alias("t")
-    # shuffle_hash on the SOURCE side: in a MERGE the delta is smaller
-    # than the target by contract, so building the hash table from it
-    # turns the full-outer SortMergeJoin into a ShuffledHashJoin
-    # (BuildRight) and deletes BOTH Sort nodes — the target-side sort is
-    # O(target) work per merge that the hash join never does (guide §3.2;
+    # shuffle_hash on the SOURCE side (build_source): turns the
+    # full-outer SortMergeJoin into a ShuffledHashJoin (BuildRight) and
+    # deletes BOTH Sort nodes — the target-side sort is O(target) work
+    # per merge that the hash join never does (guide §3.2;
     # plans/r13/merge_upsert_{before,after}.txt).  Exchange count is
     # unchanged (both sides still hash-partition on pk) and AQE skew
-    # splitting still applies.  If a caller's delta ever rivals the
-    # target, drop the hint — SHJ must hold one build partition in
-    # memory, SMJ needn't.
-    s = source.select(*cols).hint("shuffle_hash").alias("s")
+    # splitting still applies.  Memory contract: see docstring.
+    s = source.select(*cols)
+    if build_source:
+        s = s.hint("shuffle_hash")
+    s = s.alias("s")
 
     joined = t.join(s, F.col(f"t.{pk}") == F.col(f"s.{pk}"), "full_outer")
 

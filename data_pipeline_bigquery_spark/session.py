@@ -39,26 +39,51 @@ def _patch_py4j_nodelay() -> None:
         return
     import socket as _socket
 
+    # pin-thread (clientserver) mode — PySpark's default gateway
     try:
         from py4j import clientserver as _cs
 
         target = _cs.ClientServerConnection.connect_to_java_server
-        if getattr(target, "_nodelay_patched", False):
-            return
+        if not getattr(target, "_nodelay_patched", False):
 
-        def connect_with_nodelay(self, _orig=target):
-            _orig(self)
-            try:
-                self.socket.setsockopt(
-                    _socket.IPPROTO_TCP, _socket.TCP_NODELAY, 1
-                )
-            except OSError:
-                pass  # e.g. non-TCP/ssl-wrapped edge; latency fix is best-effort
+            def connect_with_nodelay(self, _orig=target):
+                _orig(self)
+                try:
+                    self.socket.setsockopt(
+                        _socket.IPPROTO_TCP, _socket.TCP_NODELAY, 1
+                    )
+                except OSError:
+                    pass  # e.g. non-TCP/ssl-wrapped edge; latency fix is best-effort
 
-        connect_with_nodelay._nodelay_patched = True
-        _cs.ClientServerConnection.connect_to_java_server = connect_with_nodelay
+            connect_with_nodelay._nodelay_patched = True
+            _cs.ClientServerConnection.connect_to_java_server = connect_with_nodelay
     except Exception:
         pass  # never let a latency tweak break session construction
+
+    # legacy gateway mode (PYSPARK_PIN_THREAD=false): connections are
+    # py4j.java_gateway.GatewayConnection, opened lazily by start() —
+    # without this branch the opt-in env var would silently cover only
+    # one of the two gateway modes
+    try:
+        from py4j import java_gateway as _jg
+
+        start_target = _jg.GatewayConnection.start
+        if not getattr(start_target, "_nodelay_patched", False):
+
+            def start_with_nodelay(self, _orig=start_target):
+                out = _orig(self)
+                try:
+                    self.socket.setsockopt(
+                        _socket.IPPROTO_TCP, _socket.TCP_NODELAY, 1
+                    )
+                except OSError:
+                    pass
+                return out
+
+            start_with_nodelay._nodelay_patched = True
+            _jg.GatewayConnection.start = start_with_nodelay
+    except Exception:
+        pass
 
 
 def get_spark(

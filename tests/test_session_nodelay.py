@@ -22,3 +22,14 @@ def test_new_connections_inherit_nodelay(spark):
         "_nodelay_patched",
         False,
     )
+
+
+def test_legacy_gateway_mode_also_patched(spark):
+    """r14 (ADVICE): under PYSPARK_PIN_THREAD=false the command channel
+    is py4j.java_gateway.GatewayConnection — its start() must carry the
+    NODELAY patch too, so the env opt-in covers both gateway modes."""
+    from py4j import java_gateway
+
+    assert getattr(
+        java_gateway.GatewayConnection.start, "_nodelay_patched", False
+    )

@@ -44,3 +44,89 @@ def test_rows_identical_and_spread(one_file_df):
     assert sorted(r.doc_id for r in keyed.collect()) == list(range(500))
     # the spread really fans out beyond the single input file
     assert keyed.rdd.getNumPartitions() > 1
+
+
+# --- guarded IVF probe-batch spread (r14) -------------------------------------
+
+@pytest.fixture(scope="module")
+def vec_files(spark, tmp_path_factory):
+    """A standalone 'corpus' parquet and a standalone 'queries' parquet
+    (disjoint file sets), both single-file."""
+    root = tmp_path_factory.mktemp("ivfspread")
+    corpus_path = str(root / "corpus.parquet")
+    query_path = str(root / "queries.parquet")
+    base = spark.range(0, 200).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") % (i + 3)).cast("double") for i in range(4)]).alias(
+            "embedding"
+        ),
+    )
+    base.coalesce(1).write.mode("overwrite").parquet(corpus_path)
+    base.filter(F.col("vec_id") < 50).coalesce(1).write.mode("overwrite").parquet(
+        query_path
+    )
+    return corpus_path, query_path
+
+
+def test_query_slice_of_corpus_not_spread(spark, vec_files):
+    """The bench shape: the probe batch is a FILTER of the corpus file.
+    No spread, whatever the file's byte size — the slice is small by
+    contract and an Exchange before the broadcast probe is pure waste
+    (r13 plan audit)."""
+    from data_pipeline_bigquery_spark.extensions.similarity import (
+        _spread_large_query_batch,
+    )
+
+    corpus_path, _ = vec_files
+    corpus = spark.read.parquet(corpus_path)
+    queries = corpus.filter(F.col("vec_id") < 8)
+    out = _spread_large_query_batch(queries, corpus, "vec_id", min_bytes=1)
+    assert out is queries  # untouched — no repartition node added
+
+
+def test_local_relation_queries_not_spread(spark, vec_files):
+    from data_pipeline_bigquery_spark.extensions.similarity import (
+        _spread_large_query_batch,
+    )
+
+    corpus_path, _ = vec_files
+    corpus = spark.read.parquet(corpus_path)
+    queries = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0])], "vec_id long, embedding array<double>"
+    )
+    out = _spread_large_query_batch(queries, corpus, "vec_id", min_bytes=1)
+    assert out is queries
+
+
+def test_large_standalone_batch_is_spread_keyed(spark, vec_files):
+    """A big single-file probe batch that is NOT a slice of the corpus
+    gets the keyed spread — the probe stage must not run on one task."""
+    from data_pipeline_bigquery_spark.extensions.similarity import (
+        _spread_large_query_batch,
+    )
+
+    corpus_path, query_path = vec_files
+    corpus = spark.read.parquet(corpus_path)
+    queries = spark.read.parquet(query_path)
+    out = _spread_large_query_batch(queries, corpus, "vec_id", min_bytes=1)
+    assert out is not queries
+    plan = out._jdf.queryExecution().toString()
+    assert "hashpartitioning(vec_id" in plan
+    assert "roundrobin" not in plan.lower()
+    # rows unchanged
+    assert sorted(r.vec_id for r in out.collect()) == sorted(
+        r.vec_id for r in queries.collect()
+    )
+
+
+def test_small_standalone_batch_below_threshold_not_spread(spark, vec_files):
+    from data_pipeline_bigquery_spark.extensions.similarity import (
+        _spread_large_query_batch,
+    )
+
+    corpus_path, query_path = vec_files
+    corpus = spark.read.parquet(corpus_path)
+    queries = spark.read.parquet(query_path)
+    # default threshold (32 MB) is far above this tiny file
+    out = _spread_large_query_batch(queries, corpus, "vec_id")
+    assert out is queries
