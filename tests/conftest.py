@@ -14,11 +14,15 @@ SF_DIR_MID = "/root/testdata/sf0.01"
 #   * default (`pytest tests/`): every unit / per-operator / oracle
 #     parity test — the correctness gate.  Target: well under 15 min.
 #   * full (`pytest tests/ --full`, or SPARK_GRAFT_FULL_TESTS=1): adds
-#     the @pytest.mark.slow tier — registry-WIDE invariance sweeps,
-#     property-based model replays, ANN artifact cache-vs-fresh-training
-#     proofs, streaming restart/convergence integration proofs.  These
-#     re-prove invariants that only change when their machinery changes;
-#     run the full tier before committing changes to those paths.
+#     the @pytest.mark.slow tier — registry-WIDE invariance sweeps
+#     (hostile-corpus parity: pre-epoch, unicode), property-based model
+#     replays, ANN artifact cache-vs-fresh-training proofs, streaming
+#     restart/convergence integration proofs (multi-trigger micro-batch
+#     runs, 10-90 s each).  These re-prove invariants that only change
+#     when their machinery changes; run the full tier before committing
+#     changes to those paths.  r14 measured split: default ~908 tests
+#     (the 50-min full wall was ~16 min of streaming integration +
+#     ~25 min of hostile-corpus sweeps on a loaded box).
 
 
 def pytest_addoption(parser):

@@ -4,6 +4,15 @@ folded days are no-ops, and the >30-demand truncation matches."""
 
 from __future__ import annotations
 
+import pytest as _pytest_tier
+
+# slow tier (r13 VERDICT #1): streaming convergence/replay/restart
+# integration proof — multi-trigger micro-batch runs costing 10-90 s
+# each.  These re-prove invariants that only change when the streaming
+# machinery changes; run with --full (or SPARK_GRAFT_FULL_TESTS=1)
+# before committing changes to streaming/ paths.
+pytestmark = _pytest_tier.mark.slow
+
 import datetime as dt
 
 from pyspark.sql import functions as F

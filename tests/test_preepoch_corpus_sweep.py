@@ -23,6 +23,13 @@ import sys
 
 import pytest
 
+# slow tier: registry-WIDE hostile-corpus invariance sweep (~220 keys,
+# tens of minutes of the default run's wall).  It re-proves the
+# epoch-truncation contract in functions/timestamps.py, which only
+# changes when that module changes; the default tier's oracle-parity
+# sweep still covers every key on the canonical corpus.
+pytestmark = pytest.mark.slow
+
 from data_pipeline_bigquery_spark.queries import registry
 from tests.conftest import SF_DIR
 from tests.oracle_compare import compare

@@ -4,6 +4,15 @@ and replayed days are no-ops."""
 
 from __future__ import annotations
 
+import pytest as _pytest_tier
+
+# slow tier (r13 VERDICT #1): streaming convergence/replay/restart
+# integration proof — multi-trigger micro-batch runs costing 10-90 s
+# each.  These re-prove invariants that only change when the streaming
+# machinery changes; run with --full (or SPARK_GRAFT_FULL_TESTS=1)
+# before committing changes to streaming/ paths.
+pytestmark = _pytest_tier.mark.slow
+
 import datetime as dt
 
 from data_pipeline_bigquery_spark.queries import analytics19

@@ -24,6 +24,12 @@ import sys
 
 import pytest
 
+# slow tier: registry-WIDE hostile-corpus invariance sweep (~210 keys).
+# It re-proves the unicode-normalization seam (functions/text.py),
+# which only changes when that module changes; the default tier's
+# oracle-parity sweep still covers every key on the canonical corpus.
+pytestmark = pytest.mark.slow
+
 from data_pipeline_bigquery_spark.queries import registry
 from tests.conftest import SF_DIR
 from tests.oracle_compare import compare
