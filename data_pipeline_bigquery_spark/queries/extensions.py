@@ -778,33 +778,38 @@ def _cached_train(sf_dir: str, tag: str, params: dict, build):
     contracts (r10 VERDICT #6): a trained artifact (KBs of doubles)
     persists as JSON under the gitignored
     ``spark-warehouse/pq_artifact_cache/``, fingerprinted by the
-    embeddings file's (abspath, size, mtime_ns) plus ``tag`` and the
-    full parameter dict — any fixture or parameter drift misses the
-    cache and retrains.  JSON round-trips Python floats exactly
-    (shortest-repr), and the inline trainers THEMSELVES round-trip the
-    same floats through the driver, so cached and fresh runs build
-    bit-identical literal expressions — proven per contract in
-    tests/test_ann_recall.py.  ``build()`` must return a JSON-able
+    embeddings source's full file listing — (relpath, size, mtime_ns)
+    of every file under the path, via the same
+    ``catalog._listing_fingerprint`` the plan cache keys on — plus
+    ``tag`` and the full parameter dict, so any fixture or parameter
+    drift misses the cache and retrains.  (r11 ADVICE refused parquet
+    *directories* because a top-level dir stat can miss in-place
+    part-file rewrites; the per-file listing closes that hole, and the
+    r13 sf1-probe adjudication showed the refusal itself was a cost:
+    every sf1 ANN-contract run paid cold quantizer training because
+    Spark-written sf1 tables are directories.)  JSON round-trips Python
+    floats exactly (shortest-repr), and the inline trainers THEMSELVES
+    round-trip the same floats through the driver, so cached and fresh
+    runs build bit-identical literal expressions — proven per contract
+    in tests/test_ann_recall.py.  ``build()`` must return a JSON-able
     payload; returns (payload, True) or, when the source can't be
-    stat'd (non-local layouts), (None, False) → caller trains inline."""
+    stat'd (missing/non-local layouts), (None, False) → caller trains
+    inline."""
     import hashlib
     import json
     import os
 
+    from data_pipeline_bigquery_spark.catalog import _listing_fingerprint
+
     src = os.path.join(sf_dir, "embeddings.parquet")
-    # single-FILE fingerprints only: for a Spark-written parquet
-    # *directory*, dir size/mtime can miss in-place part-file content
-    # changes and serve a stale artifact — fall back to inline training
-    if not os.path.isfile(src):
+    if not os.path.exists(src):
         return None, False
-    try:
-        st = os.stat(src)
-    except OSError:
+    listing = _listing_fingerprint(src)
+    if listing == ("<missing>",) or not listing:
         return None, False
     fp = hashlib.md5(
         json.dumps(
-            [os.path.abspath(src), st.st_size, st.st_mtime_ns, tag,
-             sorted(params.items())]
+            [os.path.abspath(src), listing, tag, sorted(params.items())]
         ).encode()
     ).hexdigest()
     cache_dir = _PQ_CACHE_DIR

@@ -231,6 +231,43 @@ def test_artifact_cache_misses_on_fixture_drift(spark, tmp_path, monkeypatch):
     assert len(list(cache_dir.glob("ivfcent-*.json"))) == 2
 
 
+def test_artifact_cache_covers_directory_tables(spark, tmp_path, monkeypatch):
+    """r14 (r13 VERDICT #9): a Spark-written parquet DIRECTORY must hit
+    the artifact cache too — the old single-file-only fingerprint made
+    every sf1 ANN-contract run retrain the quantizer from cold.  The
+    key must cover every file under the path: an in-place part-file
+    rewrite that leaves the directory mtime untouched must MISS."""
+    import os
+    import shutil
+
+    from data_pipeline_bigquery_spark.queries import extensions as qext
+
+    sfdir = tmp_path / "sf"
+    sfdir.mkdir()
+    # directory layout: the fixture file becomes a part file inside
+    # embeddings.parquet/ (exactly how make_scaled_sf writes sf1)
+    tdir = sfdir / "embeddings.parquet"
+    tdir.mkdir()
+    shutil.copy(f"{SF_DIR}/embeddings.parquet", tdir / "part-00000.parquet")
+    cache_dir = tmp_path / "pq_artifact_cache"
+    monkeypatch.setattr(qext, "_PQ_CACHE_DIR", str(cache_dir))
+
+    cold = sorted(map(tuple, qext._ann_ivf_trained(spark, str(sfdir)).collect()))
+    assert len(list(cache_dir.glob("ivfcent-*.json"))) == 1  # trained + persisted
+    warm = sorted(map(tuple, qext._ann_ivf_trained(spark, str(sfdir)).collect()))
+    assert len(list(cache_dir.glob("ivfcent-*.json"))) == 1  # HIT, no retrain
+    assert cold == warm and cold
+
+    # in-place part rewrite with the DIRECTORY mtime pinned → must MISS
+    dir_st = os.stat(tdir)
+    part = tdir / "part-00000.parquet"
+    st = os.stat(part)
+    os.utime(part, ns=(st.st_atime_ns, st.st_mtime_ns + 1))
+    os.utime(tdir, ns=(dir_st.st_atime_ns, dir_st.st_mtime_ns))
+    qext._ann_ivf_trained(spark, str(sfdir)).collect()
+    assert len(list(cache_dir.glob("ivfcent-*.json"))) == 2  # retrained
+
+
 def test_ivf_trained_quantizer_recall(spark):
     """Sampled-k-means quantizer: recall must stay usable.  On this
     fixture (10 planted label clusters) the lowest-id seeds already sit
