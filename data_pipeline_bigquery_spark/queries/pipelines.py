@@ -156,10 +156,23 @@ def _association(spark: SparkSession, sf_dir: str) -> DataFrame:
     each side + an anti-join exchange (the prior shape; lineitem is the
     biggest fixture table and was scanned twice).  Against a real lake,
     where ``existing`` is a different table, ``association_edges_plan``
-    still takes it and anti-joins on ``association_id``."""
+    still takes it and anti-joins on ``association_id``.
+
+    The explicit ``repartition`` on the grouping keys (r14, guide §2)
+    plans BOTH HashAggregates post-shuffle: (l_orderkey, l_partkey)
+    pairs are ~unique at every SF (≤1 duplicate pair per order), so the
+    map-side partial agg never reduces the exchange — it only built a
+    600k-key hash table serially on the scan task (single-row-group
+    fixture files scan as ONE task; at lake scale the same partial agg
+    is equally pure overhead, just parallel).  Shuffled bytes are
+    unchanged and REPARTITION_BY_COL stays AQE-coalescable; measured
+    interleaved floors 0.99→0.80 s at sf0.1 (7/7 reps faster,
+    plans/r14/pipeline_association_edges_{before,after}.txt)."""
     li = load(spark, sf_dir, "lineitem")
     new_pairs = (
-        li.groupBy("l_orderkey", "l_partkey")
+        li.select("l_orderkey", "l_partkey", "l_linenumber")
+        .repartition(F.col("l_orderkey"), F.col("l_partkey"))
+        .groupBy("l_orderkey", "l_partkey")
         .agg(F.max(F.col("l_linenumber") == 1).alias("is_existing"))
         .filter(~F.col("is_existing"))
         .select("l_orderkey", "l_partkey")

@@ -39,6 +39,28 @@ def test_association_single_scan_single_exchange(spark, reg):
     assert_max_exchanges(df, 1)
 
 
+def test_association_aggregates_post_shuffle(spark, reg):
+    """r14: (l_orderkey, l_partkey) pairs are ~unique, so a map-side
+    partial agg never reduces the exchange; the explicit repartition on
+    the grouping keys must plan BOTH HashAggregates above the shuffle
+    (the scan task only scans + writes) and keep the exchange
+    AQE-coalescable (REPARTITION_BY_COL, not a pinned partition count)."""
+    import re
+
+    from data_pipeline_bigquery_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(_q(reg, spark, "pipeline_association_edges"))
+    # the formatted detail section numbers operators leaf-first, so
+    # "above the shuffle" = a HIGHER operator number than the Exchange
+    nums = {}
+    for m in re.finditer(r"^\((\d+)\) (Exchange|HashAggregate)", plan, re.M):
+        nums.setdefault(m.group(2), []).append(int(m.group(1)))
+    assert len(nums.get("Exchange", [])) == 1, plan[:800]
+    assert len(nums.get("HashAggregate", [])) == 2, plan[:800]
+    assert all(a > nums["Exchange"][0] for a in nums["HashAggregate"]), plan[:800]
+    assert "REPARTITION_BY_COL" in plan, plan[:800]
+
+
 def test_star_join_all_broadcast(spark, reg):
     df = _q(reg, spark, "join_agg_revenue_by_nation")
     assert_no_cartesian(df)
