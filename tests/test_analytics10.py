@@ -66,6 +66,8 @@ def _spearman_model(xs, ys):
     return 1.0 - 6.0 * d2 / (n * (n * n - 1))
 
 
+@pytest.mark.slow  # r14: 12-16 s independent-model replay; parity
+# for the key stays in the default oracle sweep
 def test_spearman_matches_model_with_ties(spark, tmp_path):
     # one month, 8 days; revenue has a TIE (days 2 and 3) and the
     # association is noisy-monotone — exercises the doubled-rank path
@@ -225,6 +227,8 @@ def test_covisitation_cosine_topk_and_symmetry(spark, tmp_path):
     assert best_of_1.neighbor == 2  # highest cosine among 1's neighbors
 
 
+@pytest.mark.slow  # r14: 12-16 s independent-model replay; parity
+# for the key stays in the default oracle sweep
 def test_recs_exclude_owned_and_rank_bounds(spark):
     recs = analytics10.QUERIES["covisitation_recs"].fn(spark, SF_DIR)
     from data_pipeline_bigquery_spark.catalog import load

@@ -4,6 +4,13 @@ nothing lost, and a replayed epoch is idempotent."""
 
 from __future__ import annotations
 
+import pytest as _pytest_tier
+
+# slow tier (r13 VERDICT #1): streaming convergence/replay integration proof
+# (multi-trigger micro-batch runs).  Run with --full before committing
+# changes to streaming/ paths.
+pytestmark = _pytest_tier.mark.slow
+
 import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F

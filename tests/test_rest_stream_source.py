@@ -5,6 +5,13 @@ arrivals between runs are picked up."""
 
 from __future__ import annotations
 
+import pytest as _pytest_tier
+
+# slow tier (r13 VERDICT #1): streaming source resume/exactly-once integration
+# proof (multi-trigger micro-batch runs).  Run with --full before
+# committing changes to streaming/ or sources/ paths.
+pytestmark = _pytest_tier.mark.slow
+
 import json
 
 from data_pipeline_bigquery_spark.sources.rest_datasource import (

@@ -5,6 +5,14 @@ free scale path next to IVF."""
 
 from __future__ import annotations
 
+import pytest as _pytest_tier
+
+# slow tier (r13 VERDICT #1): recall/collision/routing property proofs of the
+# RHP-LSH machinery (60-110 s of brute-force comparisons); the oracle
+# parity sweep still covers the ann_lsh_recall_contract key by default.
+# Run with --full before touching extensions/rhp_lsh.py.
+pytestmark = _pytest_tier.mark.slow
+
 from pyspark.sql import functions as F
 
 from data_pipeline_bigquery_spark.catalog import load

@@ -4,6 +4,13 @@ and a second (incremental) stream run."""
 
 from __future__ import annotations
 
+import pytest as _pytest_tier
+
+# slow tier (r13 VERDICT #1): streaming convergence/replay integration proof
+# (multi-trigger micro-batch runs).  Run with --full before committing
+# changes to streaming/ paths.
+pytestmark = _pytest_tier.mark.slow
+
 import datetime as dt
 
 from pyspark.sql import Row
