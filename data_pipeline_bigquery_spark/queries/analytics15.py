@@ -30,7 +30,6 @@ from data_pipeline_bigquery_spark.catalog import load
 from data_pipeline_bigquery_spark.extensions.dedup_text import (
     DEFAULT_NUM_PERM,
     lsh_candidate_pairs,
-    minhash_signatures_from_docs,
     shingle_array_sql,
 )
 from data_pipeline_bigquery_spark.extensions.sampling import hash_bucket
@@ -159,19 +158,21 @@ def _minhash_estimate_calibration(
     mass), ~17 rows regardless of corpus size.
     """
     from data_pipeline_bigquery_spark.queries.extensions import (
+        _aug_minhash_signatures,
         _augmented_docs,
     )
 
-    # aug feeds the signature build AND the shingle-set projection —
-    # deliberately NOT lineage-cut: a checkpointed frame loses its file
-    # lineage, which blinds spread_small_input's split probe and runs
-    # the md5-heavy signature build on the source's ~4 splits instead
-    # of the cluster's parallelism (measured 6.0 s vs 1.4 s at sf0.1);
-    # re-scanning the documents parquet twice costs ~0.2 s
+    # aug feeds the shingle-set projection — deliberately NOT
+    # lineage-cut: a checkpointed frame loses its file lineage, which
+    # blinds spread_small_input's split probe and runs the md5-heavy
+    # work on the source's ~4 splits instead of the cluster's
+    # parallelism (measured 6.0 s vs 1.4 s at sf0.1); re-scanning the
+    # documents parquet costs ~0.2 s
     aug = _augmented_docs(spark, sf_dir)
     # cut lineage: signatures feed the pair generation AND both sides
-    # of the estimate join
-    sigs = minhash_signatures_from_docs(aug, "doc_id", "t").localCheckpoint(
+    # of the estimate join.  Slice-CSE build (bit-identical rows, half
+    # the md5/permutation work — queries.extensions._aug_minhash_signatures)
+    sigs = _aug_minhash_signatures(spark, sf_dir).localCheckpoint(
         eager=False
     )
     # pairs feed the estimate join, the candidate-doc filter, AND the

@@ -388,11 +388,14 @@ def _lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_bigquery_spark.extensions.dedup_text import (
         DEFAULT_MAX_BUCKET,
         band_hashes,
-        minhash_signatures_from_docs,
+    )
+    from data_pipeline_bigquery_spark.queries.extensions import (
+        _aug_minhash_signatures,
     )
 
-    aug = _augmented_docs(spark, sf_dir)
-    sigs = minhash_signatures_from_docs(aug, "doc_id", "t")
+    # slice-CSE aug signature build (bit-identical rows; half the md5 /
+    # permutation work — see queries.extensions._aug_minhash_signatures)
+    sigs = _aug_minhash_signatures(spark, sf_dir)
     sizes = (
         band_hashes(sigs)
         .groupBy("band_idx", "band_hash")

@@ -119,9 +119,113 @@ FROM unioned GROUP BY md5(text)
 
 # --- minhash LSH -------------------------------------------------------------
 
+def _aug_minhash_signatures(
+    spark: SparkSession, sf_dir: str, max_doc: int | None = None
+) -> DataFrame:
+    """MinHash signatures of the AUGMENTED corpus with the planted-copy
+    arm derived by slice-CSE instead of recomputed (r14 session 2,
+    guide §1.2 "don't compute things you throw away" applied to the
+    fixture scaffolding; same move as the association-edges same-table
+    collapse).
+
+    A planted copy's text is ``substring(t, 5)`` — a suffix — so its
+    shingle stream is the base doc's stream minus the first 4 windows,
+    and its md5 base-hash array is exactly ``slice(base_array, 5,
+    size - 4)``.  The union path recomputed every copy md5 (half the
+    md5 work) and re-ran every permutation pass over the copy's array
+    (half the transform work).  Here each base doc computes its base
+    array ONCE, each permutation runs ONCE per element — split into
+    ``head`` (the 4 leading windows) and ``rest`` (the shared suffix) —
+    and the two signature rows are assembled scalar-wise:
+
+        copy sig_j = rest_j
+        base sig_j = least(head_j, rest_j)     (min distributes)
+
+    Guard: the suffix identity needs ``length(t) >= K + 4`` — below
+    that the floor-to-one-shingle rule (``greatest(len - K + 1, 1)``)
+    makes the copy's single shingle ``substring(t, 5, K)``, which is
+    NOT a member of the base array; those docs take an exact
+    short-form branch (also covers NULL/empty text: CASE on a NULL
+    length falls to the short branch, md5(NULL) stays NULL, matching
+    the union path's all-NULL signature row).  ``least``/``array_min``
+    both skip NULLs, so the head/rest decomposition is NULL-exact.
+
+    Signatures are bit-identical to ``minhash_signatures_from_docs``
+    over ``_augmented_docs`` (pinned by tests/test_minhash_recall.py,
+    incl. the short/NULL/empty edge corpus); only the expression tree
+    changes.  Single documents scan instead of the union's two.
+    """
+    from data_pipeline_bigquery_spark.extensions.dedup_text import (
+        DEFAULT_NUM_PERM,
+        DEFAULT_SHINGLE_K,
+        MINHASH_MOD,
+        minhash_perm_multiplier,
+        shingle_array_sql,
+        spread_small_input,
+    )
+
+    K = DEFAULT_SHINGLE_K
+    hash_wrap = "cast(conv(substring(md5({s}), 1, 7), 16, 10) as long)"
+    base_arr = shingle_array_sql("__t", K, 1, elem_wrap=hash_wrap, prefolded=True)
+    short_elem = hash_wrap.format(s=f"substring(__t, 5, {K})")
+    copy_arr = (
+        f"CASE WHEN length(__t) >= {K + 4} THEN slice(__base, 5, size(__base) - 4) "
+        f"ELSE array({short_elem}) END"
+    )
+    head_arr = (
+        f"CASE WHEN length(__t) >= {K + 4} THEN slice(__base, 1, 4) ELSE __base END"
+    )
+    rests = [
+        f"array_min(transform(__copy, h ->"
+        f" ({minhash_perm_multiplier(j)} * h + {j}) % {MINHASH_MOD})) AS rest_{j}"
+        for j in range(DEFAULT_NUM_PERM)
+    ]
+    heads = [
+        f"array_min(transform(__head, h ->"
+        f" ({minhash_perm_multiplier(j)} * h + {j}) % {MINHASH_MOD})) AS head_{j}"
+        for j in range(DEFAULT_NUM_PERM)
+    ]
+    base_fields = ", ".join(
+        f"'sig_{j}', CASE WHEN __long THEN least(head_{j}, rest_{j})"
+        f" ELSE head_{j} END"
+        for j in range(DEFAULT_NUM_PERM)
+    )
+    copy_fields = ", ".join(f"'sig_{j}', rest_{j}" for j in range(DEFAULT_NUM_PERM))
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", ascii_lower("text").alias("t")
+    )
+    if max_doc is not None:
+        docs = docs.filter(F.col("doc_id") < max_doc)
+    # two-select split keeps __base / __copy / __head computed once
+    # each (CollapseProject refuses to inline non-cheap producers with
+    # multiple consumers — same contract minhash_signatures_from_docs
+    # relies on, plan-asserted in tests)
+    parts = (
+        spread_small_input(docs, key="doc_id")
+        .select(F.col("doc_id"), F.col("t").alias("__t"))
+        .selectExpr("doc_id", "__t", f"{base_arr} AS __base")
+        .selectExpr(
+            "doc_id",
+            f"length(__t) >= {K + 4} AS __long",
+            f"{copy_arr} AS __copy",
+            f"{head_arr} AS __head",
+        )
+        .selectExpr("doc_id", "__long", *rests, *heads)
+    )
+    rows = parts.select(
+        F.expr(
+            "explode(array("
+            f"named_struct('doc_id', doc_id, 's', named_struct({base_fields})), "
+            f"named_struct('doc_id', doc_id + {AUG_ID_SHIFT}, 's',"
+            f" named_struct({copy_fields}))"
+            ")) AS r"
+        )
+    )
+    return rows.select(F.col("r.doc_id").alias("doc_id"), "r.s.*")
+
+
 def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    aug = _augmented_docs(spark, sf_dir)
-    sigs = minhash_signatures_from_docs(aug, "doc_id", "t")
+    sigs = _aug_minhash_signatures(spark, sf_dir)
     return lsh_candidate_pairs(sigs)
 
 

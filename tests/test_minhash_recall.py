@@ -71,3 +71,69 @@ def test_fused_signatures_identical_and_md5_once(spark):
         .toString()
     )
     assert plan.count("md5") == 1, "base-hash array inlined num_perm times"
+
+
+def test_aug_slice_cse_signatures_identical(spark, tmp_path):
+    """_aug_minhash_signatures (the slice-CSE aug builder, r14) must be
+    row-for-row identical to the union path
+    (minhash_signatures_from_docs over _augmented_docs) on a hostile
+    corpus that exercises every branch of the suffix-identity guard:
+
+      * len < 5   — copy text is EMPTY (substring past the end)
+      * len < K+4 — the floor-to-one-shingle rule breaks the suffix
+                    structure (the short branch must recompute)
+      * len = K+4-1 / K+4 / K+4+1 — the guard boundary itself
+      * NULL text — all-NULL signature rows on both paths
+      * uppercase + non-ASCII — the ascii fold happens once, upstream
+    """
+    from data_pipeline_bigquery_spark.extensions.dedup_text import (
+        DEFAULT_SHINGLE_K,
+        minhash_signatures_from_docs,
+    )
+    from data_pipeline_bigquery_spark.queries.extensions import (
+        _aug_minhash_signatures,
+        _augmented_docs,
+    )
+
+    K = DEFAULT_SHINGLE_K
+    texts = [
+        None,
+        "",
+        "ab",
+        "abcd",
+        "abcde",
+        "x" * (K - 1),
+        "y" * K,
+        "The Quick Brown Fox È" + "z" * 3,  # non-ASCII + uppercase
+        "a" * (K + 3),   # guard boundary - 1 (short branch)
+        "b" * (K + 4),   # guard boundary (slice branch)
+        "c" * (K + 5),   # guard boundary + 1
+        "the quick brown fox jumps over the lazy dog " * 3,
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sf_dir = str(tmp_path)
+    docs.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    old = {
+        tuple(r)
+        for r in minhash_signatures_from_docs(
+            _augmented_docs(spark, sf_dir), "doc_id", "t"
+        ).collect()
+    }
+    new = {tuple(r) for r in _aug_minhash_signatures(spark, sf_dir).collect()}
+    assert old == new
+    assert len(new) == 2 * len(texts)  # every doc + its planted copy
+
+    # the base-hash md5 array must be computed once per doc and the
+    # copy's array DERIVED (slice), not recomputed: exactly two md5
+    # sites survive in the optimized plan — the base transform and the
+    # short-branch single shingle
+    plan = (
+        _aug_minhash_signatures(spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("md5") == 2, "copy base-hash array recomputed"
