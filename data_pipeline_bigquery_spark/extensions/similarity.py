@@ -67,28 +67,43 @@ def cosine_topk(
     # audit: an 8-row query side paid a RoundRobinPartitioning(32)
     # shuffle before its BroadcastExchange); the per-row norm fold on a
     # broadcast-small side costs nothing measurable.
-    q = queries.withColumn(vec_col, F.col(vec_col).cast("array<double>")).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("q_norm"),
+    #
+    # Parsed SQL expressions throughout (r14, guide §1.2): every
+    # zip_with/aggregate LAMBDA Column build costs ~15 py4j round-trips
+    # at plan-build time (353 RTTs/build measured on this key); the
+    # strings below parse to the identical trees (same fold, same
+    # 0.0D double literals, same NULLS-on-zero-norm guard).
+    def qt(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
+
+    dot = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+    q = queries.selectExpr(
+        "*", f"CAST({qt(vec_col)} AS ARRAY<DOUBLE>) AS __dv"
+    ).selectExpr(
+        f"{qt(id_col)} AS query_id",
+        "__dv AS q_vec",
+        f"sqrt({dot.format(a='__dv', b='__dv')}) AS q_norm",
     )
-    c = with_double_embedding(candidates, vec_col, key=id_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("c_norm"),
+    c = with_double_embedding(candidates, vec_col, key=id_col).selectExpr(
+        f"{qt(id_col)} AS neighbor_id",
+        f"{qt(vec_col)} AS c_vec",
+        f"sqrt({dot.format(a=qt(vec_col), b=qt(vec_col))}) AS c_norm",
     )
-    pairs = F.broadcast(q).join(c, F.col("query_id") != F.col("neighbor_id"))
-    sim = _dot(F.col("q_vec"), F.col("c_vec")) / _nz(F.col("q_norm") * F.col("c_norm"))
-    scored = pairs.select(
-        "query_id", "neighbor_id", F.round(sim, 6).alias("cosine_sim")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    pairs = F.broadcast(q).join(c, F.expr("query_id != neighbor_id"))
+    den = "CASE WHEN (q_norm * c_norm) != 0.0D THEN q_norm * c_norm END"
+    scored = pairs.selectExpr(
+        "query_id",
+        "neighbor_id",
+        f"round({dot.format(a='q_vec', b='c_vec')} / ({den}), 6) AS cosine_sim",
     )
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("query_id", "neighbor_id", "cosine_sim")
+        scored.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY query_id"
+            " ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn",
+        )
+        .filter(f"rn <= {int(k)}")
+        .selectExpr("query_id", "neighbor_id", "cosine_sim")
     )
 
 

@@ -22,10 +22,7 @@ pre-aggregate it — ``last`` between equal sort keys is tie-ambiguous.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
-from pyspark.sql import functions as F
-
-from data_pipeline_bigquery_spark.functions.timestamps import to_epoch_seconds
+from pyspark.sql import DataFrame
 
 _TAG = "__asof_tag"
 
@@ -58,50 +55,66 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction}")
-    lhs = left.withColumn(_TAG, F.lit(1))
+
+    # parsed SQL strings throughout (r14, guide §1.2): each F.col /
+    # F.when / .over Column build is its own py4j round-trip, and this
+    # operator sits inside the bench's timed region — the expression
+    # trees below are the ones the Column form produced (same window
+    # frame, same ignore-nulls picks), just built in ~6 parses
+    def q(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
+
+    lhs = left.selectExpr("*", f"1 AS {_TAG}")
     # the whole matched row travels as ONE struct (non-null for every
     # right row, even when an individual value is NULL): picking the
     # struct with first/last(ignorenulls) selects ts AND values from
     # the SAME matched row — per-column picks would skip a NULL value
     # and take it from a different (further) row, diverging from the
     # pandas merge_asof contract
-    rhs = right.select(
-        on,
-        ts_col,
-        F.struct(
-            F.col(ts_col).alias("__rts"),
-            *[F.col(c).alias(f"__asof_{c}") for c in value_cols],
-        ).alias("__asof_payload"),
-    ).withColumn(_TAG, F.lit(0))
+    payload_fields = ", ".join(
+        [f"'__rts', {q(ts_col)}"]
+        + [f"'__asof_{c}', {q(c)}" for c in value_cols]
+    )
+    rhs = right.selectExpr(
+        q(on),
+        q(ts_col),
+        f"named_struct({payload_fields}) AS __asof_payload",
+        f"0 AS {_TAG}",
+    )
     both = lhs.unionByName(rhs, allowMissingColumns=True)
 
+    epoch = "unix_seconds(cast({c} as timestamp))"
     if direction == "backward":
-        w = (
-            Window.partitionBy(on)
-            .orderBy(ts_col, _TAG)
-            .rowsBetween(Window.unboundedPreceding, 0)
+        picked = (
+            f"last(__asof_payload, true) OVER (PARTITION BY {q(on)}"
+            f" ORDER BY {q(ts_col)}, {_TAG}"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
         )
-        payload = F.last("__asof_payload", ignorenulls=True).over(w)
-        staleness = lambda m: to_epoch_seconds(ts_col) - to_epoch_seconds(m)  # noqa: E731
+        staleness = (
+            epoch.format(c=q(ts_col)) + " - " + epoch.format(c="__p.__rts")
+        )
     else:
-        w = (
-            Window.partitionBy(on)
-            .orderBy(F.col(ts_col).asc(), F.col(_TAG).desc())
-            .rowsBetween(0, Window.unboundedFollowing)
+        picked = (
+            f"first(__asof_payload, true) OVER (PARTITION BY {q(on)}"
+            f" ORDER BY {q(ts_col)} ASC, {_TAG} DESC"
+            " ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"
         )
-        payload = F.first("__asof_payload", ignorenulls=True).over(w)
-        staleness = lambda m: to_epoch_seconds(m) - to_epoch_seconds(ts_col)  # noqa: E731
+        staleness = (
+            epoch.format(c="__p.__rts") + " - " + epoch.format(c=q(ts_col))
+        )
 
-    matched_ts = payload["__rts"]
-    fresh = (
-        F.lit(True)
-        if tolerance_s is None
-        else (staleness(matched_ts) <= tolerance_s)
+    if tolerance_s is None:
+        asof_ts = "__p.__rts AS asof_ts"
+        vals = [f"__p.__asof_{c} AS asof_{c}" for c in value_cols]
+    else:
+        fresh = f"({staleness}) <= {int(tolerance_s)}"
+        asof_ts = f"CASE WHEN {fresh} THEN __p.__rts END AS asof_ts"
+        vals = [
+            f"CASE WHEN {fresh} THEN __p.__asof_{c} END AS asof_{c}"
+            for c in value_cols
+        ]
+    return (
+        both.selectExpr("*", f"{picked} AS __p")
+        .filter(f"{_TAG} = 1")
+        .selectExpr(*[q(c) for c in left.columns], asof_ts, *vals)
     )
-    out = both.withColumn("asof_ts", F.when(fresh, matched_ts))
-    for c in value_cols:
-        out = out.withColumn(
-            f"asof_{c}",
-            F.when(fresh, payload[f"__asof_{c}"]),
-        )
-    return out.filter(F.col(_TAG) == 1).drop(_TAG, "__asof_payload")

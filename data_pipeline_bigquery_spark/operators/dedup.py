@@ -29,6 +29,25 @@ def dedup_keep_latest(
     full ordering; add a unique column to ``order_by`` for total
     determinism.
     """
+    if all(isinstance(c, str) for c in order_by):
+        # ONE parsed window expression instead of a Column build per
+        # order column (r14, guide §1.2).  SQL DESC/ASC and Column
+        # .desc()/.asc() share the same null ordering defaults
+        # (DESC ⇒ NULLS LAST, ASC ⇒ NULLS FIRST), so the tree is
+        # identical to the Column form below.
+        def q(name: str) -> str:
+            return "`" + name.replace("`", "``") + "`"
+
+        dirn = "DESC" if descending else "ASC"
+        rn = (
+            f"row_number() OVER (PARTITION BY {', '.join(q(k) for k in keys)}"
+            f" ORDER BY {', '.join(f'{q(c)} {dirn}' for c in order_by)})"
+        )
+        return (
+            df.selectExpr("*", f"{rn} AS __rn")
+            .filter("__rn = 1")
+            .drop("__rn")
+        )
     ordering = [
         (F.col(c) if isinstance(c, str) else c).desc() if descending
         else (F.col(c) if isinstance(c, str) else c).asc()

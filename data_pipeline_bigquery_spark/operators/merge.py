@@ -93,19 +93,31 @@ def merge_upsert(
 
     joined = t.join(s, F.col(f"t.{pk}") == F.col(f"s.{pk}"), "full_outer")
 
-    t_pk, s_pk = F.col(f"t.{pk}"), F.col(f"s.{pk}")
+    # parsed SQL strings (r14, guide §1.2): the per-column
+    # when/otherwise Column builds cost ~6 py4j round-trips each at
+    # plan-build time; the CASE trees below are the identical
+    # expressions in one parse per output column
+    def q(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
+
     if null_safe:
-        cursor_differs = ~F.col(f"t.{cursor_col}").eqNullSafe(F.col(f"s.{cursor_col}"))
+        cursor_differs = (
+            f"NOT (t.{q(cursor_col)} <=> s.{q(cursor_col)})"
+        )
     else:
         # SQL `!=`: NULL on either side ⇒ not true ⇒ no update.
-        cursor_differs = F.col(f"t.{cursor_col}") != F.col(f"s.{cursor_col}")
+        cursor_differs = f"t.{q(cursor_col)} != s.{q(cursor_col)}"
 
-    take_source = t_pk.isNull() | (s_pk.isNotNull() & F.coalesce(cursor_differs, F.lit(False)))
-
-    resolved = [
-        F.when(take_source, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c) for c in cols
-    ]
-    return joined.select(*resolved)
+    take_source = (
+        f"(t.{q(pk)} IS NULL OR (s.{q(pk)} IS NOT NULL"
+        f" AND coalesce({cursor_differs}, false)))"
+    )
+    return joined.selectExpr(
+        *[
+            f"CASE WHEN {take_source} THEN s.{q(c)} ELSE t.{q(c)} END AS {q(c)}"
+            for c in cols
+        ]
+    )
 
 
 def affected_partitions(source: DataFrame, partition_col: str) -> DataFrame:

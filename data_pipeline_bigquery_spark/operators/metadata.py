@@ -40,6 +40,23 @@ def zip_emitted_info(
     ``archived_defaults`` adds the reference's companion defaults
     (``archivedAt=None``, ``associations='{}'`` — transformation.py:18-29).
     """
+    if isinstance(emitted_at, str):
+        # one parsed selectExpr instead of 2-4 withColumn round-trip
+        # chains (r14, guide §1.2); CAST('<s>' AS TIMESTAMP) is the
+        # same tree F.lit(<s>).cast("timestamp") builds
+        at_lit = emitted_at.replace("'", "''")
+        id_lit = emitted_id.replace("'", "''")
+        exprs = [
+            "*",
+            f"CAST('{at_lit}' AS TIMESTAMP) AS emitted_at",
+            f"'{id_lit}' AS emitted_id",
+        ]
+        if archived_defaults:
+            exprs += [
+                "CAST(NULL AS TIMESTAMP) AS archivedAt",
+                "'{}' AS associations",
+            ]
+        return df.selectExpr(*exprs)
     out = df.withColumn("emitted_at", F.lit(emitted_at).cast("timestamp")).withColumn(
         "emitted_id", F.lit(emitted_id)
     )

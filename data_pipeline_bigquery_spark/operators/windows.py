@@ -13,6 +13,10 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _q(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
 def version_row_number(
     df: DataFrame,
     partition_by: list[str],
@@ -25,6 +29,17 @@ def version_row_number(
     exchange an aggregation would need, so chains of window + groupBy on
     the same keys reuse the exchange (Catalyst ReuseExchange).
     """
+    if all(isinstance(c, str) for c in order_by):
+        # ONE parsed expression instead of a Column build per key/order
+        # column (~6 py4j round-trips each at plan-build time, r14
+        # guide §1.2); ASC here and .orderBy's default are both
+        # NULLS FIRST, so the window tree is identical
+        rn = (
+            f"row_number() OVER (PARTITION BY"
+            f" {', '.join(_q(c) for c in partition_by)}"
+            f" ORDER BY {', '.join(_q(c) for c in order_by)})"
+        )
+        return df.selectExpr("*", f"{rn} AS {_q(out_col)}")
     w = Window.partitionBy(*partition_by).orderBy(
         *[F.col(c) if isinstance(c, str) else c for c in order_by]
     )
@@ -48,7 +63,23 @@ def group_concat(
     in a distributed shuffle (the reference silently depends on pandas
     row order here).
     """
-    v = F.col(value) if isinstance(value, str) else value
+    if isinstance(value, str):
+        # single parsed expression — same RTT rationale as
+        # version_row_number; the tree (collect_list window →
+        # array_distinct → array_sort → concat_ws) is unchanged
+        arr_sql = (
+            f"collect_list({_q(value)}) OVER (PARTITION BY"
+            f" {', '.join(_q(c) for c in partition_by)})"
+        )
+        if distinct:
+            arr_sql = f"array_distinct({arr_sql})"
+        if sort:
+            arr_sql = f"array_sort({arr_sql})"
+        sep_lit = sep.replace("'", "''")
+        return df.selectExpr(
+            "*", f"concat_ws('{sep_lit}', {arr_sql}) AS {_q(out_col)}"
+        )
+    v = value
     w = Window.partitionBy(*partition_by)
     arr = F.collect_list(v).over(w)
     if distinct:

@@ -15,7 +15,6 @@ import datetime as _dt
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from data_pipeline_bigquery_spark.functions.keys import md5_surrogate_key
 from data_pipeline_bigquery_spark.operators.joins import anti_join
 from data_pipeline_bigquery_spark.operators.metadata import zip_emitted_info
 
@@ -49,17 +48,22 @@ def association_edges_plan(
     # the shuffle then moves 2 longs instead of 2 strings per row, and
     # the constant `type` column stays out of the grouping key.  The
     # cast is injective, so the distinct set is identical.
-    df = edges.select(F.col(from_col).alias("from_id"), F.col(to_col).alias("to_id"))
+    def q(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
+
+    df = edges.selectExpr(f"{q(from_col)} AS from_id", f"{q(to_col)} AS to_id")
     if not assume_distinct:
         df = df.distinct()
-    df = df.select(
-        F.col("from_id").cast("string").alias("from_id"),
-        F.col("to_id").cast("string").alias("to_id"),
-        F.lit(edge_type).alias("type"),
-    )
-    df = df.withColumn(
-        "association_id",
-        md5_surrogate_key(F.col("from_id"), F.col("type"), F.col("to_id"), sep="_"),
+    # one parsed projection (r14, guide §1.2): the cast/lit/md5 Column
+    # builds cost ~30 py4j round-trips; the md5 runs over the same
+    # casted values the Column form concatenated
+    type_lit = edge_type.replace("'", "''")
+    df = df.selectExpr(
+        "CAST(from_id AS STRING) AS from_id",
+        "CAST(to_id AS STRING) AS to_id",
+        f"'{type_lit}' AS type",
+        "md5(concat_ws('_', CAST(from_id AS STRING),"
+        f" '{type_lit}', CAST(to_id AS STRING))) AS association_id",
     )
     if existing is not None:
         df = anti_join(
@@ -69,6 +73,6 @@ def association_edges_plan(
             broadcast=broadcast_existing,
         )
     df = zip_emitted_info(df, emitted_at, emitted_id)
-    return df.select(
+    return df.selectExpr(
         "association_id", "from_id", "to_id", "type", "emitted_at", "emitted_id"
     )

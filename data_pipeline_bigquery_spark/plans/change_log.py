@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from data_pipeline_bigquery_spark.functions.timestamps import to_epoch_millis
-from data_pipeline_bigquery_spark.operators.nested import json_field, serialize_row_json
+from data_pipeline_bigquery_spark.operators.nested import serialize_row_json
 from data_pipeline_bigquery_spark.operators.windows import version_row_number
 
 
@@ -39,34 +39,58 @@ def change_log_plan(
     version, updated_value, updated_at_timestamp (ms),
     updated_at_date, object_type, emitted_at, emitted_id.
     """
-    df = events.filter(F.col("event_type").isin(*tracked_types))
-    df = df.select(
-        F.col("user_id").cast("string").alias("object_id"),
-        F.col("event_type").alias("field"),
-        json_field("props", "$.k").alias("updated_value"),
-        F.col("ts"),
+    # parsed SQL projections (r14, guide §1.2): per-Column builds cost
+    # ~6 py4j round-trips each at plan-build time; these strings parse
+    # to the identical expression trees (get_json_object, CASE-free
+    # casts, string literals)
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    in_list = ", ".join(lit(t) for t in tracked_types)
+    df = events.filter(f"event_type IN ({in_list})").selectExpr(
+        "CAST(user_id AS STRING) AS object_id",
+        "event_type AS field",
+        "get_json_object(props, '$.k') AS updated_value",
+        "ts",
     )
     # version numbering per entity, ordered by event time (W1)
     df = version_row_number(
         df, ["object_id"], ["ts", "updated_value"], out_col="version"
     )
-    df = df.withColumn("updated_at_timestamp", to_epoch_millis("ts")).withColumn(
-        "updated_at_date", F.col("ts")
+    df = df.withColumns(
+        {"updated_at_timestamp": to_epoch_millis("ts"), "updated_at_date": F.col("ts")}
     )
     df = serialize_row_json(
         df, ["object_id", "field", "updated_value", "version"], out_col="raw"
     )
-    if cursor is not None:
+    if cursor is not None and isinstance(cursor, str):
+        df = df.filter(f"updated_at_date > CAST({lit(cursor)} AS TIMESTAMP)")
+    elif cursor is not None:
         df = df.filter(F.col("updated_at_date") > F.lit(cursor).cast("timestamp"))
-    return df.select(
+    emit = (
+        [
+            f"CAST({lit(emitted_at)} AS TIMESTAMP) AS emitted_at",
+            f"{lit(emitted_id)} AS emitted_id",
+        ]
+        if isinstance(emitted_at, str)
+        else None
+    )
+    out = df.selectExpr(
         "object_id",
         "raw",
         "field",
-        F.col("version").cast("long").alias("version"),
+        "CAST(version AS BIGINT) AS version",
         "updated_value",
         "updated_at_timestamp",
         "updated_at_date",
-        F.lit(object_type).alias("object_type"),
-        F.lit(emitted_at).cast("timestamp").alias("emitted_at"),
-        F.lit(emitted_id).alias("emitted_id"),
+        f"{lit(object_type)} AS object_type",
+        *(emit or []),
     )
+    if emit is None:
+        out = out.withColumns(
+            {
+                "emitted_at": F.lit(emitted_at).cast("timestamp"),
+                "emitted_id": F.lit(emitted_id),
+            }
+        )
+    return out

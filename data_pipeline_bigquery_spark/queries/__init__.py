@@ -40,7 +40,6 @@ def _ntz_output_boundary(
 
     @functools.wraps(fn)
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
         df = fn(spark, sf_dir)
@@ -48,11 +47,19 @@ def _ntz_output_boundary(
             isinstance(f.dataType, T.TimestampType) for f in df.schema.fields
         ):
             return df
-        return df.select(
+        # ONE parsed selectExpr, not a Column build per output column:
+        # each F.col/cast/alias is its own py4j round-trip (~0.25-0.9 ms)
+        # and this wrapper runs inside the bench's timed region on every
+        # timestamp-emitting key (r14 session 2, guide §1.2) — the
+        # parsed expression tree is identical to the Column form
+        def q(name: str) -> str:
+            return "`" + name.replace("`", "``") + "`"
+
+        return df.selectExpr(
             *[
-                F.col(f.name).cast(T.TimestampNTZType()).alias(f.name)
+                f"CAST({q(f.name)} AS TIMESTAMP_NTZ) AS {q(f.name)}"
                 if isinstance(f.dataType, T.TimestampType)
-                else F.col(f.name)
+                else q(f.name)
                 for f in df.schema.fields
             ]
         )

@@ -503,11 +503,15 @@ def _revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
     region = load(spark, sf_dir, "region")
-    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
-        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
-    )
+    # one parsed projection (r14, guide §1.2) — the same decimal tree
+    # the Column form built, minus ~15 py4j round-trips per plan build
     per_order = (
-        li.select("l_orderkey", revenue.alias("rev"))
+        li.selectExpr(
+            "l_orderkey",
+            "CAST(l_extendedprice AS DECIMAL(18,2))"
+            " * (CAST(1 AS DECIMAL(18,2))"
+            " - CAST(l_discount AS DECIMAL(18,2))) AS rev",
+        )
         .groupBy("l_orderkey")
         .agg(F.sum("rev").alias("rev"), F.count(F.lit(1)).alias("n"))
     )
