@@ -8,7 +8,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from data_pipeline_bigquery_spark.functions.text import ascii_lower
+from data_pipeline_bigquery_spark.functions.text import (
+    ascii_lower,
+    ascii_lower_sql,
+)
 
 # marker-word profiles for the n-gram-ish language heuristic
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -52,30 +55,44 @@ def lang_id(
 def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Length / stopword-ratio / alpha-ratio quality features + a
     composite score — the standard cheap pre-filter before expensive
-    dedup/training steps."""
-    t = ascii_lower(F.col(text_col))
-    words = F.split(t, " ")
-    word_count = F.size(words)
-    stop = F.array(F.lit("the"), F.lit("a"), F.lit("and"), F.lit("of"))
-    stop_count = F.size(F.filter(words, lambda w: F.array_contains(stop, w)))
-    alpha_len = F.length(F.regexp_replace(t, "[^a-z]", ""))
-    text_len = F.length(t)
+    dedup/training steps.
+
+    Built as ONE parsed selectExpr (r14, guide §1.2): the Column form
+    cost ~30 py4j round-trips per plan build (the lambda filter alone
+    ~15); the strings parse to the same trees, duplicated per output
+    column exactly as the reused Column objects were (whole-stage
+    codegen CSEs the repeats either way)."""
+
+    def q(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
+
+    t = ascii_lower_sql(q(text_col))
+    words = f"split({t}, ' ')"
+    wc = f"size({words})"
+    stop_cnt = (
+        f"size(filter({words},"
+        " w -> array_contains(array('the', 'a', 'and', 'of'), w)))"
+    )
+    alpha = f"length(regexp_replace({t}, '[^a-z]', ''))"
+    tlen = f"length({t})"
     # rule 9: '' text has length 0 — ANSI Spark throws on the division
     # where the oracle returns NULL (degenerate-corpus sweep catch);
     # word_count can't be 0 (split('') is ['']) but gets the same guard
-    stop_ratio = stop_count.cast("double") / F.when(
-        word_count != 0, word_count.cast("double")
+    stop_ratio = (
+        f"(CAST({stop_cnt} AS DOUBLE)"
+        f" / (CASE WHEN {wc} != 0 THEN CAST({wc} AS DOUBLE) END))"
     )
-    alpha_ratio = alpha_len.cast("double") / F.when(
-        text_len != 0, text_len.cast("double")
+    alpha_ratio = (
+        f"(CAST({alpha} AS DOUBLE)"
+        f" / (CASE WHEN {tlen} != 0 THEN CAST({tlen} AS DOUBLE) END))"
     )
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        text_len.cast("long").alias("text_len"),
-        word_count.cast("long").alias("word_count"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(alpha_ratio, 6).alias("alpha_ratio"),
-        F.round(stop_ratio * 0.5 + alpha_ratio * 0.5, 6).alias("quality"),
+    return df.selectExpr(
+        f"{q(id_col)} AS doc_id",
+        f"CAST({tlen} AS BIGINT) AS text_len",
+        f"CAST({wc} AS BIGINT) AS word_count",
+        f"round({stop_ratio}, 6) AS stopword_ratio",
+        f"round({alpha_ratio}, 6) AS alpha_ratio",
+        f"round({stop_ratio} * 0.5D + {alpha_ratio} * 0.5D, 6) AS quality",
     )
 
 
